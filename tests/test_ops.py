@@ -1,0 +1,115 @@
+"""Operator unit tests: multimodal plumbing, IVF ANN, streaming variant,
+dedup building blocks."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_lake_spark import multimodal as mm
+from vector_lake_spark.operators.ann import ivf_build, ivf_topk
+from vector_lake_spark.operators.dedup import shingles
+from vector_lake_spark.operators.topk import topk_cosine
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNGfakebytes", ("image/png", 32, 32, None)),
+        (2, "image", b"\xff\xd8JPEGfake", ("image/jpeg", 64, 48, None)),
+        (3, "video", b"\x00\x00mp4fake", ("video/mp4", 640, 480, 3500)),
+        (4, "audio", None, ("audio/wav", None, None, 1200)),
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+def test_media_stats(media_df):
+    stats = {r["kind"]: r for r in mm.media_stats(media_df).collect()}
+    assert stats["image"]["n_items"] == 2
+    assert stats["video"]["total_bytes"] == len(b"\x00\x00mp4fake")
+
+
+def test_extract_image_features_batch_shape(media_df):
+    out = mm.extract_image_features(media_df, dim=8).collect()
+    assert len(out) == 4
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == len(b"\x89PNGfakebytes")
+    assert len(by_id[1]["feature"]) == 8
+    # deterministic fake features
+    out2 = mm.extract_image_features(media_df, dim=8).collect()
+    assert {r["media_id"]: r["feature"] for r in out2} == {
+        r["media_id"]: r["feature"] for r in out
+    }
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm._decode_image(b"bytes")
+
+
+def test_sample_video_frames(media_df):
+    frames = mm.sample_video_frames(media_df, every_ms=1000).collect()
+    # 3500 ms at 1 fps → 3 frames (ids 0,1,2)
+    assert [f["frame_no"] for f in frames] == [0, 1, 2]
+    assert frames[2]["offset_ms"] == 2000
+
+
+def test_ivf_matches_bruteforce_top1(spark):
+    rng = np.random.RandomState(5)
+    base = rng.randn(8, 16)
+    # clustered corpus: 8 clusters × 30 points
+    vecs, rows = [], []
+    i = 0
+    for c in range(8):
+        for _ in range(30):
+            v = base[c] + 0.05 * rng.randn(16)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = ivf_build(df, n_centroids=8)
+    query = [float(x) for x in base[3]]
+    brute = topk_cosine(df, query, 5).collect()
+    approx = ivf_topk(assigned, centroids, query, 5, nprobe=2).collect()
+    # with well-separated clusters and nprobe=2, top-1 must agree
+    assert approx[0]["vec_id"] == brute[0]["vec_id"]
+    assert len(approx) == 5
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "id int, text string")
+    out = {
+        r["id"]: r["grams"]
+        for r in df.select("id", shingles(F.col("text"), 3).alias("grams")).collect()
+    }
+    assert out[1] == []  # shorter than n → empty, not descending-sequence junk
+    assert out[2] == ["a b c", "b c d"]
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    from vector_lake_spark.operators.events import tumbling_agg
+    from vector_lake_spark.queries import _events
+    from vector_lake_spark.streaming.events import run_events_stream_demo
+
+    src = str(tmp_path / "events_src")
+    _events(spark, "/root/testdata/sf0.001").write.parquet(src)
+
+    out = run_events_stream_demo(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    batch = tumbling_agg(_events(spark, "/root/testdata/sf0.001"))
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in out.withColumn(
+            "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        ).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    # append mode only emits windows finalized by the watermark — the last
+    # ~watermark-worth of windows stays in state at end of stream. Everything
+    # emitted must match the batch result exactly.
+    assert got, "stream emitted nothing"
+    for key, val in got.items():
+        assert want.get(key) == val, key
+    assert len(got) >= len(want) - 10

@@ -1,0 +1,102 @@
+"""Store lifecycle tests — the reference's end-to-end round-trip shape
+(tests/test_unit.py:46-71: add → query → persist → reopen → query)."""
+
+import numpy as np
+import pytest
+
+from vector_lake_spark.store import SparkPartition, SparkVectorLake
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(11)
+
+
+def test_empty_store_query_returns_nothing(spark, tmp_path):
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=5)
+    assert lake.query([0.1, 0.2, 0.3, 0.4, 0.5], k=4).count() == 0
+
+
+def test_round_trip(spark, tmp_path, rng):
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=5, approx_shards=16)
+    vecs = rng.rand(50, 5).tolist()
+    ids = lake.add_batch(
+        vecs,
+        metadata=[{"i": str(i)} for i in range(50)],
+        documents=[f"doc {i}" for i in range(50)],
+    )
+    assert len(ids) == 50
+    lake.persist(source="unit-test")
+    assert lake.count() == 50
+
+    # reopen from disk (fresh object) — same seeded hyperplanes → same routing
+    reopened = SparkVectorLake(spark, loc, dimension=5, approx_shards=16)
+    target = vecs[7]
+    hits = reopened.query(target, k=4).collect()
+    assert 1 <= len(hits) <= 4
+    # exact self-match must be the top hit with similarity 1.0
+    assert hits[0]["id"] == ids[7]
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_append_accumulates(spark, tmp_path, rng):
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    lake.add_batch(rng.rand(10, 4).tolist())
+    lake.persist()
+    lake.add_batch(rng.rand(15, 4).tolist())
+    lake.persist()
+    assert lake.count() == 25
+
+
+def test_metadata_default_fill(spark, tmp_path, rng):
+    # I2 parity: falsy metadata → {"id": "1"} (index.py:574-576)
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=3)
+    lake.add_batch([[0.1, 0.2, 0.3]], metadata=[{}])
+    lake.persist()
+    row = lake.load().collect()[0]
+    assert row["metadata"] == '{"id": "1"}'
+
+
+def test_schema_validation_rejects_drift(spark, tmp_path):
+    loc = tmp_path / "lake"
+    (loc / "data").mkdir(parents=True)
+    spark.range(3).write.mode("overwrite").parquet(str(loc / "data"))
+    lake = SparkVectorLake(spark, str(loc), dimension=3)
+    with pytest.raises(ValueError, match="schema drift"):
+        lake.load()
+
+
+def test_partition_store(spark, tmp_path, rng):
+    loc = str(tmp_path / "plake")
+    part = SparkPartition(spark, loc, partition_key="feature_x", dimension=4)
+    vecs = rng.rand(20, 4).tolist()
+    ids = part.add_batch(vecs)
+    part.persist()
+    hits = part.query(vecs[3], k=2).collect()
+    assert hits[0]["id"] == ids[3]
+
+
+def test_compact_reduces_files(spark, tmp_path, rng):
+    import glob
+
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    for _ in range(3):
+        lake.add_batch(rng.rand(20, 4).tolist())
+        lake.persist()
+    before = len(glob.glob(f"{loc}/data/*/*.parquet"))
+    lake.compact()
+    after = len(glob.glob(f"{loc}/data/*/*.parquet"))
+    assert lake.count() == 60
+    assert after <= before
+
+
+def test_delete(spark, tmp_path, rng):
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=3)
+    lake.add_batch(rng.rand(5, 3).tolist())
+    lake.persist()
+    lake.delete()
+    assert lake.query([0.1, 0.2, 0.3]).count() == 0

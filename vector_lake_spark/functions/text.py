@@ -1,0 +1,132 @@
+"""Text-analysis column expressions for the ``documents`` table.
+
+The reference has no text operators (SURVEY.md §2.A.1); these are the
+north-star LLM-pipeline extensions (language-ID heuristic, quality scoring,
+token counting, fingerprinting). Everything here is a native column
+expression — no Python UDFs — so the hot path stays in whole-stage codegen
+at 100 TB.
+
+Determinism contract shared with the DuckDB oracles in ``__spark_entry__``:
+same tokenizer regex (``\\s+`` split on lowercased text), same stopword
+lists, same punctuation class, same rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tokenizer shared with oracle SQL: lowercase, split on runs of whitespace.
+TOKEN_SPLIT_RE = r"\s+"
+
+# Explicit punctuation class (identical regex in Spark & DuckDB — avoid
+# locale-dependent [[:punct:]]).
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic. Deterministic, mirrored verbatim into oracle SQL.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"] + ["it", "for", "on", "with", "as"]
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    """Number of punctuation characters (length delta after removal)."""
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    ).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    return punct_count(col) / F.greatest(F.length(col).cast("double"), F.lit(1.0))
+
+
+def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = [F.lit(s) for s in (stopwords or STOPWORDS_EN)]
+    return F.size(
+        F.filter(tokens(col), lambda t: t.isin(*(stopwords or STOPWORDS_EN)))
+    ).cast("long")
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    return stopword_count(col, stopwords) / F.greatest(
+        token_count(col).cast("double"), F.lit(1.0)
+    )
+
+
+def avg_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return total / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic (mirrored in oracle SQL):
+    0.4·min(1, tokens/100) + 0.3·(1 − punct_ratio) + 0.3·stopword_presence,
+    where stopword_presence = min(1, 4·stopword_ratio) rewards natural-
+    language stopword density."""
+    tok_term = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
+    sw_term = F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(col))
+    return (
+        F.lit(0.4) * tok_term
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+        + F.lit(0.3) * sw_term
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-profile language-ID heuristic: argmax of per-language
+    stopword hit counts (ties → lexicographically smallest language code;
+    all-zero → 'und')."""
+    toks = tokens(col)
+
+    def hits(words: list[str]) -> Column:
+        # NB: a 2-arg lambda (even via default args) would be treated as an
+        # (element, index) filter lambda by PySpark — close over `words`.
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    scores = [(lang, hits(words)) for lang, words in sorted(LANG_PROFILES.items())]
+    # argmax with deterministic tie-break: iterate langs in sorted order,
+    # keep first strict maximum.
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint64(col: Column) -> Column:
+    """Content fingerprint: first 60 bits of md5(normalized text) as a
+    non-negative BIGINT. Robust to whitespace/case jitter; identical
+    arithmetic is expressible in DuckDB (md5 + hex cast)."""
+    return F.conv(F.substring(F.md5(normalize_text(col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def token_hash60(tok: Column) -> Column:
+    """60-bit token hash used by SimHash (md5-based, engine-portable)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")

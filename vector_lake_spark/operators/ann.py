@@ -1,0 +1,112 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Baseline: exact brute-force top-k (operators/topk — TakeOrderedAndProject,
+no global sort). Scale paths:
+
+- LSH shard-bucketed search — the reference's own strategy (route the query
+  with the seeded hyperplane hash, probe only that shard:
+  ``/root/reference/vector_lake/core/index.py:487-537``) re-expressed as a
+  partition-pruned scan + exact re-rank (SURVEY.md §4.3). Strictly better
+  recall than the reference's low-ef HNSW at identical I/O cost.
+- Multi-probe extension: also visit the shards reachable by flipping the
+  lowest-|margin| hash bits (the reference's ``adjacent_routing`` name
+  gestures at this but only ever probes one shard — index.py:487-489).
+- IVF: k-means centroids (Spark ML, seeded) → assign each vector to its
+  nearest centroid partition → probe the ``nprobe`` closest centroids.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from vector_lake_spark.functions.vectors import to_double_array
+from vector_lake_spark.operators import lsh as lsh_mod
+from vector_lake_spark.operators.topk import topk_cosine
+
+
+def multiprobe_shards(
+    query: Sequence[float], hyperplanes: np.ndarray, n_probes: int = 1
+) -> list[int]:
+    """The routed shard plus the (n_probes−1) shards reached by flipping the
+    smallest-margin sign bits — deterministic, driver-side arithmetic."""
+    v = np.asarray(query, dtype=np.float64)
+    dots = hyperplanes @ v
+    base = lsh_mod.route_vector(v, hyperplanes)
+    nh = len(hyperplanes)
+    order = np.argsort(np.abs(dots))  # smallest margin first
+    shards = [base]
+    for j in order:
+        if len(shards) >= n_probes:
+            break
+        flipped = base ^ (1 << (nh - 1 - int(j)))
+        if flipped not in shards:
+            shards.append(flipped)
+    return shards[:n_probes]
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int,
+    hyperplanes: np.ndarray,
+    n_probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """LSH-pruned exact top-k: restrict to the query's probe shard(s), then
+    exact cosine re-rank.
+
+    If ``shard_col`` names a physical partition column (the store writes
+    ``partitionBy("shard_id")``), the filter is pruned at planning time and
+    only ~1/num_shards of the data is read — the 100 TB path. Otherwise the
+    shard id is computed on the fly (still a single scan, no shuffle)."""
+    probes = multiprobe_shards(query, hyperplanes, n_probes)
+    if shard_col is None:
+        df = df.withColumn(
+            "__shard", lsh_mod.shard_id_expr(to_double_array(F.col(vec_col)), hyperplanes)
+        )
+        shard_col = "__shard"
+    pruned = df.filter(F.col(shard_col).isin(probes))
+    return topk_cosine(pruned, query, k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_build(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Train seeded k-means centroids and return (assigned_df, centroids).
+
+    ``assigned_df`` carries a ``centroid_id`` column suitable for
+    ``write.partitionBy`` — the IVF index IS the partition layout."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = df.withColumn("__features", array_to_vector(to_double_array(F.col(vec_col))))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features", predictionCol="centroid_id")
+    model = km.fit(feats)
+    assigned = model.transform(feats).drop("__features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned_df: DataFrame,
+    centroids: list[list[float]],
+    query: Sequence[float],
+    k: int,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroid partitions, exact re-rank."""
+    q = np.asarray(query, dtype=np.float64)
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
+    probe_ids = list(np.argsort(dists)[:nprobe])
+    pruned = assigned_df.filter(F.col("centroid_id").isin([int(i) for i in probe_ids]))
+    return topk_cosine(pruned, query, k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,286 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference has no dedup (SURVEY.md §2.A.1); these are the north-star
+LLM-pipeline operators, each designed scale-first:
+
+- exact:      hash-groupBy on a 60-bit content fingerprint — one shuffle on
+              the hash key; at 100 TB the fingerprint (8 bytes) shuffles,
+              never the document text.
+- n-gram Jaccard: explode distinct shingles → self-join on shingle →
+              count-per-pair → Jaccard filter. The join key is the shingle
+              hash; frequency-capping ultra-common shingles bounds skew.
+- SimHash:    60-bit sign-aggregated token-hash fingerprint; near-dup =
+              small Hamming distance. Fingerprints are 8 bytes/doc → the
+              pair-join input is tiny regardless of corpus size.
+- MinHash+LSH: Spark ML MinHashLSH banding (approxSimilarityJoin) — the
+              sub-quadratic scale path for near-dup at 100 TB.
+- embedding near-dup: exact cosine self-join above a threshold (baseline);
+              LSH shard-bucketed variant is the scale path (operators/ann).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vector_lake_spark.functions.text import (
+    fingerprint64,
+    normalize_text,
+    token_hash60,
+    tokens,
+)
+from vector_lake_spark.functions.vectors import cosine_similarity, to_double_array
+
+SIMHASH_BITS = 60
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct (fingerprinted) content: the surviving id
+    (min id — deterministic), and the duplicate count. Shuffles only
+    (fingerprint, id) pairs."""
+    return (
+        df.select(
+            fingerprint64(F.col(text_col)).alias("fp"), F.col(id_col)
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated corpus: keep the min-id row per content fingerprint.
+
+    Implemented as a window-free semi-join against the survivors so the
+    full rows only move once."""
+    survivors = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of the normalized text, as a column
+    expression: transform over a token-index sequence, then dedup."""
+    toks = tokens(text_col)
+    count = F.size(toks) - (n - 1)
+    # Guard: F.sequence(1, 0) would produce a *descending* [1, 0] sequence,
+    # so short texts must map to an empty gram list explicitly.
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) with
+    |A∩B| / |A∪B| ≥ threshold.
+
+    Plan: explode distinct shingles (hashed to 8 bytes — the text never
+    shuffles) → self-join on shingle hash → count per pair → Jaccard.
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs (stopword-shingle skew cap — at 100 TB a universal shingle would
+    otherwise produce a quadratic hot key)."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .select("id", F.xxhash64("gram").alias("g"))
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("g")
+        )
+        sh = sh.join(rare, "g", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document: bit b is set iff
+    Σ_tokens (2·bit_b(md5-hash(token)) − 1) > 0 over *distinct* tokens.
+
+    Pure column expressions: explode distinct tokens → per-bit ±1 sums via
+    bitwise shifts → sign bits re-packed. One shuffle on doc id; state per
+    doc is 60 longs during the aggregate, 8 bytes after."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", token_hash60(F.col("tok")))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banding for scale: split the 60-bit fingerprint into 4 15-bit bands —
+    any pair within Hamming ≤ 3 shares at least one exact band (pigeonhole),
+    so the join key is a band value, not a cross join."""
+    fp = simhash(df, text_col, id_col)
+    bands = fp.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """MinHash+LSH approximate Jaccard similarity join (Spark ML banding) —
+    the sub-quadratic scale path. Deterministic given the seed. Returns
+    (id_a, id_b, approx_jaccard)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
+    ).filter(F.size("grams") > 0)
+    cv = CountVectorizer(
+        inputCol="grams", outputCol="features", binary=True, minDF=1.0
+    )
+    model = cv.fit(sh)
+    feats = model.transform(sh).select("id", "features")
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42
+    )
+    mh_model = mh.fit(feats)
+    pairs = mh_model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("approx_jaccard"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (a < b, sim ≥ threshold).
+
+    Baseline O(n²) plan for correctness; the 100 TB path is the LSH
+    shard-bucketed variant in ``operators/ann`` (same scoring expression,
+    join restricted to same-shard candidates)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

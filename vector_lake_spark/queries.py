@@ -1,0 +1,870 @@
+"""The oracle-checked query registry.
+
+Every implemented operator from SURVEY.md §2 (and the north-star extension
+families) is exposed here as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` plus, where SQL-expressible, the exact
+DuckDB oracle SQL computing the same result (same formulas, same rounding,
+same deterministic tie-breaks — see ``oracles.py``).
+
+``__spark_entry__.py`` re-exports this registry to the driver.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from vector_lake_spark import oracles as O
+from vector_lake_spark.functions.text import (
+    LANG_PROFILES,
+    avg_token_len,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from vector_lake_spark.functions.vectors import to_double_array
+from vector_lake_spark.operators import lsh as lsh_mod
+from vector_lake_spark.operators.ann import lsh_topk, multiprobe_shards
+from vector_lake_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from vector_lake_spark.operators.events import sessionize, sliding_agg, tumbling_agg
+from vector_lake_spark.operators.topk import topk_cosine, topk_cosine_batch, topk_l2
+
+# ---------------------------------------------------------------------------
+# Shared deterministic constants
+# ---------------------------------------------------------------------------
+
+DIM = 64
+K = 10
+# Fixed literal query vector (deterministic, inlined into both engines).
+QUERY_VEC = [round(math.sin(i * 0.7 + 0.25), 6) for i in range(DIM)]
+# LSH hyperplanes: 8 hashes (256 shards) for routing parity queries,
+# 4 hashes (16 shards) for the pruned-ANN query (so probes hold ~1/16 of
+# the corpus at test scale). Exact reference arithmetic — lsh.py.
+H8 = lsh_mod.make_hyperplanes(DIM, 8)
+H4 = lsh_mod.make_hyperplanes(DIM, 4)
+ANN_PROBES = multiprobe_shards(QUERY_VEC, H4, n_probes=2)
+
+EMB = "CAST(embedding AS DOUBLE[])"
+QV = lsh_mod.sql_lit_list(QUERY_VEC)
+
+NEARDUP_COS_THRESHOLD = 0.35  # max pairwise sim in testdata ≈ 0.46
+JACCARD_THRESHOLD = 0.5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table ships TIMESTAMP(NANOS) parquet, which Spark's reader
+    rejects; read nanos as long (runtime-settable legacy conf) and convert
+    to a microsecond TimestampType column (floor truncation — matches the
+    oracle's epoch-floor arithmetic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector search family
+# ---------------------------------------------------------------------------
+
+def q_vec_topk_cosine(spark, sf):
+    return topk_cosine(_t(spark, sf, "embeddings"), QUERY_VEC, K, keep_cols=("label",))
+
+
+SQL_VEC_TOPK_COSINE = f"""
+SELECT vec_id, label,
+       round(list_cosine_similarity({EMB}, {QV}), 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id
+LIMIT {K}
+"""
+
+
+def q_vec_topk_l2(spark, sf):
+    return topk_l2(_t(spark, sf, "embeddings"), QUERY_VEC, K, keep_cols=("label",))
+
+
+SQL_VEC_TOPK_L2 = f"""
+WITH e AS (SELECT vec_id, label, {EMB} AS v FROM embeddings)
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+             i -> (v[i] - ({QV})[i]) * (v[i] - ({QV})[i])))), 6) AS dist
+FROM e
+ORDER BY dist ASC, vec_id
+LIMIT {K}
+"""
+
+
+def q_vec_topk_batch(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return topk_cosine_batch(emb, queries, k=5)
+
+
+SQL_VEC_TOPK_BATCH = f"""
+WITH q AS (SELECT vec_id AS query_id, {EMB} AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id)
+              AS BIGINT) AS rn
+  FROM pairs
+)
+SELECT query_id, vec_id, score, rn FROM r WHERE rn <= 5
+"""
+
+
+def q_lsh_shard_assign(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        lsh_mod.shard_id_expr(to_double_array(F.col("embedding")), H8).alias("shard_id"),
+    )
+
+
+SQL_LSH_SHARD_ASSIGN = f"""
+SELECT vec_id, CAST({lsh_mod.shard_id_sql(EMB, H8)} AS BIGINT) AS shard_id
+FROM embeddings
+"""
+
+
+def q_lsh_shard_hist(spark, sf):
+    return (
+        q_lsh_shard_assign(spark, sf)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+SQL_LSH_SHARD_HIST = f"""
+SELECT CAST({lsh_mod.shard_id_sql(EMB, H8)} AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings
+GROUP BY shard_id
+"""
+
+
+def q_ann_lsh_topk(spark, sf):
+    return lsh_topk(
+        _t(spark, sf, "embeddings"), QUERY_VEC, K, H4, n_probes=2
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH s AS (
+  SELECT vec_id, {EMB} AS v,
+         CAST({lsh_mod.shard_id_sql(EMB, H4)} AS BIGINT) AS shard
+  FROM embeddings
+)
+SELECT vec_id, round(list_cosine_similarity(v, {QV}), 6) AS score
+FROM s
+WHERE shard IN ({", ".join(str(p) for p in ANN_PROBES)})
+ORDER BY score DESC, vec_id
+LIMIT {K}
+"""
+
+
+def q_vec_neardup_pairs(spark, sf):
+    return embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=NEARDUP_COS_THRESHOLD
+    )
+
+
+SQL_VEC_NEARDUP_PAIRS = f"""
+WITH e AS (SELECT vec_id, {EMB} AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
+def q_vec_centroid_by_label(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    e = emb.select("label", F.posexplode(to_double_array(F.col("embedding"))))
+    m = e.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+    norms = m.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return counts.join(norms, "label").select("label", "n_vectors", "centroid_norm")
+
+
+SQL_VEC_CENTROID_BY_LABEL = f"""
+WITH e AS (
+  SELECT label, unnest({EMB}) AS val, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+m AS (SELECT label, pos, avg(val) AS m FROM e GROUP BY label, pos),
+c AS (SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm FROM m GROUP BY label),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings GROUP BY label)
+SELECT n.label, n.n_vectors, c.centroid_norm FROM n JOIN c ON n.label = c.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    return exact_dedup_groups(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT {O.sql_fingerprint64('text')} AS fp,
+       min(doc_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_cnt
+FROM documents
+GROUP BY fp
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=JACCARD_THRESHOLD
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id AS id, unnest({O.sql_shingles('text', 3)}) AS gram FROM documents),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.id_a = sa.id
+JOIN sz sb ON inter.id_b = sb.id
+WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    return simhash(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({O.sql_tokens('text')})) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {O.sql_token_hash60('tok')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits
+GROUP BY doc_id
+"""
+
+
+def q_dedup_minhash(spark, sf):
+    # Approximate (MinHash+LSH banding) — not SQL-expressible; driver
+    # records the weaker rows-only check.
+    return minhash_neardup_pairs(_t(spark, sf, "documents"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family
+# ---------------------------------------------------------------------------
+
+def q_text_stats_by_lang(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.round(F.avg(quality_score(F.col("text"))), 6).alias("avg_quality"),
+    )
+
+
+SQL_TEXT_STATS_BY_LANG = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       CAST(sum({O.sql_token_count('text')}) AS BIGINT) AS total_tokens,
+       round(avg({O.sql_quality_score('text')}), 6) AS avg_quality
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       {O.sql_token_count('text')} AS n_tokens,
+       round({O.sql_avg_token_len('text')}, 6) AS avg_tok_len,
+       round({O.sql_punct_ratio('text')}, 6) AS punct_ratio,
+       round({O.sql_stopword_ratio('text')}, 6) AS stopword_ratio,
+       round({O.sql_quality_score('text')}, 6) AS quality
+FROM documents
+"""
+
+
+def q_text_langid(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_text_langid() -> str:
+    scores = O.sql_lang_scores("text")
+    cols = [(lang, f"s_{lang}") for lang, _ in scores]
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores)
+    return f"""
+WITH s AS (SELECT doc_id, {inner} FROM documents)
+SELECT doc_id, {O.sql_lang_id(cols)} AS lang_pred FROM s
+"""
+
+
+SQL_TEXT_LANGID = _sql_text_langid()
+
+
+def q_text_token_top20(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_TOKEN_TOP20 = f"""
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({O.sql_tokens('text')}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_top_orders(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3_TOP_ORDERS = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_q5_nation_revenue(spark, sf):
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    li = _t(spark, sf, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+SQL_Q5_NATION_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_agg_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_win_top3_per_nation(spark, sf):
+    cust = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+SQL_WIN_TOP3_PER_NATION = """
+SELECT c_nationkey, c_custkey, c_acctbal, rn
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+  FROM customer
+)
+WHERE rn <= 3
+"""
+
+
+def q_win_running_total(spark, sf):
+    orders = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+SQL_WIN_RUNNING_TOTAL = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+"""
+
+
+def q_win_moving_avg(spark, sf):
+    orders = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("mov_avg_3"),
+    )
+
+
+SQL_WIN_MOVING_AVG = """
+SELECT o_orderkey, o_custkey,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg_3
+FROM orders
+"""
+
+
+def q_join_semi(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_anti(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_setop_nations(spark, sf):
+    cust_n = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_n = _t(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust_n.intersect(supp_n).withColumn("tag", F.lit("both"))
+    cust_only = cust_n.subtract(supp_n).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(cust_only).select("nationkey", "tag")
+
+
+SQL_SETOP_NATIONS = """
+SELECT nationkey, 'both' AS tag
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'cust_only' AS tag
+FROM (SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier)
+"""
+
+
+def q_pivot_status_by_priority(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_PIVOT_STATUS_BY_PRIORITY = """
+SELECT o_orderpriority,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished,
+       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_partial,
+       CAST(count(*) AS BIGINT) AS n_total,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time family
+# ---------------------------------------------------------------------------
+
+def q_ev_tumbling(spark, sf):
+    return tumbling_agg(_events(spark, sf))
+
+
+SQL_EV_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_ev_sliding(spark, sf):
+    return sliding_agg(_events(spark, sf))
+
+
+SQL_EV_SLIDING = """
+WITH e AS (
+  SELECT value, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS es FROM events
+),
+w AS (
+  SELECT value, (es - es % 1800) - k * 1800 AS start_es
+  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+  WHERE es - ((es - es % 1800) - k * 1800) < 3600
+)
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 1 SECOND * start_es,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM w
+GROUP BY start_es
+"""
+
+
+def q_ev_sessionize(spark, sf):
+    return sessionize(_events(spark, sf))
+
+
+SQL_EV_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS es
+  FROM events
+),
+flag AS (
+  SELECT *,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sid AS (
+  SELECT *,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flag
+)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       max(es) - min(es) AS duration_sec
+FROM sid
+GROUP BY user_id, session_seq
+"""
+
+
+def q_ev_top_users(spark, sf):
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+SQL_EV_TOP_USERS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary column stats; decode kernels are stubbed —
+# see vector_lake_spark/multimodal.py)
+# ---------------------------------------------------------------------------
+
+def q_mm_binary_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    payload = d.select(
+        "source", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return payload.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+        F.round(F.avg(F.octet_length("payload")), 6).alias("avg_bytes"),
+    )
+
+
+SQL_MM_BINARY_STATS = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(encode(text))), 6) AS avg_bytes
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "vec_topk_cosine": q_vec_topk_cosine,
+    "vec_topk_l2": q_vec_topk_l2,
+    "vec_topk_batch": q_vec_topk_batch,
+    "lsh_shard_assign": q_lsh_shard_assign,
+    "lsh_shard_hist": q_lsh_shard_hist,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "vec_neardup_pairs": q_vec_neardup_pairs,
+    "vec_centroid_by_label": q_vec_centroid_by_label,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash": q_dedup_minhash,
+    "text_stats_by_lang": q_text_stats_by_lang,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_token_top20": q_text_token_top20,
+    "q1_pricing": q_q1_pricing,
+    "q3_top_orders": q_q3_top_orders,
+    "q5_nation_revenue": q_q5_nation_revenue,
+    "agg_rollup": q_agg_rollup,
+    "win_top3_per_nation": q_win_top3_per_nation,
+    "win_running_total": q_win_running_total,
+    "win_moving_avg": q_win_moving_avg,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "setop_nations": q_setop_nations,
+    "pivot_status_by_priority": q_pivot_status_by_priority,
+    "ev_tumbling": q_ev_tumbling,
+    "ev_sliding": q_ev_sliding,
+    "ev_sessionize": q_ev_sessionize,
+    "ev_top_users": q_ev_top_users,
+    "mm_binary_stats": q_mm_binary_stats,
+}
+
+ORACLES = {
+    "vec_topk_cosine": SQL_VEC_TOPK_COSINE,
+    "vec_topk_l2": SQL_VEC_TOPK_L2,
+    "vec_topk_batch": SQL_VEC_TOPK_BATCH,
+    "lsh_shard_assign": SQL_LSH_SHARD_ASSIGN,
+    "lsh_shard_hist": SQL_LSH_SHARD_HIST,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
+    "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    # dedup_minhash: approximate — rows-only check by design
+    "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_token_top20": SQL_TEXT_TOKEN_TOP20,
+    "q1_pricing": SQL_Q1_PRICING,
+    "q3_top_orders": SQL_Q3_TOP_ORDERS,
+    "q5_nation_revenue": SQL_Q5_NATION_REVENUE,
+    "agg_rollup": SQL_AGG_ROLLUP,
+    "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
+    "win_running_total": SQL_WIN_RUNNING_TOTAL,
+    "win_moving_avg": SQL_WIN_MOVING_AVG,
+    "join_semi": SQL_JOIN_SEMI,
+    "join_anti": SQL_JOIN_ANTI,
+    "setop_nations": SQL_SETOP_NATIONS,
+    "pivot_status_by_priority": SQL_PIVOT_STATUS_BY_PRIORITY,
+    "ev_tumbling": SQL_EV_TUMBLING,
+    "ev_sliding": SQL_EV_SLIDING,
+    "ev_sessionize": SQL_EV_SESSIONIZE,
+    "ev_top_users": SQL_EV_TOP_USERS,
+    "mm_binary_stats": SQL_MM_BINARY_STATS,
+}
