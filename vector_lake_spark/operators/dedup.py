@@ -224,19 +224,24 @@ def simhash_neardup_pairs(
 def minhash_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    parallelism: int = 32,
 ):
     """MinHash+LSH approximate Jaccard similarity join (Spark ML banding) —
     the sub-quadratic scale path. Deterministic given the seed. Returns
     (id_a, id_b, approx_jaccard)."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
-    ).filter(F.size("grams") > 0)
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
+        )
+        .filter(F.size("grams") > 0)
+        .repartition(parallelism)
+    )
     cv = CountVectorizer(
         inputCol="grams", outputCol="features", binary=True, minDF=1.0
     )
@@ -264,23 +269,34 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    parallelism: int = 32,
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs (a < b, sim ≥ threshold).
 
     Baseline O(n²) plan for correctness; the 100 TB path is the LSH
     shard-bucketed variant in ``operators/ann`` (same scoring expression,
-    join restricted to same-shard candidates)."""
+    join restricted to same-shard candidates).
+
+    Plan hygiene: norms are computed once per row *before* the join (one
+    fold per row instead of two extra folds per pair), and the streamed
+    side is repartitioned — a single-file parquet source would otherwise
+    run the whole quadratic join in one task."""
+    from vector_lake_spark.functions.vectors import dot, norm
+
     a = df.select(
-        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("va")
-    )
+        F.col(id_col).alias("id_a"),
+        to_double_array(F.col(vec_col)).alias("va"),
+    ).withColumn("na", norm(F.col("va"))).repartition(parallelism)
     b = df.select(
-        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("vb")
-    )
+        F.col(id_col).alias("id_b"),
+        to_double_array(F.col(vec_col)).alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
+    # same arithmetic as cosine_similarity (dot / (norm·norm)) — factored
+    # so each norm is evaluated n times, not n² times
+    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
-        )
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -610,8 +610,12 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def q_join_anti(spark, sf):
+    # customers with no 1995 orders (date-filtered anti join — a plain
+    # anti join is empty at test scale, which would be a vacuous check)
     cust = _t(spark, sf, "customer")
-    orders = _t(spark, sf, "orders")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1996-01-01"))
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -619,7 +623,9 @@ def q_join_anti(spark, sf):
 
 SQL_JOIN_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
 """
 
 
