@@ -19,14 +19,21 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+import math
+
 from vector_lake_spark.functions.vectors import (
-    cosine_similarity,
+    dot,
     l2_distance,
     lit_vector,
+    norm,
     to_double_array,
 )
 
 SCORE_DECIMALS = 6
+
+
+def _query_norm(query: Sequence[float]) -> float:
+    return math.sqrt(sum(float(x) * float(x) for x in query))
 
 
 def topk_cosine(
@@ -37,9 +44,14 @@ def topk_cosine(
     id_col: str = "vec_id",
     keep_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Exact top-k most-similar rows to a single query vector."""
+    """Exact top-k most-similar rows to a single query vector.
+
+    The query norm is a Python-side constant — inlining it avoids
+    re-folding the literal array per row (Catalyst does not constant-fold
+    higher-order aggregates over literals)."""
+    v = to_double_array(F.col(vec_col))
     score = F.round(
-        cosine_similarity(to_double_array(F.col(vec_col)), lit_vector(query)),
+        dot(v, lit_vector(query)) / (norm(v) * F.lit(_query_norm(query))),
         SCORE_DECIMALS,
     )
     return (
@@ -90,10 +102,11 @@ def topk_cosine_batch(
         queries_df.select(
             F.col(query_id_col),
             to_double_array(F.col(query_vec_col)).alias("__qv"),
-        )
+        ).withColumn("__qnorm", norm(F.col("__qv")))
     )
+    v = to_double_array(F.col(vec_col))
     score = F.round(
-        cosine_similarity(to_double_array(F.col(vec_col)), F.col("__qv")),
+        dot(v, F.col("__qv")) / (norm(v) * F.col("__qnorm")),
         SCORE_DECIMALS,
     )
     w = Window.partitionBy(query_id_col).orderBy(

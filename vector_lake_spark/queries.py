@@ -677,6 +677,170 @@ GROUP BY o_orderpriority
 """
 
 
+def q_q4_late_orders(spark, sf):
+    # order-priority check: orders (1997Q1) with at least one line item
+    # shipped >90 days after the order date — semi join with a range
+    # predicate (TPC-H Q4 shape adapted to the available columns)
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = _t(spark, sf, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_Q4_LATE_ORDERS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_above_avg_customers(spark, sf):
+    # scalar-subquery shape: customers whose balance beats their nation's
+    # average (decorrelated to an aggregate + broadcast join)
+    cust = _t(spark, sf, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+    )
+
+
+SQL_ABOVE_AVG_CUSTOMERS = """
+WITH na AS (
+  SELECT c_nationkey, round(avg(c_acctbal), 6) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, customer.c_nationkey, c_acctbal, nation_avg
+FROM customer JOIN na ON customer.c_nationkey = na.c_nationkey
+WHERE c_acctbal > nation_avg
+"""
+
+
+def q_cube_status_priority(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_CUBE_STATUS_PRIORITY = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_monthly_revenue_trend(spark, sf):
+    orders = _t(spark, sf, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return monthly.withColumn(
+        "mom_delta",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2),
+    )
+
+
+SQL_MONTHLY_REVENUE_TREND = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(o_totalprice), 2) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+)
+SELECT month, revenue, n_orders,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta
+FROM m
+"""
+
+
+def q_segment_quantiles(spark, sf):
+    cust = _t(spark, sf, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
+        F.round(F.avg("c_acctbal"), 6).alias("mean"),
+    )
+
+
+SQL_SEGMENT_QUANTILES = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+       round(quantile_cont(c_acctbal, 0.5), 6) AS median,
+       round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+       round(avg(c_acctbal), 6) AS mean
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def q_brand_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_distinct_customers_by_status(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_DISTINCT_CUSTOMERS_BY_STATUS = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # Event-time family
 # ---------------------------------------------------------------------------
@@ -774,6 +938,27 @@ LIMIT 10
 """
 
 
+def q_ev_json_extract(spark, sf):
+    # semi-structured path: pull a typed field out of the JSON props column
+    ev = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+SQL_EV_JSON_EXTRACT = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary column stats; decode kernels are stubbed —
 # see vector_lake_spark/multimodal.py)
@@ -824,8 +1009,16 @@ QUERIES = {
     "text_token_top20": q_text_token_top20,
     "q1_pricing": q_q1_pricing,
     "q3_top_orders": q_q3_top_orders,
+    "q4_late_orders": q_q4_late_orders,
     "q5_nation_revenue": q_q5_nation_revenue,
     "agg_rollup": q_agg_rollup,
+    "cube_status_priority": q_cube_status_priority,
+    "above_avg_customers": q_above_avg_customers,
+    "monthly_revenue_trend": q_monthly_revenue_trend,
+    "segment_quantiles": q_segment_quantiles,
+    "brand_revenue": q_brand_revenue,
+    "distinct_customers_by_status": q_distinct_customers_by_status,
+    "ev_json_extract": q_ev_json_extract,
     "win_top3_per_nation": q_win_top3_per_nation,
     "win_running_total": q_win_running_total,
     "win_moving_avg": q_win_moving_avg,
@@ -859,8 +1052,16 @@ ORACLES = {
     "text_token_top20": SQL_TEXT_TOKEN_TOP20,
     "q1_pricing": SQL_Q1_PRICING,
     "q3_top_orders": SQL_Q3_TOP_ORDERS,
+    "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "q5_nation_revenue": SQL_Q5_NATION_REVENUE,
     "agg_rollup": SQL_AGG_ROLLUP,
+    "cube_status_priority": SQL_CUBE_STATUS_PRIORITY,
+    "above_avg_customers": SQL_ABOVE_AVG_CUSTOMERS,
+    "monthly_revenue_trend": SQL_MONTHLY_REVENUE_TREND,
+    "segment_quantiles": SQL_SEGMENT_QUANTILES,
+    "brand_revenue": SQL_BRAND_REVENUE,
+    "distinct_customers_by_status": SQL_DISTINCT_CUSTOMERS_BY_STATUS,
+    "ev_json_extract": SQL_EV_JSON_EXTRACT,
     "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
     "win_running_total": SQL_WIN_RUNNING_TOTAL,
     "win_moving_avg": SQL_WIN_MOVING_AVG,
