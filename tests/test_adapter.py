@@ -1,0 +1,89 @@
+"""Adapter (LangChain-surface parity) + streaming stateful dedup tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_lake_spark.adapter import (
+    SparkVectorLakeStore,
+    embed_texts_df,
+    hashed_ngram_embedder,
+)
+
+TEXTS = [
+    "spark joins and aggregations over parquet",
+    "vector similarity search with lsh routing",
+    "streaming watermarks and session windows",
+    "spark joins and aggregation over parquet files",  # near-dup of [0]
+]
+
+
+def test_embedder_deterministic_and_normalized():
+    embed = hashed_ngram_embedder(dim=64)
+    a = embed(TEXTS)
+    b = embed(TEXTS)
+    assert a == b
+    norm = sum(x * x for x in a[0]) ** 0.5
+    assert norm == pytest.approx(1.0, abs=1e-9)
+
+
+def test_embed_texts_df_keeps_columns(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id long, document string"
+    )
+    out = embed_texts_df(df, hashed_ngram_embedder(32))
+    assert out.columns == ["id", "document", "vector"]
+    rows = out.collect()
+    assert len(rows) == 4
+    assert len(rows[0]["vector"]) == 32
+
+
+def test_store_round_trip_search(spark, tmp_path):
+    store = SparkVectorLakeStore.from_texts(
+        spark,
+        str(tmp_path / "store"),
+        TEXTS,
+        metadatas=[{"i": str(i)} for i in range(len(TEXTS))],
+        dimension=64,
+        approx_shards=2,  # few shards so related texts stay findable
+    )
+    hits = store.similarity_search(TEXTS[1], k=2)
+    assert hits
+    # the exact text must come back as the top hit with score ~1
+    assert hits[0]["page_content"] == TEXTS[1]
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    assert hits[0]["metadata"] == {"i": "1"}
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    from vector_lake_spark.functions.text import fingerprint64
+    from vector_lake_spark.streaming.dedup import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "delta epsilon"),
+            (2, "Alpha  beta   GAMMA"),  # normalizes to a dup of doc 0
+            (3, "unique text here"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("fp", fingerprint64(F.col("text")))
+    docs.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # doc 2 is a normalized duplicate of doc 0 → dropped (min doc_id kept)
+    assert kept == {0, 1, 3}

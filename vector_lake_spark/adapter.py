@@ -1,0 +1,152 @@
+"""Text-in / documents-out adapter — parity with the reference's LangChain
+``VectorStore`` surface (``/root/reference/vector_lake/langchain/__init__.py:
+18-116``): ``add_texts`` / ``similarity_search`` / ``from_texts`` over a
+pluggable embedding function (the reference's only UDF-like extension point,
+L1 in SURVEY.md §2.A).
+
+Spark-first differences:
+- embedding runs executor-side as an Arrow-batched ``mapInPandas`` over the
+  text column — a batch of texts embeds in parallel across the cluster
+  instead of one driver-side loop (langchain/__init__.py:54-60);
+- no model libraries ship in this container, so the default embedder is a
+  deterministic hashed-char-n-gram vectorizer (real embedding models plug in
+  as any ``Callable[[list[str]], list[list[float]]]``).
+
+Defaults mirror the reference: dimension 384 (MiniLM), approx_shards=10
+(langchain/__init__.py:25-34).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from vector_lake_spark.store import SparkVectorLake
+
+EmbedFn = Callable[[list[str]], list[list[float]]]
+
+
+def hashed_ngram_embedder(dim: int = 384, n: int = 3) -> EmbedFn:
+    """Deterministic stand-in embedding: character n-grams hashed into
+    ``dim`` buckets, L2-normalized. Pure Python/stdlib, identical across
+    executors and runs."""
+
+    def embed(texts: list[str]) -> list[list[float]]:
+        out = []
+        for t in texts:
+            v = [0.0] * dim
+            s = (t or "").lower()
+            for i in range(max(len(s) - n + 1, 0)):
+                gram = s[i : i + n]
+                h = int.from_bytes(
+                    hashlib.md5(gram.encode()).digest()[:8], "big"
+                )
+                v[h % dim] += 1.0
+            norm = sum(x * x for x in v) ** 0.5
+            out.append([x / norm for x in v] if norm > 0 else v)
+        return out
+
+    return embed
+
+
+def embed_texts_df(
+    df: DataFrame,
+    embedding: EmbedFn,
+    text_col: str = "document",
+    out_col: str = "vector",
+) -> DataFrame:
+    """Add an embedding column via Arrow-batched ``mapInPandas`` — the
+    batch-embedding building block (L1). Keeps every input column."""
+    import pandas as pd
+
+    fields = [f for f in df.schema.fields]
+    schema = T.StructType(
+        fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()), True)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vecs = embedding(pdf[text_col].fillna("").tolist())
+            pdf = pdf.copy()
+            pdf[out_col] = vecs
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+class SparkVectorLakeStore:
+    """``VectorLakeStore`` parity: texts in, scored documents out."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        embedding: EmbedFn | None = None,
+        dimension: int = 384,
+        approx_shards: int = 10,
+    ):
+        self.spark = spark
+        self.embedding = embedding or hashed_ngram_embedder(dimension)
+        self.lake = SparkVectorLake(
+            spark, location, dimension=dimension, approx_shards=approx_shards
+        )
+
+    def add_texts(
+        self,
+        texts: Sequence[str],
+        metadatas: Sequence[dict] | None = None,
+    ) -> list[str]:
+        """L1: embed (executor-side) + ingest + persist; returns ids."""
+        import json
+        import uuid
+
+        ids = [str(uuid.uuid4()) for _ in texts]
+        metadatas = list(metadatas) if metadatas is not None else [{}] * len(texts)
+        rows = [
+            (ids[i], texts[i], json.dumps(metadatas[i] or {"id": "1"}, sort_keys=True))
+            for i in range(len(texts))
+        ]
+        df = self.spark.createDataFrame(
+            rows, "id string, document string, metadata string"
+        )
+        embedded = embed_texts_df(df, self.embedding, text_col="document")
+        self.lake.add_dataframe(embedded)
+        self.lake.persist()
+        return ids
+
+    def similarity_search(self, query: str, k: int = 4, n_probes: int = 2) -> list[dict]:
+        """L2: embed the query, routed top-k, wrap as page_content/metadata
+        dicts (the LangChain ``Document`` shape without the dependency).
+
+        Defaults to 2 LSH probes: the reference probes a single shard
+        (index.py:487-489), which silently misses near neighbors that hash
+        across a hyperplane; multi-probe restores recall at the cost of one
+        extra pruned partition read."""
+        import json
+
+        qv = self.embedding([query])[0]
+        rows = self.lake.query(qv, k=k, n_probes=n_probes).collect()
+        return [
+            {
+                "page_content": r["document"],
+                "metadata": json.loads(r["metadata"]) if r["metadata"] else {},
+                "score": r["score"],
+            }
+            for r in rows
+        ]
+
+    @classmethod
+    def from_texts(
+        cls,
+        spark: SparkSession,
+        location: str,
+        texts: Sequence[str],
+        metadatas: Sequence[dict] | None = None,
+        **kwargs,
+    ) -> "SparkVectorLakeStore":
+        """L3 constructor parity."""
+        store = cls(spark, location, **kwargs)
+        store.add_texts(texts, metadatas)
+        return store

@@ -43,9 +43,9 @@ def norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Raw cosine similarity a·b / (‖a‖‖b‖). Zero-norm inputs yield NULL
-    (division by zero) rather than the reference's NaN crash
+    (``try_divide`` — ANSI-mode safe) rather than the reference's NaN crash
     (`tests/test_properties.py:88` skipped zero-vector case)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_distance(a: Column, b: Column) -> Column:

@@ -293,7 +293,9 @@ def embedding_neardup_pairs(
     ).withColumn("nb", norm(F.col("vb")))
     # same arithmetic as cosine_similarity (dot / (norm·norm)) — factored
     # so each norm is evaluated n times, not n² times
-    sim = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    sim = F.round(
+        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn("sim", sim)

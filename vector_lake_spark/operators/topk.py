@@ -51,7 +51,7 @@ def topk_cosine(
     higher-order aggregates over literals)."""
     v = to_double_array(F.col(vec_col))
     score = F.round(
-        dot(v, lit_vector(query)) / (norm(v) * F.lit(_query_norm(query))),
+        F.try_divide(dot(v, lit_vector(query)), norm(v) * F.lit(_query_norm(query))),
         SCORE_DECIMALS,
     )
     return (
@@ -106,7 +106,7 @@ def topk_cosine_batch(
     )
     v = to_double_array(F.col(vec_col))
     score = F.round(
-        dot(v, F.col("__qv")) / (norm(v) * F.col("__qnorm")),
+        F.try_divide(dot(v, F.col("__qv")), norm(v) * F.col("__qnorm")),
         SCORE_DECIMALS,
     )
     w = Window.partitionBy(query_id_col).orderBy(
