@@ -47,6 +47,40 @@ HEADLINE = [
 ]
 
 
+def bench_store(spark, timings: dict) -> None:
+    """Store lifecycle vs the reference's measured anchor (BASELINE.md):
+    ingest 50k dim-5 vectors (reference: ~32s at 1,544 vec/s + 0.65s
+    persist) and a 1000-query routed batch against the same store
+    (reference: 5.5 ms/query warm → 5.5s for 1000)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.store import SparkVectorLake
+
+    loc = tempfile.mkdtemp(prefix="vlake_bench_") + "/lake"
+    lake = SparkVectorLake(spark, loc, dimension=5, approx_shards=243)
+
+    t0 = time.perf_counter()
+    vecs = spark.range(50_000).select(
+        F.col("id").cast("string").alias("id"),
+        F.array(*[F.rand(seed=i) for i in range(5)]).alias("vector"),
+    )
+    lake.add_dataframe(vecs)
+    lake.persist()
+    timings["store_ingest_50k"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    queries = spark.range(1_000).select(
+        F.col("id").alias("query_id"),
+        F.array(*[F.rand(seed=100 + i) for i in range(5)]).alias("qv"),
+    )
+    lake.query_batch(queries, k=4).write.mode("overwrite").format("noop").save()
+    timings["store_query_batch_1k"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -61,6 +95,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    bench_store(spark, timings)
 
     total = round(sum(timings.values()), 3)
     print(

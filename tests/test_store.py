@@ -100,3 +100,28 @@ def test_delete(spark, tmp_path, rng):
     lake.persist()
     lake.delete()
     assert lake.query([0.1, 0.2, 0.3]).count() == 0
+
+
+def test_query_batch(spark, tmp_path, rng):
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=5, approx_shards=16)
+    vecs = rng.rand(200, 5).tolist()
+    ids = lake.add_batch(vecs)
+    lake.persist()
+
+    queries = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(5)], "query_id long, qv array<double>"
+    )
+    res = lake.query_batch(queries, k=3).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for qid, rows in by_q.items():
+        assert len(rows) <= 3
+        top = min(rows, key=lambda r: r["rn"])
+        # self-match routed to its own shard must rank first with sim 1.0
+        assert top["id"] == ids[qid]
+        assert abs(top["score"] - 1.0) < 1e-6

@@ -74,6 +74,48 @@ def lsh_topk(
     return topk_cosine(pruned, query, k, vec_col=vec_col, id_col=id_col)
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    hyperplanes: np.ndarray,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH shard-bucketed near-duplicate pairs — the 100 TB scale path for
+    ``dedup.embedding_neardup_pairs``: candidates are restricted to pairs
+    in the *same* LSH shard (an equi-join on shard id — shuffled hash join,
+    sub-quadratic), then exactly re-ranked. Recall is bounded by LSH
+    locality (same tradeoff the reference makes for search); the candidate
+    restriction is deterministic, so the result is still oracle-checkable.
+    """
+    from vector_lake_spark.functions.vectors import dot, norm
+    from vector_lake_spark.operators.lsh import shard_id_expr
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn("shard", shard_id_expr(F.col("v"), hyperplanes))
+    base = base.withColumn("nv", norm(F.col("v")))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nv").alias("na"), F.col("shard"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"), F.col("shard"),
+    )
+    sim = F.round(
+        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(b, ["shard"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def ivf_build(
     df: DataFrame,
     n_centroids: int = 16,

@@ -222,6 +222,27 @@ SELECT n.label, n.n_vectors, c.centroid_norm FROM n JOIN c ON n.label = c.label
 """
 
 
+def q_vec_neardup_lsh(spark, sf):
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(
+        _t(spark, sf, "embeddings"), H4, threshold=NEARDUP_COS_THRESHOLD
+    )
+
+
+SQL_VEC_NEARDUP_LSH = f"""
+WITH e AS (
+  SELECT vec_id, {EMB} AS v,
+         CAST({lsh_mod.shard_id_sql(EMB, H4)} AS BIGINT) AS shard
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.shard = b.shard AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -377,6 +398,61 @@ LIMIT 20
 """
 
 
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def q_text_bpe_tokens(spark, sf):
+    # BPE-ish regex tokenization vs whitespace tokenization, per document
+    d = _t(spark, sf, "documents")
+    n_ws = token_count(F.col("text"))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).cast(
+        "long"
+    )
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.try_divide(n_bpe.cast("double"), n_ws.cast("double")), 6).alias(
+            "bpe_ratio"
+        ),
+    )
+
+
+SQL_TEXT_BPE_TOKENS = f"""
+SELECT doc_id,
+       {O.sql_token_count('text')} AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS DOUBLE)
+             / CAST({O.sql_token_count('text')} AS DOUBLE), 6) AS bpe_ratio
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    # winnowing-style shingle fingerprint: min/max 60-bit hash over the
+    # document's distinct 3-gram shingles (NULL for sub-3-token docs)
+    from vector_lake_spark.functions.text import token_hash60
+    from vector_lake_spark.operators.dedup import shingles
+
+    d = _t(spark, sf, "documents")
+    hashes = F.transform(shingles(F.col("text"), 3), lambda g: token_hash60(g))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("min_shingle_hash"),
+        F.array_max(hashes).alias("max_shingle_hash"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id,
+       list_min(list_transform({O.sql_shingles('text', 3)},
+                g -> {O.sql_token_hash60('g')})) AS min_shingle_hash,
+       list_max(list_transform({O.sql_shingles('text', 3)},
+                g -> {O.sql_token_hash60('g')})) AS max_shingle_hash
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational core (TPC-H-ish)
 # ---------------------------------------------------------------------------
@@ -501,6 +577,38 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
+"""
+
+
+def q_q6_forecast_revenue(spark, sf):
+    # TPC-H Q6 shape: highly selective scan-side predicates → single sum.
+    # All three filters reach the parquet reader (PushedFilters).
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q6_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """
 
 
@@ -998,6 +1106,7 @@ QUERIES = {
     "lsh_shard_hist": q_lsh_shard_hist,
     "ann_lsh_topk": q_ann_lsh_topk,
     "vec_neardup_pairs": q_vec_neardup_pairs,
+    "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1007,7 +1116,10 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_token_top20": q_text_token_top20,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_fingerprint": q_text_fingerprint,
     "q1_pricing": q_q1_pricing,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
     "q3_top_orders": q_q3_top_orders,
     "q4_late_orders": q_q4_late_orders,
     "q5_nation_revenue": q_q5_nation_revenue,
@@ -1041,6 +1153,7 @@ ORACLES = {
     "lsh_shard_hist": SQL_LSH_SHARD_HIST,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
+    "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
@@ -1050,7 +1163,10 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_token_top20": SQL_TEXT_TOKEN_TOP20,
+    "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "q1_pricing": SQL_Q1_PRICING,
+    "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
     "q3_top_orders": SQL_Q3_TOP_ORDERS,
     "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "q5_nation_revenue": SQL_Q5_NATION_REVENUE,
