@@ -40,7 +40,8 @@ def canon_value(v):
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     rows = [tuple(canon_value(v) for v in r) for r in df.itertuples(index=False, name=None)]
-    return list(df.columns), sorted(rows, key=lambda r: tuple(map(str, r)))
+    dtypes = [str(t) for t in df.dtypes]
+    return list(df.columns), dtypes, sorted(rows, key=lambda r: tuple(map(str, r)))
 
 
 def main():
@@ -75,10 +76,13 @@ def main():
             ok += 1
             continue
         odf = con.execute(oracles[name]).df()
-        sc, sr = canon(sdf)
-        oc, orows = canon(odf)
+        sc, sdt, sr = canon(sdf)
+        oc, odt, orows = canon(odf)
         if sc != oc:
             print(f"  FAIL {name}: schema {sc} vs {oc}")
+            bad += 1
+        elif sdt != odt:
+            print(f"  FAIL {name}: dtypes {list(zip(sc, sdt))} vs {list(zip(oc, odt))}")
             bad += 1
         elif len(sr) != len(orows):
             print(f"  FAIL {name}: rows {len(sr)} vs {len(orows)}")
