@@ -113,3 +113,38 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     for key, val in got.items():
         assert want.get(key) == val, key
     assert len(got) >= len(want) - 10
+
+
+def test_streaming_session_window(spark, tmp_path):
+    from vector_lake_spark.queries import _events
+    from vector_lake_spark.streaming.events import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    _events(spark, "/root/testdata/sf0.001").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out_dir = str(tmp_path / "sess_out")
+    q = (
+        stream_sessionize(stream, gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    rows = out.collect()
+    assert rows, "no sessions emitted"
+    # session invariants: end ≥ start, n_events ≥ 1, per-user sessions
+    # closed by the watermark don't overlap
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            assert a["session_end"] <= b["session_start"], user

@@ -633,6 +633,31 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark, sf):
+    # SQL-API surface: explicit GROUPING SETS (disjoint from rollup/cube).
+    # NULL group markers distinguish the sets (group keys are non-null in
+    # the data).
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs_tmp")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_items
+        FROM lineitem_gs_tmp
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 def q_win_top3_per_nation(spark, sf):
     cust = _t(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -1124,6 +1149,7 @@ QUERIES = {
     "q4_late_orders": q_q4_late_orders,
     "q5_nation_revenue": q_q5_nation_revenue,
     "agg_rollup": q_agg_rollup,
+    "grouping_sets": q_grouping_sets,
     "cube_status_priority": q_cube_status_priority,
     "above_avg_customers": q_above_avg_customers,
     "monthly_revenue_trend": q_monthly_revenue_trend,
@@ -1171,6 +1197,7 @@ ORACLES = {
     "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "q5_nation_revenue": SQL_Q5_NATION_REVENUE,
     "agg_rollup": SQL_AGG_ROLLUP,
+    "grouping_sets": SQL_GROUPING_SETS,
     "cube_status_priority": SQL_CUBE_STATUS_PRIORITY,
     "above_avg_customers": SQL_ABOVE_AVG_CUSTOMERS,
     "monthly_revenue_trend": SQL_MONTHLY_REVENUE_TREND,
