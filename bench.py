@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_minhash",
+    "dedup_minhash_native",
     "text_stats_by_lang",
     "text_quality",
     "text_token_top20",

@@ -221,6 +221,152 @@ def simhash_neardup_pairs(
     )
 
 
+MINHASH_P = (1 << 61) - 1  # Mersenne prime modulus
+MINHASH_M = 1 << 30  # pre-reduction so a*h fits in int64
+
+
+def _minhash_params(num_hashes: int, seed: int = 7):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_M), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(
+    text_col,
+    num_hashes: int = 16,
+    n: int = 3,
+):
+    """MinHash signature as a pure column expression: for each of
+    ``num_hashes`` seeded affine permutations, the minimum of
+    ``(a·(h mod 2³⁰) + c) mod (2⁶¹−1)`` over the document's distinct
+    n-gram shingle hashes. No ML pipeline, no fit step, deterministic —
+    and expressible in the DuckDB oracle with identical arithmetic.
+    Returns NULL for docs with no shingles."""
+    hashes = F.transform(shingles(text_col, n), lambda g: token_hash60(g))
+    params = _minhash_params(num_hashes)
+
+    def perms(h):
+        return F.array(
+            *[
+                (F.lit(a) * (h % MINHASH_M) + F.lit(c)) % F.lit(MINHASH_P)
+                for (a, c) in params
+            ]
+        )
+
+    # One traversal of the shingle list updating all positions at once —
+    # num_hashes separate array_min(transform(...)) projections would each
+    # re-inline (and re-compute) the whole shingle pipeline after
+    # projection collapse.
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(acc, perms(h), lambda x, y: F.least(x, y)),
+    )
+    return F.when(F.size(hashes) > 0, sig).otherwise(F.lit(None))
+
+
+def minhash_native_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH banding with native expressions end-to-end: signatures
+    (16 hashes) → 4-row bands → equi-join on band value → estimated
+    Jaccard = fraction of agreeing signature positions.
+
+    Scale shape: signatures are ``num_hashes`` longs per doc; candidates
+    come from band-value equi-joins (shuffled hash join on an 8-byte key);
+    the quadratic explosion of a similarity join never materializes."""
+    n_bands = num_hashes // band_size
+    # Relational signature computation: explode shingle hashes, then one
+    # plain min-aggregate per signature position. A single nested
+    # higher-order expression (minhash_signature) computes the same values
+    # but its expression tree is large enough that Catalyst planning +
+    # codegen dominate (~13s regardless of data size); the explode/agg
+    # form plans in milliseconds and shuffles only (id, hash) pairs.
+    params = _minhash_params(num_hashes)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(shingles(F.col(text_col), n), lambda g: token_hash60(g))
+        ).alias("h"),
+    )
+    aggs = [
+        F.min(
+            (F.lit(a) * (F.col("h") % MINHASH_M) + F.lit(c)) % F.lit(MINHASH_P)
+        ).alias(f"s{i}")
+        for i, (a, c) in enumerate(params)
+    ]
+    sigs = (
+        exploded.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
+        )
+    )
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at("sig", b * band_size + i + 1).cast("string")
+                                for i in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -307,9 +307,72 @@ GROUP BY doc_id
 
 
 def q_dedup_minhash(spark, sf):
-    # Approximate (MinHash+LSH banding) — not SQL-expressible; driver
-    # records the weaker rows-only check.
+    # Approximate (Spark ML MinHashLSH banding) — not SQL-expressible;
+    # driver records the weaker rows-only check.
     return minhash_neardup_pairs(_t(spark, sf, "documents"), threshold=0.4)
+
+
+def q_dedup_minhash_native(spark, sf):
+    from vector_lake_spark.operators.dedup import minhash_native_pairs
+
+    return minhash_native_pairs(_t(spark, sf, "documents"))
+
+
+def _sql_dedup_minhash_native() -> str:
+    from vector_lake_spark.operators.dedup import (
+        MINHASH_M,
+        MINHASH_P,
+        _minhash_params,
+    )
+
+    params = _minhash_params(16)
+    hashes = (
+        f"list_transform({O.sql_shingles('text', 3)}, "
+        f"g -> {O.sql_token_hash60('g')})"
+    )
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * (x % {MINHASH_M}) + {c}) "
+        f"% {MINHASH_P}))"
+        for a, c in params
+    )
+    band_keys = []
+    for b in range(4):
+        parts = " || '-' || ".join(
+            f"CAST(sig[{b * 4 + i + 1}] AS VARCHAR)" for i in range(4)
+        )
+        band_keys.append(f"SELECT doc_id, sig, {b} AS band, {parts} AS key FROM sigs")
+    bands = " UNION ALL ".join(band_keys)
+    return f"""
+WITH h AS (SELECT doc_id, {hashes} AS h FROM documents),
+sigs AS (SELECT doc_id, [{sig_exprs}] AS sig FROM h WHERE len(h) > 0),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))
+                  AS DOUBLE) / 16, 6) AS est_jaccard
+FROM cand
+WHERE round(CAST(len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))
+                 AS DOUBLE) / 16, 6) >= 0.5
+"""
+
+
+SQL_DEDUP_MINHASH_NATIVE = _sql_dedup_minhash_native()
+
+
+def q_ann_ivf_topk(spark, sf):
+    # IVF (seeded k-means centroids → probe nearest partitions → exact
+    # re-rank). Iterative ML training isn't SQL-expressible → rows-only.
+    from vector_lake_spark.operators.ann import ivf_build, ivf_topk
+
+    assigned, centroids = ivf_build(
+        _t(spark, sf, "embeddings"), n_centroids=16
+    )
+    return ivf_topk(assigned, centroids, QUERY_VEC, K, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -1137,6 +1200,8 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_native": q_dedup_minhash_native,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_stats_by_lang": q_text_stats_by_lang,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1184,7 +1249,8 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
-    # dedup_minhash: approximate — rows-only check by design
+    "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
+    # dedup_minhash (ML variant), ann_ivf_topk: rows-only by design
     "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
