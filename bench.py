@@ -90,12 +90,20 @@ def main() -> None:
     # warmup: JVM/codegen/file-listing
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # min over N runs: the container shows heavy run-to-run variance from
+    # host CPU contention (same query: 1.5-8.5s across runs); the minimum
+    # reflects engine cost rather than neighbor noise.
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     bench_store(spark, timings)
 

@@ -148,3 +148,27 @@ def test_streaming_session_window(spark, tmp_path):
         sess.sort(key=lambda r: r["session_start"])
         for a, b in zip(sess, sess[1:]):
             assert a["session_end"] <= b["session_start"], user
+
+
+def test_minhash_native_recall_vs_exact(spark):
+    """MinHash banding must recover the high-Jaccard pairs the exact
+    n-gram join finds (recall sanity at sf0.001)."""
+    from vector_lake_spark.operators.dedup import (
+        minhash_native_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_native_pairs(docs, min_est_jaccard=0.5).collect()
+    }
+    assert exact, "no high-similarity pairs in testdata — test is vacuous"
+    missed = exact - approx
+    assert len(missed) <= max(1, len(exact) // 10), (
+        f"minhash missed {len(missed)}/{len(exact)} exact pairs"
+    )

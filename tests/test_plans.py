@@ -1,0 +1,71 @@
+"""Plan-shape regression tests — the scale contracts from SCALE.md.
+
+These don't check answers (the oracle gate does); they check that the
+physical plans keep the properties that make the operators viable at
+100 TB: bounded-heap top-k, partition pruning, broadcast dimension joins,
+column pruning, no global sorts on base data.
+"""
+
+import numpy as np
+import pytest
+
+from vector_lake_spark import queries as Q
+from vector_lake_spark.plans import assert_in_plan, assert_not_in_plan, plan_string
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_topk_is_bounded_heap(spark):
+    df = Q.q_vec_topk_cosine(spark, SF)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Sort [")  # no global sort operator
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    df = Q.q_q1_pricing(spark, SF)
+    plan = plan_string(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # projection pruning: untouched wide columns never reach the scan
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = Q.q_q5_nation_revenue(spark, SF)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_store_query_prunes_partitions(spark, tmp_path):
+    from vector_lake_spark.store import SparkVectorLake
+
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=8, approx_shards=16)
+    rng = np.random.RandomState(1)
+    lake.add_batch(rng.rand(100, 8).tolist())
+    lake.persist()
+    df = lake.query(rng.rand(8).tolist(), k=3)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan
+    assert "shard_id" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_batch_topk_broadcasts_queries(spark):
+    df = Q.q_vec_topk_batch(spark, SF)
+    assert_in_plan(df, "Broadcast")
+
+
+def test_semi_anti_join_shapes(spark):
+    semi = Q.q_join_semi(spark, SF)
+    anti = Q.q_join_anti(spark, SF)
+    assert "LeftSemi" in plan_string(semi)
+    assert "LeftAnti" in plan_string(anti)
+
+
+def test_exact_dedup_shuffles_fingerprints_not_text(spark):
+    df = Q.q_dedup_exact(spark, SF)
+    plan = plan_string(df)
+    # the aggregate runs over (fp, doc_id); the document text must be
+    # pruned before the exchange
+    exchange_section = plan.split("Exchange")[1] if "Exchange" in plan else ""
+    assert "text" not in exchange_section.split("\n")[0]
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in read_schema and "source" not in read_schema

@@ -62,19 +62,15 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from vector_lake_spark.sources import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table ships TIMESTAMP(NANOS) parquet, which Spark's reader
-    rejects; read nanos as long (runtime-settable legacy conf) and convert
-    to a microsecond TimestampType column (floor truncation — matches the
-    oracle's epoch-floor arithmetic)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    from vector_lake_spark.sources import load_events
+
+    return load_events(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
