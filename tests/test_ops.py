@@ -172,3 +172,39 @@ def test_minhash_native_recall_vs_exact(spark):
     assert len(missed) <= max(1, len(exact) // 10), (
         f"minhash missed {len(missed)}/{len(exact)} exact pairs"
     )
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built fixture: strict inequality, per-key isolation, no-match
+    rows, and same-(key, ts) right-side tie-breaking."""
+    from vector_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00"),
+            (2, 10, "2024-01-01 12:00:00"),
+            (3, 20, "2024-01-01 09:00:00"),  # no prior right row
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (100, 10, "2024-01-01 09:00:00", 1.0),
+            (101, 10, "2024-01-01 10:00:00", 2.0),  # equal ts → excluded (strict)
+            (102, 10, "2024-01-01 11:00:00", 3.0),
+            (103, 10, "2024-01-01 11:00:00", 4.0),  # tie: max event_id wins
+            (104, 30, "2024-01-01 08:00:00", 9.9),  # other key
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, key="user_id", ts_col="ts",
+            right_vals=["value"], right_id="event_id",
+        ).collect()
+    }
+    assert out[1]["asof_value"] == 1.0  # 10:00 → 09:00 row (strict, not 10:00)
+    assert out[2]["asof_value"] == 4.0  # 12:00 → 11:00 tie → event 103
+    assert out[3]["asof_value"] is None  # user 20 has no clicks

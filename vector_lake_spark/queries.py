@@ -1130,6 +1130,52 @@ LIMIT 10
 """
 
 
+def q_ev_asof_join(spark, sf):
+    # as-of join: each purchase gets the most recent strictly-earlier
+    # click by the same user (custom operator — operators/asof.py)
+    from vector_lake_spark.operators.asof import asof_join
+    from vector_lake_spark.operators.events import TS_FMT
+
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        right_vals=["value"], right_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        F.round(F.col("asof_value"), 2).alias("prev_click_value"),
+        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias("gap_sec"),
+    )
+
+
+SQL_EV_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       round(c.value, 2) AS prev_click_value,
+       CAST(floor(date_part('epoch', p.ts)) AS BIGINT)
+         - CAST(floor(date_part('epoch', c.ts)) AS BIGINT) AS gap_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
 def q_ev_json_extract(spark, sf):
     # semi-structured path: pull a typed field out of the JSON props column
     ev = _events(spark, sf)
@@ -1218,6 +1264,7 @@ QUERIES = {
     "brand_revenue": q_brand_revenue,
     "distinct_customers_by_status": q_distinct_customers_by_status,
     "ev_json_extract": q_ev_json_extract,
+    "ev_asof_join": q_ev_asof_join,
     "win_top3_per_nation": q_win_top3_per_nation,
     "win_running_total": q_win_running_total,
     "win_moving_avg": q_win_moving_avg,
@@ -1267,6 +1314,7 @@ ORACLES = {
     "brand_revenue": SQL_BRAND_REVENUE,
     "distinct_customers_by_status": SQL_DISTINCT_CUSTOMERS_BY_STATUS,
     "ev_json_extract": SQL_EV_JSON_EXTRACT,
+    "ev_asof_join": SQL_EV_ASOF_JOIN,
     "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
     "win_running_total": SQL_WIN_RUNNING_TOTAL,
     "win_moving_avg": SQL_WIN_MOVING_AVG,
