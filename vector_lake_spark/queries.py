@@ -1176,6 +1176,75 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
 """
 
 
+def q_ev_error_window(spark, sf):
+    # interval join: activity (count + value) of the same user within
+    # ±30 min of each error event — bucketed range join (operators/interval)
+    from vector_lake_spark.operators.interval import point_in_interval_join
+
+    ev = _events(spark, sf)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    activity = ev.filter(F.col("event_type") != "error").select(
+        "user_id", "ts", "value", F.col("event_id").alias("act_id")
+    )
+    matched = point_in_interval_join(
+        activity, errors, key="user_id", bucket_seconds=1800
+    )
+    agg = matched.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.round(F.sum("value"), 2).alias("nearby_value"),
+    )
+    return (
+        errors.select("error_id")
+        .join(agg, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce(F.col("n_nearby"), F.lit(0)).cast("long").alias("n_nearby"),
+            F.coalesce(F.col("nearby_value"), F.lit(0.0)).alias("nearby_value"),
+        )
+    )
+
+
+SQL_EV_ERROR_WINDOW = """
+WITH e AS (
+  SELECT event_id AS error_id, user_id,
+         ts - INTERVAL 30 MINUTE AS start, ts + INTERVAL 30 MINUTE AS "end"
+  FROM events WHERE event_type = 'error'
+),
+a AS (
+  SELECT user_id, ts, value FROM events WHERE event_type <> 'error'
+)
+SELECT e.error_id,
+       CAST(count(a.ts) AS BIGINT) AS n_nearby,
+       coalesce(round(sum(a.value), 2), 0.0) AS nearby_value
+FROM e LEFT JOIN a
+  ON e.user_id = a.user_id AND a.ts >= e.start AND a.ts <= e."end"
+GROUP BY e.error_id
+"""
+
+
+def q_token_count_salted(spark, sf):
+    # same result as a direct groupBy count — via the two-stage salted
+    # aggregation (operators/skew); oracle is the plain GROUP BY
+    from vector_lake_spark.operators.skew import salted_count
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        salted_count(toks, ["tok"])
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+SQL_TOKEN_COUNT_SALTED = SQL_TEXT_TOKEN_TOP20
+
+
 def q_ev_json_extract(spark, sf):
     # semi-structured path: pull a typed field out of the JSON props column
     ev = _events(spark, sf)
@@ -1265,6 +1334,8 @@ QUERIES = {
     "distinct_customers_by_status": q_distinct_customers_by_status,
     "ev_json_extract": q_ev_json_extract,
     "ev_asof_join": q_ev_asof_join,
+    "ev_error_window": q_ev_error_window,
+    "token_count_salted": q_token_count_salted,
     "win_top3_per_nation": q_win_top3_per_nation,
     "win_running_total": q_win_running_total,
     "win_moving_avg": q_win_moving_avg,
@@ -1315,6 +1386,8 @@ ORACLES = {
     "distinct_customers_by_status": SQL_DISTINCT_CUSTOMERS_BY_STATUS,
     "ev_json_extract": SQL_EV_JSON_EXTRACT,
     "ev_asof_join": SQL_EV_ASOF_JOIN,
+    "ev_error_window": SQL_EV_ERROR_WINDOW,
+    "token_count_salted": SQL_TOKEN_COUNT_SALTED,
     "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
     "win_running_total": SQL_WIN_RUNNING_TOTAL,
     "win_moving_avg": SQL_WIN_MOVING_AVG,
