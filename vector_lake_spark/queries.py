@@ -1271,6 +1271,51 @@ GROUP BY event_type
 # see vector_lake_spark/multimodal.py)
 # ---------------------------------------------------------------------------
 
+def q_mm_feature_extract(spark, sf):
+    # Arrow mapInPandas feature extraction over a binary payload column
+    # (multimodal plumbing; deterministic fake features stand in for the
+    # stubbed codec). Python-side transform → rows-only check.
+    from vector_lake_spark.multimodal import extract_image_features
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def q_win_distribution(spark, sf):
+    cust = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WIN_DISTRIBUTION = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
 def q_mm_binary_stats(spark, sf):
     d = _t(spark, sf, "documents")
     payload = d.select(
@@ -1339,6 +1384,7 @@ QUERIES = {
     "win_top3_per_nation": q_win_top3_per_nation,
     "win_running_total": q_win_running_total,
     "win_moving_avg": q_win_moving_avg,
+    "win_distribution": q_win_distribution,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "setop_nations": q_setop_nations,
@@ -1348,6 +1394,7 @@ QUERIES = {
     "ev_sessionize": q_ev_sessionize,
     "ev_top_users": q_ev_top_users,
     "mm_binary_stats": q_mm_binary_stats,
+    "mm_feature_extract": q_mm_feature_extract,
 }
 
 ORACLES = {
@@ -1391,6 +1438,7 @@ ORACLES = {
     "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
     "win_running_total": SQL_WIN_RUNNING_TOTAL,
     "win_moving_avg": SQL_WIN_MOVING_AVG,
+    "win_distribution": SQL_WIN_DISTRIBUTION,
     "join_semi": SQL_JOIN_SEMI,
     "join_anti": SQL_JOIN_ANTI,
     "setop_nations": SQL_SETOP_NATIONS,
