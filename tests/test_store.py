@@ -125,3 +125,50 @@ def test_query_batch(spark, tmp_path, rng):
         # self-match routed to its own shard must rank first with sim 1.0
         assert top["id"] == ids[qid]
         assert abs(top["score"] - 1.0) < 1e-6
+
+
+def test_stream_ingest(spark, tmp_path, rng):
+    loc = str(tmp_path / "slake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=8)
+    # stage a parquet source to stream from
+    src = str(tmp_path / "src")
+    rows = [
+        (str(i), [float(x) for x in rng.rand(4)], "{}", f"doc {i}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "id string, vector array<double>, metadata string, document string"
+    ).withColumn("timestamp", __import__("pyspark.sql.functions", fromlist=["x"]).current_timestamp()).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = lake.stream_ingest(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert lake.count() == 40
+    # queryable like any batch-persisted store
+    target = rows[5][1]
+    hits = lake.query(target, k=2).collect()
+    assert hits[0]["id"] == "5"
+
+
+def test_query_batch_multiprobe(spark, tmp_path, rng):
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=5, approx_shards=16)
+    vecs = rng.rand(100, 5).tolist()
+    ids = lake.add_batch(vecs)
+    lake.persist()
+    queries = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(3)], "query_id long, qv array<double>"
+    )
+    one = lake.query_batch(queries, k=5, n_probes=1).collect()
+    multi = lake.query_batch(queries, k=5, n_probes=4).collect()
+    # multiprobe sees a superset of candidates → per-query scores at each
+    # rank can only improve or stay equal
+    def best(rows):
+        out = {}
+        for r in rows:
+            cur = out.get(r["query_id"])
+            if cur is None or r["score"] > cur:
+                out[r["query_id"]] = r["score"]
+        return out
+    b1, bm = best(one), best(multi)
+    for qid in b1:
+        assert bm[qid] >= b1[qid]

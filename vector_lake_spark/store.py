@@ -210,7 +210,41 @@ class SparkVectorLake:
             keep_cols=("metadata", "document", "timestamp"),
         )
 
-    def query_batch(self, queries_df: DataFrame, k: int = 4) -> DataFrame:
+    def stream_ingest(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+    ):
+        """Structured-Streaming ingest: each micro-batch is routed and
+        appended exactly like ``persist`` (same shard clustering), with
+        the stream checkpoint playing the role of the reference's
+        ``_synced_rows`` watermark (index.py:289 — SURVEY §2.A I3).
+        Returns the started StreamingQuery."""
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            routed = batch_df.withColumn(
+                "shard_id", lsh_mod.shard_id_expr(F.col("vector"), self.hyperplanes)
+            )
+            (
+                routed.repartition("shard_id")
+                .write.mode("append")
+                .option("compression", "gzip")
+                .partitionBy("shard_id")
+                .parquet(self._data_path)
+            )
+
+        writer = (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def query_batch(
+        self, queries_df: DataFrame, k: int = 4, n_probes: int = 1
+    ) -> DataFrame:
         """Batched routed search: N queries in ONE job.
 
         ``queries_df``: (query_id long, qv array<double>). Queries are
@@ -231,14 +265,16 @@ class SparkVectorLake:
         import numpy as np
         import pandas as pd
 
+        from vector_lake_spark.operators.ann import multiprobe_shards
+
         qrows = queries_df.collect()
         by_shard: dict[int, tuple[list, "np.ndarray"]] = {}
         for r in qrows:
             qv = np.asarray(r["qv"], dtype=np.float64)
-            shard = lsh_mod.route_vector(qv, self.hyperplanes)
-            ids, mats = by_shard.setdefault(shard, ([], []))
-            ids.append(r["query_id"])
-            mats.append(qv)
+            for shard in multiprobe_shards(qv, self.hyperplanes, n_probes):
+                ids, mats = by_shard.setdefault(shard, ([], []))
+                ids.append(r["query_id"])
+                mats.append(qv)
         shard_mats = {
             s: (ids, np.stack(vecs)) for s, (ids, vecs) in by_shard.items()
         }
