@@ -846,6 +846,29 @@ FROM (SELECT c_nationkey AS nationkey FROM customer
 """
 
 
+def q_setop_suppkeys_all(spark, sf):
+    # duplicate-preserving (multiset) set ops: INTERSECT ALL / EXCEPT ALL
+    li = _t(spark, sf, "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 25).select("l_suppkey")
+    discounted = li.filter(F.col("l_discount") >= 0.05).select("l_suppkey")
+    both = heavy.intersectAll(discounted).withColumn("tag", F.lit("both"))
+    only_heavy = heavy.exceptAll(discounted).withColumn("tag", F.lit("heavy_only"))
+    return both.unionByName(only_heavy).select("l_suppkey", "tag")
+
+
+SQL_SETOP_SUPPKEYS_ALL = """
+SELECT l_suppkey, 'both' AS tag
+FROM (SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+      INTERSECT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.05)
+UNION ALL
+SELECT l_suppkey, 'heavy_only' AS tag
+FROM (SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.05)
+"""
+
+
 def q_pivot_status_by_priority(spark, sf):
     orders = _t(spark, sf, "orders")
     return orders.groupBy("o_orderpriority").agg(
@@ -1388,6 +1411,7 @@ QUERIES = {
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "setop_nations": q_setop_nations,
+    "setop_suppkeys_all": q_setop_suppkeys_all,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "ev_tumbling": q_ev_tumbling,
     "ev_sliding": q_ev_sliding,
@@ -1442,6 +1466,7 @@ ORACLES = {
     "join_semi": SQL_JOIN_SEMI,
     "join_anti": SQL_JOIN_ANTI,
     "setop_nations": SQL_SETOP_NATIONS,
+    "setop_suppkeys_all": SQL_SETOP_SUPPKEYS_ALL,
     "pivot_status_by_priority": SQL_PIVOT_STATUS_BY_PRIORITY,
     "ev_tumbling": SQL_EV_TUMBLING,
     "ev_sliding": SQL_EV_SLIDING,
