@@ -24,7 +24,10 @@ HEADLINE = [
     "vec_topk_batch",
     "lsh_shard_hist",
     "ann_lsh_topk",
-    "vec_neardup_pairs",
+    # near-dup headline is the LSH shard-bucketed scale path; the O(n²)
+    # exact variant (vec_neardup_pairs) stays oracle-checked but is a
+    # small-sf baseline, not a headline (VERDICT r01 #5)
+    "vec_neardup_lsh",
     "vec_centroid_by_label",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -53,6 +53,20 @@ def test_batch_topk_broadcasts_queries(spark):
     assert_in_plan(df, "Broadcast")
 
 
+def test_batch_topk_partial_group_limit(spark):
+    """The exchange feeding the per-query rank must be bounded: Catalyst's
+    InferWindowGroupLimit plans a partial WindowGroupLimit *below* the
+    exchange, so each map task ships ≤ k rows per query — never the
+    |corpus|·|queries| cross product (SCALE.md, vector search)."""
+    df = Q.q_vec_topk_batch(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "row_number(), 5, Partial" in plan
+    # tree prints top-down: the partial limit must sit BELOW (after) the
+    # exchange on query_id, i.e. it runs map-side before the shuffle
+    exchange_pos = plan.index("Exchange hashpartitioning(query_id")
+    assert plan.index("row_number(), 5, Partial") > exchange_pos
+
+
 def test_semi_anti_join_shapes(spark):
     semi = Q.q_join_semi(spark, SF)
     anti = Q.q_join_anti(spark, SF)

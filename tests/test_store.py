@@ -172,3 +172,91 @@ def test_query_batch_multiprobe(spark, tmp_path, rng):
     b1, bm = best(one), best(multi)
     for qid in b1:
         assert bm[qid] >= b1[qid]
+
+
+def test_delete_one_shard_leaves_others(spark, tmp_path, rng):
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    # centered vectors spread across shards (uniform [0,1) vectors
+    # concentrate into one shard — the reference's own data pathology)
+    lake.add_batch((rng.rand(100, 4) - 0.5).tolist())
+    lake.persist()
+    shards = {
+        r["shard_id"]: r["n"]
+        for r in lake.load().groupBy("shard_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert len(shards) >= 2
+    victim = sorted(shards)[0]
+    lake.delete_shards([victim])
+    remaining = {
+        r["shard_id"] for r in lake.load().select("shard_id").distinct().collect()
+    }
+    assert victim not in remaining
+    assert lake.count() == 100 - shards[victim]
+
+
+def test_delete_older_than_retention(spark, tmp_path, rng):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    old_ts = datetime.datetime(2020, 1, 1)
+    new_ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        (str(i), [float(x) for x in rng.rand(4)], "{}", "d", old_ts if i < 30 else new_ts)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, vector array<double>, metadata string, document string, timestamp timestamp",
+    )
+    lake.add_dataframe(df)
+    lake.persist()
+    n_rewritten = lake.delete_older_than(datetime.datetime(2022, 1, 1))
+    assert n_rewritten >= 1
+    kept = lake.load()
+    assert kept.count() == 30
+    assert kept.filter(F.col("timestamp") < F.lit("2022-01-01")).count() == 0
+    # idempotent: nothing left to expire
+    assert lake.delete_older_than(datetime.datetime(2022, 1, 1)) == 0
+
+
+def test_retention_can_empty_a_shard(spark, tmp_path, rng):
+    import datetime
+
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    old_ts = datetime.datetime(2020, 1, 1)
+    rows = [
+        (str(i), [float(x) for x in rng.rand(4)], "{}", "d", old_ts)
+        for i in range(40)
+    ]
+    lake.add_dataframe(
+        spark.createDataFrame(
+            rows,
+            "id string, vector array<double>, metadata string, document string, timestamp timestamp",
+        )
+    )
+    lake.persist()
+    lake.delete_older_than(datetime.datetime(2022, 1, 1))
+    assert lake.count() == 0
+
+
+def test_dimension_validation(spark, tmp_path, rng):
+    import pytest as _pytest
+
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=4)
+    with _pytest.raises(ValueError, match="dimension"):
+        lake.add_batch([[0.1, 0.2, 0.3]])  # 3 != 4
+    with _pytest.raises(ValueError, match="dimension"):
+        lake.query([0.1, 0.2], k=2)
+    # lazy ingest path: the bad row fails the persist job, not silently
+    # lands in __HIVE_DEFAULT_PARTITION__
+    bad = spark.createDataFrame([(["a"], [0.1, 0.2, 0.3])], "id_arr array<string>, vector array<double>")
+    lake.add_dataframe(bad.select(bad.vector))
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception, match="dimension mismatch"):
+        lake.persist()

@@ -52,22 +52,30 @@ def asof_join(
     # frame then contains exactly the right rows with r.ts < l.ts — a
     # right row at the SAME ts sorts after the left row and is excluded,
     # giving the strict-inequality semantics the oracle uses.
+    #
+    # Left payload columns ride through the union (NULL on right rows),
+    # so the result needs no join-back on a synthetic row id — one
+    # exchange on (key) total. Two left rows tied on (key, ts) carry the
+    # same value regardless of their relative order: only right rows
+    # populate the __r_* columns the frame reads.
+    left_types = dict(left.dtypes)
+    r_types = dict(r.dtypes)
+    left_payload = [c for c in left.columns if c not in (key, ts_col)]
+    tagged_l = left.select(
+        F.col(key),
+        F.col(ts_col),
+        *[F.col(c) for c in left_payload],
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(r_types[ts_col]).alias("__r_ts"),
+        *[F.lit(None).cast(r_types[c]).alias(f"__r_{c}") for c in right_vals],
+    )
     tagged_r = r.select(
         F.col(key),
         F.col(ts_col),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__row"),
         F.col(ts_col).alias("__r_ts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_vals],
-    )
-    left_rowed = left.withColumn("__row", F.monotonically_increasing_id())
-    tagged_l = left_rowed.select(
-        F.col(key),
-        F.col(ts_col),
-        F.lit(0).alias("__side"),
-        F.col("__row"),
-        F.lit(None).cast("timestamp").alias("__r_ts"),
-        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(f"__r_{c}") for c in right_vals],
     )
     unioned = tagged_l.unionByName(tagged_r)
     w = (
@@ -82,9 +90,11 @@ def asof_join(
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
             for c in right_vals
         ],
-    ).filter(F.col("__row").isNotNull())
-    out = left_rowed.join(
-        carried.select("__row", f"{prefix}ts", *[f"{prefix}{c}" for c in right_vals]),
-        "__row",
-    ).drop("__row")
-    return out
+    ).filter(F.col("__side") == 0)
+    return carried.select(
+        key,
+        ts_col,
+        *left_payload,
+        f"{prefix}ts",
+        *[f"{prefix}{c}" for c in right_vals],
+    )

@@ -378,8 +378,14 @@ def minhash_neardup_pairs(
 ):
     """MinHash+LSH approximate Jaccard similarity join (Spark ML banding) —
     the sub-quadratic scale path. Deterministic given the seed. Returns
-    (id_a, id_b, approx_jaccard)."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    (id_a, id_b, approx_jaccard).
+
+    Featurization is ``HashingTF`` (a stateless transformer: shingle →
+    bucket via hashing), not ``CountVectorizer`` — the latter's ``fit``
+    materializes the full distinct-shingle vocabulary on the driver, a
+    guaranteed OOM at 100 TB. Hash-bucket collisions (2²⁰ buckets) only
+    perturb the Jaccard estimate, which is already approximate."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sh = (
         df.select(
@@ -388,11 +394,10 @@ def minhash_neardup_pairs(
         .filter(F.size("grams") > 0)
         .repartition(parallelism)
     )
-    cv = CountVectorizer(
-        inputCol="grams", outputCol="features", binary=True, minDF=1.0
+    tf = HashingTF(
+        inputCol="grams", outputCol="features", binary=True, numFeatures=1 << 20
     )
-    model = cv.fit(sh)
-    feats = model.transform(sh).select("id", "features")
+    feats = tf.transform(sh).select("id", "features")
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42
     )

@@ -94,9 +94,19 @@ def topk_cosine_batch(
 
     The query side is broadcast (small dim table of query vectors), so the
     corpus never shuffles: plan = scan → broadcast nested-loop join →
-    window rank partitioned by query — at 100 TB the corpus streams through
-    once regardless of query count. Returns
-    (query_id, vec_id, score, rn) with rn ∈ [1, k].
+    partial group-limit → exchange → final rank. The ``rn <= k`` filter
+    over ``row_number()`` triggers Catalyst's ``InferWindowGroupLimit``
+    rule (Spark ≥3.5), which plans a ``WindowGroupLimit … Partial`` *below*
+    the exchange: each map task locally sorts its scored rows (spillable)
+    and emits at most k rows per query, so the exchange feeding the final
+    rank carries ≤ k·|queries|·|partitions| rows — never the
+    |corpus|·|queries| cross product. Pinned by
+    ``tests/test_plans.py::test_batch_topk_partial_group_limit``. At
+    100 TB the corpus streams through once and only winners shuffle.
+    Returns (query_id, vec_id, score, rn) with rn ∈ [1, k].
+
+    For query batches too large to broadcast, use
+    ``store.query_batch`` (routed blocked-matmul, winners-only shuffle).
     """
     q = F.broadcast(
         queries_df.select(

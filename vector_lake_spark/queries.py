@@ -59,6 +59,10 @@ QV = lsh_mod.sql_lit_list(QUERY_VEC)
 
 NEARDUP_COS_THRESHOLD = 0.35  # max pairwise sim in testdata ≈ 0.46
 JACCARD_THRESHOLD = 0.5
+# Skew cap: shingles appearing in more docs than this are dropped before
+# the self-join — a universal (stopword) shingle is otherwise a quadratic
+# hot key at scale (SCALE.md, dedup family). Mirrored in the oracle.
+NGRAM_MAX_SHINGLE_FREQ = 1000
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -258,12 +262,18 @@ GROUP BY fp
 
 def q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), n=3, threshold=JACCARD_THRESHOLD
+        _t(spark, sf, "documents"),
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
     )
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH sh AS (SELECT doc_id AS id, unnest({O.sql_shingles('text', 3)}) AS gram FROM documents),
+WITH sh0 AS (SELECT doc_id AS id, unnest({O.sql_shingles('text', 3)}) AS gram FROM documents),
+rare AS (SELECT gram FROM sh0 GROUP BY gram
+         HAVING count(*) <= {NGRAM_MAX_SHINGLE_FREQ}),
+sh AS (SELECT id, gram FROM sh0 WHERE gram IN (SELECT gram FROM rare)),
 sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -482,7 +492,7 @@ SELECT doc_id,
        {O.sql_token_count('text')} AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
        round(CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS DOUBLE)
-             / CAST({O.sql_token_count('text')} AS DOUBLE), 6) AS bpe_ratio
+             / CAST(nullif({O.sql_token_count('text')}, 0) AS DOUBLE), 6) AS bpe_ratio
 FROM documents
 """
 

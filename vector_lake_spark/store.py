@@ -16,7 +16,14 @@ API parity with the reference's ``Index`` / ``VectorLake`` / ``Partition``
                      *most*-similar rows: the reference's similarity-
                      direction bug is deliberately not reproduced
                      (SURVEY.md §3.2).
-- ``delete``       ≈ S6/S8 — recursive dataset delete.
+- ``delete``       ≈ S8 — recursive dataset delete.
+- ``delete_shards``≈ S6/S7 — per-segment delete (index.py:312-325), one
+                     partition directory per shard, any URI scheme.
+- ``delete_older_than`` — timestamp retention (the schema carries
+                     ``timestamp`` per row, reference index.py:198-200);
+                     rewrites only shards holding expired rows.
+- ``warm_load``    ≈ ``Index.load_local`` (index.py:331-335) — cache the
+                     store executor-side and materialize it.
 
 Deliberate deviations (SURVEY.md §7.4): ids are uuid4 via ``F.uuid()`` (or
 caller-supplied) rather than time-ordered uuid1; metadata is a JSON string
@@ -95,6 +102,12 @@ class SparkVectorLake:
         ``persist()`` — mirroring the reference's dirty-rows-then-sync
         contract (index.py:271-272)."""
         n = len(vectors)
+        for i, v in enumerate(vectors):
+            if len(v) != self.dimension:
+                raise ValueError(
+                    f"vector {i} has dimension {len(v)}, store expects "
+                    f"{self.dimension}"
+                )
         import uuid
 
         ids = list(ids) if ids is not None else [str(uuid.uuid4()) for _ in range(n)]
@@ -128,8 +141,25 @@ class SparkVectorLake:
             df = df.withColumn("document", F.lit(""))
         if "timestamp" not in cols:
             df = df.withColumn("timestamp", F.current_timestamp())
-        df = df.withColumn("vector", to_double_array(F.col("vector")))
+        df = df.withColumn("vector", self._validated(to_double_array(F.col("vector"))))
         self._pending.append(df.select([f.name for f in LAKE_SCHEMA.fields]))
+
+    def _validated(self, vec_col):
+        """Guard: a wrong-dimension vector would zip_with-pad with NULLs,
+        route to a NULL shard_id and land in __HIVE_DEFAULT_PARTITION__
+        where shard-pruned queries can never find it — fail the job
+        instead (executor-side ``raise_error``, no extra pass)."""
+        return F.when(F.size(vec_col) == self.dimension, vec_col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"vector dimension mismatch: store expects "
+                        f"{self.dimension}, got "
+                    ),
+                    F.size(vec_col).cast("string"),
+                )
+            )
+        )
 
     # -- durability ---------------------------------------------------------
 
@@ -183,10 +213,22 @@ class SparkVectorLake:
         reference's frame_schema check (index.py:249-250). A store that was
         never persisted scans as empty (the reference returns [] for
         empty-store queries — tests/test_properties.py:74-85)."""
-        if not Path(self._data_path).exists():
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        def _empty() -> DataFrame:
             empty = self.spark.createDataFrame([], schema=LAKE_SCHEMA)
             return empty.withColumn("shard_id", F.lit(0).cast("long"))
-        df = self.spark.read.parquet(self._data_path)
+
+        if not Path(self._data_path).exists():
+            return _empty()
+        try:
+            df = self.spark.read.parquet(self._data_path)
+        except AnalysisException as e:
+            # retention/delete_shards can leave a data dir with zero
+            # remaining shard directories — an empty store, not an error
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return _empty()
+            raise
         expected = {f.name for f in LAKE_SCHEMA.fields} | {"shard_id"}
         if set(df.columns) != expected:
             raise ValueError(
@@ -203,6 +245,11 @@ class SparkVectorLake:
         recall knob the reference lacks)."""
         from vector_lake_spark.operators.ann import multiprobe_shards
 
+        if len(vector) != self.dimension:
+            raise ValueError(
+                f"query vector has dimension {len(vector)}, store expects "
+                f"{self.dimension}"
+            )
         probes = multiprobe_shards(vector, self.hyperplanes, n_probes)
         pruned = self.load().filter(F.col("shard_id").isin(probes))
         return topk_cosine(
@@ -224,6 +271,8 @@ class SparkVectorLake:
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             routed = batch_df.withColumn(
+                "vector", self._validated(F.col("vector"))
+            ).withColumn(
                 "shard_id", lsh_mod.shard_id_expr(F.col("vector"), self.hyperplanes)
             )
             (
@@ -271,6 +320,11 @@ class SparkVectorLake:
         by_shard: dict[int, tuple[list, "np.ndarray"]] = {}
         for r in qrows:
             qv = np.asarray(r["qv"], dtype=np.float64)
+            if qv.shape[0] != self.dimension:
+                raise ValueError(
+                    f"query {r['query_id']} has dimension {qv.shape[0]}, "
+                    f"store expects {self.dimension}"
+                )
             for shard in multiprobe_shards(qv, self.hyperplanes, n_probes):
                 ids, mats = by_shard.setdefault(shard, ([], []))
                 ids.append(r["query_id"])
@@ -296,15 +350,23 @@ class SparkVectorLake:
                     with np.errstate(divide="ignore", invalid="ignore"):
                         sims = (V @ qmat.T) / np.outer(vn, qn)
                     top = min(k, len(grp))
+                    ids_arr = grp["id"].to_numpy().astype("U")
                     for j, qid in enumerate(qids):
-                        col = sims[:, j]
-                        idx = np.argpartition(-col, top - 1)[:top]
+                        # round BEFORE selecting and break rounded-score
+                        # ties on id (stable lexsort), matching the
+                        # engine-wide determinism contract (topk.py) — a
+                        # bare argpartition could drop a tied candidate at
+                        # the per-batch k-th position depending on batch
+                        # boundaries.
+                        col = np.round(sims[:, j], 6)
+                        order = np.lexsort((ids_arr, -col))
+                        idx = order[:top]
                         yield pd.DataFrame(
                             {
                                 "query_id": qid,
                                 "id": grp["id"].to_numpy()[idx],
                                 "document": grp["document"].to_numpy()[idx],
-                                "score": np.round(col[idx], 6),
+                                "score": col[idx],
                             }
                         )
 
@@ -329,22 +391,103 @@ class SparkVectorLake:
         """S9 parity."""
         return self.load().count()
 
+    def warm_load(self) -> DataFrame:
+        """Reference ``load_local`` parity (index.py:331-335): pin the
+        store in executor cache and materialize it. Memory footprint is
+        introspectable via the Spark UI storage tab / ``df.storageLevel``
+        — the distributed equivalent of the reference's per-process
+        ``memory_usage`` (index.py:548-568)."""
+        df = self.load()
+        df.cache().count()
+        return df
+
     # -- maintenance --------------------------------------------------------
+
+    def _fs_path(self, path_str: str):
+        """Hadoop FileSystem + Path for ``path_str`` — scheme-agnostic
+        (file://, hdfs://, s3a://), unlike driver-local shutil."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, p
+
+    def _swap_shards(self, rewritten: DataFrame, shard_ids: Sequence) -> None:
+        """Replace each listed shard directory with its rewritten contents.
+
+        The rewrite lands in a temp sibling first (so the source is never
+        read and overwritten in the same job — a failure mid-write leaves
+        the store untouched), then each shard is swapped: old dir renamed
+        to a trash path, new dir renamed in, trash deleted. A crash
+        between the two renames leaves that shard's data recoverable in
+        the trash path. A shard with no rewritten rows is simply removed
+        (retention can empty a shard)."""
+        tmp = f"{self.location}/_rewrite_tmp"
+        (
+            rewritten
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .partitionBy("shard_id")
+            .parquet(tmp)
+        )
+        for sid in shard_ids:
+            fs, dst = self._fs_path(f"{self._data_path}/shard_id={sid}")
+            _, src = self._fs_path(f"{tmp}/shard_id={sid}")
+            _, trash = self._fs_path(f"{tmp}/_old_shard_id={sid}")
+            if fs.exists(dst):
+                fs.rename(dst, trash)
+            if fs.exists(src):
+                fs.rename(src, dst)
+            fs.delete(trash, True)
+        fs, tmp_p = self._fs_path(tmp)
+        fs.delete(tmp_p, True)
 
     def compact(self, target_files_per_shard: int = 1) -> None:
         """Rewrite each shard into ``target_files_per_shard`` files — the
         small-files fix for the reference's 256-tiny-segments pathology
-        (SURVEY.md §7.7). Dynamic partition overwrite: only shards present
-        in the rewrite are replaced."""
+        (SURVEY.md §7.7). Atomic per shard via temp-dir + rename swap."""
         df = self.load()
-        (
-            df.repartition(target_files_per_shard * self.num_shards, "shard_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("compression", "gzip")
-            .partitionBy("shard_id")
-            .parquet(self._data_path)
+        present = [r["shard_id"] for r in df.select("shard_id").distinct().collect()]
+        if not present:
+            return
+        rewritten = df.repartition(
+            target_files_per_shard * max(len(present), 1), "shard_id"
         )
+        self._swap_shards(rewritten, present)
+
+    def delete_shards(self, shard_ids: Sequence) -> None:
+        """Per-segment delete (reference S6: ``index.py:312-325`` deletes
+        one bucket's file; here one shard = one partition directory).
+        Scheme-agnostic Hadoop FS delete — other shards' files untouched."""
+        for sid in shard_ids:
+            fs, p = self._fs_path(f"{self._data_path}/shard_id={sid}")
+            fs.delete(p, True)
+
+    def delete_older_than(self, cutoff) -> int:
+        """Retention delete: drop rows with ``timestamp < cutoff``.
+
+        Only shards that actually contain expired rows are rewritten
+        (partition-pruned append-only stores make this the common case:
+        old rows cluster in old files); untouched shards are never
+        rewritten. A shard left empty by retention is removed entirely.
+        Returns the number of shards rewritten."""
+        df = self.load()
+        cutoff_col = F.lit(cutoff).cast("timestamp")
+        affected = [
+            r["shard_id"]
+            for r in df.filter(F.col("timestamp") < cutoff_col)
+            .select("shard_id")
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return 0
+        kept = (
+            df.filter(F.col("shard_id").isin(list(affected)))
+            .filter(F.col("timestamp") >= cutoff_col)
+            .repartition("shard_id")
+        )
+        self._swap_shards(kept, affected)
+        return len(affected)
 
     def delete(self) -> None:
         """S6/S8 parity: remove the dataset."""

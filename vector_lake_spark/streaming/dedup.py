@@ -37,18 +37,28 @@ def _emit_first(
 ) -> Iterator[pd.DataFrame]:
     (fp,) = key
     seen = state.get[0] if state.exists else 0
+    first_seen = seen == 0
+    # A group can be split across pandas chunks within one micro-batch:
+    # track the running min-doc_id row across ALL chunks and emit once
+    # after the loop, so the survivor is the batch minimum, not an
+    # artifact of chunk order.
+    best = None
     for pdf in pdfs:
-        if seen == 0 and len(pdf) > 0:
-            first = pdf.sort_values("doc_id").head(1)
-            yield pd.DataFrame(
-                {
-                    "fp": [fp],
-                    "doc_id": first["doc_id"].iloc[0:1].values,
-                    "text": first["text"].iloc[0:1].values,
-                }
-            )
+        if len(pdf) == 0:
+            continue
+        cand = pdf.sort_values("doc_id").head(1)
+        if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+            best = cand
         seen += len(pdf)
     state.update((seen,))
+    if first_seen and best is not None:
+        yield pd.DataFrame(
+            {
+                "fp": [fp],
+                "doc_id": best["doc_id"].iloc[0:1].values,
+                "text": best["text"].iloc[0:1].values,
+            }
+        )
 
 
 def stream_exact_dedup(docs: DataFrame, fp_col: str = "fp") -> DataFrame:
