@@ -1,0 +1,68 @@
+"""Persisted IVF index: partition pruning + recall contracts.
+
+The IVF partition layout must behave as an index: probe queries read only
+the probed centroid directories (PartitionFilters at planning time), a
+full probe is exactly brute force, and a small probe keeps useful recall.
+"""
+
+import pytest
+
+from vector_lake_spark import queries as Q
+from vector_lake_spark.operators.ann import IVFIndex
+from vector_lake_spark.operators.topk import topk_cosine
+from vector_lake_spark.plans import plan_string
+
+SF = "/root/testdata/sf0.001"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def ivf(spark, tmp_path_factory):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    loc = str(tmp_path_factory.mktemp("ivf") / "index")
+    return IVFIndex.build(spark, loc, emb, n_centroids=16)
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_ivf_prunes_partitions(spark, ivf):
+    df = ivf.topk(Q.QUERY_VEC, K, nprobe=2)
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_ivf_full_probe_is_exact(spark, ivf):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    brute = _ids(topk_cosine(emb, Q.QUERY_VEC, K))
+    full = _ids(ivf.topk(Q.QUERY_VEC, K, nprobe=16))
+    assert full == brute
+
+
+def test_ivf_partial_probe_recall(spark, ivf):
+    """Recall vs brute force must grow with nprobe and stay useful at a
+    half probe — deterministic given seed-42 k-means on the fixed
+    testdata (measured: 0.3 / 0.4 / 0.8 at nprobe 2/4/8; the synthetic
+    embeddings are near-uniform, the worst case for any locality index,
+    so these are floor values)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    brute = set(_ids(topk_cosine(emb, Q.QUERY_VEC, K)))
+
+    def recall(nprobe):
+        probed = set(_ids(ivf.topk(Q.QUERY_VEC, K, nprobe=nprobe)))
+        return len(brute & probed) / K
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.3
+    assert r8 >= 0.6
+    assert r8 >= r4
+
+
+def test_ivf_reopen_from_disk(spark, ivf):
+    reopened = IVFIndex(spark, ivf.location)
+    assert reopened.centroids == ivf.centroids
+    assert _ids(reopened.topk(Q.QUERY_VEC, K, nprobe=16)) == _ids(
+        ivf.topk(Q.QUERY_VEC, K, nprobe=16)
+    )

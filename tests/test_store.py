@@ -260,3 +260,53 @@ def test_dimension_validation(spark, tmp_path, rng):
 
     with _pytest.raises(Exception, match="dimension mismatch"):
         lake.persist()
+
+
+def _s3a_status(spark):
+    """(available, reason): s3a needs the hadoop-aws jar AND a reachable
+    S3 endpoint (localstack:4566 / minio:9000) — reference parity is the
+    localstack e2e in /root/reference/tests/conftest.py:33-42."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+    except Exception:
+        return False, "hadoop-aws jar not on the Spark classpath in this container"
+    import socket
+
+    for port in (4566, 9000):
+        try:
+            socket.create_connection(("localhost", port), timeout=1).close()
+            return True, f"localhost:{port}"
+        except OSError:
+            continue
+    return False, "no localstack/minio S3 endpoint reachable on localhost:4566/9000"
+
+
+@pytest.mark.parametrize("scheme", ["file", "s3a"])
+def test_round_trip_over_scheme(spark, tmp_path, rng, scheme):
+    """The store is URI-agnostic: every filesystem touch (data, sidecar,
+    shard delete, retention swap) goes through Hadoop FS / Spark readers,
+    so the same code runs over file://, hdfs://, s3a://. The s3a leg runs
+    whenever the environment provides hadoop-aws + an endpoint
+    (docs/S3.md recipe); otherwise it skips with the evidence."""
+    if scheme == "s3a":
+        ok, reason = _s3a_status(spark)
+        if not ok:
+            pytest.skip(f"s3a leg unavailable: {reason} — see docs/S3.md")
+        endpoint = reason
+        hconf = spark._jsc.hadoopConfiguration()
+        hconf.set("fs.s3a.endpoint", f"http://{endpoint}")
+        hconf.set("fs.s3a.access.key", "test")
+        hconf.set("fs.s3a.secret.key", "test")
+        hconf.set("fs.s3a.path.style.access", "true")
+        loc = "s3a://vector-lake-test/lake"
+    else:
+        loc = f"file://{tmp_path}/lake"
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    vecs = (rng.rand(20, 4) - 0.5).tolist()
+    ids = lake.add_batch(vecs)
+    lake.persist(source="scheme-test")
+    assert lake.count() == 20
+    hits = lake.query(vecs[3], k=2).collect()
+    assert hits[0]["id"] == ids[3]
+    lake.delete()
+    assert lake.count() == 0

@@ -152,3 +152,78 @@ def ivf_topk(
     probe_ids = list(np.argsort(dists)[:nprobe])
     pruned = assigned_df.filter(F.col("centroid_id").isin([int(i) for i in probe_ids]))
     return topk_cosine(pruned, query, k, vec_col=vec_col, id_col=id_col)
+
+
+class IVFIndex:
+    """Persisted IVF index: the partition layout IS the index.
+
+    ``build`` trains seeded k-means, assigns each vector to its nearest
+    centroid, and writes ``partitionBy("centroid_id")`` Parquet plus a
+    centroid sidecar. ``topk`` picks the ``nprobe`` nearest centroids
+    driver-side (centroids are tiny) and reads only those partition
+    directories — ``PartitionFilters`` prunes at planning time, so a
+    query touches ~nprobe/n_centroids of a 100 TB corpus
+    (plan-pinned by ``tests/test_ivf.py``). ``nprobe = n_centroids``
+    degrades gracefully to exact brute-force search.
+
+    The reference has no IVF (its ANN is per-shard HNSW with ≈0 recall —
+    SURVEY.md §3.2); this is the scale-path replacement alongside the LSH
+    store."""
+
+    def __init__(self, spark, location: str):
+        import json
+        from pathlib import Path
+
+        self.spark = spark
+        self.location = str(location)
+        meta = json.loads((Path(self.location) / "_ivf_meta.json").read_text())
+        self.centroids = meta["centroids"]
+        self.vec_col = meta["vec_col"]
+        self.id_col = meta["id_col"]
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        location: str,
+        df: DataFrame,
+        n_centroids: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+    ) -> "IVFIndex":
+        import json
+        from pathlib import Path
+
+        assigned, centroids = ivf_build(
+            df, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+        )
+        (
+            assigned.select(id_col, vec_col, "centroid_id")
+            # cluster rows by centroid so each partition dir gets one file
+            # per build, not one per write task
+            .repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(str(Path(location) / "data"))
+        )
+        meta = {"centroids": centroids, "vec_col": vec_col, "id_col": id_col}
+        Path(location).mkdir(parents=True, exist_ok=True)
+        (Path(location) / "_ivf_meta.json").write_text(json.dumps(meta))
+        return cls(spark, location)
+
+    def load(self) -> DataFrame:
+        from pathlib import Path
+
+        return self.spark.read.parquet(str(Path(self.location) / "data"))
+
+    def topk(self, query: Sequence[float], k: int, nprobe: int = 2) -> DataFrame:
+        return ivf_topk(
+            self.load(),
+            self.centroids,
+            query,
+            k,
+            nprobe=nprobe,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+        )

@@ -105,13 +105,19 @@ def ngram_jaccard_pairs(
         .select("id", F.xxhash64("gram").alias("g"))
     )
     if max_shingle_freq is not None:
-        rare = (
-            sh.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df_"))
+        # Document frequency as an unordered window over g: the window's
+        # exchange hash-partitions on g — exactly the distribution the
+        # self-join below requires — so the filter costs no extra shuffle
+        # and both join sides reuse one exchange (vs a groupBy + semi-join
+        # formulation, which re-runs the shingle explode three times).
+        from pyspark.sql import Window
+
+        w_df = Window.partitionBy("g")
+        sh = (
+            sh.withColumn("df_", F.count(F.lit(1)).over(w_df))
             .filter(F.col("df_") <= max_shingle_freq)
-            .select("g")
+            .drop("df_")
         )
-        sh = sh.join(rare, "g", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -46,9 +46,7 @@ an explicit ``compact()`` maintenance op.
 from __future__ import annotations
 
 import json
-import shutil
 from collections.abc import Sequence
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -190,12 +188,13 @@ class SparkVectorLake:
 
     @property
     def _data_path(self) -> str:
-        return str(Path(self.location) / "data")
+        # plain string join, not pathlib: Path() collapses the double
+        # slash in scheme URIs ("s3a://bucket" → "s3a:/bucket")
+        return f"{self.location}/data"
 
     def _write_meta(self, attrs: dict) -> None:
         import datetime
 
-        meta_path = Path(self.location) / "_meta.json"
         meta = {
             "dimension": self.dimension,
             "num_hashes": self.num_hashes,
@@ -203,8 +202,14 @@ class SparkVectorLake:
             "last_update": datetime.datetime.now(datetime.timezone.utc).isoformat(),
         }
         meta.update({k: _json_safe(v) for k, v in attrs.items()})
-        meta_path.parent.mkdir(parents=True, exist_ok=True)
-        meta_path.write_text(json.dumps(meta, indent=2, default=str))
+        # Hadoop FS write (not pathlib): the sidecar must land next to the
+        # data on ANY scheme — file://, hdfs://, s3a:// (docs/S3.md)
+        fs, p = self._fs_path(f"{self.location}/_meta.json")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(meta, indent=2, default=str).encode()))
+        finally:
+            out.close()
 
     # -- read path ----------------------------------------------------------
 
@@ -219,7 +224,8 @@ class SparkVectorLake:
             empty = self.spark.createDataFrame([], schema=LAKE_SCHEMA)
             return empty.withColumn("shard_id", F.lit(0).cast("long"))
 
-        if not Path(self._data_path).exists():
+        fs, data_p = self._fs_path(self._data_path)
+        if not fs.exists(data_p):
             return _empty()
         try:
             df = self.spark.read.parquet(self._data_path)
@@ -490,8 +496,9 @@ class SparkVectorLake:
         return len(affected)
 
     def delete(self) -> None:
-        """S6/S8 parity: remove the dataset."""
-        shutil.rmtree(self.location, ignore_errors=True)
+        """S8 parity: remove the dataset (any URI scheme)."""
+        fs, p = self._fs_path(self.location)
+        fs.delete(p, True)
 
 
 class SparkPartition(SparkVectorLake):
