@@ -31,15 +31,20 @@ HEADLINE = [
     "vec_centroid_by_label",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_minhash",
     "dedup_minhash_native",
     "text_stats_by_lang",
     "text_quality",
     "text_token_top20",
+    "text_tfidf_top20",
+    "vec_quantize_int8",
     "q1_pricing",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q13_customer_distribution",
+    "q18_large_orders",
     "agg_rollup",
     "win_running_total",
     "win_top3_per_nation",

@@ -208,3 +208,24 @@ def test_asof_join_semantics(spark):
     assert out[1]["asof_value"] == 1.0  # 10:00 → 09:00 row (strict, not 10:00)
     assert out[2]["asof_value"] == 4.0  # 12:00 → 11:00 tie → event 103
     assert out[3]["asof_value"] is None  # user 20 has no clicks
+
+
+def test_connected_components_transitive_chain(spark):
+    # A~B and B~C must land in ONE cluster labeled by the min id, and
+    # singletons label themselves
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    nodes = spark.range(1, 11).select(F.col("id").alias("doc_id"))
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[7] == out[9] == 7
+    for singleton in (4, 5, 6, 8, 10):
+        assert out[singleton] == singleton

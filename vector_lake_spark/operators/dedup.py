@@ -421,6 +421,58 @@ def minhash_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a near-dup
+    pair list via min-label propagation. Returns (id_col, cluster_id)
+    for EVERY node — singletons label themselves.
+
+    The training-pipeline use: near-dup *pairs* (Jaccard/SimHash/MinHash)
+    must become disjoint *clusters* before keep-one-per-cluster dedup,
+    otherwise A~B, B~C keeps both A and C.
+
+    Scale shape: each iteration is one join + one min-aggregate, both
+    shuffling (id, label) pairs — 16 bytes/row regardless of document
+    size. Iteration count is the cluster diameter (near-dup clusters are
+    shallow; capped at ``max_iter``), with a driver-side convergence
+    check per round (a count, not a collect). Lineage is truncated per
+    iteration with ``localCheckpoint`` — without it the plan doubles per
+    round and Catalyst planning dominates (SCALE.md: plan size is a
+    cost)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "b_id"),
+            edges.b == F.col("b_id"),
+        ).select(F.col("a").alias("id"), "cluster_id")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_cid")
+            .join(labels, "id")
+            .filter(F.col("new_cid") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "cluster_id")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

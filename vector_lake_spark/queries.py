@@ -289,6 +289,54 @@ WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= {JACCARD_THRESH
 """
 
 
+def q_dedup_clusters(spark, sf):
+    # near-dup PAIRS → disjoint CLUSTERS (connected components by
+    # min-label propagation) — the step between similarity join and
+    # keep-one-per-cluster dedup. Oracle: DuckDB recursive CTE.
+    from vector_lake_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        d,
+        n=3,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+    )
+    return connected_components(pairs, d)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+sh0 AS (SELECT doc_id AS id, unnest({O.sql_shingles('text', 3)}) AS gram FROM documents),
+rare AS (SELECT gram FROM sh0 GROUP BY gram
+         HAVING count(*) <= {NGRAM_MAX_SHINGLE_FREQ}),
+sh AS (SELECT id, gram FROM sh0 WHERE gram IN (SELECT gram FROM rare)),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sz sa ON inter.id_a = sa.id
+  JOIN sz sb ON inter.id_b = sb.id
+  WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM documents
+  UNION
+  SELECT e.a AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"))
 
@@ -519,6 +567,81 @@ SELECT doc_id,
        list_max(list_transform({O.sql_shingles('text', 3)},
                 g -> {O.sql_token_hash60('g')})) AS max_shingle_hash
 FROM documents
+"""
+
+
+def q_text_tfidf_top20(spark, sf):
+    # corpus-level tf-idf: term stats (total tf, document frequency) in
+    # one aggregate, corpus size joined as a broadcast single-row agg —
+    # no driver-side .count() scalar, the whole thing is one job
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    stats = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf_total"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf_total")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+        .select("tok", "tf_total", "df", "tfidf")
+        .orderBy(F.col("tfidf").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_TFIDF_TOP20 = f"""
+WITH tok AS (SELECT doc_id, unnest({O.sql_tokens('text')}) AS tok FROM documents),
+stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf_total,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tok, tf_total, df,
+       round(tf_total * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+FROM stats, n
+ORDER BY tfidf DESC, tok
+LIMIT 20
+"""
+
+
+def q_vec_quantize_int8(spark, sf):
+    # symmetric per-vector int8 scalar quantization (the storage-saving
+    # trick for 100 TB embedding tables: 4x smaller than float32) —
+    # scale = max|x|/127, code = round(x/scale); reports the
+    # reconstruction error so the recall cost is measurable
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    err = F.transform(
+        v, lambda x: F.abs(F.round(F.try_divide(x, scale)) * scale - x)
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.round(F.array_max(err), 6).alias("max_err"),
+    )
+
+
+SQL_VEC_QUANTIZE_INT8 = f"""
+WITH e AS (SELECT vec_id, {EMB} AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_max(list_transform(v,
+             x -> abs(round(x / nullif(scale, 0.0)) * scale - x))), 6) AS max_err
+FROM s
 """
 
 
@@ -1049,6 +1172,100 @@ GROUP BY p_brand
 """
 
 
+def q_q13_customer_distribution(spark, sf):
+    # TPC-H Q13 shape: LEFT OUTER join + two-level aggregation (orders
+    # per customer, then customers per order-count)
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_Q13_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_q17_small_qty_revenue(spark, sf):
+    # TPC-H Q17 shape: correlated scalar subquery (per-part average),
+    # decorrelated to an aggregate + equi-join
+    li = _t(spark, sf, "lineitem")
+    thr = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thr")
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q17_SMALL_QTY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
+def q_q18_large_orders(spark, sf):
+    # TPC-H Q18 shape: HAVING-filtered aggregate as an IN-subquery,
+    # joined back to orders + customer; top-N by value
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_Q18_LARGE_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > 300) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
 def q_distinct_customers_by_status(spark, sf):
     orders = _t(spark, sf, "orders")
     return orders.groupBy("o_orderstatus").agg(
@@ -1387,6 +1604,7 @@ QUERIES = {
     "vec_centroid_by_label": q_vec_centroid_by_label,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -1397,11 +1615,16 @@ QUERIES = {
     "text_token_top20": q_text_token_top20,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_tfidf_top20": q_text_tfidf_top20,
+    "vec_quantize_int8": q_vec_quantize_int8,
     "q1_pricing": q_q1_pricing,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q3_top_orders": q_q3_top_orders,
     "q4_late_orders": q_q4_late_orders,
     "q5_nation_revenue": q_q5_nation_revenue,
+    "q13_customer_distribution": q_q13_customer_distribution,
+    "q17_small_qty_revenue": q_q17_small_qty_revenue,
+    "q18_large_orders": q_q18_large_orders,
     "agg_rollup": q_agg_rollup,
     "grouping_sets": q_grouping_sets,
     "cube_status_priority": q_cube_status_priority,
@@ -1443,6 +1666,7 @@ ORACLES = {
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
     # dedup_minhash (ML variant), ann_ivf_topk: rows-only by design
@@ -1452,11 +1676,16 @@ ORACLES = {
     "text_token_top20": SQL_TEXT_TOKEN_TOP20,
     "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_tfidf_top20": SQL_TEXT_TFIDF_TOP20,
+    "vec_quantize_int8": SQL_VEC_QUANTIZE_INT8,
     "q1_pricing": SQL_Q1_PRICING,
     "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
     "q3_top_orders": SQL_Q3_TOP_ORDERS,
     "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "q5_nation_revenue": SQL_Q5_NATION_REVENUE,
+    "q13_customer_distribution": SQL_Q13_CUSTOMER_DISTRIBUTION,
+    "q17_small_qty_revenue": SQL_Q17_SMALL_QTY_REVENUE,
+    "q18_large_orders": SQL_Q18_LARGE_ORDERS,
     "agg_rollup": SQL_AGG_ROLLUP,
     "grouping_sets": SQL_GROUPING_SETS,
     "cube_status_priority": SQL_CUBE_STATUS_PRIORITY,
