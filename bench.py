@@ -80,11 +80,17 @@ def bench_store(spark, timings: dict) -> None:
     lake.persist()
     timings["store_ingest_50k"] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
     queries = spark.range(1_000).select(
         F.col("id").alias("query_id"),
         F.array(*[F.rand(seed=100 + i) for i in range(5)]).alias("qv"),
     )
+    # warm the Python workers (Arrow scoring path) before timing — the
+    # reference anchor is explicitly the WARM per-query latency
+    # (BASELINE.md: "Query latency (warm)")
+    lake.query_batch(queries.limit(10), k=4).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    t0 = time.perf_counter()
     lake.query_batch(queries, k=4).write.mode("overwrite").format("noop").save()
     timings["store_query_batch_1k"] = round(time.perf_counter() - t0, 3)
     shutil.rmtree(loc, ignore_errors=True)
