@@ -1542,6 +1542,67 @@ def q_mm_feature_extract(spark, sf):
     )
 
 
+def q_mm_frame_sample(spark, sf):
+    # video frame-sampling plumbing (explode-by-timeline): media rows are
+    # synthesized deterministically from documents (duration ∝ n_chars);
+    # the decode kernel stays stubbed, the timeline math is real
+    from vector_lake_spark.multimodal import sample_video_frames
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = sample_video_frames(media, every_ms=1000)
+    return out.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("offset_ms").cast("long").alias("offset_ms"),
+    )
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(greatest(floor((n_chars * 10) / 1000.0), 1) AS BIGINT) AS n_frames
+  FROM documents
+)
+SELECT media_id,
+       CAST(unnest(range(n_frames)) AS BIGINT) AS frame_no,
+       CAST(unnest(range(n_frames)) * 1000 AS BIGINT) AS offset_ms
+FROM m
+"""
+
+
+_IVF_REGISTRY_CACHE: dict = {}
+
+
+def q_ann_ivf_stored(spark, sf):
+    # Persisted-IVF path: build once per (process, sf) into a temp dir —
+    # partitionBy(centroid_id) write — then a partition-pruned probe
+    # read. Iterative k-means isn't SQL-expressible → rows-only; the
+    # pruning plan and exactness contracts are pinned in tests/test_ivf.py.
+    import tempfile
+
+    from vector_lake_spark.operators.ann import IVFIndex
+
+    idx = _IVF_REGISTRY_CACHE.get(sf)
+    if idx is None:
+        loc = tempfile.mkdtemp(prefix="ivf_registry_") + "/index"
+        idx = IVFIndex.build(
+            spark, loc, _t(spark, sf, "embeddings"), n_centroids=16
+        )
+        _IVF_REGISTRY_CACHE[sf] = idx
+    return idx.topk(QUERY_VEC, K, nprobe=4)
+
+
 def q_win_distribution(spark, sf):
     cust = _t(spark, sf, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -1652,6 +1713,8 @@ QUERIES = {
     "ev_top_users": q_ev_top_users,
     "mm_binary_stats": q_mm_binary_stats,
     "mm_feature_extract": q_mm_feature_extract,
+    "mm_frame_sample": q_mm_frame_sample,
+    "ann_ivf_stored": q_ann_ivf_stored,
 }
 
 ORACLES = {
@@ -1712,4 +1775,6 @@ ORACLES = {
     "ev_sessionize": SQL_EV_SESSIONIZE,
     "ev_top_users": SQL_EV_TOP_USERS,
     "mm_binary_stats": SQL_MM_BINARY_STATS,
+    "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
+    # ann_ivf_stored: rows-only by design (iterative k-means build)
 }
