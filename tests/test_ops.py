@@ -229,3 +229,94 @@ def test_connected_components_transitive_chain(spark):
     assert out[7] == out[9] == 7
     for singleton in (4, 5, 6, 8, 10):
         assert out[singleton] == singleton
+
+
+def test_streaming_sliding_matches_batch(spark, tmp_path):
+    from vector_lake_spark.operators.events import sliding_agg
+    from vector_lake_spark.queries import _events
+    from vector_lake_spark.streaming.events import stream_sliding_agg
+
+    src = str(tmp_path / "slide_src")
+    _events(spark, "/root/testdata/sf0.001").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out_dir = str(tmp_path / "slide_out")
+    q = (
+        stream_sliding_agg(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir)
+        .withColumn("window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+        .collect()
+    }
+    want = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in sliding_agg(_events(spark, "/root/testdata/sf0.001")).collect()
+    }
+    assert got, "stream emitted nothing"
+    for key, val in got.items():
+        assert want.get(key) == val, key
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data contract: a row arriving in a later micro-batch with an
+    event time older than (max seen − watermark) is DROPPED from an
+    append-mode aggregation — bounded state depends on it."""
+    import datetime
+
+    from vector_lake_spark.streaming.events import stream_tumbling_agg
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 1: on-time rows spanning 6 hours → watermark advances to 04:00
+    write_file(
+        "f1",
+        [(base + datetime.timedelta(hours=h), "click", 1.0) for h in range(6)],
+    )
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def run_once():
+        # one availableNow run; the watermark persists in the checkpoint
+        # between runs, so run 2 restores max(f1 ts) − 2h = 03:00
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            stream_tumbling_agg(stream, duration="1 hour", watermark="2 hours")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # run 2: one VERY late row (hour 0 again — beyond the restored
+    # watermark) plus one on-time row
+    write_file(
+        "f2",
+        [
+            (base, "late", 99.0),
+            (base + datetime.timedelta(hours=6), "click", 1.0),
+        ],
+    )
+    run_once()
+    types = {r["event_type"] for r in spark.read.parquet(out_dir).collect()}
+    assert "late" not in types, "late row beyond the watermark must be dropped"
+    assert "click" in types

@@ -34,6 +34,28 @@ def stream_tumbling_agg(
     )
 
 
+def stream_sliding_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (each row lands in
+    duration/slide windows; state per open window, evicted past the
+    watermark)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
 def stream_sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
