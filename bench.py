@@ -33,7 +33,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_simhash",
-    "dedup_minhash",
+    # dedup_minhash (Spark ML approxSimilarityJoin) stays registry/oracle-
+    # covered but out of the headline: the native-expression variant below
+    # computes the same banding ~2x faster and is the recommended path
     "dedup_minhash_native",
     "text_stats_by_lang",
     "text_quality",

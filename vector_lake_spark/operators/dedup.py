@@ -446,10 +446,18 @@ def connected_components(
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    # Iterate ONLY over nodes that appear in a pair — in a dedup corpus
+    # that's a tiny fraction of all documents; the (typically dominant)
+    # singleton mass joins back label=self at the end with zero
+    # iteration cost.
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("id", "b_id"),
@@ -470,7 +478,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("id").alias(id_col), "cluster_id")
+    singletons = nodes.select(F.col(id_col).alias("id")).join(
+        labels.select("id"), "id", "left_anti"
+    ).withColumn("cluster_id", F.col("id"))
+    return labels.union(singletons).select(
+        F.col("id").alias(id_col), "cluster_id"
+    )
 
 
 def embedding_neardup_pairs(
