@@ -41,6 +41,7 @@ HEADLINE = [
     "text_quality",
     "text_token_top20",
     "text_tfidf_top20",
+    "pipe_clean_corpus",
     "vec_quantize_int8",
     "q1_pricing",
     "q3_top_orders",

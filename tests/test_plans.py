@@ -83,3 +83,23 @@ def test_exact_dedup_shuffles_fingerprints_not_text(spark):
     assert "text" not in exchange_section.split("\n")[0]
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_quantize_is_single_scan_no_shuffle(spark):
+    """int8 quantization is pure per-row expressions — a 100 TB table
+    quantizes in one scan; any Exchange here is a regression."""
+    df = Q.q_vec_quantize_int8(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark):
+    """The single-row corpus-size aggregate must broadcast — a shuffle
+    join against one row would be absurd at scale."""
+    df = Q.q_text_tfidf_top20(spark, SF)
+    assert_in_plan(df, "Broadcast")
+
+
+def test_q13_plans_left_outer(spark):
+    df = Q.q_q13_customer_distribution(spark, SF)
+    assert "LeftOuter" in plan_string(df)

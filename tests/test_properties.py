@@ -56,3 +56,14 @@ def test_embedder_unit_norm_or_zero(text):
 def test_embedder_deterministic(text):
     embed = hashed_ngram_embedder(dim=8)
     assert embed([text]) == embed([text])
+
+
+def test_int8_quantization_error_bound(spark):
+    """Mathematical contract: symmetric int8 round-to-nearest keeps every
+    per-element reconstruction error ≤ scale/2 (+1ulp slack)."""
+    from vector_lake_spark import queries as Q
+
+    rows = Q.q_vec_quantize_int8(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["max_err"] <= r["scale"] / 2 + 1e-6, r

@@ -570,6 +570,54 @@ FROM documents
 """
 
 
+def q_pipe_clean_corpus(spark, sf):
+    # END-TO-END corpus cleaning — the composed LLM-pipeline pass:
+    # exact-dedup survivors → quality floor → language-ID agreement →
+    # per-source stats. One declarative plan: Catalyst fuses the filters
+    # into the survivor semi-join's probe side.
+    from vector_lake_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents")
+    surv = exact_dedup(d)
+    q = F.round(quality_score(F.col("text")), 6)
+    kept = surv.filter(q >= 0.5).filter(lang_id(F.col("text")) == F.col("lang"))
+    # average over integer micro-units of the rounded score: the long sum
+    # is exact, so the result is independent of summation order (a raw
+    # double avg drifts in the 6th decimal between engines)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg((q * 1e6).cast("long")) / 1e6, 6).alias("avg_quality"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+def _sql_pipe_clean_corpus() -> str:
+    scores = O.sql_lang_scores("text")
+    cols = [(lang, f"s_{lang}") for lang, _ in scores]
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores)
+    return f"""
+WITH surv AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT {O.sql_fingerprint64('text')} AS fp, min(doc_id) AS keep_id
+        FROM documents GROUP BY fp) k
+    ON d.doc_id = k.keep_id
+),
+sc AS (SELECT doc_id, source, lang, text, {inner},
+              round({O.sql_quality_score('text')}, 6) AS q,
+              {O.sql_token_count('text')} AS toks
+       FROM surv),
+kept AS (SELECT * FROM sc WHERE q >= 0.5 AND {O.sql_lang_id(cols)} = lang)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(q * 1000000 AS BIGINT)) / 1000000.0, 6) AS avg_quality,
+       CAST(sum(toks) AS BIGINT) AS total_tokens
+FROM kept GROUP BY source
+"""
+
+
+SQL_PIPE_CLEAN_CORPUS = _sql_pipe_clean_corpus()
+
+
 def q_text_tfidf_top20(spark, sf):
     # corpus-level tf-idf: term stats (total tf, document frequency) in
     # one aggregate, corpus size joined as a broadcast single-row agg —
@@ -1678,6 +1726,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf_top20": q_text_tfidf_top20,
     "vec_quantize_int8": q_vec_quantize_int8,
+    "pipe_clean_corpus": q_pipe_clean_corpus,
     "q1_pricing": q_q1_pricing,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q3_top_orders": q_q3_top_orders,
@@ -1741,6 +1790,7 @@ ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_tfidf_top20": SQL_TEXT_TFIDF_TOP20,
     "vec_quantize_int8": SQL_VEC_QUANTIZE_INT8,
+    "pipe_clean_corpus": SQL_PIPE_CLEAN_CORPUS,
     "q1_pricing": SQL_Q1_PRICING,
     "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
     "q3_top_orders": SQL_Q3_TOP_ORDERS,
