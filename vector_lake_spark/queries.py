@@ -1474,6 +1474,63 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
 """
 
 
+def q_ev_funnel(spark, sf):
+    # funnel/conversion: share of purchases with a click by the same user
+    # within the preceding 30 minutes, per hour — the as-of operator
+    # reused for attribution instead of a pair-explosion range join
+    from vector_lake_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join(purchases, clicks, key="user_id", ts_col="ts")
+    converted = (
+        F.col("asof_ts").isNotNull()
+        & ((F.col("ts").cast("long") - F.col("asof_ts").cast("long")) <= 1800)
+    )
+    return (
+        j.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(converted, 1).otherwise(0)).cast("long").alias("n_converted"),
+        )
+        .withColumn(
+            "conv_rate",
+            F.round(F.col("n_converted") / F.col("n_purchases").cast("double"), 6),
+        )
+    )
+
+
+SQL_EV_FUNNEL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.ts, c.ts AS click_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(*) FILTER (WHERE click_ts IS NOT NULL
+            AND CAST(floor(date_part('epoch', ts)) AS BIGINT)
+              - CAST(floor(date_part('epoch', click_ts)) AS BIGINT) <= 1800)
+            AS BIGINT) AS n_converted,
+       round(CAST(count(*) FILTER (WHERE click_ts IS NOT NULL
+            AND CAST(floor(date_part('epoch', ts)) AS BIGINT)
+              - CAST(floor(date_part('epoch', click_ts)) AS BIGINT) <= 1800)
+            AS DOUBLE) / count(*), 6) AS conv_rate
+FROM j
+GROUP BY date_trunc('hour', ts)
+"""
+
+
 def q_ev_error_window(spark, sf):
     # interval join: activity (count + value) of the same user within
     # ±30 min of each error event — bucketed range join (operators/interval)
@@ -1745,6 +1802,7 @@ QUERIES = {
     "distinct_customers_by_status": q_distinct_customers_by_status,
     "ev_json_extract": q_ev_json_extract,
     "ev_asof_join": q_ev_asof_join,
+    "ev_funnel": q_ev_funnel,
     "ev_error_window": q_ev_error_window,
     "token_count_salted": q_token_count_salted,
     "win_top3_per_nation": q_win_top3_per_nation,
@@ -1809,6 +1867,7 @@ ORACLES = {
     "distinct_customers_by_status": SQL_DISTINCT_CUSTOMERS_BY_STATUS,
     "ev_json_extract": SQL_EV_JSON_EXTRACT,
     "ev_asof_join": SQL_EV_ASOF_JOIN,
+    "ev_funnel": SQL_EV_FUNNEL,
     "ev_error_window": SQL_EV_ERROR_WINDOW,
     "token_count_salted": SQL_TOKEN_COUNT_SALTED,
     "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
