@@ -618,6 +618,75 @@ FROM kept GROUP BY source
 SQL_PIPE_CLEAN_CORPUS = _sql_pipe_clean_corpus()
 
 
+def q_pipe_split_stats(spark, sf):
+    # deterministic train/val/test split by id-hash bucket — the
+    # scale-correct way to split training data (reproducible on any
+    # engine, stable under repartitioning, no RNG state): bucket =
+    # hash60(doc_id) % 100 → 80/10/10 (md5-prefix hash, portable
+    # across Spark and the DuckDB oracle)
+    from vector_lake_spark.functions.text import token_hash60
+
+    d = _t(spark, sf, "documents")
+    bucket = token_hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return d.select(split.alias("split"), "source", "n_chars").groupBy(
+        "split", "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+SQL_PIPE_SPLIT_STATS = f"""
+WITH b AS (
+  SELECT source, n_chars,
+         {O.sql_token_hash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         source, n_chars
+  FROM b
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split, source
+"""
+
+
+def q_text_length_histogram(spark, sf):
+    # curriculum/length-bucket histogram: docs by power-of-two token
+    # count — single scan, one tiny aggregate
+    d = _t(spark, sf, "documents")
+    n = token_count(F.col("text"))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(n.cast("double"))).cast("long")
+    )
+    return d.groupBy(bucket.alias("log2_tokens")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(n).alias("min_tokens"),
+        F.max(n).alias("max_tokens"),
+    )
+
+
+SQL_TEXT_LENGTH_HISTOGRAM = f"""
+WITH t AS (SELECT {O.sql_token_count('text')} AS n FROM documents)
+SELECT CASE WHEN n <= 0 THEN -1
+            ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS BIGINT) END AS log2_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n) AS min_tokens,
+       max(n) AS max_tokens
+FROM t GROUP BY log2_tokens
+"""
+
+
 def q_text_tfidf_top20(spark, sf):
     # corpus-level tf-idf: term stats (total tf, document frequency) in
     # one aggregate, corpus size joined as a broadcast single-row agg —
@@ -1784,6 +1853,8 @@ QUERIES = {
     "text_tfidf_top20": q_text_tfidf_top20,
     "vec_quantize_int8": q_vec_quantize_int8,
     "pipe_clean_corpus": q_pipe_clean_corpus,
+    "pipe_split_stats": q_pipe_split_stats,
+    "text_length_histogram": q_text_length_histogram,
     "q1_pricing": q_q1_pricing,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q3_top_orders": q_q3_top_orders,
@@ -1849,6 +1920,8 @@ ORACLES = {
     "text_tfidf_top20": SQL_TEXT_TFIDF_TOP20,
     "vec_quantize_int8": SQL_VEC_QUANTIZE_INT8,
     "pipe_clean_corpus": SQL_PIPE_CLEAN_CORPUS,
+    "pipe_split_stats": SQL_PIPE_SPLIT_STATS,
+    "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     "q1_pricing": SQL_Q1_PRICING,
     "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
     "q3_top_orders": SQL_Q3_TOP_ORDERS,
