@@ -18,6 +18,18 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # One BLAS thread per Python worker: with N parallel workers each
+    # spawning a full-width OpenBLAS/MKL pool, the numpy matmuls in the
+    # Arrow scoring paths oversubscribe the box N× and latency becomes
+    # noise (measured 2-10s swings on store.query_batch). Tasks are the
+    # parallelism unit; per-task math must be single-threaded.
+    for var in (
+        "OMP_NUM_THREADS",
+        "OPENBLAS_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -29,6 +41,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # cluster-side equivalent of the env pinning above (local mode
+        # inherits the driver env; real executors need it set explicitly)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
