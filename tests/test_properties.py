@@ -67,3 +67,112 @@ def test_int8_quantization_error_bound(spark):
     assert rows
     for r in rows:
         assert r["max_err"] <= r["scale"] / 2 + 1e-6, r
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    """Randomized (seeded) cross-check: asof_join == per-row brute-force
+    max over strictly-earlier right rows, including ties and no-match."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_keys = 5
+    left_rows = [
+        (int(k), int(t), i)
+        for i, (k, t) in enumerate(
+            zip(rng.randint(0, n_keys, 60), rng.randint(0, 50, 60))
+        )
+    ]
+    right_rows = [
+        (int(k), int(t), float(v))
+        for k, t, v in zip(
+            rng.randint(0, n_keys, 80),
+            rng.randint(0, 50, 80),
+            rng.rand(80).round(3),
+        )
+    ]
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, __import__("datetime").datetime(2024, 1, 1, 0, t), i) for k, t, i in left_rows],
+        "key long, ts timestamp, row_id long",
+    )
+    right = spark.createDataFrame(
+        [(k, __import__("datetime").datetime(2024, 1, 1, 0, t), v) for k, t, v in right_rows],
+        "key long, ts timestamp, val double",
+    )
+    got = {
+        r["row_id"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join(left, right, key="key", right_vals=["val"]).collect()
+    }
+    # brute force: latest strictly-earlier right (key, ts); val from that ts
+    # (right side reduced to one row per (key, ts) — max val wins is NOT
+    # guaranteed without right_id, so compare ts only, and val only when
+    # (key, ts) is unique on the right)
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, t, v in right_rows:
+        by_key[k].append((t, v))
+    for k, t, i in left_rows:
+        earlier = [(rt, rv) for rt, rv in by_key[k] if rt < t]
+        want_ts = max((rt for rt, _ in earlier), default=None)
+        got_ts, got_val = got[i]
+        got_minute = got_ts.minute if got_ts is not None else None
+        assert got_minute == want_ts, (i, got_ts, want_ts)
+        if want_ts is not None:
+            vals_at = [rv for rt, rv in by_key[k] if rt == want_ts]
+            if len(vals_at) == 1:
+                assert got_val == vals_at[0]
+            else:
+                assert got_val in vals_at
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    """Randomized (seeded) cross-check for the bucketed interval join:
+    every (point, interval) containment pair is found — no bucket-edge
+    misses — and nothing extra."""
+    import datetime
+
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    base = datetime.datetime(2024, 1, 1)
+
+    points = [
+        (int(k), base + datetime.timedelta(seconds=int(s)), i)
+        for i, (k, s) in enumerate(
+            zip(rng.randint(0, 4, 80), rng.randint(0, 7200, 80))
+        )
+    ]
+    intervals = []
+    for j in range(30):
+        k = int(rng.randint(0, 4))
+        s = int(rng.randint(0, 7200))
+        e = s + int(rng.randint(0, 2400))
+        intervals.append(
+            (j, k, base + datetime.timedelta(seconds=s), base + datetime.timedelta(seconds=e))
+        )
+
+    from vector_lake_spark.operators.interval import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        points, "key long, ts timestamp, pt_id long"
+    )
+    ivs = spark.createDataFrame(
+        intervals, "iv_id long, key long, start timestamp, end timestamp"
+    )
+    got = {
+        (r["pt_id"], r["iv_id"])
+        for r in point_in_interval_join(
+            pts, ivs, key="key", bucket_seconds=600
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (k, t, i) in points
+        for (j, ik, s, e) in intervals
+        if k == ik and s <= t <= e
+    }
+    assert got == want
