@@ -1690,6 +1690,40 @@ GROUP BY event_type
 """
 
 
+def q_ev_variant_extract(spark, sf):
+    # Spark 4 VARIANT path for semi-structured data: parse_json once into
+    # the binary variant encoding, then typed variant_get extraction —
+    # the scale-correct alternative to repeated string JSON parsing
+    ev = _events(spark, sf)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EV_VARIANT_EXTRACT = """
+WITH k AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_high,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM k
+WHERE k > 50
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary column stats; decode kernels are stubbed —
 # see vector_lake_spark/multimodal.py)
@@ -1872,6 +1906,7 @@ QUERIES = {
     "brand_revenue": q_brand_revenue,
     "distinct_customers_by_status": q_distinct_customers_by_status,
     "ev_json_extract": q_ev_json_extract,
+    "ev_variant_extract": q_ev_variant_extract,
     "ev_asof_join": q_ev_asof_join,
     "ev_funnel": q_ev_funnel,
     "ev_error_window": q_ev_error_window,
@@ -1939,6 +1974,7 @@ ORACLES = {
     "brand_revenue": SQL_BRAND_REVENUE,
     "distinct_customers_by_status": SQL_DISTINCT_CUSTOMERS_BY_STATUS,
     "ev_json_extract": SQL_EV_JSON_EXTRACT,
+    "ev_variant_extract": SQL_EV_VARIANT_EXTRACT,
     "ev_asof_join": SQL_EV_ASOF_JOIN,
     "ev_funnel": SQL_EV_FUNNEL,
     "ev_error_window": SQL_EV_ERROR_WINDOW,
