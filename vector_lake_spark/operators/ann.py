@@ -121,17 +121,29 @@ def ivf_build(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ):
     """Train seeded k-means centroids and return (assigned_df, centroids).
 
     ``assigned_df`` carries a ``centroid_id`` column suitable for
-    ``write.partitionBy`` — the IVF index IS the partition layout."""
+    ``write.partitionBy`` — the IVF index IS the partition layout.
+
+    ``sample_fraction`` is the 100 TB knob: k-means is iterative (one
+    full scan per iteration), so at scale fit the centroids on a seeded
+    sample (~1M rows is plenty for any realistic n_centroids) and run
+    only the single assignment pass over the full corpus. Unset, the fit
+    uses all rows (fine at test scale, exact-reproducible)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     feats = df.withColumn("__features", array_to_vector(to_double_array(F.col(vec_col))))
+    train = (
+        feats.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else feats
+    )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__features", predictionCol="centroid_id")
-    model = km.fit(feats)
+    model = km.fit(train)
     assigned = model.transform(feats).drop("__features")
     centroids = [c.tolist() for c in model.clusterCenters()]
     return assigned, centroids
@@ -191,12 +203,17 @@ class IVFIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         seed: int = 42,
+        sample_fraction: float | None = None,
     ) -> "IVFIndex":
         import json
         from pathlib import Path
 
         assigned, centroids = ivf_build(
-            df, n_centroids=n_centroids, vec_col=vec_col, seed=seed
+            df,
+            n_centroids=n_centroids,
+            vec_col=vec_col,
+            seed=seed,
+            sample_fraction=sample_fraction,
         )
         (
             assigned.select(id_col, vec_col, "centroid_id")
