@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_freq: int | None = None,
+    repartition_input: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b) with
     |A∩B| / |A∪B| ≥ threshold.
@@ -96,7 +97,14 @@ def ngram_jaccard_pairs(
     shuffles) → self-join on shingle hash → count per pair → Jaccard.
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs (stopword-shingle skew cap — at 100 TB a universal shingle would
-    otherwise produce a quadratic hot key)."""
+    otherwise produce a quadratic hot key).
+
+    ``repartition_input`` spreads the shingle computation when the source
+    has fewer partitions than cores (a single parquet file at test scale
+    runs the whole tokenize+shingle pass on one core — SCALE.md
+    "known local-mode artifacts"). Leave None for many-file inputs."""
+    if repartition_input:
+        df = df.select(id_col, text_col).repartition(repartition_input)
     sh = (
         df.select(
             F.col(id_col).alias("id"),
@@ -284,6 +292,7 @@ def minhash_native_pairs(
     min_est_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    repartition_input: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH banding with native expressions end-to-end: signatures
     (16 hashes) → 4-row bands → equi-join on band value → estimated
@@ -300,6 +309,8 @@ def minhash_native_pairs(
     # codegen dominate (~13s regardless of data size); the explode/agg
     # form plans in milliseconds and shuffles only (id, hash) pairs.
     params = _minhash_params(num_hashes)
+    if repartition_input:
+        df = df.select(id_col, text_col).repartition(repartition_input)
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(

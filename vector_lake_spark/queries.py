@@ -266,6 +266,7 @@ def q_dedup_ngram_jaccard(spark, sf):
         n=3,
         threshold=JACCARD_THRESHOLD,
         max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+        repartition_input=32,
     )
 
 
@@ -301,6 +302,7 @@ def q_dedup_clusters(spark, sf):
         n=3,
         threshold=JACCARD_THRESHOLD,
         max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+        repartition_input=32,
     )
     return connected_components(pairs, d)
 
@@ -369,7 +371,9 @@ def q_dedup_minhash(spark, sf):
 def q_dedup_minhash_native(spark, sf):
     from vector_lake_spark.operators.dedup import minhash_native_pairs
 
-    return minhash_native_pairs(_t(spark, sf, "documents"))
+    return minhash_native_pairs(
+        _t(spark, sf, "documents"), repartition_input=32
+    )
 
 
 def _sql_dedup_minhash_native() -> str:
