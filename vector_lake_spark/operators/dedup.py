@@ -153,14 +153,21 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition_input: int | None = None,
 ) -> DataFrame:
     """60-bit SimHash per document: bit b is set iff
     Σ_tokens (2·bit_b(md5-hash(token)) − 1) > 0 over *distinct* tokens.
 
     Pure column expressions: explode distinct tokens → per-bit ±1 sums via
     bitwise shifts → sign bits re-packed. One shuffle on doc id; state per
-    doc is 60 longs during the aggregate, 8 bytes after."""
+    doc is 60 longs during the aggregate, 8 bytes after.
+    ``repartition_input``: see ``ngram_jaccard_pairs`` (single-file local
+    sources compute the tokenize+hash pass on one core otherwise)."""
+    if repartition_input:
+        df = df.select(id_col, text_col).repartition(repartition_input)
     tok = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),

@@ -340,6 +340,8 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 
 
 def q_dedup_simhash(spark, sf):
+    # measured: repartition_input HURTS here (the 60-way bit aggregate
+    # dominates and the extra exchange outweighs a parallel explode)
     return simhash(_t(spark, sf, "documents"))
 
 
