@@ -320,3 +320,27 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     types = {r["event_type"] for r in spark.read.parquet(out_dir).collect()}
     assert "late" not in types, "late row beyond the watermark must be dropped"
     assert "click" in types
+
+
+def test_ngram_cap_neutralizes_universal_shingle(spark):
+    """Skew-defense semantics: a shingle present in EVERY document must
+    not produce candidate pairs once capped — only genuinely similar
+    docs pair up, and the all-pairs blowup never materializes."""
+    from vector_lake_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = "the quick brown fox"
+    docs = [(i, f"{common} unique{i} filler{i} words{i} here{i}") for i in range(30)]
+    # two genuine near-dups sharing most of their text
+    docs += [(100, f"{common} alpha beta gamma delta epsilon"),
+             (101, f"{common} alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.3)
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.3, max_shingle_freq=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the near-dup pair survives the cap (their overlap is not only the
+    # universal prefix)
+    assert (100, 101) in got
+    # capped candidate set is a subset of uncapped
+    full = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert got <= full

@@ -624,6 +624,55 @@ FROM kept GROUP BY source
 SQL_PIPE_CLEAN_CORPUS = _sql_pipe_clean_corpus()
 
 
+PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q_profile_documents(spark, sf):
+    # data-profiling utility: null count, exact distinct count, min/max
+    # per column — ALL columns in ONE scan (a 4-pass per-column loop
+    # would read a 100 TB table four times), then stack() to one row per
+    # column. min/max compared as strings so one schema fits every type.
+    d = _t(spark, sf, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)",
+    )
+
+
+def _sql_profile_documents() -> str:
+    selects = []
+    for c in PROFILE_COLS:
+        selects.append(
+            f"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+       '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str
+FROM documents"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_PROFILE_DOCUMENTS = _sql_profile_documents()
+
+
 def q_pipe_split_stats(spark, sf):
     # deterministic train/val/test split by id-hash bucket — the
     # scale-correct way to split training data (reproducible on any
@@ -1895,6 +1944,7 @@ QUERIES = {
     "pipe_clean_corpus": q_pipe_clean_corpus,
     "pipe_split_stats": q_pipe_split_stats,
     "text_length_histogram": q_text_length_histogram,
+    "profile_documents": q_profile_documents,
     "q1_pricing": q_q1_pricing,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q3_top_orders": q_q3_top_orders,
@@ -1963,6 +2013,7 @@ ORACLES = {
     "pipe_clean_corpus": SQL_PIPE_CLEAN_CORPUS,
     "pipe_split_stats": SQL_PIPE_SPLIT_STATS,
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
+    "profile_documents": SQL_PROFILE_DOCUMENTS,
     "q1_pricing": SQL_Q1_PRICING,
     "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
     "q3_top_orders": SQL_Q3_TOP_ORDERS,
