@@ -27,6 +27,15 @@ from vector_lake_spark.operators import lsh as lsh_mod
 from vector_lake_spark.operators.topk import topk_cosine
 
 
+def _fs_path(spark, path_str: str):
+    """Hadoop FileSystem + Path for any URI scheme (file/hdfs/s3a) —
+    same pattern as ``store.SparkVectorLake._fs_path``."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
 def multiprobe_shards(
     query: Sequence[float], hyperplanes: np.ndarray, n_probes: int = 1
 ) -> list[int]:
@@ -184,11 +193,18 @@ class IVFIndex:
 
     def __init__(self, spark, location: str):
         import json
-        from pathlib import Path
 
         self.spark = spark
         self.location = str(location)
-        meta = json.loads((Path(self.location) / "_ivf_meta.json").read_text())
+        fs, p = _fs_path(spark, f"{self.location}/_ivf_meta.json")
+        stream = fs.open(p)
+        try:
+            raw = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        meta = json.loads(raw.decode())
         self.centroids = meta["centroids"]
         self.vec_col = meta["vec_col"]
         self.id_col = meta["id_col"]
@@ -206,7 +222,6 @@ class IVFIndex:
         sample_fraction: float | None = None,
     ) -> "IVFIndex":
         import json
-        from pathlib import Path
 
         assigned, centroids = ivf_build(
             df,
@@ -222,17 +237,22 @@ class IVFIndex:
             .repartition("centroid_id")
             .write.mode("overwrite")
             .partitionBy("centroid_id")
-            .parquet(str(Path(location) / "data"))
+            # plain string join + Hadoop FS below: pathlib would collapse
+            # the double slash in scheme URIs (s3a://b → s3a:/b) and only
+            # ever touch the driver's local disk
+            .parquet(f"{location}/data")
         )
         meta = {"centroids": centroids, "vec_col": vec_col, "id_col": id_col}
-        Path(location).mkdir(parents=True, exist_ok=True)
-        (Path(location) / "_ivf_meta.json").write_text(json.dumps(meta))
+        fs, p = _fs_path(spark, f"{location}/_ivf_meta.json")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(meta).encode()))
+        finally:
+            out.close()
         return cls(spark, location)
 
     def load(self) -> DataFrame:
-        from pathlib import Path
-
-        return self.spark.read.parquet(str(Path(self.location) / "data"))
+        return self.spark.read.parquet(f"{self.location}/data")
 
     def topk(self, query: Sequence[float], k: int, nprobe: int = 2) -> DataFrame:
         return ivf_topk(

@@ -443,7 +443,7 @@ def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a near-dup
     pair list via min-label propagation. Returns (id_col, cluster_id)
@@ -496,6 +496,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means a component
+        # wider than the budget — returning the partial labels would
+        # silently split one true cluster into several (and a downstream
+        # keep-one-per-cluster dedup would keep duplicates)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter"
+        )
     singletons = nodes.select(F.col(id_col).alias("id")).join(
         labels.select("id"), "id", "left_anti"
     ).withColumn("cluster_id", F.col("id"))

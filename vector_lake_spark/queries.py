@@ -589,10 +589,14 @@ def q_pipe_clean_corpus(spark, sf):
     kept = surv.filter(q >= 0.5).filter(lang_id(F.col("text")) == F.col("lang"))
     # average over integer micro-units of the rounded score: the long sum
     # is exact, so the result is independent of summation order (a raw
-    # double avg drifts in the 6th decimal between engines)
+    # double avg drifts in the 6th decimal between engines). Explicit
+    # round() before the long cast — Spark's cast truncates while
+    # DuckDB's rounds, and q*1e6 lands just below the integer for ~1% of
+    # 6-decimal values (0.29*1e6 = 289999.99999999994).
+    micro = F.round(q * 1e6).cast("long")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg((q * 1e6).cast("long")) / 1e6, 6).alias("avg_quality"),
+        F.round(F.avg(micro) / 1e6, 6).alias("avg_quality"),
         F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
     )
 
@@ -615,7 +619,7 @@ sc AS (SELECT doc_id, source, lang, text, {inner},
 kept AS (SELECT * FROM sc WHERE q >= 0.5 AND {O.sql_lang_id(cols)} = lang)
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(CAST(q * 1000000 AS BIGINT)) / 1000000.0, 6) AS avg_quality,
+       round(avg(CAST(round(q * 1000000) AS BIGINT)) / 1000000.0, 6) AS avg_quality,
        CAST(sum(toks) AS BIGINT) AS total_tokens
 FROM kept GROUP BY source
 """
@@ -1857,7 +1861,9 @@ def q_ann_ivf_stored(spark, sf):
     from vector_lake_spark.operators.ann import IVFIndex
 
     idx = _IVF_REGISTRY_CACHE.get(sf)
-    if idx is None:
+    # a cached index is only valid for the session that built it —
+    # rebuild if the caller's session differs (e.g. restarted Spark)
+    if idx is None or idx.spark is not spark:
         loc = tempfile.mkdtemp(prefix="ivf_registry_") + "/index"
         idx = IVFIndex.build(
             spark, loc, _t(spark, sf, "embeddings"), n_centroids=16

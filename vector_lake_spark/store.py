@@ -463,10 +463,22 @@ class SparkVectorLake:
             fs, dst = self._fs_path(f"{self._data_path}/shard_id={sid}")
             _, src = self._fs_path(f"{tmp}/shard_id={sid}")
             _, trash = self._fs_path(f"{tmp}/_old_shard_id={sid}")
-            if fs.exists(dst):
-                fs.rename(dst, trash)
-            if fs.exists(src):
-                fs.rename(src, dst)
+            # Hadoop rename reports failure by returning false, not by
+            # throwing (s3a especially) — a swallowed false here would
+            # delete the only remaining copy below. Check every step and
+            # roll the old data back if the swap-in fails.
+            if fs.exists(dst) and not fs.rename(dst, trash):
+                raise IOError(f"shard swap: could not move {dst} aside")
+            if fs.exists(src) and not fs.rename(src, dst):
+                if fs.exists(trash) and not fs.rename(trash, dst):
+                    raise IOError(
+                        f"shard swap failed AND rollback failed for shard "
+                        f"{sid}; old data preserved at {trash}"
+                    )
+                raise IOError(
+                    f"shard swap: could not move {src} into place for "
+                    f"shard {sid}; old data restored"
+                )
             fs.delete(trash, True)
         fs, tmp_p = self._fs_path(tmp)
         fs.delete(tmp_p, True)
@@ -479,9 +491,15 @@ class SparkVectorLake:
         present = [r["shard_id"] for r in df.select("shard_id").distinct().collect()]
         if not present:
             return
-        rewritten = df.repartition(
-            target_files_per_shard * max(len(present), 1), "shard_id"
+        # repartition on shard_id alone would put each shard in ONE task
+        # (one file, knob ignored); an intra-shard salt splits hot shards
+        # into up to target_files_per_shard files for parallel reads
+        salted = df.withColumn(
+            "__salt", F.pmod(F.xxhash64("id"), F.lit(target_files_per_shard))
         )
+        rewritten = salted.repartition(
+            target_files_per_shard * len(present), "shard_id", "__salt"
+        ).drop("__salt")
         self._swap_shards(rewritten, present)
 
     def delete_shards(self, shard_ids: Sequence) -> None:
