@@ -344,3 +344,18 @@ def test_ngram_cap_neutralizes_universal_shingle(spark):
     # capped candidate set is a subset of uncapped
     full = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
     assert got <= full
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.operators.dedup import connected_components
+
+    # a 12-node chain has diameter 11 > max_iter=3 → must raise, not
+    # silently return a split cluster
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    nodes = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iter=3)

@@ -310,3 +310,22 @@ def test_round_trip_over_scheme(spark, tmp_path, rng, scheme):
     assert hits[0]["id"] == ids[3]
     lake.delete()
     assert lake.count() == 0
+
+
+def test_compact_splits_hot_shard(spark, tmp_path, rng):
+    import glob
+
+    loc = str(tmp_path / "lake")
+    # approx_shards=2 → 1 hash → 2 shards; most rows land in few shards
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=2)
+    lake.add_batch((rng.rand(400, 4) - 0.5).tolist())
+    lake.persist()
+    lake.compact(target_files_per_shard=3)
+    per_shard = {}
+    for f in glob.glob(f"{loc}/data/shard_id=*/*.parquet"):
+        shard = f.split("shard_id=")[1].split("/")[0]
+        per_shard[shard] = per_shard.get(shard, 0) + 1
+    assert lake.count() == 400
+    # the knob must be able to split a shard into multiple files
+    assert max(per_shard.values()) > 1
+    assert max(per_shard.values()) <= 3
