@@ -1096,6 +1096,89 @@ FROM orders
 """
 
 
+def q_win_range_frame(spark, sf):
+    # RANGE frame (value-based, not row-count): per-customer trailing
+    # 7-day order revenue — rows at equal distance all enter the frame,
+    # unlike a ROWS frame
+    orders = _t(spark, sf, "orders")
+    # TIMESTAMP_NTZ has no direct long cast — day number via datediff
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day"))
+        .rangeBetween(-7, 0)
+    )
+    return (
+        orders.withColumn("day", day)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d"),
+        )
+    )
+
+
+SQL_WIN_RANGE_FRAME = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(floor(date_part('epoch', o_orderdate)) / 86400 AS BIGINT) AS day
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+FROM o
+"""
+
+
+def q_vec_label_separation(spark, sf):
+    # cluster-quality diagnostic: pairwise L2 distance between label
+    # centroids — labels whose centroids sit close are candidates for
+    # merging or for embedding-model review. Centroids are tiny (one row
+    # per label), so the pair join is trivially broadcast.
+    emb = _t(spark, sf, "embeddings")
+    e = emb.select("label", F.posexplode(to_double_array(F.col("embedding"))))
+    m = e.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+    cent = m.groupBy("label").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("pos"), F.col("m")))
+        ).alias("c")
+    ).select("label", F.col("c.m").alias("centroid"))
+    a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", dist.alias("centroid_dist"))
+    )
+
+
+SQL_VEC_LABEL_SEPARATION = f"""
+WITH e AS (
+  SELECT label, unnest({EMB}) AS val, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+m AS (SELECT label, pos, avg(val) AS m FROM e GROUP BY label, pos),
+c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sqrt(list_sum(list_transform(range(1, len(a.centroid) + 1),
+             i -> (a.centroid[i] - b.centroid[i]) * (a.centroid[i] - b.centroid[i])))), 6)
+         AS centroid_dist
+FROM c a JOIN c b ON a.label < b.label
+"""
+
+
 def q_join_semi(spark, sf):
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
@@ -1976,7 +2059,9 @@ QUERIES = {
     "win_top3_per_nation": q_win_top3_per_nation,
     "win_running_total": q_win_running_total,
     "win_moving_avg": q_win_moving_avg,
+    "win_range_frame": q_win_range_frame,
     "win_distribution": q_win_distribution,
+    "vec_label_separation": q_vec_label_separation,
     "join_semi": q_join_semi,
     "join_anti": q_join_anti,
     "setop_nations": q_setop_nations,
@@ -2045,7 +2130,9 @@ ORACLES = {
     "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
     "win_running_total": SQL_WIN_RUNNING_TOTAL,
     "win_moving_avg": SQL_WIN_MOVING_AVG,
+    "win_range_frame": SQL_WIN_RANGE_FRAME,
     "win_distribution": SQL_WIN_DISTRIBUTION,
+    "vec_label_separation": SQL_VEC_LABEL_SEPARATION,
     "join_semi": SQL_JOIN_SEMI,
     "join_anti": SQL_JOIN_ANTI,
     "setop_nations": SQL_SETOP_NATIONS,
