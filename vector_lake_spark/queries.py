@@ -1742,6 +1742,41 @@ GROUP BY date_trunc('hour', ts)
 """
 
 
+def q_ev_retention_cohorts(spark, sf):
+    # cohort retention: users grouped by first-seen day, counted per
+    # days-since-first-seen offset — two aggregates over (user, day),
+    # never over raw events
+    ev = _events(spark, sf)
+    epoch_day = F.datediff(
+        F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    user_days = (
+        ev.select("user_id", epoch_day.alias("day")).distinct()
+    )
+    first = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EV_RETENTION_COHORTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_part('epoch', ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT cohort_day, ud.day - cohort_day AS day_offset,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+FROM ud JOIN first ON ud.user_id = first.user_id
+GROUP BY cohort_day, day_offset
+"""
+
+
 def q_ev_error_window(spark, sf):
     # interval join: activity (count + value) of the same user within
     # ±30 min of each error event — bucketed range join (operators/interval)
@@ -2054,6 +2089,7 @@ QUERIES = {
     "ev_variant_extract": q_ev_variant_extract,
     "ev_asof_join": q_ev_asof_join,
     "ev_funnel": q_ev_funnel,
+    "ev_retention_cohorts": q_ev_retention_cohorts,
     "ev_error_window": q_ev_error_window,
     "token_count_salted": q_token_count_salted,
     "win_top3_per_nation": q_win_top3_per_nation,
@@ -2125,6 +2161,7 @@ ORACLES = {
     "ev_variant_extract": SQL_EV_VARIANT_EXTRACT,
     "ev_asof_join": SQL_EV_ASOF_JOIN,
     "ev_funnel": SQL_EV_FUNNEL,
+    "ev_retention_cohorts": SQL_EV_RETENTION_COHORTS,
     "ev_error_window": SQL_EV_ERROR_WINDOW,
     "token_count_salted": SQL_TOKEN_COUNT_SALTED,
     "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
