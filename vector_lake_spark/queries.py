@@ -339,6 +339,41 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_dedup_keep_best(spark, sf):
+    # the dedup END-USE: one survivor per near-dup cluster, keeping the
+    # HIGHEST-QUALITY member (not the arbitrary min id) — clusters ×
+    # quality scoring composed in one plan; ties break on doc_id
+    clusters = q_dedup_clusters(spark, sf)
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    ).join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_id"), "quality")
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH sc AS (
+  SELECT doc_id, round({O.sql_quality_score('text')}, 6) AS quality
+  FROM documents
+),
+keep AS (
+  SELECT c.cluster_id, sc.doc_id, sc.quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY sc.quality DESC, sc.doc_id) AS rn
+  FROM ({SQL_DEDUP_CLUSTERS}) c
+  JOIN sc ON c.doc_id = sc.doc_id
+)
+SELECT cluster_id, doc_id AS keep_id, quality FROM keep WHERE rn = 1
+"""
+
+
 def q_dedup_simhash(spark, sf):
     # measured: repartition_input HURTS here (the 60-way bit aggregate
     # dominates and the extra exchange outweighs a parallel explode)
@@ -2053,6 +2088,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_native": q_dedup_minhash_native,
@@ -2126,6 +2162,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
     # dedup_minhash (ML variant), ann_ivf_topk: rows-only by design
