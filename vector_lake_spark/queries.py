@@ -243,6 +243,86 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS_THRESHOLD}
 """
 
 
+def q_vec_topk_truncated(spark, sf):
+    # two-stage retrieval (matryoshka-style): coarse rank on the FIRST 16
+    # dims (4× less arithmetic per row), keep 50 candidates
+    # (TakeOrderedAndProject, ties on id), exact full-dim re-rank to
+    # top-k. At 100 TB the coarse stage is the only full scan; the exact
+    # stage touches 50 rows.
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        lit_vector,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    coarse = F.round(
+        cosine_similarity(F.slice(v, 1, 16), lit_vector(QUERY_VEC[:16])), 6
+    )
+    cand = (
+        emb.select("vec_id", v.alias("v"), coarse.alias("coarse"))
+        .orderBy(F.col("coarse").desc(), F.col("vec_id"))
+        .limit(50)
+    )
+    exact = F.round(cosine_similarity(F.col("v"), lit_vector(QUERY_VEC)), 6)
+    return (
+        cand.select("vec_id", exact.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(K)
+    )
+
+
+SQL_VEC_TOPK_TRUNCATED = f"""
+WITH c AS (
+  SELECT vec_id, {EMB} AS v,
+         round(list_cosine_similarity(({EMB})[1:16], ({QV})[1:16]), 6) AS coarse
+  FROM embeddings
+  ORDER BY coarse DESC, vec_id
+  LIMIT 50
+)
+SELECT vec_id, round(list_cosine_similarity(v, {QV}), 6) AS score
+FROM c
+ORDER BY score DESC, vec_id
+LIMIT {K}
+"""
+
+
+def q_vec_topk_quantized(spark, sf):
+    # retrieval over int8-quantized vectors: rank on the dequantized
+    # approximation (4× smaller storage scan) — exactly the arithmetic
+    # vec_quantize_int8 stores, so the oracle mirrors it precisely
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    deq = F.transform(v, lambda x: F.round(F.try_divide(x, scale)) * scale)
+    from vector_lake_spark.functions.vectors import cosine_similarity, lit_vector
+
+    score = F.round(cosine_similarity(deq, lit_vector(QUERY_VEC)), 6)
+    return (
+        emb.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(K)
+    )
+
+
+SQL_VEC_TOPK_QUANTIZED = f"""
+WITH s AS (
+  SELECT vec_id, {EMB} AS v,
+         list_max(list_transform({EMB}, x -> abs(x))) / 127.0 AS scale
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id,
+         list_transform(v, x -> round(x / nullif(scale, 0.0)) * scale) AS deq
+  FROM s
+)
+SELECT vec_id, round(list_cosine_similarity(deq, {QV}), 6) AS score
+FROM d
+ORDER BY score DESC, vec_id
+LIMIT {K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -2079,6 +2159,8 @@ QUERIES = {
     "vec_topk_cosine": q_vec_topk_cosine,
     "vec_topk_l2": q_vec_topk_l2,
     "vec_topk_batch": q_vec_topk_batch,
+    "vec_topk_truncated": q_vec_topk_truncated,
+    "vec_topk_quantized": q_vec_topk_quantized,
     "lsh_shard_assign": q_lsh_shard_assign,
     "lsh_shard_hist": q_lsh_shard_hist,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2153,6 +2235,8 @@ ORACLES = {
     "vec_topk_cosine": SQL_VEC_TOPK_COSINE,
     "vec_topk_l2": SQL_VEC_TOPK_L2,
     "vec_topk_batch": SQL_VEC_TOPK_BATCH,
+    "vec_topk_truncated": SQL_VEC_TOPK_TRUNCATED,
+    "vec_topk_quantized": SQL_VEC_TOPK_QUANTIZED,
     "lsh_shard_assign": SQL_LSH_SHARD_ASSIGN,
     "lsh_shard_hist": SQL_LSH_SHARD_HIST,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
