@@ -479,6 +479,61 @@ GROUP BY doc_id
 """
 
 
+EDIT_DIST_MAX = 50
+
+
+def q_dedup_edit_distance(spark, sf):
+    # edit-distance VERIFICATION pass: SimHash-banded candidates (cheap,
+    # pigeonhole-complete for hamming ≤ 3) → exact Levenshtein on the
+    # normalized text, keeping pairs within EDIT_DIST_MAX. The expensive
+    # O(len²) kernel runs on thousands of candidate pairs, never on the
+    # corpus cross product.
+    from vector_lake_spark.functions.text import normalize_text
+    from vector_lake_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf, "documents")
+    cand = simhash_neardup_pairs(d, max_hamming=3)
+    ta = d.select(
+        F.col("doc_id").alias("id_a"), normalize_text(F.col("text")).alias("na")
+    )
+    tb = d.select(
+        F.col("doc_id").alias("id_b"), normalize_text(F.col("text")).alias("nb")
+    )
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("na", "nb").cast("long"))
+        .filter(F.col("edit_dist") <= EDIT_DIST_MAX)
+        .select("id_a", "id_b", "hamming", "edit_dist")
+    )
+
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH fps AS ({SQL_DEDUP_SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
+  FROM fps CROSS JOIN (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+  FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+),
+txt AS (SELECT doc_id, {O.sql_normalize_text('text')} AS nt FROM documents)
+SELECT id_a, id_b, hamming,
+       CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS edit_dist
+FROM ham
+JOIN txt ta ON ham.id_a = ta.doc_id
+JOIN txt tb ON ham.id_b = tb.doc_id
+WHERE levenshtein(ta.nt, tb.nt) <= {EDIT_DIST_MAX}
+"""
+
+
 def q_dedup_minhash(spark, sf):
     # Approximate (Spark ML MinHashLSH banding) — not SQL-expressible;
     # driver records the weaker rows-only check.
@@ -2172,6 +2227,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_native": q_dedup_minhash_native,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2248,6 +2304,7 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
     # dedup_minhash (ML variant), ann_ivf_topk: rows-only by design
     "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
