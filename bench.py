@@ -89,13 +89,21 @@ def bench_store(spark, timings: dict) -> None:
     )
     # warm the Python workers (Arrow scoring path) before timing — the
     # reference anchor is explicitly the WARM per-query latency
-    # (BASELINE.md: "Query latency (warm)")
+    # (BASELINE.md: "Query latency (warm)") — then min over the same
+    # number of runs as the headline queries (single-shot timing is
+    # hostage to host contention spikes)
     lake.query_batch(queries.limit(10), k=4).write.mode("overwrite").format(
         "noop"
     ).save()
-    t0 = time.perf_counter()
-    lake.query_batch(queries, k=4).write.mode("overwrite").format("noop").save()
-    timings["store_query_batch_1k"] = round(time.perf_counter() - t0, 3)
+    best = None
+    for _ in range(int(os.environ.get("BENCH_RUNS", "2"))):
+        t0 = time.perf_counter()
+        lake.query_batch(queries, k=4).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["store_query_batch_1k"] = round(best, 3)
     shutil.rmtree(loc, ignore_errors=True)
 
 
