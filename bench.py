@@ -59,7 +59,7 @@ HEADLINE = [
 ]
 
 
-def bench_store(spark, timings: dict) -> None:
+def bench_store(spark, timings: dict, runs: int = 2) -> None:
     """Store lifecycle vs the reference's measured anchor (BASELINE.md):
     ingest 50k dim-5 vectors (reference: ~32s at 1,544 vec/s + 0.65s
     persist) and a 1000-query routed batch against the same store
@@ -96,7 +96,7 @@ def bench_store(spark, timings: dict) -> None:
         "noop"
     ).save()
     best = None
-    for _ in range(int(os.environ.get("BENCH_RUNS", "2"))):
+    for _ in range(runs):
         t0 = time.perf_counter()
         lake.query_batch(queries, k=4).write.mode("overwrite").format(
             "noop"
@@ -118,7 +118,7 @@ def main() -> None:
     # min over N runs: the container shows heavy run-to-run variance from
     # host CPU contention (same query: 1.5-8.5s across runs); the minimum
     # reflects engine cost rather than neighbor noise.
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
@@ -130,7 +130,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    bench_store(spark, timings)
+    bench_store(spark, timings, runs)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -135,3 +135,10 @@ def sql_shingles(col: str, n: int = 3) -> str:
         f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
         f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
     )
+
+
+def sql_epoch_day(col: str) -> str:
+    """Day number since 1970-01-01 — floors the DIVISION (a floor around
+    the epoch alone, then CAST, would round the day for non-midnight
+    timestamps and diverge from Spark's datediff truncation)."""
+    return f"CAST(floor(date_part('epoch', {col}) / 86400) AS BIGINT)"

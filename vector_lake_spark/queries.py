@@ -77,6 +77,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_events(spark, sf_dir)
 
 
+def _epoch_day(col) -> F.Column:
+    """Day number since 1970-01-01 for a (NTZ) timestamp column — paired
+    with ``oracles.sql_epoch_day`` (both truncate, never round)."""
+    return F.datediff(col.cast("date"), F.to_date(F.lit("1970-01-01"))).cast(
+        "long"
+    )
+
+
+def _label_centroid_means(emb: DataFrame) -> DataFrame:
+    """Per-(label, dimension) mean of the embedding — the shared input of
+    the centroid-norm and centroid-separation queries."""
+    e = emb.select("label", F.posexplode(to_double_array(F.col("embedding"))))
+    return e.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+
+
 # ---------------------------------------------------------------------------
 # Vector search family
 # ---------------------------------------------------------------------------
@@ -201,8 +216,7 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS_THRESHOLD}
 
 def q_vec_centroid_by_label(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    e = emb.select("label", F.posexplode(to_double_array(F.col("embedding"))))
-    m = e.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+    m = _label_centroid_means(emb)
     norms = m.groupBy("label").agg(
         F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm")
     )
@@ -210,12 +224,16 @@ def q_vec_centroid_by_label(spark, sf):
     return counts.join(norms, "label").select("label", "n_vectors", "centroid_norm")
 
 
-SQL_VEC_CENTROID_BY_LABEL = f"""
-WITH e AS (
+# shared CTEs: per-(label, dimension) centroid means (mirrors
+# _label_centroid_means; reused by the separation oracle below)
+_SQL_CENTROID_MEAN_CTES = f"""e AS (
   SELECT label, unnest({EMB}) AS val, generate_subscripts(embedding, 1) AS pos
   FROM embeddings
 ),
-m AS (SELECT label, pos, avg(val) AS m FROM e GROUP BY label, pos),
+m AS (SELECT label, pos, avg(val) AS m FROM e GROUP BY label, pos)"""
+
+SQL_VEC_CENTROID_BY_LABEL = f"""
+WITH {_SQL_CENTROID_MEAN_CTES},
 c AS (SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm FROM m GROUP BY label),
 n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings GROUP BY label)
 SELECT n.label, n.n_vectors, c.centroid_norm FROM n JOIN c ON n.label = c.label
@@ -1271,10 +1289,7 @@ def q_win_range_frame(spark, sf):
     # 7-day order revenue — rows at equal distance all enter the frame,
     # unlike a ROWS frame
     orders = _t(spark, sf, "orders")
-    # TIMESTAMP_NTZ has no direct long cast — day number via datediff
-    day = F.datediff(
-        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
-    ).cast("long")
+    day = _epoch_day(F.col("o_orderdate"))
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.col("day"))
@@ -1290,10 +1305,10 @@ def q_win_range_frame(spark, sf):
     )
 
 
-SQL_WIN_RANGE_FRAME = """
+SQL_WIN_RANGE_FRAME = f"""
 WITH o AS (
   SELECT o_orderkey, o_custkey, o_totalprice,
-         CAST(floor(date_part('epoch', o_orderdate)) / 86400 AS BIGINT) AS day
+         {O.sql_epoch_day('o_orderdate')} AS day
   FROM orders
 )
 SELECT o_orderkey, o_custkey,
@@ -1309,8 +1324,7 @@ def q_vec_label_separation(spark, sf):
     # merging or for embedding-model review. Centroids are tiny (one row
     # per label), so the pair join is trivially broadcast.
     emb = _t(spark, sf, "embeddings")
-    e = emb.select("label", F.posexplode(to_double_array(F.col("embedding"))))
-    m = e.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+    m = _label_centroid_means(emb)
     cent = m.groupBy("label").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("pos"), F.col("m")))
@@ -1335,11 +1349,7 @@ def q_vec_label_separation(spark, sf):
 
 
 SQL_VEC_LABEL_SEPARATION = f"""
-WITH e AS (
-  SELECT label, unnest({EMB}) AS val, generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
-),
-m AS (SELECT label, pos, avg(val) AS m FROM e GROUP BY label, pos),
+WITH {_SQL_CENTROID_MEAN_CTES},
 c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY label)
 SELECT a.label AS label_a, b.label AS label_b,
        round(sqrt(list_sum(list_transform(range(1, len(a.centroid) + 1),
@@ -1917,11 +1927,8 @@ def q_ev_retention_cohorts(spark, sf):
     # days-since-first-seen offset — two aggregates over (user, day),
     # never over raw events
     ev = _events(spark, sf)
-    epoch_day = F.datediff(
-        F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
-    ).cast("long")
     user_days = (
-        ev.select("user_id", epoch_day.alias("day")).distinct()
+        ev.select("user_id", _epoch_day(F.col("ts")).alias("day")).distinct()
     )
     first = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
@@ -1933,10 +1940,9 @@ def q_ev_retention_cohorts(spark, sf):
     )
 
 
-SQL_EV_RETENTION_COHORTS = """
+SQL_EV_RETENTION_COHORTS = f"""
 WITH ud AS (
-  SELECT DISTINCT user_id,
-         CAST(floor(date_part('epoch', ts) / 86400) AS BIGINT) AS day
+  SELECT DISTINCT user_id, {O.sql_epoch_day('ts')} AS day
   FROM events
 ),
 first AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
