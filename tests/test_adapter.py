@@ -87,3 +87,29 @@ def test_stream_exact_dedup(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     # doc 2 is a normalized duplicate of doc 0 → dropped (min doc_id kept)
     assert kept == {0, 1, 3}
+
+
+def test_mmr_search_diversifies(spark, tmp_path):
+    from vector_lake_spark.adapter import SparkVectorLakeStore
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog"] * 3  # near-identical
+        + ["quantum computing with superconducting qubits",
+           "recipe for sourdough bread with rye flour",
+           "the quick brown fox and other animal fables"]
+    )
+    store = SparkVectorLakeStore.from_texts(
+        spark, str(tmp_path / "mmr_store"), texts
+    )
+    plain = store.similarity_search("quick brown fox", k=4, n_probes=4)
+    mmr = store.max_marginal_relevance_search(
+        "quick brown fox", k=4, fetch_k=6, lambda_mult=0.3, n_probes=4
+    )
+    assert len(mmr) == 4
+    # MMR must return strictly fewer duplicate contents than plain top-k
+    def n_unique(docs):
+        return len({d["page_content"] for d in docs})
+    assert n_unique(mmr) >= n_unique(plain)
+    assert n_unique(mmr) >= 3
+    # top hit is still the most relevant one
+    assert "fox" in mmr[0]["page_content"]

@@ -137,6 +137,61 @@ class SparkVectorLakeStore:
             for r in rows
         ]
 
+    def max_marginal_relevance_search(
+        self,
+        query: str,
+        k: int = 4,
+        fetch_k: int = 20,
+        lambda_mult: float = 0.5,
+        n_probes: int = 2,
+    ) -> list[dict]:
+        """MMR diversified retrieval (the LangChain ``VectorStore``
+        surface beyond the reference's plain ``similarity_search``):
+        fetch ``fetch_k`` routed candidates distributed, then run the
+        greedy MMR selection driver-side over that bounded set —
+        score = λ·sim(query, d) − (1−λ)·max_selected sim(d, s).
+        Deterministic: ties break on id."""
+        import json
+
+        import numpy as np
+
+        qv = np.asarray(self.embedding([query])[0], dtype=np.float64)
+        rows = self.lake.query(qv.tolist(), k=fetch_k, n_probes=n_probes).collect()
+        if not rows:
+            return []
+        # candidate vectors re-derived from the (deterministic) embedder —
+        # bounded by fetch_k, so this is a small driver-side batch
+        V = np.asarray(
+            self.embedding([r["document"] or "" for r in rows]), dtype=np.float64
+        )
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        qn = qv / (np.linalg.norm(qv) or 1.0)
+        rel = U @ qn
+        ids = [r["id"] for r in rows]
+        selected: list[int] = []
+        remaining = list(range(len(rows)))
+        while remaining and len(selected) < k:
+            if selected:
+                red = (U[remaining] @ U[selected].T).max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            mmr = lambda_mult * rel[remaining] - (1.0 - lambda_mult) * red
+            # deterministic argmax: highest score, then lowest id
+            best = min(
+                range(len(remaining)), key=lambda j: (-mmr[j], ids[remaining[j]])
+            )
+            selected.append(remaining.pop(best))
+        return [
+            {
+                "page_content": rows[i]["document"],
+                "metadata": json.loads(rows[i]["metadata"]) if rows[i]["metadata"] else {},
+                "score": rows[i]["score"],
+            }
+            for i in selected
+        ]
+
     @classmethod
     def from_texts(
         cls,
