@@ -329,3 +329,18 @@ def test_compact_splits_hot_shard(spark, tmp_path, rng):
     # the knob must be able to split a shard into multiple files
     assert max(per_shard.values()) > 1
     assert max(per_shard.values()) <= 3
+
+
+@pytest.mark.parametrize("k", [1, 3, 5, 50])
+def test_query_k_fuzzing(spark, tmp_path, rng, k):
+    """Reference test_query_size_fuzzing parity: any k returns at most
+    min(k, candidates-in-probed-shards) rows and never errors —
+    including k far beyond the store size."""
+    lake = SparkVectorLake(spark, str(tmp_path / f"lake{k}"), dimension=4, approx_shards=4)
+    lake.add_batch((rng.rand(5, 4) - 0.5).tolist())
+    lake.persist()
+    rows = lake.query([0.1, -0.2, 0.3, -0.4], k=k, n_probes=4).collect()
+    assert 0 < len(rows) <= min(k, 5)
+    # scores sorted descending, deterministically
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
