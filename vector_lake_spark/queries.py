@@ -552,6 +552,62 @@ WHERE levenshtein(ta.nt, tb.nt) <= {EDIT_DIST_MAX}
 """
 
 
+def q_graph_pagerank(spark, sf):
+    # centrality over the SimHash near-dup graph: template-hub documents
+    # (one boilerplate page near-duplicating many others) rank high —
+    # removal candidates for a training corpus. Fixed 3 iterations keeps
+    # it deterministic; the oracle unrolls the same iterations as CTEs.
+    from vector_lake_spark.operators.dedup import simhash_neardup_pairs
+    from vector_lake_spark.operators.graph import pagerank
+
+    d = _t(spark, sf, "documents")
+    pairs = simhash_neardup_pairs(d, max_hamming=3)
+    return pagerank(pairs, iterations=3).withColumnRenamed("id", "doc_id")
+
+
+def _sql_graph_pagerank() -> str:
+    # unrolled 3-iteration PageRank over the same banded candidate edges
+    iters = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        iters.append(
+            f"""r{i} AS (
+  SELECT e.b AS id, 0.15 + 0.85 * sum({prev}.r / deg.deg) AS r
+  FROM edges e
+  JOIN {prev} ON e.a = {prev}.id
+  JOIN deg ON e.a = deg.a
+  GROUP BY e.b
+)"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH fps AS ({SQL_DEDUP_SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
+  FROM fps CROSS JOIN (SELECT unnest(range(4)) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+r0 AS (SELECT a AS id, 1.0 AS r FROM deg),
+{chain}
+SELECT id AS doc_id, round(r, 6) AS rank FROM r3
+"""
+
+
+SQL_GRAPH_PAGERANK = _sql_graph_pagerank()
+
+
 def q_dedup_minhash(spark, sf):
     # Approximate (Spark ML MinHashLSH banding) — not SQL-expressible;
     # driver records the weaker rows-only check.
@@ -2234,6 +2290,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
     "dedup_edit_distance": q_dedup_edit_distance,
+    "graph_pagerank": q_graph_pagerank,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_native": q_dedup_minhash_native,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -2311,6 +2368,7 @@ ORACLES = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
     "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
     # dedup_minhash (ML variant), ann_ivf_topk: rows-only by design
     "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
