@@ -106,10 +106,13 @@ def test_mmr_search_diversifies(spark, tmp_path):
         "quick brown fox", k=4, fetch_k=6, lambda_mult=0.3, n_probes=4
     )
     assert len(mmr) == 4
-    # MMR must return strictly fewer duplicate contents than plain top-k
     def n_unique(docs):
         return len({d["page_content"] for d in docs})
-    assert n_unique(mmr) >= n_unique(plain)
+    # the corpus has 3 identical top hits, so plain top-4 has duplicates;
+    # MMR must STRICTLY diversify past it (a non-strict >= would pass
+    # even if lambda_mult were ignored)
+    assert n_unique(plain) < 4
+    assert n_unique(mmr) > n_unique(plain)
     assert n_unique(mmr) >= 3
     # top hit is still the most relevant one
     assert "fox" in mmr[0]["page_content"]

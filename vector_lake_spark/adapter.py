@@ -159,11 +159,10 @@ class SparkVectorLakeStore:
         rows = self.lake.query(qv.tolist(), k=fetch_k, n_probes=n_probes).collect()
         if not rows:
             return []
-        # candidate vectors re-derived from the (deterministic) embedder —
-        # bounded by fetch_k, so this is a small driver-side batch
-        V = np.asarray(
-            self.embedding([r["document"] or "" for r in rows]), dtype=np.float64
-        )
+        # the STORED candidate vectors (query() carries them) — no extra
+        # embedder calls, and MMR scores the same vectors that produced
+        # the candidate ranking even for non-deterministic embedders
+        V = np.stack([np.asarray(r["vector"], dtype=np.float64) for r in rows])
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         U = V / norms[:, None]

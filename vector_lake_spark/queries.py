@@ -526,8 +526,11 @@ def q_dedup_edit_distance(spark, sf):
     )
 
 
-SQL_DEDUP_EDIT_DISTANCE = f"""
-WITH fps AS ({SQL_DEDUP_SIMHASH}),
+# Shared CTE chain: SimHash fingerprints → 4×15-bit band keys → banded
+# candidates → hamming≤3 pairs. Mirrors simhash_neardup_pairs bit-for-bit;
+# interpolated by BOTH the edit-distance and pagerank oracles so a change
+# to the banding scheme cannot silently diverge between them.
+_SQL_SIMHASH_BANDED_CTES = f"""fps AS ({SQL_DEDUP_SIMHASH}),
 bands AS (
   SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
   FROM fps CROSS JOIN (SELECT unnest(range(4)) AS b)
@@ -541,7 +544,10 @@ cand AS (
 ham AS (
   SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
   FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-),
+)"""
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH {_SQL_SIMHASH_BANDED_CTES},
 txt AS (SELECT doc_id, {O.sql_normalize_text('text')} AS nt FROM documents)
 SELECT id_a, id_b, hamming,
        CAST(levenshtein(ta.nt, tb.nt) AS BIGINT) AS edit_dist
@@ -552,27 +558,36 @@ WHERE levenshtein(ta.nt, tb.nt) <= {EDIT_DIST_MAX}
 """
 
 
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
 def q_graph_pagerank(spark, sf):
     # centrality over the SimHash near-dup graph: template-hub documents
     # (one boilerplate page near-duplicating many others) rank high —
-    # removal candidates for a training corpus. Fixed 3 iterations keeps
+    # removal candidates for a training corpus. Fixed iterations keep
     # it deterministic; the oracle unrolls the same iterations as CTEs.
     from vector_lake_spark.operators.dedup import simhash_neardup_pairs
     from vector_lake_spark.operators.graph import pagerank
 
     d = _t(spark, sf, "documents")
     pairs = simhash_neardup_pairs(d, max_hamming=3)
-    return pagerank(pairs, iterations=3).withColumnRenamed("id", "doc_id")
+    return pagerank(
+        pairs, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    ).withColumnRenamed("id", "doc_id")
 
 
 def _sql_graph_pagerank() -> str:
-    # unrolled 3-iteration PageRank over the same banded candidate edges
+    # unrolled PageRank over the shared banded candidate edges; the
+    # damping constants interpolate from the SAME knobs the Spark call
+    # uses, so the two sides cannot silently diverge
+    d = PAGERANK_DAMPING
     iters = []
     prev = "r0"
-    for i in (1, 2, 3):
+    for i in range(1, PAGERANK_ITERS + 1):
         iters.append(
             f"""r{i} AS (
-  SELECT e.b AS id, 0.15 + 0.85 * sum({prev}.r / deg.deg) AS r
+  SELECT e.b AS id, {1.0 - d} + {d} * sum({prev}.r / deg.deg) AS r
   FROM edges e
   JOIN {prev} ON e.a = {prev}.id
   JOIN deg ON e.a = deg.a
@@ -582,26 +597,13 @@ def _sql_graph_pagerank() -> str:
         prev = f"r{i}"
     chain = ",\n".join(iters)
     return f"""
-WITH fps AS ({SQL_DEDUP_SIMHASH}),
-bands AS (
-  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
-  FROM fps CROSS JOIN (SELECT unnest(range(4)) AS b)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.simhash AS sa, b.simhash AS sb
-  FROM bands a JOIN bands b
-    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-),
-edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-          UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+WITH {_SQL_SIMHASH_BANDED_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM ham
+          UNION ALL SELECT id_b AS a, id_a AS b FROM ham),
 deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
 r0 AS (SELECT a AS id, 1.0 AS r FROM deg),
 {chain}
-SELECT id AS doc_id, round(r, 6) AS rank FROM r3
+SELECT id AS doc_id, round(r, 6) AS rank FROM {prev}
 """
 
 

@@ -258,9 +258,12 @@ class SparkVectorLake:
             )
         probes = multiprobe_shards(vector, self.hyperplanes, n_probes)
         pruned = self.load().filter(F.col("shard_id").isin(probes))
+        # "vector" rides along so A10 (query_vectors) and downstream
+        # re-ranking (adapter MMR) read the STORED vectors instead of
+        # recomputing or re-embedding
         return topk_cosine(
             pruned, [float(x) for x in vector], k, vec_col="vector", id_col="id",
-            keep_cols=("metadata", "document", "timestamp"),
+            keep_cols=("metadata", "document", "timestamp", "vector"),
         )
 
     def stream_ingest(
@@ -572,7 +575,7 @@ class SparkPartition(SparkVectorLake):
         pruned = self.load().filter(F.col("shard_id") == self.partition_key)
         return topk_cosine(
             pruned, [float(x) for x in vector], k, vec_col="vector", id_col="id",
-            keep_cols=("metadata", "document", "timestamp"),
+            keep_cols=("metadata", "document", "timestamp", "vector"),
         )
 
 
