@@ -24,6 +24,7 @@ HEADLINE = [
     "vec_topk_batch",
     "lsh_shard_hist",
     "ann_lsh_topk",
+    "hybrid_topk",
     # near-dup headline is the LSH shard-bucketed scale path; the O(n²)
     # exact variant (vec_neardup_pairs) stays oracle-checked but is a
     # small-sf baseline, not a headline (VERDICT r01 #5)

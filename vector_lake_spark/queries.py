@@ -26,7 +26,7 @@ from vector_lake_spark.functions.text import (
     token_count,
     tokens,
 )
-from vector_lake_spark.functions.vectors import to_double_array
+from vector_lake_spark.functions.vectors import dot, norm, to_double_array
 from vector_lake_spark.operators import lsh as lsh_mod
 from vector_lake_spark.operators.ann import lsh_topk, multiprobe_shards
 from vector_lake_spark.operators.dedup import (
@@ -339,6 +339,114 @@ FROM d
 ORDER BY score DESC, vec_id
 LIMIT {K}
 """
+
+
+HYBRID_TERMS = ["vector", "hash", "join"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_hybrid_topk(spark, sf):
+    # hybrid retrieval (the RAG-era flagship): BM25 keyword score over
+    # documents fused with cosine similarity over the parallel embeddings
+    # table (doc_id == vec_id in the testdata). All statistics (df, N,
+    # avg length) are aggregates broadcast as tiny dimension tables — the
+    # corpus scans once for term frequencies and once for lengths.
+    d = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+
+    lens = d.select(
+        "doc_id", token_count(F.col("text")).alias("dl")
+    )
+    tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(HYBRID_TERMS))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_stats = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    corpus = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col("text"))).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(df_stats), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * (BM25_K1 + 1.0) / denom).alias("s"),
+        )
+    )
+    bm25 = per_term.groupBy("doc_id").agg(F.sum("s").alias("bm25"))
+    v = to_double_array(F.col("embedding"))
+    vec = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        # same cosine kernel as topk_cosine (query norm precomputed)
+        F.try_divide(
+            dot(v, F.array(*[F.lit(float(x)) for x in QUERY_VEC])),
+            norm(v) * F.lit(math.sqrt(sum(x * x for x in QUERY_VEC))),
+        ).alias("cos"),
+    )
+    return (
+        vec.join(bm25, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("cos"), 6).alias("vec_score"),
+            F.round(F.coalesce(F.col("bm25"), F.lit(0.0)), 6).alias("text_score"),
+            F.round(
+                F.col("cos") + 0.1 * F.coalesce(F.col("bm25"), F.lit(0.0)), 6
+            ).alias("fused"),
+        )
+        .orderBy(F.col("fused").desc(), F.col("doc_id"))
+        .limit(K)
+    )
+
+
+def _sql_hybrid_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+    return f"""
+WITH lens AS (SELECT doc_id, {O.sql_token_count('text')} AS dl FROM documents),
+tok AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest({O.sql_tokens('text')}) AS tok FROM documents)
+  WHERE tok IN ({terms})
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df_stats AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+corpus AS (SELECT count(*) AS n_docs,
+                  avg({O.sql_token_count('text')}) AS avgdl
+           FROM documents),
+per_term AS (
+  SELECT tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({BM25_K1} + 1.0)
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)) AS s
+  FROM tf JOIN df_stats USING (tok) CROSS JOIN corpus
+  JOIN lens ON tf.doc_id = lens.doc_id
+),
+bm25 AS (SELECT doc_id, sum(s) AS bm25 FROM per_term GROUP BY doc_id),
+vec AS (
+  SELECT vec_id AS doc_id,
+         list_cosine_similarity({EMB}, {QV}) AS cos
+  FROM embeddings
+)
+SELECT vec.doc_id,
+       round(cos, 6) AS vec_score,
+       round(coalesce(bm25, 0.0), 6) AS text_score,
+       round(cos + 0.1 * coalesce(bm25, 0.0), 6) AS fused
+FROM vec LEFT JOIN bm25 ON vec.doc_id = bm25.doc_id
+ORDER BY fused DESC, vec.doc_id
+LIMIT {K}
+"""
+
+
+SQL_HYBRID_TOPK = _sql_hybrid_topk()
 
 
 # ---------------------------------------------------------------------------
@@ -2280,6 +2388,7 @@ QUERIES = {
     "vec_topk_batch": q_vec_topk_batch,
     "vec_topk_truncated": q_vec_topk_truncated,
     "vec_topk_quantized": q_vec_topk_quantized,
+    "hybrid_topk": q_hybrid_topk,
     "lsh_shard_assign": q_lsh_shard_assign,
     "lsh_shard_hist": q_lsh_shard_hist,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2358,6 +2467,7 @@ ORACLES = {
     "vec_topk_batch": SQL_VEC_TOPK_BATCH,
     "vec_topk_truncated": SQL_VEC_TOPK_TRUNCATED,
     "vec_topk_quantized": SQL_VEC_TOPK_QUANTIZED,
+    "hybrid_topk": SQL_HYBRID_TOPK,
     "lsh_shard_assign": SQL_LSH_SHARD_ASSIGN,
     "lsh_shard_hist": SQL_LSH_SHARD_HIST,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
