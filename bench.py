@@ -97,7 +97,10 @@ def bench_store(spark, timings: dict, runs: int = 2) -> None:
         "noop"
     ).save()
     best = None
-    for _ in range(runs):
+    # this is the one entry compared head-to-head against the reference's
+    # measured anchor — floor of 3 runs so a single host-contention spike
+    # (observed 1.9-10s for identical code) can't masquerade as engine cost
+    for _ in range(max(runs, 3)):
         t0 = time.perf_counter()
         lake.query_batch(queries, k=4).write.mode("overwrite").format(
             "noop"
