@@ -360,3 +360,18 @@ def test_query_vectors_returns_vectors(spark, tmp_path, rng):
     out = lake.query_vectors(vecs[2], k=2)
     assert len(out) >= 1
     assert [round(x, 9) for x in out[0]] == [round(x, 9) for x in vecs[2]]
+
+
+def test_partition_store_shard_delete(spark, tmp_path, rng):
+    """delete_shards works with SparkPartition's STRING partition keys
+    (reference deletes one named bucket — index.py:312-325)."""
+    a = SparkPartition(spark, str(tmp_path / "p"), partition_key="feat_a", dimension=3)
+    a.add_batch(rng.rand(5, 3).tolist())
+    a.persist()
+    b = SparkPartition(spark, str(tmp_path / "p"), partition_key="feat_b", dimension=3)
+    b.add_batch(rng.rand(7, 3).tolist())
+    b.persist()
+    assert a.count() == 12  # shared location, two logical partitions
+    a.delete_shards(["feat_a"])
+    assert a.query([0.1, 0.2, 0.3], k=5).count() == 0
+    assert b.query([0.1, 0.2, 0.3], k=5).count() > 0
