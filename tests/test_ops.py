@@ -174,6 +174,45 @@ def test_minhash_native_recall_vs_exact(spark):
     )
 
 
+def test_embedding_neardup_guard_refuses_big_input(spark):
+    """The all-pairs baseline must refuse oversized inputs instead of
+    silently launching a quadratic join (VERDICT r02 #7)."""
+    from vector_lake_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="O\\(n²\\) baseline"):
+        embedding_neardup_pairs(emb, max_rows=10)
+    # explicit opt-in still works
+    assert embedding_neardup_pairs(emb, threshold=0.99).count() >= 0
+
+
+def test_minhash_ml_variant_cross_check(spark):
+    """The Spark-ML ``MinHashLSH`` variant was dropped from the query
+    registry in round 3 (redundant with the oracle-checked native variant);
+    this cross-check keeps the ML formulation working: it must run, emit the
+    contract schema, and agree with the exact n-gram Jaccard join at the
+    same threshold (approxSimilarityJoin computes the exact distance on
+    its candidates, so only LSH candidate misses can diverge)."""
+    from vector_lake_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ml = minhash_neardup_pairs(docs, threshold=0.4)
+    assert set(ml.columns) >= {"id_a", "id_b"}
+    ml_pairs = {(r["id_a"], r["id_b"]) for r in ml.collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    }
+    assert exact, "no near-dup pairs in testdata — test is vacuous"
+    missed = exact - ml_pairs
+    assert len(missed) <= max(1, len(exact) // 10), (
+        f"ML variant missed {len(missed)}/{len(exact)} exact pairs"
+    )
+
+
 def test_asof_join_semantics(spark):
     """Hand-built fixture: strict inequality, per-key isolation, no-match
     rows, and same-(key, ts) right-side tie-breaking."""

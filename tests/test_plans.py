@@ -100,6 +100,22 @@ def test_tfidf_broadcasts_corpus_size(spark):
     assert_in_plan(df, "Broadcast")
 
 
+def test_hybrid_topk_single_documents_scan(spark):
+    """BM25 corpus statistics (dl, tf, df, n_docs, avgdl) all derive from
+    one explode+groupBy(doc_id) pass whose exchange Catalyst reuses — the
+    documents table must appear exactly once as a live scan; extra scans
+    mean the one-pass contract regressed (VERDICT r02 #5)."""
+    df = Q.q_hybrid_topk(spark, SF)
+    # exchange reuse is decided by AQE at runtime — execute, then read the
+    # final adaptive plan
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per_doc feeds three consumers (tf table, document frequencies,
+    # corpus stats); two of the three doc_id exchanges must collapse into
+    # ReusedExchange leaves, leaving a single live scan of documents
+    assert plan.count("ReusedExchange") == 2, plan
+
+
 def test_q13_plans_left_outer(spark):
     df = Q.q_q13_customer_distribution(spark, SF)
     assert "LeftOuter" in plan_string(df)
