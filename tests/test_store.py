@@ -195,6 +195,74 @@ def test_delete_one_shard_leaves_others(spark, tmp_path, rng):
     assert lake.count() == 100 - shards[victim]
 
 
+def test_swap_shards_crash_recovery(spark, tmp_path, rng, monkeypatch):
+    """Fault injection for the compact/retention swap (_swap_shards):
+    crash after the old shard was moved aside but before the rewrite was
+    moved in. The shard's only copy must survive in {location}/_trash/,
+    the NEXT maintenance run must refuse to start (instead of clobbering
+    the trash — the ADVICE r02 data-loss window), and renaming the trash
+    back must fully recover the store."""
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    # centered vectors spread across shards (uniform [0,1) collapses into
+    # one LSH shard) — the crash must leave OTHER shards behind too
+    lake.add_batch((rng.rand(40, 4) - 0.5).tolist())
+    lake.persist()
+    n_before = lake.count()
+
+    class CrashAfterAside:
+        """Wraps the Hadoop FS: the rename that moves the rewritten data
+        into place raises, simulating a crash between the two renames."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def rename(self, src, dst):
+            if "_rewrite_tmp" in str(src):
+                raise RuntimeError("injected crash mid-swap")
+            return self._real.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    orig_fs_path = SparkVectorLake._fs_path
+
+    def crashing_fs_path(self, path_str):
+        fs, p = orig_fs_path(self, path_str)
+        return CrashAfterAside(fs), p
+
+    monkeypatch.setattr(SparkVectorLake, "_fs_path", crashing_fs_path)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lake.compact()
+    monkeypatch.undo()
+
+    # the moved-aside shard's only copy survives in the trash path
+    import glob
+
+    trashed = glob.glob(f"{loc}/_trash/shard_id=*/*.parquet")
+    assert trashed, "crash left no recoverable copy in _trash"
+
+    # a subsequent maintenance run must refuse, not destroy the trash
+    with pytest.raises(IOError, match="refusing to start"):
+        lake.compact()
+    assert glob.glob(f"{loc}/_trash/shard_id=*/*.parquet") == trashed
+
+    # operator recovery: move the trash shards back, remove the dirs
+    import os
+    import shutil
+
+    for shard_dir in glob.glob(f"{loc}/_trash/shard_id=*"):
+        dst = f"{loc}/data/{os.path.basename(shard_dir)}"
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(shard_dir, dst)
+    shutil.rmtree(f"{loc}/_trash")
+    shutil.rmtree(f"{loc}/_rewrite_tmp", ignore_errors=True)
+
+    assert lake.count() == n_before
+    lake.compact()  # now succeeds
+    assert lake.count() == n_before
+
+
 def test_delete_older_than_retention(spark, tmp_path, rng):
     import datetime
 

@@ -450,11 +450,17 @@ class SparkVectorLake:
         The rewrite lands in a temp sibling first (so the source is never
         read and overwritten in the same job — a failure mid-write leaves
         the store untouched), then each shard is swapped: old dir renamed
-        to a trash path, new dir renamed in, trash deleted. A crash
-        between the two renames leaves that shard's data recoverable in
-        the trash path. A shard with no rewritten rows is simply removed
-        (retention can empty a shard)."""
+        to a trash path under ``{location}/_trash/`` — OUTSIDE the
+        ``mode('overwrite')`` temp dir, so no later maintenance run can
+        clobber it — new dir renamed in, trash deleted. A crash between
+        the two renames leaves that shard's only copy in the trash path,
+        and the next swap REFUSES to start until it is recovered (renamed
+        back) or explicitly deleted. A shard with no rewritten rows is
+        simply removed (retention can empty a shard)."""
         tmp = f"{self.location}/_rewrite_tmp"
+        trash_root = f"{self.location}/_trash"
+        self._check_no_leftover_trash()
+        fs, trash_root_p = self._fs_path(trash_root)
         (
             rewritten
             .write.mode("overwrite")
@@ -462,10 +468,11 @@ class SparkVectorLake:
             .partitionBy("shard_id")
             .parquet(tmp)
         )
+        fs.mkdirs(trash_root_p)
         for sid in shard_ids:
             fs, dst = self._fs_path(f"{self._data_path}/shard_id={sid}")
             _, src = self._fs_path(f"{tmp}/shard_id={sid}")
-            _, trash = self._fs_path(f"{tmp}/_old_shard_id={sid}")
+            _, trash = self._fs_path(f"{trash_root}/shard_id={sid}")
             # Hadoop rename reports failure by returning false, not by
             # throwing (s3a especially) — a swallowed false here would
             # delete the only remaining copy below. Check every step and
@@ -483,13 +490,33 @@ class SparkVectorLake:
                     f"shard {sid}; old data restored"
                 )
             fs.delete(trash, True)
+        fs.delete(trash_root_p, True)
         fs, tmp_p = self._fs_path(tmp)
         fs.delete(tmp_p, True)
+
+    def _check_no_leftover_trash(self) -> None:
+        """Refuse maintenance while ``{location}/_trash`` exists: after a
+        crash mid-swap it holds the ONLY copy of one or more shards, and
+        it must be recovered (renamed back) or explicitly deleted by the
+        operator first.  Checked at maintenance entry points too — not
+        just inside ``_swap_shards`` — because a crash that trashed every
+        populated shard leaves ``load()`` empty and the swap unreached."""
+        trash_root = f"{self.location}/_trash"
+        fs, trash_root_p = self._fs_path(trash_root)
+        if fs.exists(trash_root_p):
+            raise IOError(
+                f"refusing to start a shard swap: {trash_root} holds "
+                "shard data from an interrupted earlier swap (the only "
+                "remaining copy of those shards). Rename its "
+                "shard_id=* dirs back into the store, or delete the "
+                "trash dir if the data is confirmed unwanted, then retry."
+            )
 
     def compact(self, target_files_per_shard: int = 1) -> None:
         """Rewrite each shard into ``target_files_per_shard`` files — the
         small-files fix for the reference's 256-tiny-segments pathology
         (SURVEY.md §7.7). Atomic per shard via temp-dir + rename swap."""
+        self._check_no_leftover_trash()
         df = self.load()
         present = [r["shard_id"] for r in df.select("shard_id").distinct().collect()]
         if not present:
@@ -521,6 +548,7 @@ class SparkVectorLake:
         old rows cluster in old files); untouched shards are never
         rewritten. A shard left empty by retention is removed entirely.
         Returns the number of shards rewritten."""
+        self._check_no_leftover_trash()
         df = self.load()
         cutoff_col = F.lit(cutoff).cast("timestamp")
         affected = [
