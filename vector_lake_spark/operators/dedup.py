@@ -118,6 +118,10 @@ def ngram_jaccard_pairs(
         # self-join below requires — so the filter costs no extra shuffle
         # and both join sides reuse one exchange (vs a groupBy + semi-join
         # formulation, which re-runs the shingle explode three times).
+        # Counting rows here IS a distinct-document count: ``shingles``
+        # ends in array_distinct, so each doc emits at most one row per
+        # gram (a doc repeating a shingle cannot inflate its frequency).
+        # The SQL oracle's HAVING count(*) relies on the same invariant.
         from pyspark.sql import Window
 
         w_df = Window.partitionBy("g")
@@ -519,18 +523,33 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     parallelism: int = 32,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs (a < b, sim ≥ threshold).
 
     Baseline O(n²) plan for correctness; the 100 TB path is the LSH
     shard-bucketed variant in ``operators/ann`` (same scoring expression,
-    join restricted to same-shard candidates).
+    join restricted to same-shard candidates). Because a labeled baseline
+    is exactly the thing that gets copy-pasted at a table 1000× too big,
+    it refuses inputs above ``max_rows`` (pass a higher value to opt in
+    deliberately): 100k rows ≈ 5·10⁹ candidate pairs is already the
+    practical ceiling for an all-pairs cosine pass.
 
     Plan hygiene: norms are computed once per row *before* the join (one
     fold per row instead of two extra folds per pair), and the streamed
     side is repartitioned — a single-file parquet source would otherwise
     run the whole quadratic join in one task."""
     from vector_lake_spark.functions.vectors import dot, norm
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is an O(n²) baseline and the input "
+            f"has {n} rows (> max_rows={max_rows}, ~{n * n // 2:.0e} "
+            f"candidate pairs). Use the LSH-bucketed scale path "
+            f"(operators.ann.lsh_neardup_pairs) instead, or raise "
+            f"max_rows explicitly to force the quadratic join."
+        )
 
     a = df.select(
         F.col(id_col).alias("id_a"),
