@@ -18,6 +18,7 @@ no global sort). Scale paths:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -89,36 +90,129 @@ def lsh_neardup_pairs(
     threshold: float = 0.35,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_bands: int = 0,
+    band_bits: int = 0,
+    band_seed: int = 137,
 ) -> DataFrame:
     """LSH shard-bucketed near-duplicate pairs — the 100 TB scale path for
     ``dedup.embedding_neardup_pairs``: candidates are restricted to pairs
-    in the *same* LSH shard (an equi-join on shard id — shuffled hash join,
-    sub-quadratic), then exactly re-ranked. Recall is bounded by LSH
-    locality (same tradeoff the reference makes for search); the candidate
-    restriction is deterministic, so the result is still oracle-checkable.
+    in the *same* LSH shard, then exactly re-ranked. The candidate
+    restriction is deterministic (seeded hyperplanes), so the result is
+    still oracle-checkable.
+
+    **Second-level banding** (``n_bands``/``band_bits`` — VERDICT r02 #2):
+    a shard-only equi-join is quadratic *within* a shard, and LSH shards on
+    real embedding distributions are skewed — a hot shard holding x% of a
+    100 TB corpus contributes (x%·N)² candidate pairs regardless of AQE.
+    With banding, each row also gets ``n_bands`` keys from independent
+    seeded hyperplanes (``band_bits`` sign bits each, SimHash-band style)
+    and a pair is a candidate iff it shares the shard AND agrees on ALL
+    bits of AT LEAST ONE band. The join key becomes (shard, band, key):
+    per-key bucket size drops by ~2^band_bits regardless of how skewed the
+    shard distribution is, which is what bounds the pair count by design.
+
+    Recall at the threshold boundary is 1-(1-p^band_bits)^n_bands with
+    p = 1 - arccos(threshold)/π. Tune per threshold: at a real dedup
+    threshold (≥0.8, p ≥ 0.8) use band_bits=6..8 with n_bands=8 for
+    ~30× candidate reduction at ~90% recall; at the low testdata
+    threshold (0.35) only shallow bands (band_bits=2) keep recall, so the
+    default registry config trades a smaller split for ~94% recall.
+    ``n_bands=0`` disables banding (exact within-shard semantics).
     """
     from vector_lake_spark.functions.vectors import dot, norm
-    from vector_lake_spark.operators.lsh import shard_id_expr
+    from vector_lake_spark.operators.lsh import (
+        make_band_hyperplanes,
+        shard_id_expr,
+    )
 
     base = df.select(
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("v"),
     ).withColumn("shard", shard_id_expr(F.col("v"), hyperplanes))
     base = base.withColumn("nv", norm(F.col("v")))
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nv").alias("na"), F.col("shard"),
-    )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nv").alias("nb"), F.col("shard"),
-    )
+
     sim = F.round(
         F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6
     )
+    va = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    vb = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
+
+    if not n_bands:
+        # simple within-shard join: vectors ride along (one shuffle)
+        a = base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nv").alias("na"), "shard",
+        )
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nv").alias("nb"), "shard",
+        )
+        return (
+            a.join(b, ["shard"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim")
+        )
+
+    bands = make_band_hyperplanes(
+        hyperplanes.shape[1], n_bands, band_bits, seed=band_seed
+    )
+    # candidate generation is NARROW: one (id, shard, band, bkey) row per
+    # (vector, band) — the 8-byte keys explode n_bands×, the 512-byte
+    # vectors never do. Each candidate pair is emitted exactly once, at
+    # its FIRST matching band (the residual requires earlier band keys to
+    # differ) — no pair-dedup exchange at all — and only then are the two
+    # vectors joined back for the exact kernel: one evaluation per pair.
+    keys = base.select(
+        "id",
+        "shard",
+        F.array(
+            *[shard_id_expr(F.col("v"), bands[bi]) for bi in range(n_bands)]
+        ).alias("bkeys"),
+    ).select(
+        "id",
+        "shard",
+        "bkeys",
+        F.explode(
+            F.array(*[F.lit(bi) for bi in range(n_bands)])
+        ).alias("band"),
+    ).select(
+        "id",
+        "shard",
+        "band",
+        F.element_at("bkeys", F.col("band") + 1).alias("bkey"),
+        "bkeys",
+    )
+    ka = keys.select(
+        F.col("id").alias("id_a"), "shard", "band", "bkey",
+        F.col("bkeys").alias("bka"),
+    )
+    kb = keys.select(
+        F.col("id").alias("id_b"), "shard", "band", "bkey",
+        F.col("bkeys").alias("bkb"),
+    )
+    first_match = reduce(
+        lambda acc, j: acc
+        & (
+            (F.col("band") <= F.lit(j))
+            | (F.element_at("bka", j + 1) != F.element_at("bkb", j + 1))
+        ),
+        range(n_bands - 1),
+        F.col("id_a") < F.col("id_b"),
+    )
+    cand_ids = (
+        ka.join(kb, ["shard", "band", "bkey"])
+        .filter(first_match)
+        .select("id_a", "id_b")
+    )
     return (
-        a.join(b, ["shard"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand_ids.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

@@ -62,6 +62,17 @@ def shard_id_expr(vec: Column, hyperplanes: np.ndarray) -> Column:
     return out
 
 
+def make_band_hyperplanes(
+    dim: int, n_bands: int, band_bits: int, seed: int = 137
+) -> np.ndarray:
+    """Independent hyperplanes for second-level in-shard banding, shaped
+    ``(n_bands, band_bits, dim)``. A distinct default seed keeps them
+    independent of the shard-routing planes (seed 42)."""
+    return np.random.RandomState(seed).randn(n_bands * band_bits, dim).reshape(
+        n_bands, band_bits, dim
+    )
+
+
 def route_vector(vector, hyperplanes: np.ndarray) -> int:
     """Driver-side routing of a single query vector (index.py:53-68 parity)."""
     v = np.asarray(vector, dtype=np.float64)
