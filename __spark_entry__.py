@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query above.
-    ``dedup_minhash`` is intentionally absent (approximate LSH join —
-    rows-only check)."""
+    ``ann_ivf_topk`` / ``ann_ivf_stored`` (iterative k-means build) and
+    ``mm_feature_extract`` (stubbed codec) are intentionally absent —
+    rows-only checks."""
     return dict(Q.ORACLES)
