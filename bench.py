@@ -43,6 +43,10 @@ HEADLINE = [
     "text_token_top20",
     "text_tfidf_top20",
     "pipe_clean_corpus",
+    "pipe_pack_sequences",
+    "pipe_contamination",
+    "pipe_stratified_sample",
+    "vec_semantic_dedup",
     "vec_quantize_int8",
     "q1_pricing",
     "q3_top_orders",

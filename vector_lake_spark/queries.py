@@ -292,6 +292,66 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS_THRESHOLD}
 SQL_VEC_NEARDUP_LSH = _sql_vec_neardup_lsh()
 
 
+def q_vec_semantic_dedup(spark, sf):
+    """Composed semantic (embedding-level) dedup — the end-to-end scale
+    pipeline: banded LSH near-dup pairs (bounded join keys) → connected
+    components (min-label propagation) → every vector labeled with its
+    cluster (cluster_id == surviving min id; singletons label
+    themselves). The text-side twin is dedup_clusters/dedup_keep_best;
+    this one runs on the embedding column, so it catches paraphrase-level
+    duplicates exact text hashing can't. Oracle: same banded pair set in
+    SQL + a recursive-CTE min-reachable-id."""
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+    from vector_lake_spark.operators.dedup import connected_components
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = lsh_neardup_pairs(
+        emb,
+        H4,
+        threshold=NEARDUP_COS_THRESHOLD,
+        n_bands=NEARDUP_N_BANDS,
+        band_bits=NEARDUP_BAND_BITS,
+    )
+    return connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    )
+
+
+def _sql_vec_semantic_dedup() -> str:
+    band_cols = ",\n         ".join(
+        f"CAST({lsh_mod.shard_id_sql(EMB, NEARDUP_BANDS[b])} AS BIGINT) AS k{b}"
+        for b in range(NEARDUP_N_BANDS)
+    )
+    band_match = " OR ".join(f"a.k{b} = b.k{b}" for b in range(NEARDUP_N_BANDS))
+    return f"""
+WITH RECURSIVE
+e AS (
+  SELECT vec_id, {EMB} AS v,
+         CAST({lsh_mod.shard_id_sql(EMB, H4)} AS BIGINT) AS shard,
+         {band_cols}
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.shard = b.shard AND a.vec_id < b.vec_id
+    AND ({band_match})
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS_THRESHOLD}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (
+  SELECT vec_id AS id, vec_id AS r FROM embeddings
+  UNION
+  SELECT e2.a AS id, reach.r AS r FROM edges e2 JOIN reach ON reach.id = e2.b
+)
+SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+SQL_VEC_SEMANTIC_DEDUP = _sql_vec_semantic_dedup()
+
+
 def q_vec_topk_truncated(spark, sf):
     # two-stage retrieval (matryoshka-style): coarse rank on the FIRST 16
     # dims (4× less arithmetic per row), keep 50 candidates
@@ -1142,6 +1202,208 @@ SELECT split, source,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM s GROUP BY split, source
 """
+
+
+PACK_CAPACITY = 2048  # tokens per packed training sequence
+
+
+def q_pipe_pack_sequences(spark, sf):
+    """Sequence packing for training batches: documents are laid out in a
+    deterministic order (doc_id) within each source, and each lands in
+    bin = floor(exclusive-prefix-token-sum / capacity) — contiguous
+    greedy packing into ~capacity-token bins, reproducible on any engine.
+
+    Scale shape: one token-count scan, then a per-source running-sum
+    window. Sources partition the window, so parallelism = #sources; for
+    a single giant source, pre-split on a deterministic doc_id hash
+    bucket (the same trick as pipe_split_stats) before packing. Output is
+    per-bin stats — the packing plan, not a repeat of the corpus."""
+    d = _t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(PACK_CAPACITY)
+        ).cast("long"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_PIPE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, source, {O.sql_token_count('text')} AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {PACK_CAPACITY}) AS BIGINT) AS bin
+  FROM t
+)
+SELECT source, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM b GROUP BY source, bin
+"""
+
+
+def q_pipe_stratified_sample(spark, sf):
+    """Source-balanced stratified downsample: every source is sampled
+    down to (approximately) the smallest source's size with a
+    deterministic id-hash — reproducible on any engine, stable under
+    repartitioning, no RNG state. The keep rule is pure integer
+    arithmetic (hash‰ · n_src < 10000 · n_min), so Spark and the oracle
+    agree bit-for-bit. One scan + a broadcast of the tiny per-source
+    count table; returns the per-source sampling report."""
+    from vector_lake_spark.functions.text import token_hash60
+
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    mn = counts.agg(F.min("n_src").alias("n_min"))
+    h = token_hash60(F.col("doc_id").cast("string")) % 10000
+    return (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(mn))
+        .withColumn("kept", h * F.col("n_src") < 10000 * F.col("n_min"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+SQL_PIPE_STRATIFIED_SAMPLE = f"""
+WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+m AS (SELECT min(n_src) AS n_min FROM c),
+k AS (
+  SELECT d.source,
+         ({O.sql_token_hash60("CAST(doc_id AS VARCHAR)")} % 10000) * c.n_src
+           < 10000 * m.n_min AS kept
+  FROM documents d JOIN c ON d.source = c.source CROSS JOIN m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_sampled
+FROM k GROUP BY source
+"""
+
+
+EVAL_HOLDOUT_MOD = 23  # doc_id % 23 == 0 → held-out eval set (~4%)
+CONTAMINATION_JACCARD = 0.5
+
+
+def q_pipe_contamination(spark, sf):
+    """Train/eval contamination check — the step every LLM data pipeline
+    needs before benchmarking: find training documents whose 3-gram
+    shingle Jaccard against ANY held-out eval document reaches the
+    threshold. The eval set is a deterministic doc_id slice (stand-in for
+    a benchmark suite). Reuses the hashed-shingle machinery: a BIPARTITE
+    shingle-hash equi-join (train side × eval side), so the full
+    quadratic document cross-product never materializes and text never
+    shuffles — same scale shape as dedup_ngram_jaccard, with the
+    stopword-shingle cap applied to both sides."""
+    from vector_lake_spark.operators.dedup import shingles
+
+    # repartition before the shingle explode: a single parquet file would
+    # otherwise run the whole tokenize+shingle pass on one core (same
+    # local-mode artifact as dedup_ngram_jaccard — SCALE.md)
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(32)
+    sh = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % EVAL_HOLDOUT_MOD == 0).alias("is_eval"),
+            F.explode(shingles(F.col("text"), 3)).alias("gram"),
+        )
+        .select("doc_id", "is_eval", F.xxhash64("gram").alias("g"))
+    )
+    w_df = Window.partitionBy("g")
+    sh = (
+        sh.withColumn("df_", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("df_") <= NGRAM_MAX_SHINGLE_FREQ)
+        .drop("df_")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    train = sh.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_id"), "g"
+    )
+    ev = sh.filter(F.col("is_eval")).select(F.col("doc_id").alias("eval_id"), "g")
+    inter = (
+        train.join(ev, "g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    st = sizes.select(F.col("doc_id").alias("train_id"), F.col("sz").alias("sz_t"))
+    se = sizes.select(F.col("doc_id").alias("eval_id"), F.col("sz").alias("sz_e"))
+    return (
+        inter.join(st, "train_id")
+        .join(se, "eval_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_t") + F.col("sz_e") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= CONTAMINATION_JACCARD)
+        .select("train_id", "eval_id", "jaccard")
+    )
+
+
+def _sql_pipe_contamination() -> str:
+    # joins on raw grams where Spark joins on xxhash64(gram) — identical
+    # counts as long as the 64-bit hash is collision-free on the corpus,
+    # the same equivalence SQL_DEDUP_NGRAM_JACCARD relies on
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, doc_id % {EVAL_HOLDOUT_MOD} = 0 AS is_eval, gram
+  FROM (
+    SELECT doc_id, unnest({O.sql_shingles('text', 3)}) AS gram
+    FROM documents
+  )
+),
+sh AS (
+  SELECT doc_id, is_eval, gram FROM (
+    SELECT doc_id, is_eval, gram, count(*) OVER (PARTITION BY gram) AS df_
+    FROM sh0
+  ) WHERE df_ <= {NGRAM_MAX_SHINGLE_FREQ}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS inter
+  FROM sh t JOIN sh e ON t.gram = e.gram
+  WHERE NOT t.is_eval AND e.is_eval
+  GROUP BY t.doc_id, e.doc_id
+)
+SELECT train_id, eval_id,
+       round(inter / CAST(st.sz + se.sz - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes st ON inter.train_id = st.doc_id
+JOIN sizes se ON inter.eval_id = se.doc_id
+WHERE round(inter / CAST(st.sz + se.sz - inter AS DOUBLE), 6)
+      >= {CONTAMINATION_JACCARD}
+"""
+
+
+SQL_PIPE_CONTAMINATION = _sql_pipe_contamination()
 
 
 def q_text_length_histogram(spark, sf):
@@ -2644,6 +2906,10 @@ _BASE_QUERIES = {
     "vec_quantize_int8": q_vec_quantize_int8,
     "pipe_clean_corpus": q_pipe_clean_corpus,
     "pipe_split_stats": q_pipe_split_stats,
+    "pipe_pack_sequences": q_pipe_pack_sequences,
+    "pipe_contamination": q_pipe_contamination,
+    "pipe_stratified_sample": q_pipe_stratified_sample,
+    "vec_semantic_dedup": q_vec_semantic_dedup,
     "text_length_histogram": q_text_length_histogram,
     "profile_documents": q_profile_documents,
     "q1_pricing": q_q1_pricing,
@@ -2806,6 +3072,10 @@ ORACLES = {
     "vec_quantize_int8": SQL_VEC_QUANTIZE_INT8,
     "pipe_clean_corpus": SQL_PIPE_CLEAN_CORPUS,
     "pipe_split_stats": SQL_PIPE_SPLIT_STATS,
+    "pipe_pack_sequences": SQL_PIPE_PACK_SEQUENCES,
+    "pipe_contamination": SQL_PIPE_CONTAMINATION,
+    "pipe_stratified_sample": SQL_PIPE_STRATIFIED_SAMPLE,
+    "vec_semantic_dedup": SQL_VEC_SEMANTIC_DEDUP,
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     "profile_documents": SQL_PROFILE_DOCUMENTS,
     "q1_pricing": SQL_Q1_PRICING,
