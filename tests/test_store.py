@@ -195,6 +195,49 @@ def test_delete_one_shard_leaves_others(spark, tmp_path, rng):
     assert lake.count() == 100 - shards[victim]
 
 
+def test_delete_ids_rewrites_only_affected_shards(spark, tmp_path, rng):
+    """Row-level delete: listed ids disappear, everything else survives,
+    and shards without a listed id are never rewritten (their files keep
+    their mtimes)."""
+    import glob
+    import os
+
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    vecs = (rng.rand(60, 4) - 0.5).tolist()
+    ids = lake.add_batch(vecs)
+    lake.persist()
+
+    rows = {r["id"]: r["shard_id"] for r in lake.load().select("id", "shard_id").collect()}
+    shards = set(rows.values())
+    assert len(shards) >= 2, "need >=2 shards for the untouched-shard check"
+    victim_shard = sorted(shards)[0]
+    victims = [i for i, s in rows.items() if s == victim_shard][:3]
+    untouched = sorted(shards)[1]
+    before_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{loc}/data/shard_id={untouched}/*.parquet")
+    }
+
+    n = lake.delete_ids(victims)
+    assert n == 1  # only the victim shard rewritten
+    left = {r["id"] for r in lake.load().select("id").collect()}
+    assert left == set(ids) - set(victims)
+    after_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{loc}/data/shard_id={untouched}/*.parquet")
+    }
+    assert after_files == before_files
+
+    # DataFrame form (broadcast anti-join path): delete two more
+    more = [i for i in left if rows[i] == untouched][:2]
+    id_df = spark.createDataFrame([(i,) for i in more], "id string")
+    assert lake.delete_ids(id_df) == 1
+    assert {r["id"] for r in lake.load().select("id").collect()} == left - set(more)
+    # no-op on unknown ids
+    assert lake.delete_ids(["nope-1", "nope-2"]) == 0
+
+
 def test_swap_shards_crash_recovery(spark, tmp_path, rng, monkeypatch):
     """Fault injection for the compact/retention swap (_swap_shards):
     crash after the old shard was moved aside but before the rewrite was

@@ -568,6 +568,56 @@ class SparkVectorLake:
         self._swap_shards(kept, affected)
         return len(affected)
 
+    def delete_ids(self, ids: Sequence) -> int:
+        """Row-level delete by id — beyond the reference's segment-only
+        deletes (S6/S8): GDPR-style point removal without rewriting the
+        store. Only shards that actually contain a listed id are
+        rewritten (same pruned-rewrite shape as ``delete_older_than``);
+        a shard emptied by the delete is removed. Returns the number of
+        shards rewritten.
+
+        At 100 TB the id list is a lookup table, not a literal: for a
+        handful of ids the ``isin`` prunes cheaply; for millions, load
+        them as a DataFrame and use a broadcast anti-join — this method
+        accepts either (a Python sequence or a single-column DataFrame)."""
+        self._check_no_leftover_trash()
+        df = self.load()
+        if isinstance(ids, DataFrame):
+            id_df = ids.toDF("__del_id")
+            hit = F.broadcast(id_df)
+            marked = df.join(
+                hit, df["id"] == hit["__del_id"], "left_semi"
+            )
+            affected = [
+                r["shard_id"]
+                for r in marked.select("shard_id").distinct().collect()
+            ]
+            if not affected:
+                return 0
+            kept = (
+                df.filter(F.col("shard_id").isin(list(affected)))
+                .join(hit, df["id"] == hit["__del_id"], "left_anti")
+                .repartition("shard_id")
+            )
+        else:
+            ids = list(ids)
+            affected = [
+                r["shard_id"]
+                for r in df.filter(F.col("id").isin(ids))
+                .select("shard_id")
+                .distinct()
+                .collect()
+            ]
+            if not affected:
+                return 0
+            kept = (
+                df.filter(F.col("shard_id").isin(list(affected)))
+                .filter(~F.col("id").isin(ids))
+                .repartition("shard_id")
+            )
+        self._swap_shards(kept, affected)
+        return len(affected)
+
     def delete(self) -> None:
         """S8 parity: remove the dataset (any URI scheme)."""
         fs, p = self._fs_path(self.location)
