@@ -116,6 +116,33 @@ def test_hybrid_topk_single_documents_scan(spark):
     assert plan.count("ReusedExchange") == 2, plan
 
 
+def test_contamination_shuffles_hashes_not_text(spark):
+    """The bipartite contamination join must move 8-byte shingle hashes,
+    never document text — same contract as exact dedup."""
+    df = Q.q_pipe_contamination(spark, SF)
+    plan = plan_string(df)
+    for section in plan.split("Exchange")[1:]:
+        assert "text" not in section.split("\n")[0]
+
+
+def test_stratified_sample_broadcasts_count_tables(spark):
+    """Per-source counts and the global min are tiny aggregates — both
+    must broadcast; a shuffle join against them would be absurd."""
+    df = Q.q_pipe_stratified_sample(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("Broadcast") >= 2
+
+
+def test_pack_sequences_single_scan(spark):
+    """Packing is one scan + one per-source window — exactly one exchange
+    (hash by source for the running sum feeds the final agg via the same
+    partitioning; only the window partitioning exchange may appear)."""
+    df = Q.q_pipe_pack_sequences(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_q13_plans_left_outer(spark):
     df = Q.q_q13_customer_distribution(spark, SF)
     assert "LeftOuter" in plan_string(df)
