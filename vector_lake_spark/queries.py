@@ -2959,77 +2959,34 @@ _BASE_QUERIES = {
     "ann_ivf_stored": q_ann_ivf_stored,
 }
 
-# Round of each query's newest driver CORRECTNESS row (absent = never
-# checked → sorts first).  Source: CORRECTNESS_r01.json / CORRECTNESS_r02.json.
-_LAST_DRIVER_ROUND = {
-    # --- checked round 1, dropped from the round-2 window ---
-    "ev_json_extract": 1,
-    "ev_asof_join": 1,
-    "ev_error_window": 1,
-    "token_count_salted": 1,
-    "win_top3_per_nation": 1,
-    "win_running_total": 1,
-    "win_moving_avg": 1,
-    "win_distribution": 1,
-    "join_semi": 1,
-    "join_anti": 1,
-    "setop_nations": 1,
-    "setop_suppkeys_all": 1,
-    "pivot_status_by_priority": 1,
-    "ev_tumbling": 1,
-    "ev_sliding": 1,
-    "ev_sessionize": 1,
-    # --- checked round 2 ---
-    "vec_topk_cosine": 2,
-    "vec_topk_l2": 2,
-    "vec_topk_batch": 2,
-    "vec_topk_truncated": 2,
-    "vec_topk_quantized": 2,
-    "hybrid_topk": 2,
-    "lsh_shard_assign": 2,
-    "lsh_shard_hist": 2,
-    "ann_lsh_topk": 2,
-    "vec_neardup_pairs": 2,
-    "vec_neardup_lsh": 2,
-    "vec_centroid_by_label": 2,
-    "dedup_exact": 2,
-    "dedup_ngram_jaccard": 2,
-    "dedup_clusters": 2,
-    "dedup_keep_best": 2,
-    "dedup_simhash": 2,
-    "dedup_edit_distance": 2,
-    "graph_pagerank": 2,
-    "dedup_minhash_native": 2,
-    "ann_ivf_topk": 2,
-    "text_stats_by_lang": 2,
-    "text_quality": 2,
-    "text_langid": 2,
-    "text_token_top20": 2,
-    "text_bpe_tokens": 2,
-    "text_fingerprint": 2,
-    "text_tfidf_top20": 2,
-    "vec_quantize_int8": 2,
-    "pipe_clean_corpus": 2,
-    "pipe_split_stats": 2,
-    "text_length_histogram": 2,
-    "profile_documents": 2,
-    "q1_pricing": 2,
-    "q6_forecast_revenue": 2,
-    "q3_top_orders": 2,
-    "q4_late_orders": 2,
-    "q5_nation_revenue": 2,
-    "q13_customer_distribution": 2,
-    "q17_small_qty_revenue": 2,
-    "q18_large_orders": 2,
-    "agg_rollup": 2,
-    "grouping_sets": 2,
-    "cube_status_priority": 2,
-    "above_avg_customers": 2,
-    "monthly_revenue_trend": 2,
-    "segment_quantiles": 2,
-    "brand_revenue": 2,
-    "distinct_customers_by_status": 2,
-}
+# Round of each query's newest driver CORRECTNESS row, derived from the
+# CORRECTNESS_r{N}.json files the external driver writes at the repo root
+# (absent from every file = never checked -> sorts first).  Reading the
+# files directly makes the rotation self-maintaining: when a new round's
+# file lands, the next import re-ranks automatically.
+def _last_driver_rounds() -> dict:
+    import glob
+    import json
+    import os
+    import re
+
+    rounds: dict = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                for name in json.load(f):
+                    rounds[name] = max(rounds.get(name, 0), rnd)
+        except (OSError, ValueError):
+            continue
+    return rounds
+
+
+_LAST_DRIVER_ROUND = _last_driver_rounds()
 
 # Stalest-first (stable within a round, preserving _BASE_QUERIES order):
 # never-checked queries land inside the driver's 50-row window first.
