@@ -46,6 +46,10 @@ HEADLINE = [
     "pipe_pack_sequences",
     "pipe_contamination",
     "pipe_stratified_sample",
+    "pipe_domain_mix",
+    "pipe_shuffle_shards",
+    "text_redact_pii",
+    "text_repetition",
     "vec_semantic_dedup",
     "vec_quantize_int8",
     "q1_pricing",

@@ -146,3 +146,36 @@ def test_pack_sequences_single_scan(spark):
 def test_q13_plans_left_outer(spark):
     df = Q.q_q13_customer_distribution(spark, SF)
     assert "LeftOuter" in plan_string(df)
+
+
+def test_redact_pii_is_single_scan_no_shuffle(spark):
+    """The PII scrub is pure per-row regex codegen — a 100 TB compliance
+    pass is one scan; any Exchange here is a regression."""
+    df = Q.q_text_redact_pii(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_repetition_is_single_scan_no_shuffle(spark):
+    """Dup-n-gram ratio is per-row array arithmetic — no shuffle."""
+    df = Q.q_text_repetition(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_domain_mix_broadcasts_dims(spark):
+    """The 20-row target-mixture table and the single-row total must both
+    broadcast — the only exchange is the per-source partial-agg shuffle."""
+    df = Q.q_pipe_domain_mix(spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the base-table exchange is the partial count agg on source only
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """The training shuffle partitions once on the shard key; the window
+    sort is within-partition, never a global Sort."""
+    df = Q.q_pipe_shuffle_shards(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

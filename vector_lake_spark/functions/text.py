@@ -130,3 +130,46 @@ def fingerprint64(col: Column) -> Column:
 def token_hash60(tok: Column) -> Column:
     """60-bit token hash used by SimHash (md5-based, engine-portable)."""
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+# PII patterns shared verbatim with the DuckDB oracle SQL. Both engines'
+# regex dialects (Java util.regex / RE2) agree on these constructs:
+# character classes, bounded repetition, \d and ASCII \b only — no
+# lookarounds, no backreferences (RE2 has neither).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_email_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(EMAIL_RE)).cast("long")
+
+
+def pii_phone_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(PHONE_RE)).cast("long")
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails then phone numbers with typed placeholder tags.
+
+    Order matters and is part of the contract (emails first — an email's
+    digits can never re-match the phone pattern afterwards because the
+    replacement introduces no digits). Pure codegen ``regexp_replace``:
+    the 100 TB scrub is a single scan, no shuffle, no Python."""
+    emails_gone = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(emails_gone, PHONE_RE, "[PHONE]")
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Within-document duplicate n-gram fraction — the Gopher-style
+    repetitiousness quality signal: 1 − distinct_ngrams / total_ngrams
+    (0.0 for docs shorter than n tokens). High values flag boilerplate /
+    template spam that exact and near dedup both miss (the duplication is
+    *inside* one document). Pure column expressions, single scan."""
+    from vector_lake_spark.operators.dedup import shingles
+
+    toks = tokens(col)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
+    distinct = F.size(shingles(col, n)).cast("long")
+    return F.when(total > 0, F.round(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+    )).otherwise(F.lit(0.0))

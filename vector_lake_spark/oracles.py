@@ -142,3 +142,37 @@ def sql_epoch_day(col: str) -> str:
     the epoch alone, then CAST, would round the day for non-midnight
     timestamps and diverge from Spark's datediff truncation)."""
     return f"CAST(floor(date_part('epoch', {col}) / 86400) AS BIGINT)"
+
+
+# Mirrors functions/text.py EMAIL_RE / PHONE_RE verbatim (constructs common
+# to Java regex and RE2: classes, bounded repetition, \d, ASCII \b).
+SQL_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+SQL_PHONE_RE = "\\b\\d{3}-\\d{4}\\b"
+
+
+def sql_pii_email_count(col: str) -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{SQL_EMAIL_RE}')) AS BIGINT)"
+
+
+def sql_pii_phone_count(col: str) -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{SQL_PHONE_RE}')) AS BIGINT)"
+
+
+def sql_redact_pii(col: str) -> str:
+    """Emails first, then phones — same order as functions.text.redact_pii
+    (DuckDB regexp_replace needs the 'g' flag; Spark's is global already)."""
+    emails_gone = f"regexp_replace({col}, '{SQL_EMAIL_RE}', '[EMAIL]', 'g')"
+    return f"regexp_replace({emails_gone}, '{SQL_PHONE_RE}', '[PHONE]', 'g')"
+
+
+def sql_repetition_ratio(col: str, n: int = 3) -> str:
+    """== functions.text.repetition_ratio (same op order → identical
+    IEEE doubles)."""
+    toks = sql_tokens(col)
+    total = f"greatest(len({toks}) - {n - 1}, 0)"
+    distinct = f"len({sql_shingles(col, n)})"
+    return (
+        f"CASE WHEN {total} > 0 THEN "
+        f"round(1.0 - CAST({distinct} AS DOUBLE) / CAST({total} AS DOUBLE), 6) "
+        f"ELSE 0.0 END"
+    )

@@ -1306,6 +1306,197 @@ FROM k GROUP BY source
 """
 
 
+def q_text_redact_pii(spark, sf):
+    """PII scrubbing — detection counts + redaction, all codegen regex
+    (functions/text.py EMAIL_RE/PHONE_RE): a single scan, no shuffle, no
+    Python, the 100 TB shape for a compliance scrub pass.
+
+    The synthetic documents table is digit-free, so the query first
+    stamps each doc with deterministic synthetic PII derived from doc_id
+    (an email and a phone) and then scrubs it — proving detection AND
+    redaction end-to-end with nonzero match counts, fully mirrored by
+    the oracle. Output carries md5(redacted) rather than the redacted
+    text so the value-hash compares the full scrub result compactly."""
+    from vector_lake_spark.functions.text import (
+        pii_email_count,
+        pii_phone_count,
+        redact_pii,
+    )
+
+    d = _t(spark, sf, "documents")
+    stamped = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("stamped"),
+    )
+    return stamped.select(
+        "doc_id",
+        pii_email_count(F.col("stamped")).alias("n_emails"),
+        pii_phone_count(F.col("stamped")).alias("n_phones"),
+        F.md5(redact_pii(F.col("stamped"))).alias("redacted_md5"),
+    )
+
+
+SQL_TEXT_REDACT_PII = f"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS stamped
+  FROM documents
+)
+SELECT doc_id,
+       {O.sql_pii_email_count('stamped')} AS n_emails,
+       {O.sql_pii_phone_count('stamped')} AS n_phones,
+       md5({O.sql_redact_pii('stamped')}) AS redacted_md5
+FROM s
+"""
+
+
+REPETITION_FLAG = 0.2  # dup-3-gram fraction above which a doc is flagged
+
+
+def q_text_repetition(spark, sf):
+    """Within-document repetitiousness (Gopher-style quality signal):
+    duplicate 3-gram fraction per document, plus the filter flag. Catches
+    boilerplate/template spam that exact and near dedup both miss (the
+    duplication is *inside* one document). Pure column expressions,
+    single scan, no shuffle."""
+    from vector_lake_spark.functions.text import repetition_ratio
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        repetition_ratio(F.col("text"), 3).alias("rep3_ratio"),
+    ).withColumn("flagged", F.col("rep3_ratio") >= REPETITION_FLAG)
+
+
+SQL_TEXT_REPETITION = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         {O.sql_repetition_ratio('text', 3)} AS rep3_ratio
+  FROM documents
+)
+SELECT doc_id, source, rep3_ratio, rep3_ratio >= {REPETITION_FLAG} AS flagged
+FROM r
+"""
+
+
+# Target domain-mixture weights: share_i = w_i / Σw. A tiny dims table —
+# at 100 TB this is the canonical broadcast-join side.
+DOMAIN_MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
+_DOMAIN_MIX_TOTAL_W = sum(DOMAIN_MIX_WEIGHTS.values())
+
+
+def q_pipe_domain_mix(spark, sf):
+    """Domain-mixture reweighting — given target corpus shares per
+    source (the dims table above), compute each source's sampling rate
+    so the mixture of the sampled corpus approaches the target:
+    rate = min(1, target_share · total / n_source). Rates cap at 1
+    (a source can't be oversampled by dropping rows — those need epoch
+    repeats, visible as rate == 1 with share · total > n_source).
+
+    Scale shape: one scan for per-source counts (map-side partial agg),
+    then broadcast joins of two tiny frames — no full-table shuffle."""
+    d = _t(spark, sf, "documents")
+    tgt = spark.createDataFrame(
+        sorted(DOMAIN_MIX_WEIGHTS.items()), "source string, w long"
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    total = counts.agg(F.sum("n_src").cast("long").alias("n_total"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("w") / F.lit(float(_DOMAIN_MIX_TOTAL_W)))
+        * F.col("n_total")
+        / F.col("n_src"),
+    )
+    return (
+        counts.join(F.broadcast(tgt), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.col("n_src").cast("long").alias("n_docs"),
+            F.round(F.col("w") / F.lit(float(_DOMAIN_MIX_TOTAL_W)), 6).alias(
+                "target_share"
+            ),
+            F.round(rate, 6).alias("sample_rate"),
+            F.floor(rate * F.col("n_src")).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def _sql_pipe_domain_mix() -> str:
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(DOMAIN_MIX_WEIGHTS.items())
+    )
+    tw = float(_DOMAIN_MIX_TOTAL_W)
+    rate = f"least(1.0, (w / {tw}) * n_total / n_src)"
+    return f"""
+WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+t AS (SELECT * FROM (VALUES {values}) AS t(source, w)),
+n AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total FROM c)
+SELECT c.source,
+       CAST(n_src AS BIGINT) AS n_docs,
+       round(w / {tw}, 6) AS target_share,
+       round({rate}, 6) AS sample_rate,
+       CAST(floor({rate} * n_src) AS BIGINT) AS n_sampled
+FROM c JOIN t USING (source) CROSS JOIN n
+"""
+
+
+SQL_PIPE_DOMAIN_MIX = _sql_pipe_domain_mix()
+
+
+N_SHUFFLE_SHARDS = 8
+_SHUFFLE_SALT = "shuf42:"
+
+
+def q_pipe_shuffle_shards(spark, sf):
+    """Deterministic global shuffle for training — every document gets a
+    reproducible pseudo-random position: h = hash60(salt ‖ doc_id),
+    shard = h mod N, pos = rank of h within the shard. Engine-portable
+    (md5 arithmetic, no RNG state), stable under repartitioning — rerun
+    on any cluster layout, same order.
+
+    Scale shape: the window per shard means parallelism = shard count,
+    so N_SHUFFLE_SHARDS is sized well above the executor count at scale
+    (8 here only to keep oracle output small); the equivalent writer-side
+    formulation is repartitionByRange(h) + sortWithinPartitions(h) —
+    same keys, no global sort."""
+    from vector_lake_spark.functions.text import token_hash60
+
+    d = _t(spark, sf, "documents")
+    h = token_hash60(F.concat(F.lit(_SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(N_SHUFFLE_SHARDS)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+SQL_PIPE_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id,
+         {O.sql_token_hash60(f"concat('{_SHUFFLE_SALT}', CAST(doc_id AS VARCHAR))")} AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY h % {N_SHUFFLE_SHARDS} ORDER BY h, doc_id
+         ) AS BIGINT) AS pos
+FROM h
+"""
+
+
 EVAL_HOLDOUT_MOD = 23  # doc_id % 23 == 0 → held-out eval set (~4%)
 CONTAMINATION_JACCARD = 0.5
 
@@ -2910,6 +3101,10 @@ _BASE_QUERIES = {
     "pipe_contamination": q_pipe_contamination,
     "pipe_stratified_sample": q_pipe_stratified_sample,
     "vec_semantic_dedup": q_vec_semantic_dedup,
+    "text_redact_pii": q_text_redact_pii,
+    "text_repetition": q_text_repetition,
+    "pipe_domain_mix": q_pipe_domain_mix,
+    "pipe_shuffle_shards": q_pipe_shuffle_shards,
     "text_length_histogram": q_text_length_histogram,
     "profile_documents": q_profile_documents,
     "q1_pricing": q_q1_pricing,
@@ -3033,6 +3228,10 @@ ORACLES = {
     "pipe_contamination": SQL_PIPE_CONTAMINATION,
     "pipe_stratified_sample": SQL_PIPE_STRATIFIED_SAMPLE,
     "vec_semantic_dedup": SQL_VEC_SEMANTIC_DEDUP,
+    "text_redact_pii": SQL_TEXT_REDACT_PII,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "pipe_domain_mix": SQL_PIPE_DOMAIN_MIX,
+    "pipe_shuffle_shards": SQL_PIPE_SHUFFLE_SHARDS,
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
     "profile_documents": SQL_PROFILE_DOCUMENTS,
     "q1_pricing": SQL_Q1_PRICING,
