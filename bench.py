@@ -55,6 +55,7 @@ HEADLINE = [
     "q1_pricing",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q7_nation_volume",
     "q13_customer_distribution",
     "q18_large_orders",
     "agg_rollup",

@@ -454,3 +454,51 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # inner stream-stream join with availableNow emits matched pairs as
     # watermarks allow; the final result must equal the batch join
     assert got == want
+
+
+def test_redact_pii_edge_cases(spark):
+    from vector_lake_spark.functions.text import (
+        pii_email_count,
+        pii_phone_count,
+        redact_pii,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("clean text no pii here",),
+        ("two mails a@b.com and c.d+x@sub.example.org in one doc",),
+        ("call 555-1234 or 555-9876 now",),
+        ("mixed bob@x.io then 123-4567 done",),
+        ("not-a-phone 12-3456 and 1234-567 stay",),
+    ]
+    df = spark.createDataFrame(rows, "t string").select(
+        pii_email_count(F.col("t")).alias("e"),
+        pii_phone_count(F.col("t")).alias("p"),
+        redact_pii(F.col("t")).alias("r"),
+    )
+    got = df.collect()
+    assert [(r.e, r.p) for r in got] == [(0, 0), (2, 0), (0, 2), (1, 1), (0, 0)]
+    assert got[0].r == "clean text no pii here"
+    assert got[1].r == "two mails [EMAIL] and [EMAIL] in one doc"
+    assert got[2].r == "call [PHONE] or [PHONE] now"
+    assert got[3].r == "mixed [EMAIL] then [PHONE] done"
+    assert got[4].r == "not-a-phone 12-3456 and 1234-567 stay"
+
+
+def test_repetition_ratio_bounds(spark):
+    from vector_lake_spark.functions.text import repetition_ratio
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a b",),                       # shorter than n -> 0.0
+        ("a b c d e f g",),             # all 3-grams distinct -> 0.0
+        ("x y z x y z x y z x y z",),   # heavy repetition -> high ratio
+    ]
+    df = spark.createDataFrame(rows, "t string").select(
+        repetition_ratio(F.col("t"), 3).alias("r")
+    )
+    vals = [r.r for r in df.collect()]
+    assert vals[0] == 0.0
+    assert vals[1] == 0.0
+    # 12 tokens -> 10 grams, 3 distinct -> 0.7
+    assert abs(vals[2] - 0.7) < 1e-9

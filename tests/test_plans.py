@@ -179,3 +179,26 @@ def test_shuffle_shards_single_exchange(spark):
     df = Q.q_pipe_shuffle_shards(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q7_broadcasts_both_nation_lookups(spark):
+    df = Q.q_q7_nation_volume(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q16_anti_join_and_broadcast_part(spark):
+    df = Q.q_q16_supplier_variety(spark, SF)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+
+
+def test_q22_pushes_dormancy_date_to_orders_scan(spark):
+    df = Q.q_q22_idle_balance(spark, SF)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan
+    pushed_sections = [
+        seg.split("\n")[0] for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert any("o_orderdate" in seg for seg in pushed_sections), pushed_sections

@@ -1825,6 +1825,138 @@ GROUP BY n_name
 """
 
 
+def q_q7_nation_volume(spark, sf):
+    """TPC-H Q7 shape (volume shipping): revenue between two nations in
+    both directions, by ship year. Two independent nation lookups on one
+    fact scan — both broadcast (25-row dim); the only big shuffle is the
+    final 3-key aggregate, partial map-side."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf, "nation")
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_n), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cust_n), cust.c_nationkey == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+SQL_Q7_NATION_VOLUME = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_q16_supplier_variety(spark, sf):
+    """TPC-H Q16 shape (supplier variety): distinct suppliers per
+    (brand, type, size), excluding a NOT-IN supplier set (negative
+    account balance stands in for the complaints filter; lineitem is the
+    part↔supplier bridge — the testdata has no partsupp). The excluded
+    set is a broadcast anti-join; count(DISTINCT) shuffles only the
+    group keys + suppkey."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    bad_supp = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad_supp, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_q22_idle_balance(spark, sf):
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and no orders SINCE the cutoff
+    (dormant accounts), counted per market segment (stands in for the
+    phone country code). The average is a broadcast single-row
+    aggregate; the dormancy test a left-anti join against the *filtered*
+    order keys (the date predicate pushes down to the orders scan) — at
+    100 TB neither moves the fact table more than once."""
+    cust = _t(spark, sf, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    has_orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(has_orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_Q22_IDLE_BALANCE = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
 def q_q6_forecast_revenue(spark, sf):
     # TPC-H Q6 shape: highly selective scan-side predicates → single sum.
     # All three filters reach the parquet reader (PushedFilters).
@@ -3112,6 +3244,9 @@ _BASE_QUERIES = {
     "q3_top_orders": q_q3_top_orders,
     "q4_late_orders": q_q4_late_orders,
     "q5_nation_revenue": q_q5_nation_revenue,
+    "q7_nation_volume": q_q7_nation_volume,
+    "q16_supplier_variety": q_q16_supplier_variety,
+    "q22_idle_balance": q_q22_idle_balance,
     "q13_customer_distribution": q_q13_customer_distribution,
     "q17_small_qty_revenue": q_q17_small_qty_revenue,
     "q18_large_orders": q_q18_large_orders,
@@ -3239,6 +3374,9 @@ ORACLES = {
     "q3_top_orders": SQL_Q3_TOP_ORDERS,
     "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "q5_nation_revenue": SQL_Q5_NATION_REVENUE,
+    "q7_nation_volume": SQL_Q7_NATION_VOLUME,
+    "q16_supplier_variety": SQL_Q16_SUPPLIER_VARIETY,
+    "q22_idle_balance": SQL_Q22_IDLE_BALANCE,
     "q13_customer_distribution": SQL_Q13_CUSTOMER_DISTRIBUTION,
     "q17_small_qty_revenue": SQL_Q17_SMALL_QTY_REVENUE,
     "q18_large_orders": SQL_Q18_LARGE_ORDERS,
