@@ -502,3 +502,31 @@ def test_repetition_ratio_bounds(spark):
     assert vals[1] == 0.0
     # 12 tokens -> 10 grams, 3 distinct -> 0.7
     assert abs(vals[2] - 0.7) < 1e-9
+
+
+def test_redact_spark_matches_python_mirror(spark):
+    """Java regex (Spark codegen) and Python re agree on the restricted
+    pattern constructs — the same contract the DuckDB (RE2) oracle relies
+    on, checked on adversarial inputs: placeholders, partial matches,
+    phone-digits inside an email local part, concatenations."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.functions.text import EMAIL_RE, PHONE_RE, redact_pii
+
+    corpus = [
+        "a@b.co", "x.y+z@sub.example.org mid 555-1234 end",
+        "[EMAIL] already", "[PHONE] already", "555-1234@x.co",
+        "a@b.co555-1234", "no pii at all", "a@b", "12-3456 1234-567",
+        "double a@b.co c@d.org", "555-1234 123-4567",
+    ]
+    email, phone = re.compile(EMAIL_RE), re.compile(PHONE_RE)
+    expected = [phone.sub("[PHONE]", email.sub("[EMAIL]", t)) for t in corpus]
+    got = [
+        r.r
+        for r in spark.createDataFrame([(t,) for t in corpus], "t string")
+        .select(redact_pii(F.col("t")).alias("r"))
+        .collect()
+    ]
+    assert got == expected

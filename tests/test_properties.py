@@ -176,3 +176,51 @@ def test_interval_join_matches_bruteforce_random(spark):
         if k == ik and s <= t <= e
     }
     assert got == want
+
+
+# --- PII scrub pattern contract -------------------------------------------
+# The patterns restrict themselves to constructs Java regex, RE2 (DuckDB)
+# and Python `re` all implement identically (classes, bounded repetition,
+# \d, ASCII \b), so a Python mirror is a faithful kernel for properties.
+import re
+
+from vector_lake_spark.functions.text import EMAIL_RE, PHONE_RE
+
+_EMAIL = re.compile(EMAIL_RE)
+_PHONE = re.compile(PHONE_RE)
+
+
+def _redact_py(t: str) -> str:
+    return _PHONE.sub("[PHONE]", _EMAIL.sub("[EMAIL]", t))
+
+
+_pii_fragments = st.lists(
+    st.one_of(
+        st.text(max_size=12),
+        st.sampled_from(
+            [
+                "a@b.co", "x.y+z@sub.example.org", "555-1234", "123-4567",
+                "[EMAIL]", "[PHONE]", "@", ".com", "555-", "-1234",
+                "a@b", "12-3456", "555-1234@x.co", "a@b.co555-1234",
+            ]
+        ),
+    ),
+    max_size=12,
+).map(" ".join)
+
+
+@given(_pii_fragments)
+@settings(max_examples=300, deadline=None)
+def test_redact_idempotent(text):
+    """One scrub is a fixed point: the placeholders contain no '@' and no
+    digits, so they can never re-match either pattern."""
+    once = _redact_py(text)
+    assert _redact_py(once) == once
+
+
+@given(_pii_fragments)
+@settings(max_examples=300, deadline=None)
+def test_redact_removes_all_matches(text):
+    scrubbed = _redact_py(text)
+    assert not _EMAIL.search(scrubbed)
+    assert not _PHONE.search(scrubbed)
