@@ -156,11 +156,13 @@ def test_redact_pii_is_single_scan_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
-def test_repetition_is_single_scan_no_shuffle(spark):
-    """Dup-n-gram ratio is per-row array arithmetic — no shuffle."""
+def test_repetition_no_hash_shuffle(spark):
+    """Dup-n-gram ratio is per-row array arithmetic — never a hash
+    shuffle; the only allowed exchange is the round-robin input spread
+    (a local-mode artifact knob, free on many-file inputs)."""
     df = Q.q_text_repetition(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_domain_mix_broadcasts_dims(spark):

@@ -1365,11 +1365,13 @@ def q_text_repetition(spark, sf):
     """Within-document repetitiousness (Gopher-style quality signal):
     duplicate 3-gram fraction per document, plus the filter flag. Catches
     boilerplate/template spam that exact and near dedup both miss (the
-    duplication is *inside* one document). Pure column expressions,
-    single scan, no shuffle."""
+    duplication is *inside* one document). Pure column expressions —
+    no hash shuffle ever; the round-robin repartition only spreads the
+    gram-building across cores for a single-file local source (SCALE.md
+    "known local-mode artifacts") and disappears on a many-file input."""
     from vector_lake_spark.functions.text import repetition_ratio
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text").repartition(32)
     return d.select(
         "doc_id",
         "source",
