@@ -65,6 +65,7 @@ HEADLINE = [
     "ev_tumbling",
     "ev_sliding",
     "ev_sessionize",
+    "ev_gapfill_locf",
     "mm_binary_stats",
 ]
 

@@ -2989,6 +2989,69 @@ def q_token_count_salted(spark, sf):
 SQL_TOKEN_COUNT_SALTED = SQL_TEXT_TOKEN_TOP20
 
 
+def q_ev_gapfill_locf(spark, sf):
+    """Time-series gap-fill: a dense per-(user, day) spine over the whole
+    event range, last-observation-carried-forward for days with no
+    events — the regularization step before any per-entity time-series
+    model. A day's value is its LAST event's (max event_id — unique, so
+    fully deterministic); `is_gap` marks filled rows; leading days before
+    a user's first event stay NULL.
+
+    Scale shape: the daily agg shuffles (user, day) partial-agg rows; the
+    spine is a narrow explode against broadcast global bounds (never a
+    range-join); LOCF is one window shuffle on user_id — output size is
+    inherently users × days, the operator's contract."""
+    ev = _events(spark, sf)
+    day = _epoch_day(F.col("ts"))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.max_by("value", "event_id").alias("day_value")
+    )
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("long").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+SQL_EV_GAPFILL_LOCF = f"""
+WITH d AS (
+  SELECT user_id, {O.sql_epoch_day('ts')} AS day,
+         arg_max(value, event_id) AS day_value
+  FROM events GROUP BY user_id, {O.sql_epoch_day('ts')}
+),
+b AS (SELECT min({O.sql_epoch_day('ts')}) AS d0,
+             max({O.sql_epoch_day('ts')}) AS d1 FROM events),
+u AS (SELECT DISTINCT user_id FROM d),
+s AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM u CROSS JOIN b)
+SELECT s.user_id,
+       CAST(s.day AS BIGINT) AS day,
+       last_value(day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       day_value IS NULL AS is_gap
+FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
 def q_ev_json_extract(spark, sf):
     # semi-structured path: pull a typed field out of the JSON props column
     ev = _events(spark, sf)
@@ -3261,6 +3324,7 @@ _BASE_QUERIES = {
     "brand_revenue": q_brand_revenue,
     "distinct_customers_by_status": q_distinct_customers_by_status,
     "ev_json_extract": q_ev_json_extract,
+    "ev_gapfill_locf": q_ev_gapfill_locf,
     "ev_variant_extract": q_ev_variant_extract,
     "ev_asof_join": q_ev_asof_join,
     "ev_funnel": q_ev_funnel,
@@ -3391,6 +3455,7 @@ ORACLES = {
     "brand_revenue": SQL_BRAND_REVENUE,
     "distinct_customers_by_status": SQL_DISTINCT_CUSTOMERS_BY_STATUS,
     "ev_json_extract": SQL_EV_JSON_EXTRACT,
+    "ev_gapfill_locf": SQL_EV_GAPFILL_LOCF,
     "ev_variant_extract": SQL_EV_VARIANT_EXTRACT,
     "ev_asof_join": SQL_EV_ASOF_JOIN,
     "ev_funnel": SQL_EV_FUNNEL,
