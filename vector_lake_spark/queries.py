@@ -3052,6 +3052,38 @@ FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
 """
 
 
+def q_ev_ohlc_daily(spark, sf):
+    """Daily OHLC bars per event type — the canonical time-series
+    downsample (open/close = value of the day's first/last event by the
+    unique event_id, so fully deterministic; high/low/volume standard).
+    One groupBy with map-side partial aggregation; shuffled state is one
+    small row per (type, day) regardless of event volume."""
+    ev = _events(spark, sf)
+    day = _epoch_day(F.col("ts"))
+    return ev.groupBy("event_type", day.alias("day")).agg(
+        F.min_by("value", "event_id").alias("open_v"),
+        F.round(F.max("value"), 2).alias("high_v"),
+        F.round(F.min("value"), 2).alias("low_v"),
+        F.max_by("value", "event_id").alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("volume"),
+    )
+
+
+SQL_EV_OHLC_DAILY = f"""
+SELECT event_type,
+       {O.sql_epoch_day('ts')} AS day,
+       arg_min(value, event_id) AS open_v,
+       round(max(value), 2) AS high_v,
+       round(min(value), 2) AS low_v,
+       arg_max(value, event_id) AS close_v,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS volume
+FROM events
+GROUP BY event_type, {O.sql_epoch_day('ts')}
+"""
+
+
 def q_ev_json_extract(spark, sf):
     # semi-structured path: pull a typed field out of the JSON props column
     ev = _events(spark, sf)
@@ -3325,6 +3357,7 @@ _BASE_QUERIES = {
     "distinct_customers_by_status": q_distinct_customers_by_status,
     "ev_json_extract": q_ev_json_extract,
     "ev_gapfill_locf": q_ev_gapfill_locf,
+    "ev_ohlc_daily": q_ev_ohlc_daily,
     "ev_variant_extract": q_ev_variant_extract,
     "ev_asof_join": q_ev_asof_join,
     "ev_funnel": q_ev_funnel,
@@ -3456,6 +3489,7 @@ ORACLES = {
     "distinct_customers_by_status": SQL_DISTINCT_CUSTOMERS_BY_STATUS,
     "ev_json_extract": SQL_EV_JSON_EXTRACT,
     "ev_gapfill_locf": SQL_EV_GAPFILL_LOCF,
+    "ev_ohlc_daily": SQL_EV_OHLC_DAILY,
     "ev_variant_extract": SQL_EV_VARIANT_EXTRACT,
     "ev_asof_join": SQL_EV_ASOF_JOIN,
     "ev_funnel": SQL_EV_FUNNEL,
