@@ -530,3 +530,34 @@ def test_redact_spark_matches_python_mirror(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_last_driver_rounds_counts_only_passing_rows(tmp_path):
+    """Rotation staleness must treat failed driver rows as never-verified.
+
+    A row with err set or hash_match false would otherwise rotate a broken
+    query out of the driver's window and leave it unre-checked for rounds.
+    """
+    import json
+
+    from vector_lake_spark.queries import _last_driver_rounds
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "good_old": {"hash_match": True, "rows_match": True, "err": None},
+        "rows_only": {"hash_match": False, "rows_match": True, "err": None},
+        "broken": {"hash_match": False, "rows_match": False, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "good_old": {"hash_match": True, "rows_match": True, "err": None},
+        "errored": {"hash_match": True, "rows_match": True, "err": "boom"},
+        "hash_bad": {"hash_match": False, "rows_match": True, "err": None},
+        "not_a_row": "garbage",
+    }))
+
+    rounds = _last_driver_rounds(root=str(tmp_path))
+    assert rounds["good_old"] == 2
+    assert rounds["rows_only"] == 1  # rows-only pass still counts
+    assert rounds["hash_bad"] == 2  # rows matched, no err
+    assert "broken" not in rounds  # nothing matched -> sorts first
+    assert "errored" not in rounds  # err set -> failure, sorts first
+    assert "not_a_row" not in rounds

@@ -3388,19 +3388,27 @@ _BASE_QUERIES = {
     "ann_ivf_stored": q_ann_ivf_stored,
 }
 
-# Round of each query's newest driver CORRECTNESS row, derived from the
-# CORRECTNESS_r{N}.json files the external driver writes at the repo root
+# Round of each query's newest PASSING driver CORRECTNESS row, derived from
+# the CORRECTNESS_r{N}.json files the external driver writes at the repo root
 # (absent from every file = never checked -> sorts first).  Reading the
 # files directly makes the rotation self-maintaining: when a new round's
 # file lands, the next import re-ranks automatically.
-def _last_driver_rounds() -> dict:
+#
+# Only rows that actually passed count as verification: hash_match true, or
+# rows_match true with no error.  A row with err set or hash_match false is
+# a FAILURE, not a verification -- counting it would rotate a broken query
+# out of the driver's window and leave it unre-checked for many rounds.
+# Failed / no-oracle rows therefore contribute nothing (round 0) and keep
+# sorting to the front until they go green.
+def _last_driver_rounds(root: str | None = None) -> dict:
     import glob
     import json
     import os
     import re
 
     rounds: dict = {}
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -3408,9 +3416,16 @@ def _last_driver_rounds() -> dict:
         rnd = int(m.group(1))
         try:
             with open(path) as f:
-                for name in json.load(f):
-                    rounds[name] = max(rounds.get(name, 0), rnd)
-        except (OSError, ValueError):
+                for name, row in json.load(f).items():
+                    if not isinstance(row, dict):
+                        continue
+                    passed = row.get("err") is None and (
+                        row.get("hash_match") is True
+                        or row.get("rows_match") is True
+                    )
+                    if passed:
+                        rounds[name] = max(rounds.get(name, 0), rnd)
+        except (OSError, ValueError, AttributeError):
             continue
     return rounds
 
