@@ -561,3 +561,16 @@ def test_last_driver_rounds_counts_only_passing_rows(tmp_path):
     assert "broken" not in rounds  # nothing matched -> sorts first
     assert "errored" not in rounds  # err set -> failure, sorts first
     assert "not_a_row" not in rounds
+
+
+def test_event_loading_mutates_no_session_conf(spark):
+    """Event sources must be pure expressions — the old runtime
+    ``nanosAsLong`` toggle mutated the caller's session for every later
+    parquet read (r03 ADVICE) and is inert on this engine anyway."""
+    from vector_lake_spark.queries import _events
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(conf_key, None)
+    df = _events(spark, "/root/testdata/sf0.001")
+    assert dict(df.dtypes)["ts"] == "timestamp"  # LTZ, watermark-compatible
+    assert spark.conf.get(conf_key, None) == before

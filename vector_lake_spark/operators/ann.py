@@ -23,9 +23,13 @@ from functools import reduce
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from vector_lake_spark.functions.vectors import to_double_array
+from vector_lake_spark.functions.vectors import (
+    l2_distance,
+    lit_vector,
+    to_double_array,
+)
 from vector_lake_spark.operators import lsh as lsh_mod
-from vector_lake_spark.operators.topk import topk_cosine
+from vector_lake_spark.operators.topk import SCORE_DECIMALS, topk_cosine
 
 
 def _fs_path(spark, path_str: str):
@@ -219,6 +223,62 @@ def lsh_neardup_pairs(
     )
 
 
+def assign_centroid_expr(vec: "F.Column", centroids: list[list[float]]) -> "F.Column":
+    """Nearest-centroid id as a pure column expression — no ML at query time.
+
+    With a pinned codebook (``operators/ivf_centroids.IVF_CENTROIDS``,
+    fitted once offline by ``scripts/fit_ivf_centroids.py``) assignment is
+    just an argmin over k literal distances, which Catalyst keeps inside
+    whole-stage codegen. Distances round to ``SCORE_DECIMALS`` before the
+    argmin and ties take the lowest centroid id, so the rule is
+    engine-independent and the DuckDB oracle (``ivf_assign_sql``) computes
+    the identical assignment — this is what makes the IVF queries
+    hash-checkable. At 100 TB this is the standard IVF posture: fit on a
+    sample once, assign/probe with a fixed codebook forever (one scan,
+    k·dim fused multiply-adds per row, no shuffle)."""
+    dists = F.array(
+        *[
+            F.round(l2_distance(vec, lit_vector(c)), SCORE_DECIMALS)
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def nearest_centroids(
+    query: Sequence[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Probe set: the ``nprobe`` centroids nearest the query, under the SAME
+    rounded-distance + lowest-id tie rule as ``assign_centroid_expr`` —
+    driver-side constants (the codebook is tiny), identical in both engines
+    because the oracle SQL inlines the ids this function returns."""
+    import math
+
+    q = [float(x) for x in query]
+    dists = [
+        (
+            round(math.sqrt(sum((a - b) * (a - b) for a, b in zip(q, c))), SCORE_DECIMALS),
+            i,
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(dists)[:nprobe]]
+
+
+def ivf_assign_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """DuckDB expression mirroring ``assign_centroid_expr`` exactly:
+    rounded L2 to each pinned centroid, argmin, first index on ties
+    (``list_position`` returns the first match)."""
+    dim = len(centroids[0])
+    cs = "[" + ", ".join(lsh_mod.sql_lit_list(c) for c in centroids) + "]"
+    dists = (
+        f"list_transform({cs}, c -> round(sqrt(list_sum("
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> ({vec_sql}[i] - c[i]) * ({vec_sql}[i] - c[i])))), {SCORE_DECIMALS}))"
+    )
+    return f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT)"
+
+
 def ivf_build(
     df: DataFrame,
     n_centroids: int = 16,
@@ -262,9 +322,7 @@ def ivf_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest centroid partitions, exact re-rank."""
-    q = np.asarray(query, dtype=np.float64)
-    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
-    probe_ids = list(np.argsort(dists)[:nprobe])
+    probe_ids = nearest_centroids(query, centroids, nprobe)
     pruned = assigned_df.filter(F.col("centroid_id").isin([int(i) for i in probe_ids]))
     return topk_cosine(pruned, query, k, vec_col=vec_col, id_col=id_col)
 
@@ -314,16 +372,27 @@ class IVFIndex:
         id_col: str = "vec_id",
         seed: int = 42,
         sample_fraction: float | None = None,
+        centroids: list[list[float]] | None = None,
     ) -> "IVFIndex":
+        """Build the partitioned index. Pass ``centroids`` to skip the
+        iterative fit entirely and assign with the pure-expression argmin
+        (``assign_centroid_expr``) — the deterministic, oracle-checkable
+        path used by the registry's ``ann_ivf_stored``."""
         import json
 
-        assigned, centroids = ivf_build(
-            df,
-            n_centroids=n_centroids,
-            vec_col=vec_col,
-            seed=seed,
-            sample_fraction=sample_fraction,
-        )
+        if centroids is not None:
+            assigned = df.withColumn(
+                "centroid_id",
+                assign_centroid_expr(to_double_array(F.col(vec_col)), centroids),
+            )
+        else:
+            assigned, centroids = ivf_build(
+                df,
+                n_centroids=n_centroids,
+                vec_col=vec_col,
+                seed=seed,
+                sample_fraction=sample_fraction,
+            )
         (
             assigned.select(id_col, vec_col, "centroid_id")
             # cluster rows by centroid so each partition dir gets one file

@@ -402,7 +402,7 @@ def minhash_neardup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    parallelism: int = 32,
+    parallelism: int | None = None,
 ):
     """MinHash+LSH approximate Jaccard similarity join (Spark ML banding) —
     the sub-quadratic scale path. Deterministic given the seed. Returns
@@ -420,7 +420,9 @@ def minhash_neardup_pairs(
             F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("grams")
         )
         .filter(F.size("grams") > 0)
-        .repartition(parallelism)
+        # width defaults to the cluster's core count — a fixed literal
+        # would cap a 1000-core cluster (r03 verdict #4)
+        .repartition(parallelism or df.sparkSession.sparkContext.defaultParallelism)
     )
     tf = HashingTF(
         inputCol="grams", outputCol="features", binary=True, numFeatures=1 << 20
@@ -522,7 +524,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    parallelism: int = 32,
+    parallelism: int | None = None,
     max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs (a < b, sim ≥ threshold).
@@ -554,7 +556,9 @@ def embedding_neardup_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         to_double_array(F.col(vec_col)).alias("va"),
-    ).withColumn("na", norm(F.col("va"))).repartition(parallelism)
+    ).withColumn(
+        "na", norm(F.col("va"))
+    ).repartition(parallelism or df.sparkSession.sparkContext.defaultParallelism)
     b = df.select(
         F.col(id_col).alias("id_b"),
         to_double_array(F.col(vec_col)).alias("vb"),

@@ -82,6 +82,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _auto_spread_n(spark: SparkSession, df: DataFrame) -> int | None:
+    """Round-robin fan-out width for a narrow local source, or ``None``.
+
+    A single-file parquet scan runs every downstream narrow expression
+    (shingling, regex, vector math) in ONE task — a local-mode artifact
+    (SCALE.md). Spreading fixes that, but a fixed width of 32 becomes a
+    parallelism CAP on a big cluster (r03 verdict #4). Gate on the scan's
+    file count: once the table has at least ``defaultParallelism`` input
+    files (any production table), this returns None and NO exchange is
+    added — the cluster-scale plan stays shuffle-free."""
+    p = spark.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= p:
+            return None
+    except Exception:
+        return None
+    return p
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_lake_spark.sources import load_events
 
@@ -597,12 +616,13 @@ GROUP BY fp
 
 
 def q_dedup_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"),
+        d,
         n=3,
         threshold=JACCARD_THRESHOLD,
         max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
-        repartition_input=32,
+        repartition_input=_auto_spread_n(spark, d),
     )
 
 
@@ -638,7 +658,7 @@ def q_dedup_clusters(spark, sf):
         n=3,
         threshold=JACCARD_THRESHOLD,
         max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
-        repartition_input=32,
+        repartition_input=_auto_spread_n(spark, d),
     )
     return connected_components(pairs, d)
 
@@ -857,9 +877,8 @@ def q_dedup_minhash(spark, sf):
 def q_dedup_minhash_native(spark, sf):
     from vector_lake_spark.operators.dedup import minhash_native_pairs
 
-    return minhash_native_pairs(
-        _t(spark, sf, "documents"), repartition_input=32
-    )
+    d = _t(spark, sf, "documents")
+    return minhash_native_pairs(d, repartition_input=_auto_spread_n(spark, d))
 
 
 def _sql_dedup_minhash_native() -> str:
@@ -909,14 +928,46 @@ SQL_DEDUP_MINHASH_NATIVE = _sql_dedup_minhash_native()
 
 
 def q_ann_ivf_topk(spark, sf):
-    # IVF (seeded k-means centroids → probe nearest partitions → exact
-    # re-rank). Iterative ML training isn't SQL-expressible → rows-only.
-    from vector_lake_spark.operators.ann import ivf_build, ivf_topk
-
-    assigned, centroids = ivf_build(
-        _t(spark, sf, "embeddings"), n_centroids=16
+    """IVF with the pinned codebook: expression argmin assignment → probe
+    the 4 nearest centroids (driver-side constants) → exact cosine
+    re-rank. The iterative k-means fit is offline
+    (``scripts/fit_ivf_centroids.py``); with centroids frozen as literals
+    the whole query is deterministic SQL → hash-checked against
+    ``SQL_ANN_IVF`` (closes the r03 verdict's top evidence gap)."""
+    from vector_lake_spark.operators.ann import (
+        assign_centroid_expr,
+        nearest_centroids,
     )
-    return ivf_topk(assigned, centroids, QUERY_VEC, K, nprobe=4)
+    from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    emb = _t(spark, sf, "embeddings")
+    assigned = emb.withColumn(
+        "centroid_id",
+        assign_centroid_expr(to_double_array(F.col("embedding")), IVF_CENTROIDS),
+    )
+    probes = nearest_centroids(QUERY_VEC, IVF_CENTROIDS, nprobe=4)
+    return topk_cosine(assigned.filter(F.col("centroid_id").isin(probes)), QUERY_VEC, K)
+
+
+def _sql_ann_ivf() -> str:
+    from vector_lake_spark.operators.ann import ivf_assign_sql, nearest_centroids
+    from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    probes = ", ".join(
+        str(i) for i in nearest_centroids(QUERY_VEC, IVF_CENTROIDS, nprobe=4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {EMB} AS v FROM embeddings),
+a AS (SELECT vec_id, v, {ivf_assign_sql('v', IVF_CENTROIDS)} AS centroid_id FROM e)
+SELECT vec_id, round(list_cosine_similarity(v, {QV}), 6) AS score
+FROM a
+WHERE centroid_id IN ({probes})
+ORDER BY score DESC, vec_id
+LIMIT {K}
+"""
+
+
+SQL_ANN_IVF = _sql_ann_ivf()
 
 
 # ---------------------------------------------------------------------------
@@ -1365,13 +1416,16 @@ def q_text_repetition(spark, sf):
     """Within-document repetitiousness (Gopher-style quality signal):
     duplicate 3-gram fraction per document, plus the filter flag. Catches
     boilerplate/template spam that exact and near dedup both miss (the
-    duplication is *inside* one document). Pure column expressions —
-    no hash shuffle ever; the round-robin repartition only spreads the
-    gram-building across cores for a single-file local source (SCALE.md
-    "known local-mode artifacts") and disappears on a many-file input."""
+    duplication is *inside* one document). Pure column expressions — no
+    hash shuffle; the ``_auto_spread_n`` round-robin exchange exists only
+    for a narrow single-file local source (SCALE.md "known local-mode
+    artifacts") and is skipped entirely on a many-file input."""
     from vector_lake_spark.functions.text import repetition_ratio
 
-    d = _t(spark, sf, "documents").select("doc_id", "source", "text").repartition(32)
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        d = d.repartition(spread)
     return d.select(
         "doc_id",
         "source",
@@ -1515,10 +1569,14 @@ def q_pipe_contamination(spark, sf):
     stopword-shingle cap applied to both sides."""
     from vector_lake_spark.operators.dedup import shingles
 
-    # repartition before the shingle explode: a single parquet file would
+    # spread before the shingle explode: a single parquet file would
     # otherwise run the whole tokenize+shingle pass on one core (same
-    # local-mode artifact as dedup_ngram_jaccard — SCALE.md)
-    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(32)
+    # local-mode artifact as dedup_ngram_jaccard — SCALE.md); skipped on
+    # many-file inputs so no width caps a big cluster
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        d = d.repartition(spread)
     sh = (
         d.select(
             "doc_id",
@@ -2618,20 +2676,16 @@ def q_ev_stream_tumbling(spark, sf):
     the events table, run bounded with availableNow + complete output.
     The oracle is the same SQL that checks the batch op — a green row
     proves the streaming module computes identical window semantics."""
+    from vector_lake_spark.sources import normalize_event_ts
     from vector_lake_spark.streaming.events import stream_tumbling_agg
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
     # the file-stream source needs a directory; glob-filter to the one table
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
     agg = stream_tumbling_agg(stream)
     name = _run_stream_to_memory(agg, "complete")
     return spark.table(name).select(
@@ -2660,21 +2714,17 @@ def q_ev_stream_interval_join(spark, sf):
     the preceding 30 minutes, both sides unbounded file streams run with
     availableNow. Inner time-bounded joins emit matches eagerly, so one
     bounded run yields exactly the batch join — which is the oracle."""
+    from vector_lake_spark.sources import normalize_event_ts
     from vector_lake_spark.streaming.joins import stream_click_purchase_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
 
     def side(event_type):
-        s = (
+        s = normalize_event_ts(
             spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf)
         )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-            )
         return s.filter(F.col("event_type") == event_type)
 
     out = stream_click_purchase_join(side("click"), side("purchase"))
@@ -3209,24 +3259,30 @@ _IVF_REGISTRY_CACHE: dict = {}
 
 def q_ann_ivf_stored(spark, sf):
     # Persisted-IVF path: build once per (session, sf) into a temp dir —
-    # partitionBy(centroid_id) write — then a partition-pruned probe
-    # read. Iterative k-means isn't SQL-expressible → rows-only; the
-    # pruning plan and exactness contracts are pinned in tests/test_ivf.py.
-    # The temp dir is registered for interpreter-exit cleanup and the
-    # cache is keyed on (sf, session) explicitly, so a restarted Spark
-    # session rebuilds rather than probing a stale index (ADVICE r02).
+    # partitionBy(centroid_id) write with the PINNED codebook (no fit;
+    # expression argmin assignment) — then a partition-pruned probe read.
+    # Deterministic end-to-end, so it shares the ann_ivf_topk oracle
+    # (SQL_ANN_IVF) and is hash-checked; the pruning plan and exactness
+    # contracts stay pinned in tests/test_ivf.py. The temp dir is
+    # registered for interpreter-exit cleanup and the cache is keyed on
+    # (sf, session) explicitly, so a restarted Spark session rebuilds
+    # rather than probing a stale index (ADVICE r02).
     import atexit
     import shutil
     import tempfile
 
     from vector_lake_spark.operators.ann import IVFIndex
+    from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
 
     idx = _IVF_REGISTRY_CACHE.get((sf, id(spark)))
     if idx is None:
         tmp = tempfile.mkdtemp(prefix="ivf_registry_")
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         idx = IVFIndex.build(
-            spark, f"{tmp}/index", _t(spark, sf, "embeddings"), n_centroids=16
+            spark,
+            f"{tmp}/index",
+            _t(spark, sf, "embeddings"),
+            centroids=IVF_CENTROIDS,
         )
         _IVF_REGISTRY_CACHE[(sf, id(spark))] = idx
     return idx.topk(QUERY_VEC, K, nprobe=4)
@@ -3462,7 +3518,8 @@ ORACLES = {
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
-    # dedup_minhash (ML variant), ann_ivf_topk: rows-only by design
+    # dedup_minhash (ML variant): rows-only by design
+    "ann_ivf_topk": SQL_ANN_IVF,
     "text_stats_by_lang": SQL_TEXT_STATS_BY_LANG,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
@@ -3531,5 +3588,6 @@ ORACLES = {
     "ev_top_users": SQL_EV_TOP_USERS,
     "mm_binary_stats": SQL_MM_BINARY_STATS,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
-    # ann_ivf_stored: rows-only by design (iterative k-means build)
+    # pinned-codebook IVF is deterministic SQL → same oracle as ann_ivf_topk
+    "ann_ivf_stored": SQL_ANN_IVF,
 }

@@ -2,5 +2,6 @@ from vector_lake_spark.sources.tables import (  # noqa: F401
     TABLES,
     load_events,
     load_table,
+    normalize_event_ts,
     register_views,
 )

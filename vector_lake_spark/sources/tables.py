@@ -32,16 +32,28 @@ def load_table(spark: SparkSession, base: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, base: str) -> DataFrame:
-    """events ships TIMESTAMP(NANOS) parquet: read nanos as long
-    (runtime-settable legacy conf — works on any caller's session) and
-    floor-convert to microsecond TimestampType."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{base}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    """events ships TIMESTAMP(NANOS) parquet. Spark ≥4.1 reads nanos
+    natively as ``TIMESTAMP_NTZ`` truncated to micros; normalize to the
+    session-independent ``TIMESTAMP`` (UTC wall time → LTZ) that the
+    event operators, epoch casts, and streaming watermarks expect —
+    ``to_utc_timestamp(ts, 'UTC')`` is a pure expression, so no session
+    conf is mutated (r03 ADVICE; the old runtime ``nanosAsLong`` toggle
+    is inert on this engine anyway). Engines that surface nanos as a raw
+    bigint instead get the same floor-to-micros conversion."""
+    return normalize_event_ts(spark.read.parquet(f"{base}/events.parquet"))
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize however the engine surfaced the nanos column — works on
+    batch and streaming DataFrames alike (pure expressions only)."""
+    ts_type = dict(df.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.floor(F.col(ts_col) / 1000).cast("long"))
         )
-    return raw
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
+    return df
 
 
 def register_views(spark: SparkSession, base: str, suffix: str = "") -> None:
