@@ -314,14 +314,18 @@ SQL_VEC_NEARDUP_LSH = _sql_vec_neardup_lsh()
 def q_vec_semantic_dedup(spark, sf):
     """Composed semantic (embedding-level) dedup — the end-to-end scale
     pipeline: banded LSH near-dup pairs (bounded join keys) → connected
-    components (min-label propagation) → every vector labeled with its
-    cluster (cluster_id == surviving min id; singletons label
-    themselves). The text-side twin is dedup_clusters/dedup_keep_best;
-    this one runs on the embedding column, so it catches paraphrase-level
-    duplicates exact text hashing can't. Oracle: same banded pair set in
-    SQL + a recursive-CTE min-reachable-id."""
+    components (large-star/small-star contraction) → every vector
+    labeled with its cluster (cluster_id == surviving min id; singletons
+    label themselves). The text-side twin is dedup_clusters/
+    dedup_keep_best; this one runs on the embedding column, so it
+    catches paraphrase-level duplicates exact text hashing can't.
+    Star contraction replaced min-label propagation in r04: measured
+    faster at bench scale (4.1 vs 4.7 s warm) and diameter-independent
+    at 100 TB (SCALE.md "Connected components at depth"); labelings are
+    identical (tests/test_cc.py). Oracle: same banded pair set in SQL +
+    a recursive-CTE min-reachable-id."""
     from vector_lake_spark.operators.ann import lsh_neardup_pairs
-    from vector_lake_spark.operators.dedup import connected_components
+    from vector_lake_spark.operators.dedup import connected_components_star
 
     emb = _t(spark, sf, "embeddings")
     pairs = lsh_neardup_pairs(
@@ -331,7 +335,7 @@ def q_vec_semantic_dedup(spark, sf):
         n_bands=NEARDUP_N_BANDS,
         band_bits=NEARDUP_BAND_BITS,
     )
-    return connected_components(
+    return connected_components_star(
         pairs, emb.select("vec_id"), id_col="vec_id"
     )
 
@@ -648,9 +652,11 @@ WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= {JACCARD_THRESH
 
 def q_dedup_clusters(spark, sf):
     # near-dup PAIRS → disjoint CLUSTERS (connected components by
-    # min-label propagation) — the step between similarity join and
-    # keep-one-per-cluster dedup. Oracle: DuckDB recursive CTE.
-    from vector_lake_spark.operators.dedup import connected_components
+    # large-star/small-star contraction — diameter-safe and measured at
+    # least as fast as min-label propagation, SCALE.md r04) — the step
+    # between similarity join and keep-one-per-cluster dedup.
+    # Oracle: DuckDB recursive CTE.
+    from vector_lake_spark.operators.dedup import connected_components_star
 
     d = _t(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(
@@ -660,7 +666,7 @@ def q_dedup_clusters(spark, sf):
         max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
         repartition_input=_auto_spread_n(spark, d),
     )
-    return connected_components(pairs, d)
+    return connected_components_star(pairs, d)
 
 
 SQL_DEDUP_CLUSTERS = f"""
@@ -3195,9 +3201,13 @@ GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def q_mm_feature_extract(spark, sf):
-    # Arrow mapInPandas feature extraction over a binary payload column
-    # (multimodal plumbing; deterministic fake features stand in for the
-    # stubbed codec). Python-side transform → rows-only check.
+    """Arrow mapInPandas feature extraction over a binary payload column
+    (multimodal plumbing; the deterministic fake feature stands in for
+    the stubbed codec). The fake is pure integer arithmetic over payload
+    bytes — per lane j: (Σ bytes at positions ≡ j mod 8) mod 997 / 997 —
+    so it IS oracle-expressible (SQL_MM_FEATURE_EXTRACT hex-decodes the
+    UTF-8 blob in DuckDB); closes the r03 verdict's last feasible
+    no-oracle gap."""
     from vector_lake_spark.multimodal import extract_image_features
 
     d = _t(spark, sf, "documents")
@@ -3213,6 +3223,33 @@ def q_mm_feature_extract(spark, sf):
             "feature_sum"
         ),
     )
+
+
+SQL_MM_FEATURE_EXTRACT = """
+WITH e AS (
+  SELECT doc_id, hex(encode(coalesce(text,''))) AS hx,
+         octet_length(encode(coalesce(text,''))) AS nb
+  FROM documents
+),
+bl AS (
+  SELECT doc_id, nb,
+         list_transform(range(0, nb), i ->
+           16 * (strpos('0123456789ABCDEF', hx[2*i+1]) - 1)
+              + (strpos('0123456789ABCDEF', hx[2*i+2]) - 1)) AS bytes
+  FROM e
+),
+f AS (
+  SELECT doc_id, nb,
+         list_transform(range(0, 8), j ->
+           round((list_sum(list_transform(range(0, nb),
+                    i -> CASE WHEN i % 8 = j THEN bytes[i+1] ELSE 0 END))
+                  % 997) / 997.0, 6)) AS feature
+  FROM bl
+)
+SELECT doc_id AS media_id, CAST(nb AS BIGINT) AS n_bytes,
+       round(list_sum(feature), 6) AS feature_sum
+FROM f
+"""
 
 
 def q_mm_frame_sample(spark, sf):
@@ -3590,4 +3627,6 @@ ORACLES = {
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     # pinned-codebook IVF is deterministic SQL → same oracle as ann_ivf_topk
     "ann_ivf_stored": SQL_ANN_IVF,
+    # the deterministic byte-fold stand-in is plain integer arithmetic
+    "mm_feature_extract": SQL_MM_FEATURE_EXTRACT,
 }
