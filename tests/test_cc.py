@@ -1,0 +1,80 @@
+"""Connected-components: min-label propagation vs large-star/small-star.
+
+Propagation rounds scale with component diameter (fine for shallow
+near-dup clusters, degenerate for chains); star contraction is the
+O(log) high-diameter path. Both must produce identical
+(id, cluster_id=component min) labelings.
+"""
+
+import random
+
+import pytest
+
+from vector_lake_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _labels(df):
+    return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def _python_cc(n_nodes, edges):
+    """Reference union-find labeling (component min)."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_star_matches_propagation_random_graph(spark, seed):
+    rnd = random.Random(seed)
+    n = 200
+    edges = [
+        (rnd.randrange(n), rnd.randrange(n)) for _ in range(120)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+
+    want = _python_cc(n, edges)
+    got_prop = _labels(connected_components(pairs, nodes))
+    got_star = _labels(connected_components_star(pairs, nodes))
+    assert got_prop == want
+    assert got_star == want
+
+
+def test_star_closes_deep_chain(spark):
+    """A diameter-4096 path: propagation would need 4096 rounds (its
+    max_iter raise is the honest backstop); star contraction must close
+    it within its default 30-round budget and label every node 0."""
+    n = 4097
+    pairs = (
+        spark.range(n - 1)
+        .selectExpr("id AS id_a", "id + 1 AS id_b")
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    labels = _labels(connected_components_star(pairs, nodes))
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_propagation_raises_on_deep_chain(spark):
+    """The diameter-bound algorithm must refuse (not silently mislabel)
+    when a component is wider than its iteration budget."""
+    n = 200
+    pairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iter=10)

@@ -519,6 +519,101 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (the MapReduce CC algorithm of Kiveris et al., SoCC'14) — the
+    HIGH-DIAMETER-safe alternative to ``connected_components``.
+
+    Min-label propagation needs ``diameter`` rounds: right for near-dup
+    clusters (shallow, measured 2-4 rounds) and degenerate for chain-like
+    graphs (a path of 1M nodes would need 1M rounds). Star contraction
+    converges in O(log² n) rounds worst-case (O(log n) in practice —
+    measured: a diameter-4096 chain closes in 7 rounds, see SCALE.md),
+    at the price of ~3x the shuffles per round; every shuffled row is an
+    (int, int) edge regardless of document size.
+
+    large-star: every node's bigger neighbors re-attach to the minimum
+    of its closed neighborhood; small-star: the smaller neighbors (and
+    the node) attach to that minimum. At the fixpoint the edge set is a
+    star per component centered at the component minimum, so labels read
+    off directly — identical (id, cluster_id=component min) semantics to
+    ``connected_components``, singletons labeling themselves."""
+    u, v = F.col("u"), F.col("v")
+
+    def _canon(e):
+        return e.filter(u != v).distinct()
+
+    def large_star(e):
+        sym = e.union(e.select(v.alias("u"), u.alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least(u, F.col("mv")).alias("m"))
+        return _canon(
+            sym.join(m, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e):
+        orient = e.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).filter(u != v)
+        m = orient.groupBy("u").agg(F.min("v").alias("m"))
+        return _canon(
+            orient.join(m, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .union(m.select(u, F.col("m").alias("v")))
+        )
+
+    edges = _canon(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    def _sig(e):
+        # multiset fingerprint: (count, bounded sum of row hashes) — one
+        # cheap aggregate per round instead of a full set-difference
+        # join; hashes reduce mod 1e9 so the ANSI sum cannot overflow
+        # long below ~9e9 edges
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_000))).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = _sig(edges)
+    for rounds in range(1, max_iter + 1):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = _sig(edges)
+        if stats is not None:
+            stats["rounds"] = rounds
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iter} rounds — O(log² n) bound implies a pathological "
+            f"input; raise max_iter"
+        )
+
+    labels = (
+        edges.select(F.greatest(u, v).alias("id"), F.least(u, v).alias("cluster_id"))
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    singletons = (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("cluster_id", F.col("id"))
+    )
+    return labels.union(singletons).select(F.col("id").alias(id_col), "cluster_id")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
