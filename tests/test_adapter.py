@@ -116,3 +116,23 @@ def test_mmr_search_diversifies(spark, tmp_path):
     assert n_unique(mmr) >= 3
     # top hit is still the most relevant one
     assert "fox" in mmr[0]["page_content"]
+
+
+def test_async_wrappers(spark, tmp_path):
+    """aadd_texts / afrom_texts parity with the reference's asyncio.to_thread
+    shims (langchain/__init__.py:69-76,106-116) — closes the last L3 gap."""
+    import asyncio
+
+    from vector_lake_spark.adapter import SparkVectorLakeStore
+
+    async def drive():
+        store = await SparkVectorLakeStore.afrom_texts(
+            spark, str(tmp_path / "async_store"), ["alpha doc", "beta doc"]
+        )
+        more = await store.aadd_texts(["gamma doc"], [{"k": "v"}])
+        return store, more
+
+    store, more_ids = asyncio.run(drive())
+    assert len(more_ids) == 1
+    hits = store.similarity_search("gamma doc", k=1, n_probes=4)
+    assert hits and "gamma" in hits[0]["page_content"]

@@ -486,3 +486,29 @@ def test_partition_store_shard_delete(spark, tmp_path, rng):
     a.delete_shards(["feat_a"])
     assert a.query([0.1, 0.2, 0.3], k=5).count() == 0
     assert b.query([0.1, 0.2, 0.3], k=5).count() > 0
+
+
+def test_empty_trash_root_autocleaned(spark, tmp_path, rng):
+    """An empty {location}/_trash (abort after mkdirs, or a fully restored
+    swap) holds no stranded data — maintenance must auto-clean it and
+    proceed instead of refusing with a spurious data-loss warning
+    (r03 ADVICE)."""
+    import os
+
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    lake.add_batch((rng.rand(20, 4) - 0.5).tolist())
+    lake.persist()
+    n = lake.count()
+
+    os.makedirs(f"{loc}/_trash")
+    lake.compact()  # must not raise
+    assert not os.path.exists(f"{loc}/_trash")
+    assert lake.count() == n
+
+    # a _trash with non-shard residue but no shard_id=* data also clears
+    os.makedirs(f"{loc}/_trash")
+    open(f"{loc}/_trash/.marker", "w").close()
+    lake.compact()
+    assert not os.path.exists(f"{loc}/_trash")
+    assert lake.count() == n

@@ -191,6 +191,19 @@ class SparkVectorLakeStore:
             for i in selected
         ]
 
+    async def aadd_texts(
+        self,
+        texts: Sequence[str],
+        metadatas: Sequence[dict] | None = None,
+    ) -> list[str]:
+        """Async L3 parity (reference langchain/__init__.py:69-76): the
+        same ``asyncio.to_thread`` shim — Spark jobs are synchronous, so
+        async here means "don't block the caller's event loop", exactly
+        the reference's semantics."""
+        import asyncio
+
+        return await asyncio.to_thread(self.add_texts, texts, metadatas)
+
     @classmethod
     def from_texts(
         cls,
@@ -204,3 +217,20 @@ class SparkVectorLakeStore:
         store = cls(spark, location, **kwargs)
         store.add_texts(texts, metadatas)
         return store
+
+    @classmethod
+    async def afrom_texts(
+        cls,
+        spark: SparkSession,
+        location: str,
+        texts: Sequence[str],
+        metadatas: Sequence[dict] | None = None,
+        **kwargs,
+    ) -> "SparkVectorLakeStore":
+        """Async constructor parity (reference langchain/__init__.py:
+        106-116)."""
+        import asyncio
+
+        return await asyncio.to_thread(
+            cls.from_texts, spark, location, texts, metadatas, **kwargs
+        )

@@ -503,14 +503,27 @@ class SparkVectorLake:
         populated shard leaves ``load()`` empty and the swap unreached."""
         trash_root = f"{self.location}/_trash"
         fs, trash_root_p = self._fs_path(trash_root)
-        if fs.exists(trash_root_p):
-            raise IOError(
-                f"refusing to start a shard swap: {trash_root} holds "
-                "shard data from an interrupted earlier swap (the only "
-                "remaining copy of those shards). Rename its "
-                "shard_id=* dirs back into the store, or delete the "
-                "trash dir if the data is confirmed unwanted, then retry."
-            )
+        if not fs.exists(trash_root_p):
+            return
+        # An EMPTY trash root is not stranded data — it's the residue of
+        # a swap that aborted after mkdirs (or whose restore path renamed
+        # every shard back). Refusing on it would lock out ALL
+        # maintenance with a spurious data-loss warning (r03 ADVICE):
+        # only real shard_id=* content blocks.
+        statuses = fs.listStatus(trash_root_p)
+        has_shard_data = any(
+            s.getPath().getName().startswith("shard_id=") for s in statuses
+        )
+        if not has_shard_data:
+            fs.delete(trash_root_p, True)
+            return
+        raise IOError(
+            f"refusing to start a shard swap: {trash_root} holds "
+            "shard data from an interrupted earlier swap (the only "
+            "remaining copy of those shards). Rename its "
+            "shard_id=* dirs back into the store, or delete the "
+            "trash dir if the data is confirmed unwanted, then retry."
+        )
 
     def compact(self, target_files_per_shard: int = 1) -> None:
         """Rewrite each shard into ``target_files_per_shard`` files — the
