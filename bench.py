@@ -50,6 +50,9 @@ HEADLINE = [
     "pipe_shuffle_shards",
     "text_redact_pii",
     "text_repetition",
+    "text_chunk_windows",
+    "pipe_quality_filter",
+    "ev_anomaly_zscore",
     "vec_semantic_dedup",
     "vec_quantize_int8",
     "q1_pricing",

@@ -1450,6 +1450,127 @@ FROM r
 """
 
 
+# RAG-prep chunking: fixed-size character windows with overlap. At 100 TB
+# this is a single narrow scan + per-row explode — no shuffle, no UDF; the
+# chunk multiplier (~len/stride rows out per doc) is the only cost.
+CHUNK_SIZE = 400
+CHUNK_STRIDE = 300
+
+
+def q_text_chunk_windows(spark, sf):
+    """Overlapping character-window chunking (RAG/indexing prep):
+    deterministic boundaries every ``CHUNK_STRIDE`` chars, window length
+    ``CHUNK_SIZE`` (clipped at end-of-doc). Pure expressions — sequence +
+    explode + substring stay inside whole-stage codegen; empty docs yield
+    no chunks."""
+    d = _t(spark, sf, "documents")
+    starts = F.sequence(
+        F.lit(0), F.length("text") - 1, F.lit(CHUNK_STRIDE)
+    )
+    return (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.substring(F.col("text"), F.col("s") + 1, F.lit(CHUNK_SIZE)).alias(
+                "chunk"
+            ),
+            F.length(
+                F.substring(F.col("text"), F.col("s") + 1, F.lit(CHUNK_SIZE))
+            ).cast("long").alias("chunk_len"),
+        )
+    )
+
+
+SQL_TEXT_CHUNK_WINDOWS = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(0, length(text), {CHUNK_STRIDE})) AS start
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       substr(text, start + 1, {CHUNK_SIZE}) AS chunk,
+       CAST(length(substr(text, start + 1, {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+FROM s
+"""
+
+
+# Pinned-weight logistic quality classifier (the codebook pattern again:
+# the FIT happens offline, the pinned model is pure arithmetic in both
+# engines). Features are the existing deterministic text signals.
+QUALITY_LR_WEIGHTS = {
+    "bias": -1.2,
+    "len_norm": 2.0,        # min(token_count/200, 1)
+    "punct_ratio": -3.0,
+    "stopword_ratio": 1.5,
+    "avg_tok_norm": 0.8,    # min(avg_token_len/10, 1)
+    "rep3_ratio": -2.5,
+}
+QUALITY_KEEP_THRESHOLD = 0.5
+
+
+def q_pipe_quality_filter(spark, sf):
+    """Model-based quality filtering, the production-pipeline successor
+    to heuristic thresholds: a logistic regression over deterministic
+    text features with PINNED weights (fit offline — same posture as the
+    IVF codebook), scored as a single narrow scan of pure codegen
+    expressions; keep = score >= threshold on the rounded score, so both
+    engines decide identically."""
+    from vector_lake_spark.functions.text import (
+        avg_token_len,
+        punct_ratio,
+        repetition_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    w = QUALITY_LR_WEIGHTS
+    t = F.col("text")
+    logit = (
+        F.lit(w["bias"])
+        + w["len_norm"] * F.least(token_count(t) / 200.0, F.lit(1.0))
+        + w["punct_ratio"] * punct_ratio(t)
+        + w["stopword_ratio"] * stopword_ratio(t)
+        + w["avg_tok_norm"] * F.least(avg_token_len(t) / 10.0, F.lit(1.0))
+        + w["rep3_ratio"] * repetition_ratio(t, 3)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        score.alias("quality_prob"),
+        (score >= QUALITY_KEEP_THRESHOLD).alias("keep"),
+    )
+
+
+def _sql_pipe_quality_filter() -> str:
+    w = QUALITY_LR_WEIGHTS
+    logit = (
+        f"{w['bias']} "
+        f"+ {w['len_norm']} * least({O.sql_token_count('text')} / 200.0, 1.0) "
+        f"+ {w['punct_ratio']} * {O.sql_punct_ratio('text')} "
+        f"+ {w['stopword_ratio']} * {O.sql_stopword_ratio('text')} "
+        f"+ {w['avg_tok_norm']} * least({O.sql_avg_token_len('text')} / 10.0, 1.0) "
+        f"+ {w['rep3_ratio']} * {O.sql_repetition_ratio('text', 3)}"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-({logit}))), 6) AS quality_prob
+  FROM documents
+)
+SELECT doc_id, quality_prob,
+       quality_prob >= {QUALITY_KEEP_THRESHOLD} AS keep
+FROM s
+"""
+
+
+SQL_PIPE_QUALITY_FILTER = _sql_pipe_quality_filter()
+
+
 # Target domain-mixture weights: share_i = w_i / Σw. A tiny dims table —
 # at 100 TB this is the canonical broadcast-join side.
 DOMAIN_MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
@@ -3140,6 +3261,55 @@ GROUP BY event_type, {O.sql_epoch_day('ts')}
 """
 
 
+ZSCORE_LOOKBACK = 24  # trailing rows per event_type
+ZSCORE_FLAG = 3.0
+
+
+def q_ev_anomaly_zscore(spark, sf):
+    """Rolling z-score anomaly detection per event type: each event is
+    scored against the mean/stddev of the previous ``ZSCORE_LOOKBACK``
+    same-type events (frame excludes the current row — no leakage).
+    Mean and stddev round to 6dp BEFORE the z computation so near-zero
+    stddev can't amplify engine-level float drift; warmup rows (<2
+    predecessors) score NULL and never flag. One shuffle on event_type;
+    per-row window state is the 24-row frame regardless of scale."""
+    ev = _events(spark, sf)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    mean = F.round(F.avg("value").over(w), 6)
+    sd = F.round(F.stddev_samp("value").over(w), 6)
+    z = F.round(
+        F.try_divide(F.col("value") - mean, F.nullif(sd, F.lit(0.0))), 6
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) >= ZSCORE_FLAG, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+SQL_EV_ANOMALY_ZSCORE = f"""
+WITH s AS (
+  SELECT event_id, event_type, value,
+         round(avg(value) OVER w, 6) AS m,
+         round(stddev_samp(value) OVER w, 6) AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round((value - m) / nullif(sd, 0.0), 6) AS zscore,
+       coalesce(abs(round((value - m) / nullif(sd, 0.0), 6)) >= {ZSCORE_FLAG},
+                FALSE) AS is_anomaly
+FROM s
+"""
+
+
 def q_ev_json_extract(spark, sf):
     # semi-structured path: pull a typed field out of the JSON props column
     ev = _events(spark, sf)
@@ -3425,6 +3595,9 @@ _BASE_QUERIES = {
     "vec_semantic_dedup": q_vec_semantic_dedup,
     "text_redact_pii": q_text_redact_pii,
     "text_repetition": q_text_repetition,
+    "text_chunk_windows": q_text_chunk_windows,
+    "pipe_quality_filter": q_pipe_quality_filter,
+    "ev_anomaly_zscore": q_ev_anomaly_zscore,
     "pipe_domain_mix": q_pipe_domain_mix,
     "pipe_shuffle_shards": q_pipe_shuffle_shards,
     "text_length_histogram": q_text_length_histogram,
@@ -3573,6 +3746,9 @@ ORACLES = {
     "vec_semantic_dedup": SQL_VEC_SEMANTIC_DEDUP,
     "text_redact_pii": SQL_TEXT_REDACT_PII,
     "text_repetition": SQL_TEXT_REPETITION,
+    "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
+    "pipe_quality_filter": SQL_PIPE_QUALITY_FILTER,
+    "ev_anomaly_zscore": SQL_EV_ANOMALY_ZSCORE,
     "pipe_domain_mix": SQL_PIPE_DOMAIN_MIX,
     "pipe_shuffle_shards": SQL_PIPE_SHUFFLE_SHARDS,
     "text_length_histogram": SQL_TEXT_LENGTH_HISTOGRAM,
