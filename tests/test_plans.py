@@ -204,3 +204,32 @@ def test_q22_pushes_dormancy_date_to_orders_scan(spark):
         seg.split("\n")[0] for seg in plan.split("PushedFilters")[1:]
     ]
     assert any("o_orderdate" in seg for seg in pushed_sections), pushed_sections
+
+
+def test_chunk_windows_single_scan_no_shuffle(spark):
+    """Chunking is sequence+explode+substring per row — a 100 TB chunking
+    pass must be one scan with zero exchanges, and the scan must prune to
+    (doc_id, text)."""
+    df = Q.q_text_chunk_windows(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "source" not in read and "lang" not in read
+
+
+def test_quality_filter_single_scan_no_shuffle(spark):
+    """The pinned-weight logistic is pure per-row arithmetic — one scan,
+    no exchanges (same contract as the PII scrub)."""
+    df = Q.q_pipe_quality_filter(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_anomaly_zscore_one_shuffle_on_event_type(spark):
+    """Rolling z-score shuffles once on the window partition key and
+    never again (a second exchange would mean the window repartitioned
+    the data twice)."""
+    df = Q.q_ev_anomaly_zscore(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "event_type" in plan.split("Exchange hashpartitioning")[1].split("\n")[0]
