@@ -131,3 +131,25 @@ def test_banded_neardup_bounds_hot_shard_key(spark):
     assert set(banded) <= set(unbanded)
     for pair, sim in banded.items():
         assert sim == unbanded[pair]
+
+
+def test_banded_neardup_strategies_agree(spark):
+    """The two exact-kernel shuffle strategies (narrow candidates +
+    vector join-back vs vectors riding the bucket join) are different
+    physical plans over the same logical pair set — results must be
+    identical (the r04 200k stress picks by candidate density)."""
+    from vector_lake_spark import queries as Q
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(
+        threshold=Q.NEARDUP_COS_THRESHOLD,
+        n_bands=Q.NEARDUP_N_BANDS,
+        band_bits=Q.NEARDUP_BAND_BITS,
+    )
+    narrow = sorted(map(tuple, lsh_neardup_pairs(emb, Q.H4, **kw).collect()))
+    dense = sorted(
+        map(tuple, lsh_neardup_pairs(emb, Q.H4, carry_vectors=True, **kw).collect())
+    )
+    assert narrow == dense
+    assert narrow  # non-empty at this threshold

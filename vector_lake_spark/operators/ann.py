@@ -97,6 +97,7 @@ def lsh_neardup_pairs(
     n_bands: int = 0,
     band_bits: int = 0,
     band_seed: int = 137,
+    carry_vectors: bool = False,
 ) -> DataFrame:
     """LSH shard-bucketed near-duplicate pairs — the 100 TB scale path for
     ``dedup.embedding_neardup_pairs``: candidates are restricted to pairs
@@ -122,6 +123,23 @@ def lsh_neardup_pairs(
     threshold (0.35) only shallow bands (band_bits=2) keep recall, so the
     default registry config trades a smaller split for ~94% recall.
     ``n_bands=0`` disables banding (exact within-shard semantics).
+
+    ``carry_vectors`` picks the shuffle strategy for the exact kernel
+    (r04, from the 200k-row stress — SCALE.md "Near-dup at 200k rows"):
+
+    - ``False`` (default): candidate (id_a, id_b) pairs are generated
+      narrow, then each side's vector is joined back by id. Optimal when
+      candidates are SPARSE (production thresholds ≥0.8 with deep
+      bands): the pair-keyed shuffle is pairs × ~1 KB, smaller than
+      re-shuffling the corpus n_bands times.
+    - ``True``: each banded row carries its vector INTO the bucket join
+      (n_bands × corpus shuffle, narrow ids only afterwards), so
+      candidate pairs are scored as the join streams and never
+      materialize unscored. Required when candidates are DENSE (low
+      threshold, shallow bands, replica-heavy corpora): measured at 200k
+      rows / ~10⁸ candidates, the default strategy's pair shuffle
+      exceeds 80 GB of local spill (ENOSPC) while this one completes
+      with a ~1 GB bucket-join shuffle.
     """
     from vector_lake_spark.functions.vectors import dot, norm
     from vector_lake_spark.operators.lsh import (
@@ -192,14 +210,6 @@ def lsh_neardup_pairs(
         F.element_at("bkeys", F.col("band") + 1).alias("bkey"),
         "bkeys",
     )
-    ka = keys.select(
-        F.col("id").alias("id_a"), "shard", "band", "bkey",
-        F.col("bkeys").alias("bka"),
-    )
-    kb = keys.select(
-        F.col("id").alias("id_b"), "shard", "band", "bkey",
-        F.col("bkeys").alias("bkb"),
-    )
     first_match = reduce(
         lambda acc, j: acc
         & (
@@ -208,6 +218,35 @@ def lsh_neardup_pairs(
         ),
         range(n_bands - 1),
         F.col("id_a") < F.col("id_b"),
+    )
+    if carry_vectors:
+        # dense-candidate strategy: vectors ride the bucket join, pairs
+        # are scored as the join streams — no pair-keyed vector shuffle
+        keyed = keys.join(base.select("id", "v", "nv"), "id")
+        ka = keyed.select(
+            F.col("id").alias("id_a"), "shard", "band", "bkey",
+            F.col("bkeys").alias("bka"),
+            F.col("v").alias("va"), F.col("nv").alias("na"),
+        )
+        kb = keyed.select(
+            F.col("id").alias("id_b"), "shard", "band", "bkey",
+            F.col("bkeys").alias("bkb"),
+            F.col("v").alias("vb"), F.col("nv").alias("nb"),
+        )
+        return (
+            ka.join(kb, ["shard", "band", "bkey"])
+            .filter(first_match)
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim")
+        )
+    ka = keys.select(
+        F.col("id").alias("id_a"), "shard", "band", "bkey",
+        F.col("bkeys").alias("bka"),
+    )
+    kb = keys.select(
+        F.col("id").alias("id_b"), "shard", "band", "bkey",
+        F.col("bkeys").alias("bkb"),
     )
     cand_ids = (
         ka.join(kb, ["shard", "band", "bkey"])

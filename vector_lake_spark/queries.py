@@ -1514,13 +1514,10 @@ QUALITY_LR_WEIGHTS = {
 QUALITY_KEEP_THRESHOLD = 0.5
 
 
-def q_pipe_quality_filter(spark, sf):
-    """Model-based quality filtering, the production-pipeline successor
-    to heuristic thresholds: a logistic regression over deterministic
-    text features with PINNED weights (fit offline — same posture as the
-    IVF codebook), scored as a single narrow scan of pure codegen
-    expressions; keep = score >= threshold on the rounded score, so both
-    engines decide identically."""
+def quality_prob_expr(t: "F.Column") -> "F.Column":
+    """Rounded logistic quality probability over the pinned weights —
+    shared by the standalone filter query and the e2e curation pipeline
+    so both engines (and both queries) score identically."""
     from vector_lake_spark.functions.text import (
         avg_token_len,
         punct_ratio,
@@ -1530,7 +1527,6 @@ def q_pipe_quality_filter(spark, sf):
     )
 
     w = QUALITY_LR_WEIGHTS
-    t = F.col("text")
     logit = (
         F.lit(w["bias"])
         + w["len_norm"] * F.least(token_count(t) / 200.0, F.lit(1.0))
@@ -1539,7 +1535,30 @@ def q_pipe_quality_filter(spark, sf):
         + w["avg_tok_norm"] * F.least(avg_token_len(t) / 10.0, F.lit(1.0))
         + w["rep3_ratio"] * repetition_ratio(t, 3)
     )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+
+
+def sql_quality_prob(col: str = "text") -> str:
+    w = QUALITY_LR_WEIGHTS
+    logit = (
+        f"{w['bias']} "
+        f"+ {w['len_norm']} * least({O.sql_token_count(col)} / 200.0, 1.0) "
+        f"+ {w['punct_ratio']} * {O.sql_punct_ratio(col)} "
+        f"+ {w['stopword_ratio']} * {O.sql_stopword_ratio(col)} "
+        f"+ {w['avg_tok_norm']} * least({O.sql_avg_token_len(col)} / 10.0, 1.0) "
+        f"+ {w['rep3_ratio']} * {O.sql_repetition_ratio(col, 3)}"
+    )
+    return f"round(1.0 / (1.0 + exp(-({logit}))), 6)"
+
+
+def q_pipe_quality_filter(spark, sf):
+    """Model-based quality filtering, the production-pipeline successor
+    to heuristic thresholds: a logistic regression over deterministic
+    text features with PINNED weights (fit offline — same posture as the
+    IVF codebook), scored as a single narrow scan of pure codegen
+    expressions; keep = score >= threshold on the rounded score, so both
+    engines decide identically."""
+    score = quality_prob_expr(F.col("text"))
     return _t(spark, sf, "documents").select(
         "doc_id",
         score.alias("quality_prob"),
@@ -1547,19 +1566,9 @@ def q_pipe_quality_filter(spark, sf):
     )
 
 
-def _sql_pipe_quality_filter() -> str:
-    w = QUALITY_LR_WEIGHTS
-    logit = (
-        f"{w['bias']} "
-        f"+ {w['len_norm']} * least({O.sql_token_count('text')} / 200.0, 1.0) "
-        f"+ {w['punct_ratio']} * {O.sql_punct_ratio('text')} "
-        f"+ {w['stopword_ratio']} * {O.sql_stopword_ratio('text')} "
-        f"+ {w['avg_tok_norm']} * least({O.sql_avg_token_len('text')} / 10.0, 1.0) "
-        f"+ {w['rep3_ratio']} * {O.sql_repetition_ratio('text', 3)}"
-    )
-    return f"""
+SQL_PIPE_QUALITY_FILTER = f"""
 WITH s AS (
-  SELECT doc_id, round(1.0 / (1.0 + exp(-({logit}))), 6) AS quality_prob
+  SELECT doc_id, {sql_quality_prob('text')} AS quality_prob
   FROM documents
 )
 SELECT doc_id, quality_prob,
@@ -1568,7 +1577,83 @@ FROM s
 """
 
 
-SQL_PIPE_QUALITY_FILTER = _sql_pipe_quality_filter()
+def q_pipe_curation_e2e(spark, sf):
+    """The composed curation pipeline — quality filter → exact dedup
+    (keep min-id per content fingerprint) → sequence packing — as ONE
+    Catalyst plan, proving the operators compose without materialization
+    barriers: the quality logit and the fingerprint ride the same scan,
+    dedup shuffles only (fp, id) + the packing window's (source) key,
+    and the output is the per-bin packing plan over the surviving
+    corpus. At 100 TB each stage's shape is unchanged from its
+    standalone query (same pins)."""
+    from vector_lake_spark.functions.text import fingerprint64
+
+    d = _t(spark, sf, "documents")
+    kept = d.select("doc_id", "source", "text").filter(
+        quality_prob_expr(F.col("text")) >= QUALITY_KEEP_THRESHOLD
+    )
+    wfp = Window.partitionBy("fp")
+    survivors = (
+        kept.withColumn("fp", fingerprint64(F.col("text")))
+        .withColumn("keep_id", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    wrun = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = survivors.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(wrun), F.lit(0))
+            / F.lit(PACK_CAPACITY)
+        ).cast("long"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_PIPE_CURATION_E2E = f"""
+WITH k AS (
+  SELECT doc_id, source, text
+  FROM documents
+  WHERE {sql_quality_prob('text')} >= {QUALITY_KEEP_THRESHOLD}
+),
+f AS (
+  SELECT doc_id, source, text, {O.sql_fingerprint64('text')} AS fp FROM k
+),
+dd AS (
+  SELECT doc_id, source, text,
+         min(doc_id) OVER (PARTITION BY fp) AS keep_id
+  FROM f
+),
+t AS (
+  SELECT doc_id, source, {O.sql_token_count('text')} AS n_tokens
+  FROM dd WHERE doc_id = keep_id
+),
+b AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {PACK_CAPACITY}) AS BIGINT) AS bin
+  FROM t
+)
+SELECT source, bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM b GROUP BY source, bin
+"""
 
 
 # Target domain-mixture weights: share_i = w_i / Σw. A tiny dims table —
@@ -3597,6 +3682,7 @@ _BASE_QUERIES = {
     "text_repetition": q_text_repetition,
     "text_chunk_windows": q_text_chunk_windows,
     "pipe_quality_filter": q_pipe_quality_filter,
+    "pipe_curation_e2e": q_pipe_curation_e2e,
     "ev_anomaly_zscore": q_ev_anomaly_zscore,
     "pipe_domain_mix": q_pipe_domain_mix,
     "pipe_shuffle_shards": q_pipe_shuffle_shards,
@@ -3748,6 +3834,7 @@ ORACLES = {
     "text_repetition": SQL_TEXT_REPETITION,
     "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
     "pipe_quality_filter": SQL_PIPE_QUALITY_FILTER,
+    "pipe_curation_e2e": SQL_PIPE_CURATION_E2E,
     "ev_anomaly_zscore": SQL_EV_ANOMALY_ZSCORE,
     "pipe_domain_mix": SQL_PIPE_DOMAIN_MIX,
     "pipe_shuffle_shards": SQL_PIPE_SHUFFLE_SHARDS,
