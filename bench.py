@@ -52,6 +52,8 @@ HEADLINE = [
     "text_repetition",
     "text_chunk_windows",
     "pipe_quality_filter",
+    "pipe_curation_e2e",
+    "text_lm_surprisal",
     "ev_anomaly_zscore",
     "vec_semantic_dedup",
     "vec_quantize_int8",

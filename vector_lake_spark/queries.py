@@ -1895,6 +1895,66 @@ FROM t GROUP BY log2_tokens
 """
 
 
+def q_text_lm_surprisal(spark, sf):
+    """Perplexity-style quality filtering with a corpus-fit unigram LM:
+    per-document mean token surprisal −ln p(tok), p = corpus tf / total
+    tokens. High surprisal = rare-token-heavy (gibberish, OCR noise);
+    low = boilerplate. The production use is the perplexity band filter
+    (keep the middle); the flag marks the high tail here.
+
+    Scale shape: one explode→token-count aggregate (the LM fit — tokens
+    shuffle as 8-byte hashes... here raw tokens, same key economy as
+    tf-idf), rebroadcast as a broadcast join onto the same exploded scan;
+    per-doc mean is a (doc_id) re-aggregate. No driver-side scalar —
+    total tokens rides a broadcast single-row agg."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = lm.agg(F.sum("tf").alias("total_tf"))
+    scored = (
+        tok.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.col("tf").cast("double") / F.col("total_tf").cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 6).alias("mean_surprisal")
+    )
+    return out.select(
+        "doc_id",
+        "mean_surprisal",
+        (F.col("mean_surprisal") >= LM_SURPRISAL_FLAG).alias("flagged"),
+    )
+
+
+LM_SURPRISAL_FLAG = 8.0  # nats; ~e^-8 mean token probability
+
+
+SQL_TEXT_LM_SURPRISAL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({O.sql_tokens('text')}) AS tok FROM documents
+),
+lm AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+total AS (SELECT sum(tf) AS total_tf FROM lm),
+s AS (
+  SELECT doc_id,
+         round(avg(-ln(CAST(tf AS DOUBLE) / CAST(total_tf AS DOUBLE))), 6)
+           AS mean_surprisal
+  FROM tok JOIN lm USING (tok) CROSS JOIN total
+  GROUP BY doc_id
+)
+SELECT doc_id, mean_surprisal,
+       mean_surprisal >= {LM_SURPRISAL_FLAG} AS flagged
+FROM s
+"""
+
+
 def q_text_tfidf_top20(spark, sf):
     # corpus-level tf-idf: term stats (total tf, document frequency) in
     # one aggregate, corpus size joined as a broadcast single-row agg —
@@ -3683,6 +3743,7 @@ _BASE_QUERIES = {
     "text_chunk_windows": q_text_chunk_windows,
     "pipe_quality_filter": q_pipe_quality_filter,
     "pipe_curation_e2e": q_pipe_curation_e2e,
+    "text_lm_surprisal": q_text_lm_surprisal,
     "ev_anomaly_zscore": q_ev_anomaly_zscore,
     "pipe_domain_mix": q_pipe_domain_mix,
     "pipe_shuffle_shards": q_pipe_shuffle_shards,
@@ -3835,6 +3896,7 @@ ORACLES = {
     "text_chunk_windows": SQL_TEXT_CHUNK_WINDOWS,
     "pipe_quality_filter": SQL_PIPE_QUALITY_FILTER,
     "pipe_curation_e2e": SQL_PIPE_CURATION_E2E,
+    "text_lm_surprisal": SQL_TEXT_LM_SURPRISAL,
     "ev_anomaly_zscore": SQL_EV_ANOMALY_ZSCORE,
     "pipe_domain_mix": SQL_PIPE_DOMAIN_MIX,
     "pipe_shuffle_shards": SQL_PIPE_SHUFFLE_SHARDS,
