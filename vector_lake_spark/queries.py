@@ -271,6 +271,11 @@ SELECT n.label, n.n_vectors, c.centroid_norm FROM n JOIN c ON n.label = c.label
 
 
 def q_vec_neardup_lsh(spark, sf):
+    # carry_vectors: at this threshold (0.35, shallow bands) candidates
+    # are dense, so vectors ride the bucket join — measured ~30% faster
+    # at sf0.1 AND the only strategy that survives the 200k replica
+    # stress (SCALE.md "Near-dup at 200k rows"); both strategies emit
+    # identical pairs (tests/test_lsh.py).
     from vector_lake_spark.operators.ann import lsh_neardup_pairs
 
     return lsh_neardup_pairs(
@@ -279,6 +284,7 @@ def q_vec_neardup_lsh(spark, sf):
         threshold=NEARDUP_COS_THRESHOLD,
         n_bands=NEARDUP_N_BANDS,
         band_bits=NEARDUP_BAND_BITS,
+        carry_vectors=True,
     )
 
 
@@ -334,6 +340,8 @@ def q_vec_semantic_dedup(spark, sf):
         threshold=NEARDUP_COS_THRESHOLD,
         n_bands=NEARDUP_N_BANDS,
         band_bits=NEARDUP_BAND_BITS,
+        carry_vectors=True,  # dense candidates at this threshold — see
+        # q_vec_neardup_lsh and SCALE.md "Near-dup at 200k rows"
     )
     return connected_components_star(
         pairs, emb.select("vec_id"), id_col="vec_id"
