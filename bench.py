@@ -29,6 +29,8 @@ HEADLINE = [
     # exact variant (vec_neardup_pairs) stays oracle-checked but is a
     # small-sf baseline, not a headline (VERDICT r01 #5)
     "vec_neardup_lsh",
+    "ann_ivf_topk",
+    "ann_ivf_stored",
     "vec_centroid_by_label",
     "dedup_exact",
     "dedup_ngram_jaccard",

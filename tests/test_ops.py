@@ -574,3 +574,35 @@ def test_event_loading_mutates_no_session_conf(spark):
     df = _events(spark, "/root/testdata/sf0.001")
     assert dict(df.dtypes)["ts"] == "timestamp"  # LTZ, watermark-compatible
     assert spark.conf.get(conf_key, None) == before
+
+
+def test_chunk_windows_invariants(spark):
+    """Chunking must tile every document exactly: ceil(len/stride) chunks,
+    starts on the stride grid from 0, stride-prefixes concatenate back to
+    the original text, and every chunk is non-empty and <= CHUNK_SIZE."""
+    import math
+
+    from vector_lake_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in Q._t(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    rows = Q.q_text_chunk_windows(spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if len(t) > 0}
+    for doc_id, chunks in by_doc.items():
+        text = docs[doc_id]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert len(chunks) == math.ceil(len(text) / Q.CHUNK_STRIDE)
+        assert [c["chunk_start"] for c in chunks] == [
+            i * Q.CHUNK_STRIDE for i in range(len(chunks))
+        ]
+        rebuilt = "".join(c["chunk"][: Q.CHUNK_STRIDE] for c in chunks)
+        assert rebuilt == text
+        for c in chunks:
+            assert 1 <= c["chunk_len"] == len(c["chunk"]) <= Q.CHUNK_SIZE
+            assert c["chunk"] == text[c["chunk_start"]:c["chunk_start"] + Q.CHUNK_SIZE]

@@ -217,12 +217,14 @@ def test_chunk_windows_single_scan_no_shuffle(spark):
     assert "source" not in read and "lang" not in read
 
 
-def test_quality_filter_single_scan_no_shuffle(spark):
-    """The pinned-weight logistic is pure per-row arithmetic — one scan,
-    no exchanges (same contract as the PII scrub)."""
+def test_quality_filter_single_scan_no_hash_shuffle(spark):
+    """The pinned-weight logistic is pure per-row arithmetic — never a
+    hash shuffle; the only allowed exchange is the round-robin input
+    spread (local-mode artifact knob, skipped on many-file inputs —
+    same contract as text_repetition)."""
     df = Q.q_pipe_quality_filter(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_anomaly_zscore_one_shuffle_on_event_type(spark):

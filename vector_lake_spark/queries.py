@@ -1565,9 +1565,16 @@ def q_pipe_quality_filter(spark, sf):
     text features with PINNED weights (fit offline — same posture as the
     IVF codebook), scored as a single narrow scan of pure codegen
     expressions; keep = score >= threshold on the rounded score, so both
-    engines decide identically."""
+    engines decide identically. The ``_auto_spread_n`` round-robin only
+    exists for a narrow single-file local source (the repetition-ratio
+    feature is the heavy one — measured 3.6 s single-task vs 0.4 s
+    spread at sf0.1) and is skipped entirely on many-file inputs."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        d = d.repartition(spread)
     score = quality_prob_expr(F.col("text"))
-    return _t(spark, sf, "documents").select(
+    return d.select(
         "doc_id",
         score.alias("quality_prob"),
         (score >= QUALITY_KEEP_THRESHOLD).alias("keep"),
@@ -1596,8 +1603,17 @@ def q_pipe_curation_e2e(spark, sf):
     standalone query (same pins)."""
     from vector_lake_spark.functions.text import fingerprint64
 
-    d = _t(spark, sf, "documents")
-    kept = d.select("doc_id", "source", "text").filter(
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        # barrier, not just a repartition: Catalyst pushes the quality
+        # FILTER below a bare Repartition back into the single-file scan
+        # (the right one-pass plan on a many-file cluster input, but it
+        # re-serializes the whole pipeline into one local task — measured
+        # 4.3 s vs 1.3 s). The checkpoint pins the spread; it exists only
+        # on the local single-file path, never at scale.
+        d = d.repartition(spread).localCheckpoint(eager=False)
+    kept = d.filter(
         quality_prob_expr(F.col("text")) >= QUALITY_KEEP_THRESHOLD
     )
     wfp = Window.partitionBy("fp")
