@@ -63,6 +63,7 @@ HEADLINE = [
     "q3_top_orders",
     "q5_nation_revenue",
     "q7_nation_volume",
+    "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_orders",
     "agg_rollup",

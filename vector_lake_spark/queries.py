@@ -2237,6 +2237,120 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
 
 
+def q_q10_returned_items(spark, sf):
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer in a quarter, top 20. Fact scan filtered on
+    returnflag (pushed to parquet), customer + nation broadcast, one
+    aggregate, bounded-heap top-20."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape (promotion effect): promo revenue share in a
+    month — conditional aggregate over one broadcast part join; the
+    ratio is a single-row result, computed entirely map-side + one
+    2-field final agg."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+SQL_Q14_PROMO_REVENUE = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q_q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR'd (brand, size-range, quantity-range) arms — the classic
+    optimizer test that the join predicate stays a JOIN predicate (one
+    broadcast hash join with the disjunction as its condition, no
+    fact-side cross product). Testdata lacks shipmode/shipinstruct, so
+    the arms use brand × size × quantity only."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    arm = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(5, 20))
+           & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(20, 35)))
+    )
+    return (
+        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & arm)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SQL_Q19_DISJUNCTIVE_REVENUE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+ AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 35))
+"""
+
+
 def q_q16_supplier_variety(spark, sf):
     """TPC-H Q16 shape (supplier variety): distinct suppliers per
     (brand, type, size), excluding a NOT-IN supplier set (negative
@@ -3779,6 +3893,9 @@ _BASE_QUERIES = {
     "q4_late_orders": q_q4_late_orders,
     "q5_nation_revenue": q_q5_nation_revenue,
     "q7_nation_volume": q_q7_nation_volume,
+    "q10_returned_items": q_q10_returned_items,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q16_supplier_variety": q_q16_supplier_variety,
     "q22_idle_balance": q_q22_idle_balance,
     "q13_customer_distribution": q_q13_customer_distribution,
@@ -3932,6 +4049,9 @@ ORACLES = {
     "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "q5_nation_revenue": SQL_Q5_NATION_REVENUE,
     "q7_nation_volume": SQL_Q7_NATION_VOLUME,
+    "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+    "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
+    "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q16_supplier_variety": SQL_Q16_SUPPLIER_VARIETY,
     "q22_idle_balance": SQL_Q22_IDLE_BALANCE,
     "q13_customer_distribution": SQL_Q13_CUSTOMER_DISTRIBUTION,
