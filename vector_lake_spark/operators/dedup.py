@@ -89,9 +89,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_shingle_freq: int | None = None,
     repartition_input: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: pairs (a < b) with
-    |A∩B| / |A∪B| ≥ threshold.
+    """Exact n-gram similarity join: pairs (a < b) with score ≥ threshold.
+
+    ``metric="jaccard"``: |A∩B| / |A∪B| (symmetric near-duplicate).
+    ``metric="containment"``: |A∩B| / min(|A|,|B|) — asymmetric
+    inclusion: a short document quoted inside a long one scores ~1.0
+    where Jaccard stays low. Same plan either way (only the final scalar
+    changes); the output column is named after the metric.
 
     Plan: explode distinct shingles (hashed to 8 bytes — the text never
     shuffles) → self-join on shingle hash → count per pair → Jaccard.
@@ -140,19 +146,24 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    if metric == "containment":
+        score = F.round(
+            F.col("inter") / F.least("sz_a", "sz_b").cast("double"), 6
+        )
+    elif metric == "jaccard":
+        score = F.round(
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            6,
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(metric, score)
+        .filter(F.col(metric) >= threshold)
+        .select("id_a", "id_b", metric)
     )
 
 

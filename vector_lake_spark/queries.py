@@ -244,6 +244,39 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS_THRESHOLD}
 """
 
 
+def q_vec_dim_stats(spark, sf):
+    """Per-dimension embedding QA (mean/std/min/max/zero-fraction) — the
+    corpus health check run before any ANN build: dead dimensions, scale
+    drift, and NaN pollution all show up here. posexplode → one
+    64-group aggregate; shuffled state is one row per dimension."""
+    e = _t(spark, sf, "embeddings")
+    d = e.select(F.posexplode(to_double_array(F.col("embedding"))).alias("dim", "x"))
+    d = d.withColumn("dim", F.col("dim").cast("long"))
+    return d.groupBy("dim").agg(
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_samp("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("min_v"),
+        F.round(F.max("x"), 6).alias("max_v"),
+        F.round(F.avg((F.col("x") == 0.0).cast("double")), 6).alias("zero_frac"),
+    )
+
+
+SQL_VEC_DIM_STATS = f"""
+WITH d AS (
+  SELECT u.i - 1 AS dim, v[u.i] AS x
+  FROM (SELECT {EMB} AS v FROM embeddings),
+       unnest(range(1, {DIM + 1})) AS u(i)
+)
+SELECT dim,
+       round(avg(x), 6) AS mean,
+       round(stddev_samp(x), 6) AS std,
+       round(min(x), 6) AS min_v,
+       round(max(x), 6) AS max_v,
+       round(avg(CASE WHEN x = 0.0 THEN 1.0 ELSE 0.0 END), 6) AS zero_frac
+FROM d GROUP BY dim
+"""
+
+
 def q_vec_centroid_by_label(spark, sf):
     emb = _t(spark, sf, "embeddings")
     m = _label_centroid_means(emb)
@@ -655,6 +688,47 @@ FROM inter
 JOIN sz sa ON inter.id_a = sa.id
 JOIN sz sb ON inter.id_b = sb.id
 WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark, sf):
+    """Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over 3-gram
+    shingles — catches a short document quoted verbatim inside a longer
+    one, which symmetric Jaccard misses (the union dominates). Same
+    shingle-hash join plan as dedup_ngram_jaccard (text never shuffles,
+    stopword-shingle cap shares the join's exchange); only the final
+    scalar differs."""
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        d,
+        n=3,
+        threshold=CONTAINMENT_THRESHOLD,
+        max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+        repartition_input=_auto_spread_n(spark, d),
+        metric="containment",
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH sh0 AS (SELECT doc_id AS id, unnest({O.sql_shingles('text', 3)}) AS gram FROM documents),
+rare AS (SELECT gram FROM sh0 GROUP BY gram
+         HAVING count(*) <= {NGRAM_MAX_SHINGLE_FREQ}),
+sh AS (SELECT id, gram FROM sh0 WHERE gram IN (SELECT gram FROM rare)),
+sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+FROM inter
+JOIN sz sa ON inter.id_a = sa.id
+JOIN sz sb ON inter.id_b = sb.id
+WHERE round(inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= {CONTAINMENT_THRESHOLD}
 """
 
 
@@ -3850,6 +3924,8 @@ _BASE_QUERIES = {
     "vec_centroid_by_label": q_vec_centroid_by_label,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment": q_dedup_containment,
+    "vec_dim_stats": q_vec_dim_stats,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_simhash": q_dedup_simhash,
@@ -4010,6 +4086,8 @@ ORACLES = {
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "vec_dim_stats": SQL_VEC_DIM_STATS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
