@@ -32,8 +32,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_stored",
     "vec_centroid_by_label",
+    "vec_dim_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_clusters",
     "dedup_simhash",
     # dedup_minhash (Spark ML approxSimilarityJoin) stays registry/oracle-
