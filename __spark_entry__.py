@@ -32,9 +32,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every query above — as of r04 ALL 91
-    registry queries are oracled: the IVF family runs on a pinned
-    centroid codebook (the iterative fit moved offline), and the
-    multimodal byte-fold stand-in is reproduced in SQL over the hex of
-    the blob. Zero rows-only entries remain."""
+    """DuckDB-equivalent SQL for EVERY query above — as of r04 the whole
+    registry is oracled: the IVF family runs on a pinned centroid
+    codebook (the iterative fit moved offline), and the multimodal
+    byte-fold stand-in is reproduced in SQL over the hex of the blob.
+    Zero rows-only entries remain."""
     return dict(Q.ORACLES)

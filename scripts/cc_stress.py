@@ -5,7 +5,9 @@ Three workloads at ~1M edges on local[32]:
                      need 1e6 rounds; we run star only).
   2. clusters-1M   — 250k shallow 5-node clusters (near-dup shape):
                      both algorithms.
-  3. chain-4k      — diameter 4096 sanity point for star round count.
+  3. chain-4k      — diameter 4096 sanity point for star round count
+                     (star only; propagation's must-raise contract at
+                     this depth is pinned by tests/test_cc.py).
 
 Prints one line per (workload, algorithm): rounds, wall seconds.
 Feeds the SCALE.md "connected components at depth" section.
@@ -16,8 +18,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pyspark.sql import functions as F
 
 from vector_lake_spark.operators.dedup import (
     connected_components,
@@ -61,7 +61,9 @@ cl_nodes = spark.range(1_250_000).withColumnRenamed("id", "doc_id")
 run("clusters-1M", "star", cl, cl_nodes)
 run("clusters-1M", "propagation", cl, cl_nodes)
 
-# 3. diameter-4096 chain, both (propagation capped high enough to finish)
+# 3. diameter-4096 chain, star only: propagation would need 4096 rounds
+#    (~20 min at ~0.3 s/round) and raises by design — the must-raise
+#    contract is pinned by tests/test_cc.py instead
 c4 = spark.range(4096).selectExpr("id AS id_a", "id + 1 AS id_b")
 c4_nodes = spark.range(4097).withColumnRenamed("id", "doc_id")
 run("chain-4k", "star", c4, c4_nodes)

@@ -606,3 +606,35 @@ def test_chunk_windows_invariants(spark):
         for c in chunks:
             assert 1 <= c["chunk_len"] == len(c["chunk"]) <= Q.CHUNK_SIZE
             assert c["chunk"] == text[c["chunk_start"]:c["chunk_start"] + Q.CHUNK_SIZE]
+
+
+def test_mm_feature_oracle_handles_empty_and_null_text(spark, tmp_path):
+    """DuckDB list_sum over an empty list is NULL; the Python byte-fold
+    returns zero lanes for an empty/NULL payload. The oracle coalesces —
+    both engines must emit (0 bytes, 0.0 feature_sum) the moment the
+    corpus gains an empty doc (r04 review finding; latent in testdata)."""
+    import duckdb
+    import pandas as pd
+
+    from vector_lake_spark import queries as Q
+
+    pd.DataFrame({"doc_id": [1, 2, 3], "text": ["", None, "hello"]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    sdf = Q.QUERIES["mm_feature_extract"](spark, str(tmp_path)).toPandas()
+    odf = con.execute(Q.ORACLES["mm_feature_extract"]).df()
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(r) for r in df[cols].itertuples(index=False, name=None)
+        )
+
+    assert canon(sdf) == canon(odf)
+    by_id = {r["media_id"]: r for r in sdf.to_dict("records")}
+    assert by_id[1]["n_bytes"] == 0 and by_id[1]["feature_sum"] == 0.0
+    assert by_id[2]["n_bytes"] == 0 and by_id[2]["feature_sum"] == 0.0

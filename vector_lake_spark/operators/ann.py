@@ -290,13 +290,22 @@ def nearest_centroids(
     """Probe set: the ``nprobe`` centroids nearest the query, under the SAME
     rounded-distance + lowest-id tie rule as ``assign_centroid_expr`` —
     driver-side constants (the codebook is tiny), identical in both engines
-    because the oracle SQL inlines the ids this function returns."""
+    because the oracle SQL inlines the ids this function returns. Rounding
+    is explicit HALF-UP (``floor(x·10⁶ + 0.5)``) to match Spark/DuckDB
+    ``round`` — Python's built-in ``round`` is half-to-even and could
+    disagree with the assignment rule on an exact boundary."""
     import math
+
+    def round_half_up(x: float) -> float:
+        scale = 10**SCORE_DECIMALS
+        return math.floor(x * scale + 0.5) / scale
 
     q = [float(x) for x in query]
     dists = [
         (
-            round(math.sqrt(sum((a - b) * (a - b) for a, b in zip(q, c))), SCORE_DECIMALS),
+            round_half_up(
+                math.sqrt(sum((a - b) * (a - b) for a, b in zip(q, c)))
+            ),
             i,
         )
         for i, c in enumerate(centroids)

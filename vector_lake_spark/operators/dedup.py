@@ -598,12 +598,19 @@ def connected_components_star(
 
     prev = _sig(edges)
     for rounds in range(1, max_iter + 1):
+        prev_edges = edges
         edges = small_star(large_star(edges)).localCheckpoint(eager=True)
         cur = _sig(edges)
         if stats is not None:
             stats["rounds"] = rounds
         if cur == prev:
-            break
+            # the fingerprint is lossy (count + bounded hash-sum): confirm
+            # with an exact multiset check before trusting convergence —
+            # equal counts + empty one-sided difference ⇒ equal multisets.
+            # Runs at most once per suspected fixpoint, so the extra join
+            # costs one round, not one per round.
+            if edges.exceptAll(prev_edges).limit(1).count() == 0:
+                break
         prev = cur
     else:
         raise RuntimeError(

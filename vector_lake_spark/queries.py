@@ -1022,10 +1022,7 @@ def q_ann_ivf_topk(spark, sf):
     (``scripts/fit_ivf_centroids.py``); with centroids frozen as literals
     the whole query is deterministic SQL → hash-checked against
     ``SQL_ANN_IVF`` (closes the r03 verdict's top evidence gap)."""
-    from vector_lake_spark.operators.ann import (
-        assign_centroid_expr,
-        nearest_centroids,
-    )
+    from vector_lake_spark.operators.ann import assign_centroid_expr, ivf_topk
     from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
 
     emb = _t(spark, sf, "embeddings")
@@ -1033,8 +1030,9 @@ def q_ann_ivf_topk(spark, sf):
         "centroid_id",
         assign_centroid_expr(to_double_array(F.col("embedding")), IVF_CENTROIDS),
     )
-    probes = nearest_centroids(QUERY_VEC, IVF_CENTROIDS, nprobe=4)
-    return topk_cosine(assigned.filter(F.col("centroid_id").isin(probes)), QUERY_VEC, K)
+    # shared probe + exact-re-rank helper (same code path as the stored
+    # index) so the two IVF registry queries cannot drift apart
+    return ivf_topk(assigned, IVF_CENTROIDS, QUERY_VEC, K, nprobe=4)
 
 
 def _sql_ann_ivf() -> str:
@@ -3766,10 +3764,12 @@ bl AS (
   FROM e
 ),
 f AS (
+  -- coalesce: DuckDB's list_sum over an empty list is NULL, but the
+  -- Python byte-fold returns zero lanes for an empty payload
   SELECT doc_id, nb,
          list_transform(range(0, 8), j ->
-           round((list_sum(list_transform(range(0, nb),
-                    i -> CASE WHEN i % 8 = j THEN bytes[i+1] ELSE 0 END))
+           round((coalesce(list_sum(list_transform(range(0, nb),
+                    i -> CASE WHEN i % 8 = j THEN bytes[i+1] ELSE 0 END)), 0)
                   % 997) / 997.0, 6)) AS feature
   FROM bl
 )

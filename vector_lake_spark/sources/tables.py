@@ -38,8 +38,11 @@ def load_events(spark: SparkSession, base: str) -> DataFrame:
     event operators, epoch casts, and streaming watermarks expect —
     ``to_utc_timestamp(ts, 'UTC')`` is a pure expression, so no session
     conf is mutated (r03 ADVICE; the old runtime ``nanosAsLong`` toggle
-    is inert on this engine anyway). Engines that surface nanos as a raw
-    bigint instead get the same floor-to-micros conversion."""
+    is inert on this engine anyway). The bigint branch below covers a
+    session where the CALLER set the legacy ``nanosAsLong`` conf at
+    build time (older engines read nanos as raw longs then); this module
+    no longer sets it, so on such engines an unconfigured session fails
+    at the parquet read before reaching here."""
     return normalize_event_ts(spark.read.parquet(f"{base}/events.parquet"))
 
 
