@@ -638,3 +638,36 @@ def test_mm_feature_oracle_handles_empty_and_null_text(spark, tmp_path):
     by_id = {r["media_id"]: r for r in sdf.to_dict("records")}
     assert by_id[1]["n_bytes"] == 0 and by_id[1]["feature_sum"] == 0.0
     assert by_id[2]["n_bytes"] == 0 and by_id[2]["feature_sum"] == 0.0
+
+
+def test_normalize_event_ts_is_session_timezone_independent(spark):
+    """The events NTZ wall time IS the UTC instant. to_utc_timestamp's
+    implicit NTZ→LTZ cast renders in the SESSION timezone, so a non-UTC
+    caller session would silently shift every instant (r04 ADVICE). The
+    arithmetic conversion must produce identical epoch micros under any
+    session timezone."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.sources.tables import load_table
+
+    def epoch_micros(df):
+        return [
+            r["us"]
+            for r in df.select(F.unix_micros("ts").alias("us"))
+            .orderBy("us")
+            .limit(50)
+            .collect()
+        ]
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    base = "/root/testdata/sf0.001"
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = epoch_micros(load_table(spark, base, "events"))
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        la = epoch_micros(load_table(spark, base, "events"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert utc == la
+    # sanity: the instants carry sub-second precision when the source does
+    assert len(utc) == 50

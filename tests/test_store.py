@@ -506,9 +506,34 @@ def test_empty_trash_root_autocleaned(spark, tmp_path, rng):
     assert not os.path.exists(f"{loc}/_trash")
     assert lake.count() == n
 
-    # a _trash with non-shard residue but no shard_id=* data also clears
+    # a _trash with UNRECOGNIZED residue (no shard_id=* entries) must NOT
+    # be silently destroyed — it could be a partially-renamed shard or
+    # files another in-flight swap just created (r04 ADVICE): refuse and
+    # leave the residue in place for the operator.
     os.makedirs(f"{loc}/_trash")
     open(f"{loc}/_trash/.marker", "w").close()
-    lake.compact()
+    with pytest.raises(Exception, match="unrecognized residue"):
+        lake.compact()
+    assert os.path.exists(f"{loc}/_trash/.marker")
+    os.remove(f"{loc}/_trash/.marker")
+    lake.compact()  # empty again -> auto-clean proceeds
     assert not os.path.exists(f"{loc}/_trash")
     assert lake.count() == n
+
+
+def test_query_batch_refuses_oversized_batch(spark, tmp_path, rng):
+    """query_batch collects the query side driver-side; an unbounded
+    batch must be refused with a pointer at the distributed path
+    (r04 VERDICT), mirroring the quadratic-baseline guard in
+    operators/dedup.py."""
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=4, approx_shards=4)
+    lake.add_batch(rng.rand(10, 4).tolist())
+    lake.persist()
+    queries = spark.createDataFrame(
+        [(i, [0.1, 0.2, 0.3, 0.4]) for i in range(6)],
+        "query_id long, qv array<double>",
+    )
+    with pytest.raises(ValueError, match="topk_cosine_batch"):
+        lake.query_batch(queries, k=2, max_queries=5)
+    # at the bound it still runs
+    assert lake.query_batch(queries.limit(5), k=2, max_queries=5).count() > 0

@@ -1998,17 +1998,21 @@ def q_text_lm_surprisal(spark, sf):
     low = boilerplate. The production use is the perplexity band filter
     (keep the middle); the flag marks the high tail here.
 
-    Scale shape: one explode→token-count aggregate (the LM fit — tokens
-    shuffle as 8-byte hashes... here raw tokens, same key economy as
-    tf-idf), rebroadcast as a broadcast join onto the same exploded scan;
-    per-doc mean is a (doc_id) re-aggregate. No driver-side scalar —
-    total tokens rides a broadcast single-row agg."""
+    Scale shape: one explode→token-count aggregate (the LM fit), joined
+    back onto the same exploded scan on the token key. The LM's
+    cardinality grows with the corpus (it IS the vocabulary), so the join
+    is left UNHINTED: Catalyst/AQE broadcasts it while it fits under
+    autoBroadcastJoinThreshold and falls back to a shuffle hash join
+    when it doesn't — force-broadcasting a corpus-sized table would OOM
+    at the 100 TB posture (r04 ADVICE). Only the provably-single-row
+    total rides an explicit broadcast. Per-doc mean is a (doc_id)
+    re-aggregate; no driver-side scalar anywhere."""
     d = _t(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     total = lm.agg(F.sum("tf").alias("total_tf"))
     scored = (
-        tok.join(F.broadcast(lm), "tok")
+        tok.join(lm, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",

@@ -55,7 +55,28 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             ts_col, F.timestamp_micros(F.floor(F.col(ts_col) / 1000).cast("long"))
         )
     if ts_type == "timestamp_ntz":
-        return df.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
+        # The NTZ wall time IS the UTC instant (the generator wrote UTC
+        # nanos).  ``to_utc_timestamp(ntz, "UTC")`` is NOT session-safe:
+        # the implicit NTZ→LTZ cast renders the wall time in the SESSION
+        # timezone first, so a non-UTC session shifts every instant (r04
+        # ADVICE, verified: NTZ 12:00 → 20:00Z under America/Los_Angeles).
+        # Instead compute epoch micros arithmetically from the wall-time
+        # fields — date/hour/minute/fractional-second extraction on NTZ is
+        # timezone-independent by construction — then materialize the
+        # instant with ``timestamp_micros`` (also tz-independent).
+        c = F.col(ts_col)
+        epoch_days = F.datediff(F.to_date(c), F.lit("1970-01-01").cast("date"))
+        micros = (
+            (
+                epoch_days.cast("long") * F.lit(86400).cast("long")
+                + F.hour(c).cast("long") * 3600
+                + F.minute(c).cast("long") * 60
+            )
+            * F.lit(1_000_000).cast("long")
+            # date_part('SECOND') keeps the micro fraction as decimal(8,6)
+            + F.round(F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+        )
+        return df.withColumn(ts_col, F.timestamp_micros(micros))
     return df
 
 

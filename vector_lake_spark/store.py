@@ -301,7 +301,11 @@ class SparkVectorLake:
         return writer.start()
 
     def query_batch(
-        self, queries_df: DataFrame, k: int = 4, n_probes: int = 1
+        self,
+        queries_df: DataFrame,
+        k: int = 4,
+        n_probes: int = 1,
+        max_queries: int = 100_000,
     ) -> DataFrame:
         """Batched routed search: N queries in ONE job.
 
@@ -325,6 +329,20 @@ class SparkVectorLake:
 
         from vector_lake_spark.operators.ann import multiprobe_shards
 
+        # "Small by definition" must be enforced, not assumed: the batch
+        # is collected driver-side and broadcast as numpy matrices, so an
+        # unbounded queries_df would OOM the driver (r04 VERDICT). Mirror
+        # of the quadratic-baseline refusal in operators/dedup.py.
+        n_queries = queries_df.limit(max_queries + 1).count()
+        if n_queries > max_queries:
+            raise ValueError(
+                f"query_batch collects the query side driver-side and the "
+                f"batch has > max_queries={max_queries} rows. Use the "
+                f"distributed broadcast-join path "
+                f"(operators.topk.topk_cosine_batch) for large query "
+                f"tables, or raise max_queries explicitly if the driver "
+                f"can hold the batch."
+            )
         qrows = queries_df.collect()
         by_shard: dict[int, tuple[list, "np.ndarray"]] = {}
         for r in qrows:
@@ -505,24 +523,36 @@ class SparkVectorLake:
         fs, trash_root_p = self._fs_path(trash_root)
         if not fs.exists(trash_root_p):
             return
-        # An EMPTY trash root is not stranded data — it's the residue of
-        # a swap that aborted after mkdirs (or whose restore path renamed
-        # every shard back). Refusing on it would lock out ALL
-        # maintenance with a spurious data-loss warning (r03 ADVICE):
-        # only real shard_id=* content blocks.
+        # A fully-EMPTY trash root is not stranded data — it's the
+        # residue of a swap that aborted after mkdirs (or whose restore
+        # path renamed every shard back). Refusing on it would lock out
+        # ALL maintenance with a spurious data-loss warning (r03 ADVICE).
+        # But ONLY the fully-empty case auto-cleans: a non-empty dir
+        # without shard_id=* entries (a partially-renamed shard under an
+        # unexpected name, files an in-flight swap just created) is
+        # unexplained residue — deleting it would silently destroy the
+        # one thing we can't account for (r04 ADVICE), so refuse and let
+        # the operator look.
         statuses = fs.listStatus(trash_root_p)
+        if len(statuses) == 0:
+            fs.delete(trash_root_p, True)
+            return
         has_shard_data = any(
             s.getPath().getName().startswith("shard_id=") for s in statuses
         )
-        if not has_shard_data:
-            fs.delete(trash_root_p, True)
-            return
+        if has_shard_data:
+            raise IOError(
+                f"refusing to start a shard swap: {trash_root} holds "
+                "shard data from an interrupted earlier swap (the only "
+                "remaining copy of those shards). Rename its "
+                "shard_id=* dirs back into the store, or delete the "
+                "trash dir if the data is confirmed unwanted, then retry."
+            )
         raise IOError(
-            f"refusing to start a shard swap: {trash_root} holds "
-            "shard data from an interrupted earlier swap (the only "
-            "remaining copy of those shards). Rename its "
-            "shard_id=* dirs back into the store, or delete the "
-            "trash dir if the data is confirmed unwanted, then retry."
+            f"refusing maintenance: {trash_root} is non-empty but holds "
+            "no shard_id=* entries — unrecognized residue (possibly a "
+            "partially-renamed shard or another in-flight swap). "
+            "Inspect and recover or delete it manually, then retry."
         )
 
     def compact(self, target_files_per_shard: int = 1) -> None:
