@@ -235,3 +235,37 @@ def test_anomaly_zscore_one_shuffle_on_event_type(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "event_type" in plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+
+
+def test_many_file_input_skips_local_spread_barriers(spark, tmp_path):
+    """The _auto_spread_n round-robin exchange (and pipe_curation_e2e's
+    lineage-truncating localCheckpoint) are LOCAL single-file artifacts
+    only. On a many-file input — any production table — the gate must
+    return None so the cluster-scale plan stays free of the extra
+    shuffle and of any checkpoint barrier (r04 VERDICT watch item)."""
+    import glob
+
+    n_files = spark.sparkContext.defaultParallelism
+    (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .repartition(n_files)
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    assert (
+        len(glob.glob(str(tmp_path / "documents.parquet" / "*.parquet")))
+        >= n_files
+    )
+    sf = str(tmp_path)
+
+    for q in (Q.q_pipe_quality_filter, Q.q_text_repetition, Q.q_text_redact_pii):
+        df = q(spark, sf)
+        assert_not_in_plan(df, "RoundRobinPartitioning")
+        assert_not_in_plan(df, "ExistingRDD")  # no checkpoint barrier
+
+    e2e = Q.q_pipe_curation_e2e(spark, sf)
+    assert_not_in_plan(e2e, "RoundRobinPartitioning")
+    assert_not_in_plan(e2e, "ExistingRDD")
+
+    # and the single-file path still spreads (the local-mode fix stays)
+    small = Q.q_pipe_quality_filter(spark, SF)
+    assert_in_plan(small, "RoundRobinPartitioning")
