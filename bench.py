@@ -31,6 +31,7 @@ HEADLINE = [
     "vec_neardup_lsh",
     "ann_ivf_topk",
     "ann_ivf_stored",
+    "ann_ivf_quantized",
     "vec_centroid_by_label",
     "vec_dim_stats",
     "dedup_exact",

@@ -66,3 +66,37 @@ def test_ivf_reopen_from_disk(spark, ivf):
     assert _ids(reopened.topk(Q.QUERY_VEC, K, nprobe=16)) == _ids(
         ivf.topk(Q.QUERY_VEC, K, nprobe=16)
     )
+
+
+def test_ivf_recall_on_clustered_embeddings(spark):
+    """The uniform testdata is the worst case for any locality index; a
+    realistic embedding corpus is clustered. On a seeded 20-component
+    Gaussian mixture, a single-probe query must already recover most of
+    the exact top-k (measured 0.96 mean recall scanning ~8% of rows —
+    full curve in SCALE.md 'IVF recall/cost curve')."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, n_rows, n_clusters = 32, 2000, 20
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, n_clusters, n_rows)
+    vecs = centers[assign] + 0.08 * rng.randn(n_rows, dim)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n_rows)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    from vector_lake_spark.operators.ann import ivf_build, ivf_topk
+
+    assigned, centroids = ivf_build(df, n_centroids=16)
+    assigned = assigned.cache()
+    qs = centers[rng.randint(0, n_clusters, 10)] + 0.08 * rng.randn(10, dim)
+    recalls = []
+    for q in qs:
+        brute = set(_ids(topk_cosine(df, q.tolist(), K)))
+        got = set(_ids(ivf_topk(assigned, centroids, q.tolist(), K, nprobe=1)))
+        recalls.append(len(brute & got) / K)
+    assert sum(recalls) / len(recalls) >= 0.85
+    df.unpersist()
+    assigned.unpersist()
