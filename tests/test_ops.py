@@ -671,3 +671,50 @@ def test_normalize_event_ts_is_session_timezone_independent(spark):
     assert utc == la
     # sanity: the instants carry sub-second precision when the source does
     assert len(utc) == 50
+
+
+def test_stream_neardup_incremental_equals_batch(spark, tmp_path):
+    """The streaming near-dup candidates must equal the batch pair set
+    even when rows arrive across MULTIPLE micro-batches — pairs between a
+    new row and rows from earlier batches only exist via the state store
+    (ids + band keys), which is the incremental-ingest contract."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark import queries as Q
+    from vector_lake_spark.functions.vectors import to_double_array
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+    from vector_lake_spark.streaming.neardup import (
+        banded_keys,
+        stream_neardup_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    v = to_double_array(F.col("embedding"))
+    shard, bkeys = banded_keys(v, Q.H4, Q.NEARDUP_BANDS)
+    keyed = stream.select("vec_id", shard.alias("shard"), bkeys.alias("bkeys"))
+    cands = stream_neardup_candidates(keyed, Q.NEARDUP_N_BANDS)
+    name = Q._run_stream_to_memory(cands, "append")
+    got = {
+        (r["id_a"], r["id_b"]) for r in spark.table(name).collect()
+    }
+
+    batch = lsh_neardup_pairs(
+        emb,
+        Q.H4,
+        threshold=-1.0,  # keep ALL candidate pairs: compare candidate sets
+        n_bands=Q.NEARDUP_N_BANDS,
+        band_bits=Q.NEARDUP_BAND_BITS,
+        carry_vectors=True,
+    )
+    want = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0

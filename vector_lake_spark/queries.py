@@ -3352,6 +3352,70 @@ GROUP BY fp
 """
 
 
+def q_dedup_stream_neardup(spark, sf):
+    """Batch-vs-stream equivalence for incremental banded-LSH near-dup
+    ingestion (streaming/neardup.py, r04 verdict #7): the stateful
+    operator emits each (shard, band, key) candidate pair exactly once
+    across the stream — state holds ids + band keys, never vectors — and
+    the exact cosine re-rank runs Spark-side over the emitted pairs.
+    A single availableNow pass over the embeddings table must therefore
+    reproduce the batch ``vec_neardup_lsh`` pairs exactly, so it shares
+    that query's DuckDB oracle. The LSH keys are computed by the same
+    native column expressions as batch; no float math crosses into
+    Python anywhere."""
+    from vector_lake_spark.functions.vectors import dot, norm
+    from vector_lake_spark.streaming.neardup import (
+        banded_keys,
+        stream_neardup_candidates,
+    )
+
+    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+    )
+    v = to_double_array(F.col("embedding"))
+    shard, bkeys = banded_keys(v, H4, NEARDUP_BANDS)
+    keyed = stream.select(
+        F.col("vec_id"), shard.alias("shard"), bkeys.alias("bkeys")
+    )
+    cands = stream_neardup_candidates(keyed, NEARDUP_N_BANDS)
+    name = _run_stream_to_memory(cands, "append")
+    pairs = spark.table(name)
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+        ),
+        6,
+    )
+    return (
+        pairs.join(
+            emb.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nv").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nv").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_COS_THRESHOLD)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def q_ev_sessionize(spark, sf):
     return sessionize(_events(spark, sf))
 
@@ -4102,6 +4166,7 @@ _BASE_QUERIES = {
     "ev_stream_tumbling": q_ev_stream_tumbling,
     "ev_stream_interval_join": q_ev_stream_interval_join,
     "dedup_stream_exact": q_dedup_stream_exact,
+    "dedup_stream_neardup": q_dedup_stream_neardup,
     "ev_top_users": q_ev_top_users,
     "mm_binary_stats": q_mm_binary_stats,
     "mm_feature_extract": q_mm_feature_extract,
@@ -4261,6 +4326,8 @@ ORACLES = {
     "ev_stream_tumbling": SQL_EV_STREAM_TUMBLING,
     "ev_stream_interval_join": SQL_EV_STREAM_INTERVAL_JOIN,
     "dedup_stream_exact": SQL_DEDUP_STREAM_EXACT,
+    # incremental banded-LSH candidates must equal the batch pair set
+    "dedup_stream_neardup": SQL_VEC_NEARDUP_LSH,
     "ev_top_users": SQL_EV_TOP_USERS,
     "mm_binary_stats": SQL_MM_BINARY_STATS,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
