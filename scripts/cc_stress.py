@@ -68,4 +68,18 @@ c4 = spark.range(4096).selectExpr("id AS id_a", "id + 1 AS id_b")
 c4_nodes = spark.range(4097).withColumnRenamed("id", "doc_id")
 run("chain-4k", "star", c4, c4_nodes)
 
+# 4. power-law hot-hub graph (r04 verdict #8): a Zipf-ish attachment
+#    graph where a handful of hub nodes absorb most edges — the skew
+#    adversary for the star-contraction min-aggregates. min() is
+#    partial-aggregable (map-side combine), so a hub key's traffic
+#    collapses to one row per map partition regardless of degree.
+#    dst = floor(u^8 * id) concentrates ~20% of ALL edges on node 0
+#    (measured hub degree ~2e5 at 1M edges; avg degree ~1).
+hub = spark.range(N).selectExpr(
+    "id + 1 AS id_a",
+    "CAST(FLOOR(pow(rand(7), 8) * id) AS BIGINT) AS id_b",
+)
+hub_nodes = spark.range(N + 1).withColumnRenamed("id", "doc_id")
+run("powerlaw-1M", "star", hub, hub_nodes)
+
 spark.stop()

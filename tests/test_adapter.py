@@ -136,3 +136,32 @@ def test_async_wrappers(spark, tmp_path):
     assert len(more_ids) == 1
     hits = store.similarity_search("gamma doc", k=1, n_probes=4)
     assert hits and "gamma" in hits[0]["page_content"]
+
+
+def test_real_sentence_transformers_embedder_seam(spark):
+    """The EmbedFn seam must accept a genuine model with zero adapter
+    changes — the reference's pluggable-embeddings contract
+    (langchain/__init__.py:33-41, MiniLM default). Runs wherever
+    sentence-transformers is installed; skipped-with-reason here (the
+    container ships no model libraries — r04 verdict #9)."""
+    st = pytest.importorskip(
+        "sentence_transformers",
+        reason="sentence-transformers not installed in this container; "
+        "the seam is exercised with the hashed-n-gram stand-in elsewhere",
+    )
+    from vector_lake_spark.adapter import embed_texts_df
+
+    model = st.SentenceTransformer("all-MiniLM-L6-v2")
+
+    def embed(texts):
+        return [v.tolist() for v in model.encode(texts, convert_to_numpy=True)]
+
+    df = spark.createDataFrame(
+        [("a", "vector databases shard embeddings"), ("b", "completely unrelated")],
+        "id string, document string",
+    )
+    out = embed_texts_df(df, embed).collect()
+    vecs = {r["id"]: r["vector"] for r in out}
+    assert len(vecs["a"]) == 384  # MiniLM dimension, the adapter default
+    # embeddings must be real model output: non-degenerate and distinct
+    assert vecs["a"] != vecs["b"]

@@ -1,0 +1,146 @@
+"""boto3-backed S3 store mirroring — the reference's staging posture,
+executable without the ``hadoop-aws`` jar.
+
+The reference's S3 support is a boto3 stage-through-local-disk layer
+(`/root/reference/vector_lake/core/index.py:344-424`): ``S3Bucket``
+downloads a segment on first touch (`_lazy_load`, `index.py:367-383`),
+uploads dirty segments on ``sync()`` (`index.py:385-401`), and deletes
+remote objects per segment (`delete_remote`, `index.py:416-424`),
+against an endpoint override for localstack (`index.py:361-365`).
+
+This module is the Spark-side equivalent for environments where the
+S3A connector cannot load (no ``hadoop-aws`` jar — this container; see
+``docs/S3.md``): the canonical store lives on any Spark-readable
+filesystem, and the sync layer mirrors its files to/from
+``s3://bucket/prefix`` driver-side with boto3. Covers reference ops
+S4 (download-on-demand), S5 (upload-on-sync), S7 (remote segment
+delete) with real execution (``tests/test_s3sync.py`` runs it against
+an in-process moto S3).
+
+**Scale posture — know which path you are on.** This layer moves whole
+files through the driver: right for the reference's regime (a few
+hundred MB of segments, serverless-style), wrong for 100 TB. At scale,
+use the S3A connector (``docs/S3.md``) where executors stream
+partitioned parquet directly — same store code, different URI. The
+sync layer refuses stores above ``max_bytes`` (default 10 GiB) so it
+cannot silently become the bottleneck path.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class S3StoreSync:
+    """Mirror a local store directory to ``s3://bucket/prefix``.
+
+    Keys are root-relative POSIX paths, so the mirrored layout is byte-
+    identical to the local one (``shard_id=N/part-*.parquet`` prefixes
+    included — remote per-shard delete is a prefix delete, exactly the
+    reference's per-segment object delete, S7)."""
+
+    def __init__(
+        self,
+        local_root: str,
+        bucket: str,
+        prefix: str = "lake",
+        client=None,
+        max_bytes: int = 10 * 1024**3,
+    ):
+        import boto3
+
+        self.local_root = str(local_root)
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        # endpoint override mirrors the reference's localstack hook
+        # (index.py:361-365); default chain otherwise
+        self.client = client or boto3.client(
+            "s3", endpoint_url=os.environ.get("LOCALSTACK_ENDPOINT_URL")
+        )
+        self.max_bytes = max_bytes
+        self.bytes_transferred = 0
+
+    def _local_files(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for dirpath, _dirs, files in os.walk(self.local_root):
+            for f in files:
+                if f.startswith(".") or f == "_SUCCESS":
+                    continue  # Spark CRC/marker files are not store state
+                p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, self.local_root).replace(os.sep, "/")
+                out[rel] = os.path.getsize(p)
+        return out
+
+    def _remote_files(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(
+            Bucket=self.bucket, Prefix=self.prefix + "/"
+        ):
+            for obj in page.get("Contents", []):
+                rel = obj["Key"][len(self.prefix) + 1 :]
+                out[rel] = obj["Size"]
+        return out
+
+    def _check_size(self, files: dict[str, int], direction: str) -> None:
+        total = sum(files.values())
+        if total > self.max_bytes:
+            raise ValueError(
+                f"S3StoreSync.{direction}: store is {total} bytes "
+                f"(> max_bytes={self.max_bytes}). This driver-side staging "
+                f"path is for reference-scale stores; mount the store on "
+                f"s3a:// with the hadoop-aws jar for executor-streamed I/O "
+                f"(docs/S3.md), or raise max_bytes explicitly."
+            )
+
+    def sync_up(self) -> int:
+        """Upload files missing or size-changed remotely (reference S5:
+        upload-on-sync, dirty-only — size compare is the dirtiness
+        proxy). Returns the number of files uploaded."""
+        local = self._local_files()
+        self._check_size(local, "sync_up")
+        remote = self._remote_files()
+        n = 0
+        for rel, size in sorted(local.items()):
+            if remote.get(rel) == size:
+                continue
+            src = os.path.join(self.local_root, rel)
+            self.client.upload_file(src, self.bucket, f"{self.prefix}/{rel}")
+            self.bytes_transferred += size
+            n += 1
+        return n
+
+    def sync_down(self) -> int:
+        """Download files missing or size-changed locally (reference S4:
+        download-on-demand; here the demand unit is the store, since
+        Spark's scan prunes partitions at read time anyway). Returns the
+        number of files downloaded."""
+        remote = self._remote_files()
+        self._check_size(remote, "sync_down")
+        local = self._local_files()
+        n = 0
+        for rel, size in sorted(remote.items()):
+            if local.get(rel) == size:
+                continue
+            dst = os.path.join(self.local_root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            self.client.download_file(self.bucket, f"{self.prefix}/{rel}", dst)
+            self.bytes_transferred += size
+            n += 1
+        return n
+
+    def delete_remote_shard(self, shard_id) -> int:
+        """Remote per-segment delete (reference S7, `index.py:416-424`):
+        removes every object under the shard's partition prefix."""
+        sub = f"{self.prefix}/data/shard_id={shard_id}/"
+        paginator = self.client.get_paginator("list_objects_v2")
+        keys = [
+            {"Key": o["Key"]}
+            for page in paginator.paginate(Bucket=self.bucket, Prefix=sub)
+            for o in page.get("Contents", [])
+        ]
+        for i in range(0, len(keys), 1000):
+            self.client.delete_objects(
+                Bucket=self.bucket, Delete={"Objects": keys[i : i + 1000]}
+            )
+        return len(keys)
