@@ -149,8 +149,9 @@ def main() -> None:
     # min over N runs: the container shows heavy run-to-run variance from
     # host CPU contention (same query: 1.5-8.5s across runs); the minimum
     # reflects engine cost rather than neighbor noise. Default 5 per the
-    # r03 verdict (min-of-5 methodology; sf1 data does not exist in this
-    # container, so deeper N at sf0.1 is the honest noise control).
+    # r03 verdict. Scale runs (self-generated sf1 dirs via
+    # scripts/gen_testdata.py, r05) use BENCH_RUNS=2 + the query subset
+    # below; results in BASELINE.md "sf1 scaling".
     runs = max(1, int(os.environ.get("BENCH_RUNS", "5")))
     # optional subset (comma-separated query names): the sf1+ scaling
     # bench runs only the >=1s entries against self-generated data dirs

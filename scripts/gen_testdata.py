@@ -19,7 +19,7 @@ Structure mimicked from the driver data (profiled, seed-42 files):
   threshold the TRUE pair count of random unit vectors grows
   quadratically (P(cos ≥ 0.35) ≈ 0.2% at dim 64) — that is a property
   of the threshold, not the generator.
-- ``events``: uniform timestamps over 30 days (ns precision),
+- ``events``: uniform timestamps over 30 days (µs precision, matching the driver files),
   user_id ∈ [0, n/10), event_type ∈ 5 values, value ~ |N(0,50)|,
   props = {"k": int}.
 
@@ -97,14 +97,16 @@ def gen_embeddings(rng: np.random.RandomState, n: int, dim: int = 64) -> pa.Tabl
 
 
 def gen_events(rng: np.random.RandomState, n: int) -> pa.Table:
-    t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
-    span_ns = 30 * 86400 * 10**9
-    ts = np.sort(t0 + (rng.rand(n) * span_ns).astype(np.int64))
+    # micros NTZ — matches the driver files' physical type (profiled:
+    # Timestamp(isAdjustedToUTC=false, microseconds))
+    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    span_us = 30 * 86400 * 10**6
+    ts = np.sort(t0 + (rng.rand(n) * span_us).astype(np.int64))
     props = [f'{{"k": {k}}}' for k in rng.randint(0, 100, n)]
     return pa.table(
         {
             "event_id": pa.array(np.arange(n), pa.int64()),
-            "ts": pa.array(ts, pa.timestamp("ns")),
+            "ts": pa.array(ts, pa.timestamp("us")),
             "user_id": pa.array(rng.randint(0, max(n // 10, 1), n), pa.int64()),
             "event_type": pa.array(
                 [EVENT_TYPES[i] for i in rng.randint(0, 5, n)]

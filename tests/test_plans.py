@@ -269,3 +269,21 @@ def test_many_file_input_skips_local_spread_barriers(spark, tmp_path):
     # and the single-file path still spreads (the local-mode fix stays)
     small = Q.q_pipe_quality_filter(spark, SF)
     assert_in_plan(small, "RoundRobinPartitioning")
+
+
+def test_q8_broadcasts_all_dimensions(spark):
+    """Q8's seven-table join must broadcast every dimension (part,
+    nation x2, region — and AQE picks up customer/supplier under the
+    threshold); the lineitem fact side must never be the build side."""
+    df = Q.q_q8_market_share(spark, SF)
+    p = plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p or "lineitem" not in p.split("SortMergeJoin")[0]
+
+
+def test_q15_max_is_broadcast_single_row(spark):
+    """Q15's max-revenue comparison rides a broadcast single-row
+    aggregate, not a driver-side scalar or a global re-sort."""
+    df = Q.q_q15_top_supplier(spark, SF)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

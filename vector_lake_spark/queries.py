@@ -2399,6 +2399,124 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
 
 
+def q_q8_market_share(spark, sf):
+    """TPC-H Q8 shape (national market share): NATION_1 suppliers' share
+    of ECONOMY-part revenue sold into the ASIA customer region, by order
+    year. All dimension joins broadcast (part filter prunes first, so
+    the fact scan carries only matching lineitems); the share is a
+    conditional-sum / sum in ONE aggregate — no second pass."""
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+    )
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_1", F.col("volume")
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_Q8_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+"""
+
+
+def q_q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape (top supplier): revenue per supplier over a
+    3-month ship window; return the max-revenue supplier(s). The max
+    rides back as a broadcast single-row aggregate (house pattern — no
+    driver-side scalar), and revenue is rounded BEFORE the comparison so
+    both engines pick identical winners on ties."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    supp = _t(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
 def q_q10_returned_items(spark, sf):
     """TPC-H Q10 shape (returned-item reporting): revenue lost to
     returns per customer in a quarter, top 20. Fact scan filtered on
@@ -4124,6 +4242,8 @@ _BASE_QUERIES = {
     "q4_late_orders": q_q4_late_orders,
     "q5_nation_revenue": q_q5_nation_revenue,
     "q7_nation_volume": q_q7_nation_volume,
+    "q8_market_share": q_q8_market_share,
+    "q15_top_supplier": q_q15_top_supplier,
     "q10_returned_items": q_q10_returned_items,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
@@ -4284,6 +4404,8 @@ ORACLES = {
     "q4_late_orders": SQL_Q4_LATE_ORDERS,
     "q5_nation_revenue": SQL_Q5_NATION_REVENUE,
     "q7_nation_volume": SQL_Q7_NATION_VOLUME,
+    "q8_market_share": SQL_Q8_MARKET_SHARE,
+    "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
