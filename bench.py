@@ -43,6 +43,7 @@ HEADLINE = [
     # covered but out of the headline: the native-expression variant below
     # computes the same banding ~2x faster and is the recommended path
     "dedup_minhash_native",
+    "graph_triangles",
     "text_stats_by_lang",
     "text_quality",
     "text_token_top20",

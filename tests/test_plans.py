@@ -287,3 +287,21 @@ def test_q15_max_is_broadcast_single_row(spark):
     df = Q.q_q15_top_supplier(spark, SF)
     p = plan_string(df)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_knn_graph_window_pushes_group_limit(spark):
+    """knn_edges' per-node top-k must run as a window with a partial
+    group limit below the exchange (candidates are already banded; the
+    rank shuffles at most k rows per node per map side)."""
+    df = Q.q_graph_knn_edges(spark, SF)
+    p = plan_string(df)
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_count_no_cartesian(spark):
+    """The degree-oriented wedge join must stay an equi-join chain —
+    no cartesian product at any stage."""
+    df = Q.q_graph_triangles(spark, SF)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p

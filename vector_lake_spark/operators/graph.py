@@ -47,3 +47,101 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("a").alias("id"), F.round("r", 6).alias("rank"))
+
+
+def knn_edges(pairs: DataFrame, k: int) -> DataFrame:
+    """Mutual-candidate k-NN graph from a scored pair list.
+
+    ``pairs``: (id_a < id_b, sim) — typically the banded-LSH candidate
+    pairs (``operators/ann.lsh_neardup_pairs`` with no threshold), so the
+    candidate set is bounded by the banding at any scale. Each node keeps
+    its ``k`` highest-similarity candidates (ties broken by neighbor id,
+    similarity pre-rounded, so both engines rank identically); the union
+    of per-node selections, normalized to (min, max), is the undirected
+    edge set — the standard similarity-graph construction for semantic
+    clustering.
+
+    Scale shape: symmetrize (2× candidate rows, ids+sim only) → per-node
+    window top-k (rank pushes a partial group limit below the exchange)
+    → distinct. Vectors never enter this operator."""
+    from pyspark.sql import Window
+
+    sym = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v"), "sim"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("u"), F.col("id_a").alias("v"), "sim"
+        )
+    ).filter(F.col("sim").isNotNull())
+    w = Window.partitionBy("u").orderBy(F.col("sim").desc(), F.col("v").asc())
+    top = sym.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return (
+        top.select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle count via degree-oriented wedge join — one row:
+    (n_nodes, n_edges, n_triangles).
+
+    ``edges``: distinct undirected (id_a < id_b). Each edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, so every
+    wedge is enumerated at exactly one center and out-degrees are
+    bounded by ~sqrt(m) on any graph — the classic defense that keeps
+    the wedge join from exploding on hub nodes (a hub of degree d is a
+    wedge CENTER only for its few higher-degree neighbors, never d²
+    times). The closing join probes the oriented edge set itself.
+
+    The count is orientation-invariant, so the DuckDB oracle verifies it
+    with the simpler ordered-id 3-way join."""
+    deg = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionAll(edges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("id_a"), F.col("deg").alias("da")),
+            "id_a",
+        )
+        .join(
+            deg.select(F.col("node").alias("id_b"), F.col("deg").alias("db")),
+            "id_b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+    )
+    fwd = e.select(
+        F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+        F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    )
+    e1, e2 = fwd.alias("e1"), fwd.alias("e2")
+    wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).filter(
+        (F.col("e1.ddeg") < F.col("e2.ddeg"))
+        | (
+            (F.col("e1.ddeg") == F.col("e2.ddeg"))
+            & (F.col("e1.dst") < F.col("e2.dst"))
+        )
+    )
+    closing = fwd.select(
+        F.col("src").alias("cx"), F.col("dst").alias("cy")
+    )
+    tris = wedges.join(
+        closing,
+        (F.col("e1.dst") == F.col("cx")) & (F.col("e2.dst") == F.col("cy")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = edges.agg(
+        F.count(F.lit(1)).alias("n_edges")
+    ).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )
+    return counts.crossJoin(F.broadcast(tris)).select(
+        "n_nodes", "n_edges", "n_triangles"
+    )

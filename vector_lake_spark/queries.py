@@ -908,6 +908,99 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 
 
+GRAPH_KNN_K = 3
+
+
+def _knn_candidate_pairs(spark, sf):
+    """Banded-LSH candidate pairs with NO similarity threshold — the
+    shared input of the k-NN graph queries. Candidates stay bounded by
+    the banding (never all-pairs); -2.0 passes every non-null cosine."""
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(
+        _t(spark, sf, "embeddings"),
+        H4,
+        threshold=-2.0,
+        n_bands=NEARDUP_N_BANDS,
+        band_bits=NEARDUP_BAND_BITS,
+        carry_vectors=True,
+    )
+
+
+def q_graph_knn_edges(spark, sf):
+    """Similarity-graph construction: per-node top-k cosine neighbors
+    among banded-LSH candidates, normalized to undirected edges — the
+    standard prelude to semantic clustering at scale (vectors never
+    enter the graph operator; candidates bounded by banding)."""
+    from vector_lake_spark.operators.graph import knn_edges
+
+    return knn_edges(_knn_candidate_pairs(spark, sf), GRAPH_KNN_K)
+
+
+def q_graph_triangles(spark, sf):
+    """Global triangle census of the k-NN similarity graph via the
+    degree-oriented wedge join (hub-proof: a degree-d hub centers only
+    wedges toward its higher-degree neighbors, never d² of them). One
+    row (n_nodes, n_edges, n_triangles); the oracle verifies with the
+    orientation-free ordered-id 3-way join — same count by symmetry."""
+    from vector_lake_spark.operators.graph import knn_edges, triangle_stats
+
+    return triangle_stats(knn_edges(_knn_candidate_pairs(spark, sf), GRAPH_KNN_K))
+
+
+def _sql_knn_edges_cte() -> str:
+    band_cols = ",\n         ".join(
+        f"CAST({lsh_mod.shard_id_sql(EMB, NEARDUP_BANDS[b])} AS BIGINT) AS k{b}"
+        for b in range(NEARDUP_N_BANDS)
+    )
+    band_match = " OR ".join(
+        f"a.k{b} = b.k{b}" for b in range(NEARDUP_N_BANDS)
+    )
+    return f"""e AS (
+  SELECT vec_id, {EMB} AS v,
+         CAST({lsh_mod.shard_id_sql(EMB, H4)} AS BIGINT) AS shard,
+         {band_cols}
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS sim
+  FROM e a JOIN e b ON a.shard = b.shard AND a.vec_id < b.vec_id
+    AND ({band_match})
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v, sim FROM cand WHERE sim IS NOT NULL
+  UNION ALL
+  SELECT id_b AS u, id_a AS v, sim FROM cand WHERE sim IS NOT NULL
+),
+top AS (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY sim DESC, v) AS rn
+  FROM sym
+),
+edges AS (
+  SELECT DISTINCT least(u, v) AS id_a, greatest(u, v) AS id_b
+  FROM top WHERE rn <= {GRAPH_KNN_K}
+)"""
+
+
+SQL_GRAPH_KNN_EDGES = f"WITH {_sql_knn_edges_cte()}\nSELECT id_a, id_b FROM edges"
+
+SQL_GRAPH_TRIANGLES = f"""WITH {_sql_knn_edges_cte()},
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.id_b = e2.id_a
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+),
+nn AS (
+  SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+  FROM (SELECT id_a AS node FROM edges UNION ALL SELECT id_b FROM edges)
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri
+"""
+
+
 def q_graph_pagerank(spark, sf):
     # centrality over the SimHash near-dup graph: template-hub documents
     # (one boilerplate page near-duplicating many others) rank high —
@@ -4203,6 +4296,8 @@ _BASE_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_edit_distance": q_dedup_edit_distance,
     "graph_pagerank": q_graph_pagerank,
+    "graph_knn_edges": q_graph_knn_edges,
+    "graph_triangles": q_graph_triangles,
     # dedup_minhash (Spark-ML HashingTF variant) was dropped from the
     # registry in round 3: it is rows-only (no oracle is possible for the
     # hash-dependent banding) and validates nothing the oracle-checked
@@ -4369,6 +4464,8 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "graph_knn_edges": SQL_GRAPH_KNN_EDGES,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
     # dedup_minhash (ML variant): rows-only by design
     "ann_ivf_topk": SQL_ANN_IVF,

@@ -332,9 +332,12 @@ class SparkVectorLake:
         # "Small by definition" must be enforced, not assumed: the batch
         # is collected driver-side and broadcast as numpy matrices, so an
         # unbounded queries_df would OOM the driver (r04 VERDICT). Mirror
-        # of the quadratic-baseline refusal in operators/dedup.py.
-        n_queries = queries_df.limit(max_queries + 1).count()
-        if n_queries > max_queries:
+        # of the quadratic-baseline refusal in operators/dedup.py. The
+        # limit+collect IS the guard: at most max_queries+1 rows ever
+        # reach the driver, and the guard adds no extra job (a separate
+        # count() cost a measurable fraction of warm-path latency).
+        qrows = queries_df.limit(max_queries + 1).collect()
+        if len(qrows) > max_queries:
             raise ValueError(
                 f"query_batch collects the query side driver-side and the "
                 f"batch has > max_queries={max_queries} rows. Use the "
@@ -343,7 +346,6 @@ class SparkVectorLake:
                 f"tables, or raise max_queries explicitly if the driver "
                 f"can hold the batch."
             )
-        qrows = queries_df.collect()
         by_shard: dict[int, tuple[list, "np.ndarray"]] = {}
         for r in qrows:
             qv = np.asarray(r["qv"], dtype=np.float64)
