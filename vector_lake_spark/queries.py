@@ -3491,6 +3491,94 @@ GROUP BY 1, 2
 """
 
 
+def q_ev_stream_sliding(spark, sf):
+    """Batch-vs-stream equivalence for the watermarked SLIDING window
+    (streaming/events.py): each event lands in duration/slide windows;
+    a bounded availableNow run must equal the batch sliding_agg, so it
+    shares ev_sliding's oracle."""
+    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.streaming.events import stream_sliding_agg
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    agg = stream_sliding_agg(stream)
+    name = _run_stream_to_memory(agg, "complete")
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_ev_stream_session(spark, sf):
+    """Batch-vs-stream equivalence for native SESSION windows
+    (``F.session_window``, streaming/events.py): per-user sessions that
+    close after a 30-minute silence. NB the native operator closes at
+    gap ≥ 30 min (the next event's window [ts, ts+gap) no longer
+    overlaps), where the batch gap-and-islands formulation splits at
+    gap > 30 min — a real boundary-semantics difference, so this query
+    carries its own oracle with the ≥ rule and session_end = last event
+    + gap (the session_window definition), rather than pretending the
+    batch oracle fits."""
+    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.streaming.events import stream_sessionize
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    agg = stream_sessionize(stream)
+    name = _run_stream_to_memory(agg, "complete")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_EV_STREAM_SESSION = """
+WITH e AS (
+  SELECT user_id, value, ts,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS es
+  FROM events
+),
+flag AS (
+  SELECT *,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= 1800 THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sid AS (
+  SELECT *,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flag
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sid
+GROUP BY user_id, session_seq
+"""
+
+
 def q_ev_stream_interval_join(spark, sf):
     """Batch-vs-stream equivalence for the stream-stream interval join
     (streaming/joins.py): attribute purchases to same-user clicks within
@@ -4379,6 +4467,8 @@ _BASE_QUERIES = {
     "ev_sliding": q_ev_sliding,
     "ev_sessionize": q_ev_sessionize,
     "ev_stream_tumbling": q_ev_stream_tumbling,
+    "ev_stream_sliding": q_ev_stream_sliding,
+    "ev_stream_session": q_ev_stream_session,
     "ev_stream_interval_join": q_ev_stream_interval_join,
     "dedup_stream_exact": q_dedup_stream_exact,
     "dedup_stream_neardup": q_dedup_stream_neardup,
@@ -4543,6 +4633,8 @@ ORACLES = {
     "ev_sliding": SQL_EV_SLIDING,
     "ev_sessionize": SQL_EV_SESSIONIZE,
     "ev_stream_tumbling": SQL_EV_STREAM_TUMBLING,
+    "ev_stream_sliding": SQL_EV_SLIDING,
+    "ev_stream_session": SQL_EV_STREAM_SESSION,
     "ev_stream_interval_join": SQL_EV_STREAM_INTERVAL_JOIN,
     "dedup_stream_exact": SQL_DEDUP_STREAM_EXACT,
     # incremental banded-LSH candidates must equal the batch pair set
