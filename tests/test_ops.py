@@ -718,3 +718,78 @@ def test_stream_neardup_incremental_equals_batch(spark, tmp_path):
     want = {(r["id_a"], r["id_b"]) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def _make_bmp(width, height, rgb):
+    """Minimal uncompressed 24-bit BMP with a solid color."""
+    import struct
+
+    row = bytes([rgb[2], rgb[1], rgb[0]]) * width
+    pad = b"\x00" * ((4 - (width * 3) % 4) % 4)
+    pixels = (row + pad) * height
+    header_size = 14 + 40
+    filesize = header_size + len(pixels)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", filesize, 0, 0, header_size)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(pixels), 2835, 2835, 0, 0)
+        + pixels
+    )
+
+
+def _make_wav(rate, samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_real_bmp_decode_through_spark(spark):
+    """r05: uncompressed BMP decodes FOR REAL (stdlib struct) through the
+    Arrow mapInPandas boundary — known solid-color pixels round-trip to
+    exact channel means."""
+    from vector_lake_spark.multimodal import extract_bmp_features
+
+    rows = [
+        (1, _make_bmp(5, 3, (200, 100, 50))),
+        (2, _make_bmp(2, 2, (0, 255, 8))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_bmp_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (5, 3)
+    assert (out[1]["mean_r"], out[1]["mean_g"], out[1]["mean_b"]) == (200.0, 100.0, 50.0)
+    assert (out[2]["mean_r"], out[2]["mean_g"], out[2]["mean_b"]) == (0.0, 255.0, 8.0)
+
+
+def test_real_wav_decode_through_spark(spark):
+    """r05: PCM WAV decodes for real (stdlib wave): rate, duration, and
+    RMS of a known square wave are exact."""
+    import math
+
+    from vector_lake_spark.multimodal import extract_wav_features
+
+    square = [10000, -10000] * 800  # 1600 samples at 16 kHz = 100 ms
+    df = spark.createDataFrame(
+        [(7, _make_wav(16000, square))], "media_id long, payload binary"
+    )
+    r = extract_wav_features(df).collect()[0]
+    assert r["sample_rate"] == 16000
+    assert r["n_samples"] == 1600
+    assert r["duration_ms"] == 100
+    assert r["rms"] == pytest.approx(10000.0, abs=0.01)
+
+
+def test_compressed_image_decode_stays_gated(spark):
+    """Non-BMP payloads must still raise the honest environment gate."""
+    from vector_lake_spark.multimodal import _decode_image
+
+    with pytest.raises(NotImplementedError, match="compressed-image"):
+        _decode_image(b"\x89PNG\r\n\x1a\n....")

@@ -2,10 +2,16 @@
 
 Media are opaque ``binary`` columns + typed metadata structs; transforms run
 as Arrow-batched ``mapInPandas`` over the binary payloads so the bytes never
-pass through Python row-at-a-time serde. The container has no codec
-libraries, so the actual decode kernels are STUBBED (deterministic fakes /
-``NotImplementedError``) — the Spark-side plumbing (schema, partitioning,
-UDF signatures, batch shapes) is real and tested.
+pass through Python row-at-a-time serde. Decode status (r05):
+
+- REAL, stdlib-only: uncompressed 24-bit BMP (``decode_bmp`` — struct
+  parsing → dims + channel means) and PCM-16 WAV (``decode_wav`` — the
+  stdlib ``wave`` module → rate/duration/RMS), each with a Spark
+  operator (``extract_bmp_features`` / ``extract_wav_features``) and
+  exact-pixel/exact-sample tests through the Arrow boundary.
+- Environment-gated: compressed codecs (JPEG/PNG/video) need PIL/opencv,
+  absent in this container — ``_decode_image`` raises for those, and the
+  deterministic byte-fold stand-in keeps the e2e pipeline testable.
 
 At 100 TB: binary payloads dominate row size, so every transform projects
 only the columns it needs (column pruning keeps untouched media out of the
@@ -49,9 +55,83 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real impl would use PIL/opencv (not in this container)."""
-    raise NotImplementedError("image codecs unavailable in this environment")
+def _decode_image(payload: bytes):
+    """Decode an image payload. Uncompressed 24-bit BMP decodes for real
+    (stdlib struct — r05); compressed codecs (JPEG/PNG/...) need PIL or
+    opencv, which this container lacks, and stay honestly gated."""
+    if payload is not None and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed-image codecs unavailable in this environment "
+        "(uncompressed BMP decodes natively — decode_bmp)"
+    )
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Real decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER) with
+    pure stdlib struct parsing: dimensions + per-channel means. BMP rows
+    are bottom-up and padded to 4-byte boundaries."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got {bpp}bpp, "
+            f"compression={compression})"
+        )
+    h = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    tot = [0, 0, 0]  # B, G, R accumulator (BMP byte order)
+    for r in range(h):
+        base = data_offset + r * row_stride
+        row = payload[base : base + width * 3]
+        tot[0] += sum(row[0::3])
+        tot[1] += sum(row[1::3])
+        tot[2] += sum(row[2::3])
+    n = max(width * h, 1)
+    return {
+        "width": width,
+        "height": h,
+        "mean_r": round(tot[2] / n, 6),
+        "mean_g": round(tot[1] / n, 6),
+        "mean_b": round(tot[0] / n, 6),
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real decode of a PCM WAV payload via the stdlib ``wave`` module:
+    sample rate, channel count, duration, and RMS amplitude (16-bit)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM supported")
+    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+    rms = (
+        math.sqrt(sum(s * s for s in samples) / len(samples))
+        if samples
+        else 0.0
+    )
+    return {
+        "sample_rate": rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_ms": int(n_frames * 1000 / rate) if rate else 0,
+        "rms": round(rms, 6),
+    }
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -115,4 +195,76 @@ def media_stats(df: DataFrame) -> DataFrame:
             F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
             F.round(F.avg(F.octet_length("payload")), 2).alias("avg_bytes"),
         )
+    )
+
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+WAV_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_bmp_features(df: DataFrame) -> DataFrame:
+    """REAL image decode over Arrow batches (r05): uncompressed 24-bit
+    BMP payloads → dimensions + channel means, stdlib-only. Same
+    column-pruned mapInPandas shape as the feature stub, so swapping a
+    full codec in changes only the kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_bmp(bytes(payload))
+                d["media_id"] = mid
+                rows.append(d)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=BMP_FEATURES_SCHEMA
+    )
+
+
+def extract_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode over Arrow batches (r05): PCM-16 WAV payloads →
+    rate/channels/duration/RMS via the stdlib ``wave`` module."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                d["media_id"] = mid
+                rows.append(d)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=WAV_FEATURES_SCHEMA
     )
