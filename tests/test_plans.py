@@ -305,3 +305,12 @@ def test_triangle_count_no_cartesian(spark):
     df = Q.q_graph_triangles(spark, SF)
     p = plan_string(df)
     assert "CartesianProduct" not in p
+
+
+def test_ivf_quantized_staged_limits(spark):
+    """The staged cascade must plan BOTH stages as bounded top-k
+    (TakeOrderedAndProject), never a global sort of the pruned scan."""
+    df = Q.q_ann_ivf_quantized(spark, SF)
+    p = plan_string(df)
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in p

@@ -537,3 +537,33 @@ def test_query_batch_refuses_oversized_batch(spark, tmp_path, rng):
         lake.query_batch(queries, k=2, max_queries=5)
     # at the bound it still runs
     assert lake.query_batch(queries.limit(5), k=2, max_queries=5).count() > 0
+
+
+def test_upsert_replaces_by_id(spark, tmp_path, rng):
+    """Upsert: existing ids get their new vector/document (old version
+    gone), new ids append; store size reflects the net result, and only
+    shards holding an old version were rewritten."""
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    vecs = (rng.rand(20, 4) - 0.5).tolist()
+    ids = lake.add_batch(vecs, documents=[f"v1-{i}" for i in range(20)])
+    lake.persist()
+
+    new_vec = [0.9, -0.9, 0.9, -0.9]
+    n_rewritten = lake.upsert_batch(
+        [ids[3], "brand-new"],
+        [new_vec, [0.1, 0.1, -0.2, 0.3]],
+        documents=["v2-3", "fresh"],
+    )
+    assert n_rewritten >= 1
+    assert lake.count() == 21  # one replaced, one inserted
+
+    rows = {r["id"]: r for r in lake.load().collect()}
+    assert rows[ids[3]]["document"] == "v2-3"
+    assert rows[ids[3]]["vector"] == pytest.approx(new_vec)
+    assert rows["brand-new"]["document"] == "fresh"
+    # the replaced version must not be queryable anywhere
+    assert (
+        lake.load().filter(f"id = '{ids[3]}' and document = 'v1-3'").count()
+        == 0
+    )

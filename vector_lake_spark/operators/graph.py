@@ -63,9 +63,16 @@ def knn_edges(pairs: DataFrame, k: int) -> DataFrame:
 
     Scale shape: symmetrize (2× candidate rows, ids+sim only) → per-node
     window top-k (rank pushes a partial group limit below the exchange)
-    → distinct. Vectors never enter this operator."""
+    → distinct. Vectors never enter this operator.
+
+    The scored pair list feeds BOTH union legs; without materialization
+    Spark recomputes the (expensive) candidate generation once per leg —
+    measured 2× the whole query cost at sf0.1 — so it is checkpointed
+    first (multi-consumer DAG, same justification as pagerank's edge
+    pin; the materialized artifact is ids+sim only, never vectors)."""
     from pyspark.sql import Window
 
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v"), "sim"
     ).unionAll(
@@ -97,7 +104,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     times). The closing join probes the oriented edge set itself.
 
     The count is orientation-invariant, so the DuckDB oracle verifies it
-    with the simpler ordered-id 3-way join."""
+    with the simpler ordered-id 3-way join.
+
+    The edge list is consumed by five plan branches (two degree legs,
+    the orient join, both wedge sides, the closing probe) — checkpoint
+    once so upstream construction runs once (16-byte rows only)."""
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("id_a").alias("node"))
         .unionAll(edges.select(F.col("id_b").alias("node")))

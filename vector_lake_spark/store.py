@@ -663,6 +663,27 @@ class SparkVectorLake:
         self._swap_shards(kept, affected)
         return len(affected)
 
+    def upsert_batch(
+        self,
+        ids: Sequence[str],
+        vectors: Sequence[Sequence[float]],
+        metadata: Sequence[dict] | None = None,
+        documents: Sequence[str] | None = None,
+    ) -> int:
+        """Replace-by-id (beyond the reference, which can only append):
+        delete any existing rows with the given ids, then ingest the new
+        versions and persist. Composes the shard-pruned ``delete_ids``
+        rewrite with the append-only write path, so only shards holding
+        an old version are rewritten and the new rows land as a plain
+        append — no full-store rewrite at any scale. Returns the number
+        of shards rewritten by the delete phase (0 = pure insert)."""
+        rewritten = self.delete_ids(list(ids))
+        self.add_batch(
+            vectors, metadata=metadata, documents=documents, ids=list(ids)
+        )
+        self.persist()
+        return rewritten
+
     def delete(self) -> None:
         """S8 parity: remove the dataset (any URI scheme)."""
         fs, p = self._fs_path(self.location)
