@@ -165,3 +165,24 @@ def test_real_sentence_transformers_embedder_seam(spark):
     assert len(vecs["a"]) == 384  # MiniLM dimension, the adapter default
     # embeddings must be real model output: non-degenerate and distinct
     assert vecs["a"] != vecs["b"]
+
+
+def test_delete_and_get_by_ids(spark, tmp_path):
+    """LangChain surface beyond the reference: delete by id (shard-pruned
+    rewrite) and ordered get_by_ids with missing ids skipped."""
+    from vector_lake_spark.adapter import SparkVectorLakeStore
+
+    store = SparkVectorLakeStore(
+        spark, str(tmp_path / "lake"), dimension=32, approx_shards=4
+    )
+    ids = store.add_texts(
+        ["alpha doc", "beta doc", "gamma doc"],
+        metadatas=[{"n": "1"}, {"n": "2"}, {"n": "3"}],
+    )
+    got = store.get_by_ids([ids[2], "missing", ids[0]])
+    assert [d["page_content"] for d in got] == ["gamma doc", "alpha doc"]
+    assert got[0]["metadata"] == {"n": "3"}
+
+    store.delete([ids[1]])
+    assert store.get_by_ids([ids[1]]) == []
+    assert store.lake.count() == 2

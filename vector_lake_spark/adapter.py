@@ -191,6 +191,38 @@ class SparkVectorLakeStore:
             for i in selected
         ]
 
+    def delete(self, ids: Sequence[str]) -> int:
+        """LangChain ``VectorStore.delete`` surface (optional in the
+        protocol; absent in the reference adapter): row-level removal via
+        the store's shard-pruned ``delete_ids`` rewrite. Returns the
+        number of shards rewritten."""
+        return self.lake.delete_ids(list(ids))
+
+    def get_by_ids(self, ids: Sequence[str]) -> list[dict]:
+        """LangChain ``VectorStore.get_by_ids`` surface: fetch documents
+        by id, Document-shaped. Input order is preserved; missing ids
+        are skipped (the protocol's contract)."""
+        import json
+
+        want = list(ids)
+        rows = {
+            r["id"]: r
+            for r in self.lake.load()
+            .filter(F.col("id").isin(want))
+            .collect()
+        }
+        return [
+            {
+                "id": i,
+                "page_content": rows[i]["document"],
+                "metadata": json.loads(rows[i]["metadata"])
+                if rows[i]["metadata"]
+                else {},
+            }
+            for i in want
+            if i in rows
+        ]
+
     async def aadd_texts(
         self,
         texts: Sequence[str],
