@@ -793,3 +793,36 @@ def test_compressed_image_decode_stays_gated(spark):
 
     with pytest.raises(NotImplementedError, match="compressed-image"):
         _decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 12, 25), (2, 30, 90), (3, 8, 28)])
+def test_triangle_count_matches_bruteforce_on_random_graphs(
+    spark, seed, n_nodes, n_edges
+):
+    """The degree-oriented wedge join must count EXACTLY the brute-force
+    triangle census on arbitrary random graphs — including near-complete
+    ones where every orientation case (ties in degree, hub nodes) is
+    exercised, not just the k-NN fixture."""
+    import itertools
+    import random
+
+    from vector_lake_spark.operators.graph import triangle_stats
+
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.sample(range(n_nodes), 2)
+        edges.add((min(a, b), max(a, b)))
+    adj = {i: set() for i in range(n_nodes)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(range(n_nodes), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    row = triangle_stats(df).collect()[0]
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(edges)
