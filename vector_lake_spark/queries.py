@@ -660,6 +660,48 @@ GROUP BY fp
 """
 
 
+INCR_HISTORY_CUTOFF = 250  # doc_id < cutoff = the "yesterday" snapshot
+
+
+def q_dedup_incremental(spark, sf):
+    """Snapshot-incremental exact dedup — the daily-crawl production
+    shape: a NEW batch (doc_id ≥ cutoff) is admitted only if its content
+    fingerprint is absent from the HISTORY (doc_id < cutoff) and it is
+    the min-id holder of its fingerprint within the batch. At 100 TB the
+    history side is a persisted fingerprint table (8-byte fps, not
+    documents): the whole operation is one left-anti join on the
+    fingerprint plus a min-id aggregate over the new batch — history
+    text is never read, let alone shuffled."""
+    from vector_lake_spark.functions.text import fingerprint64
+
+    d = _t(spark, sf, "documents")
+    fp = d.select(
+        "doc_id", fingerprint64(F.col("text")).alias("fp")
+    )
+    history_fps = fp.filter(
+        F.col("doc_id") < INCR_HISTORY_CUTOFF
+    ).select("fp").distinct()
+    batch = fp.filter(F.col("doc_id") >= INCR_HISTORY_CUTOFF)
+    fresh = batch.join(history_fps, "fp", "left_anti")
+    return fresh.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("batch_dup_cnt"),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH fp AS (
+  SELECT doc_id, {O.sql_fingerprint64('text')} AS fp FROM documents
+),
+hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id < {INCR_HISTORY_CUTOFF}),
+batch AS (SELECT * FROM fp WHERE doc_id >= {INCR_HISTORY_CUTOFF})
+SELECT fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS batch_dup_cnt
+FROM batch
+WHERE fp NOT IN (SELECT fp FROM hist)
+GROUP BY fp
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(
@@ -4376,6 +4418,7 @@ _BASE_QUERIES = {
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment": q_dedup_containment,
     "vec_dim_stats": q_vec_dim_stats,
@@ -4546,6 +4589,7 @@ ORACLES = {
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "vec_dim_stats": SQL_VEC_DIM_STATS,
