@@ -159,6 +159,14 @@ def main() -> None:
     # that carry docs/embeddings/events but no TPC-H tables
     subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
     subset = [q for q in subset_env.split(",") if q] or None
+    if subset:
+        unknown = [q for q in subset if q not in HEADLINE and q != "store"]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in the bench "
+                f"headline: {unknown} — a typo here would otherwise "
+                f"bench nothing and report total=0 as if measured"
+            )
     headline = [q for q in HEADLINE if subset is None or q in subset]
     timings: dict[str, float] = {}
     for name in headline:

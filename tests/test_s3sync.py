@@ -39,7 +39,9 @@ def test_s3_round_trip_restore_and_query(spark, tmp_path, s3):
 
     sync = S3StoreSync(loc, BUCKET, "lake", client=s3)
     assert sync.sync_up() > 0
-    assert sync.sync_up() == 0  # idempotent: nothing dirty on re-sync
+    # idempotent re-sync: content-addressed part files skip; only the
+    # in-place-rewritten _meta.json sidecar always re-transfers
+    assert sync.sync_up() <= 1
 
     shutil.rmtree(loc)  # simulate a fresh host
     restored = S3StoreSync(loc, BUCKET, "lake", client=s3)
@@ -113,3 +115,51 @@ def test_s3_sync_refuses_oversized_store(spark, tmp_path, s3):
     sync = S3StoreSync(str(loc), BUCKET, "lake", client=s3, max_bytes=1024)
     with pytest.raises(ValueError, match="hadoop-aws"):
         sync.sync_up()
+
+
+def test_sync_mirrors_deletions_no_resurrection(spark, tmp_path, s3):
+    """A store rewrite (delete_ids) renames part files; the mirror must
+    drop the superseded remote objects so a restore cannot resurrect
+    deleted rows or duplicate survivors (r05 review finding)."""
+    import shutil
+
+    rng = np.random.RandomState(6)
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    ids = lake.add_batch((rng.rand(30, 4) - 0.5).tolist())
+    lake.persist()
+    sync = S3StoreSync(loc, BUCKET, "lake", client=s3)
+    sync.sync_up()
+
+    lake.delete_ids([ids[0], ids[1]])
+    sync.sync_up()  # must ALSO delete the stale remote part files
+
+    shutil.rmtree(loc)
+    S3StoreSync(loc, BUCKET, "lake", client=s3).sync_down()
+    restored = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    assert restored.count() == 28  # no duplicates, no resurrection
+    got = {r["id"] for r in restored.load().select("id").collect()}
+    assert ids[0] not in got and ids[1] not in got
+
+
+def test_sync_always_transfers_meta_sidecar(spark, tmp_path, s3):
+    """_meta.json is rewritten in place at possibly-constant byte length;
+    the size proxy must never skip it (r05 review finding)."""
+    import json
+    import shutil
+
+    rng = np.random.RandomState(8)
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=3, approx_shards=4)
+    lake.add_batch(rng.rand(5, 3).tolist())
+    lake.persist(tag="aaaa")
+    sync = S3StoreSync(loc, BUCKET, "lake", client=s3)
+    sync.sync_up()
+    lake.add_batch(rng.rand(1, 3).tolist())
+    lake.persist(tag="bbbb")  # same byte length, new content
+    sync.sync_up()
+
+    shutil.rmtree(loc)
+    S3StoreSync(loc, BUCKET, "lake", client=s3).sync_down()
+    meta = json.load(open(f"{loc}/_meta.json"))
+    assert meta.get("tag") == "bbbb"

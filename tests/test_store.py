@@ -567,3 +567,19 @@ def test_upsert_replaces_by_id(spark, tmp_path, rng):
         lake.load().filter(f"id = '{ids[3]}' and document = 'v1-3'").count()
         == 0
     )
+
+
+def test_upsert_validates_before_deleting(spark, tmp_path, rng):
+    """A bad replacement batch must fail the upsert with the old rows
+    INTACT — validate-then-delete, never delete-then-discover
+    (r05 review finding)."""
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=4, approx_shards=4)
+    ids = lake.add_batch(rng.rand(5, 4).tolist(), documents=["v1"] * 5)
+    lake.persist()
+
+    with pytest.raises(ValueError, match="dimension"):
+        lake.upsert_batch([ids[0]], [[1.0, 2.0]])  # wrong dim
+    with pytest.raises(ValueError, match="ids but"):
+        lake.upsert_batch([ids[0], ids[1]], [[0.1, 0.2, 0.3, 0.4]])
+    assert lake.count() == 5
+    assert lake.load().filter(f"id = '{ids[0]}'").count() == 1

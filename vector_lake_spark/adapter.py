@@ -191,12 +191,16 @@ class SparkVectorLakeStore:
             for i in selected
         ]
 
-    def delete(self, ids: Sequence[str]) -> int:
+    def delete(self, ids: Sequence[str]) -> bool:
         """LangChain ``VectorStore.delete`` surface (optional in the
         protocol; absent in the reference adapter): row-level removal via
-        the store's shard-pruned ``delete_ids`` rewrite. Returns the
-        number of shards rewritten."""
-        return self.lake.delete_ids(list(ids))
+        the store's shard-pruned ``delete_ids`` rewrite. Returns ``True``
+        per the protocol's Optional[bool] success contract — deleting
+        ids that are already absent is an idempotent success, NOT a
+        falsy 0 (r05 review finding); callers wanting the rewrite count
+        use ``store.lake.delete_ids`` directly."""
+        self.lake.delete_ids(list(ids))
+        return True
 
     def get_by_ids(self, ids: Sequence[str]) -> list[dict]:
         """LangChain ``VectorStore.get_by_ids`` surface: fetch documents

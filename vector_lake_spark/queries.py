@@ -696,8 +696,11 @@ WITH fp AS (
 hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id < {INCR_HISTORY_CUTOFF}),
 batch AS (SELECT * FROM fp WHERE doc_id >= {INCR_HISTORY_CUTOFF})
 SELECT fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS batch_dup_cnt
-FROM batch
-WHERE fp NOT IN (SELECT fp FROM hist)
+FROM batch b
+-- NOT EXISTS, not NOT IN: left_anti keeps NULL-fp batch rows and is
+-- unaffected by a NULL in hist; NOT IN would return zero rows the
+-- moment hist held a single NULL fingerprint (r05 review finding)
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
 GROUP BY fp
 """
 
@@ -3594,14 +3597,17 @@ def q_ev_stream_session(spark, sf):
 
 SQL_EV_STREAM_SESSION = """
 WITH e AS (
-  SELECT user_id, value, ts,
-         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS es
+  -- FULL-precision epoch (fractional seconds): session_window closes on
+  -- the exact microsecond gap, so flooring here would split sessions the
+  -- stream merges whenever sub-second fractions straddle the boundary
+  -- (r05 review finding)
+  SELECT user_id, value, ts, epoch(ts) AS es
   FROM events
 ),
 flag AS (
   SELECT *,
          CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= 1800 THEN 1 ELSE 0 END AS new_session
+                   >= 1800.0 THEN 1 ELSE 0 END AS new_session
   FROM e
 ),
 sid AS (

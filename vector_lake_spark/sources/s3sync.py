@@ -93,40 +93,65 @@ class S3StoreSync:
                 f"(docs/S3.md), or raise max_bytes explicitly."
             )
 
+    def _delete_remote_keys(self, rels) -> None:
+        keys = [{"Key": f"{self.prefix}/{r}"} for r in rels]
+        for i in range(0, len(keys), 1000):
+            self.client.delete_objects(
+                Bucket=self.bucket, Delete={"Objects": keys[i : i + 1000]}
+            )
+
+    def _always_dirty(self, rel: str) -> bool:
+        """Size is the dirtiness proxy for content-addressed parquet part
+        files (every Spark write invents fresh UUID names), but
+        ``_meta.json`` is rewritten IN PLACE under the same name and can
+        change content at constant byte length — always transfer it."""
+        return os.path.basename(rel) == "_meta.json"
+
     def sync_up(self) -> int:
-        """Upload files missing or size-changed remotely (reference S5:
-        upload-on-sync, dirty-only — size compare is the dirtiness
-        proxy). Returns the number of files uploaded."""
+        """TRUE mirror upload (reference S5, upload-on-sync): transfer
+        files missing or size-changed remotely AND delete remote files
+        that no longer exist locally. Store rewrites (compact,
+        delete_ids, retention) remove superseded part files — leaving
+        them remote would make a later ``sync_down`` restore BOTH
+        generations into one shard directory, resurrecting deleted rows
+        and duplicating the rest. Returns files uploaded."""
         local = self._local_files()
         self._check_size(local, "sync_up")
         remote = self._remote_files()
         n = 0
         for rel, size in sorted(local.items()):
-            if remote.get(rel) == size:
+            if remote.get(rel) == size and not self._always_dirty(rel):
                 continue
             src = os.path.join(self.local_root, rel)
             self.client.upload_file(src, self.bucket, f"{self.prefix}/{rel}")
             self.bytes_transferred += size
             n += 1
+        stale = sorted(set(remote) - set(local))
+        if stale:
+            self._delete_remote_keys(stale)
         return n
 
     def sync_down(self) -> int:
-        """Download files missing or size-changed locally (reference S4:
-        download-on-demand; here the demand unit is the store, since
-        Spark's scan prunes partitions at read time anyway). Returns the
-        number of files downloaded."""
+        """TRUE mirror restore (reference S4, download-on-demand; the
+        demand unit is the store — Spark's scan prunes partitions at
+        read time anyway): download files missing or size-changed
+        locally AND remove local files absent remotely, so the restored
+        tree is byte-identical to the mirror. Returns files
+        downloaded."""
         remote = self._remote_files()
         self._check_size(remote, "sync_down")
         local = self._local_files()
         n = 0
         for rel, size in sorted(remote.items()):
-            if local.get(rel) == size:
+            if local.get(rel) == size and not self._always_dirty(rel):
                 continue
             dst = os.path.join(self.local_root, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             self.client.download_file(self.bucket, f"{self.prefix}/{rel}", dst)
             self.bytes_transferred += size
             n += 1
+        for rel in sorted(set(local) - set(remote)):
+            os.remove(os.path.join(self.local_root, rel))
         return n
 
     def delete_remote_shard(self, shard_id) -> int:

@@ -676,8 +676,23 @@ class SparkVectorLake:
         rewrite with the append-only write path, so only shards holding
         an old version are rewritten and the new rows land as a plain
         append — no full-store rewrite at any scale. Returns the number
-        of shards rewritten by the delete phase (0 = pure insert)."""
-        rewritten = self.delete_ids(list(ids))
+        of shards rewritten by the delete phase (0 = pure insert).
+
+        The replacement batch is validated BEFORE anything is deleted —
+        a bad vector dimension or an ids/vectors length mismatch must
+        fail the call with the old versions intact, not destroy them."""
+        ids = list(ids)
+        if len(ids) != len(vectors):
+            raise ValueError(
+                f"upsert_batch: {len(ids)} ids but {len(vectors)} vectors"
+            )
+        for i, v in enumerate(vectors):
+            if len(v) != self.dimension:
+                raise ValueError(
+                    f"vector {i} has dimension {len(v)}, store expects "
+                    f"{self.dimension}"
+                )
+        rewritten = self.delete_ids(ids)
         self.add_batch(
             vectors, metadata=metadata, documents=documents, ids=list(ids)
         )
