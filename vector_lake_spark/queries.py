@@ -3922,6 +3922,48 @@ GROUP BY date_trunc('hour', ts)
 """
 
 
+def q_ev_dau_new_returning(spark, sf):
+    """Daily active users split into new vs returning — the growth
+    dashboard staple. Same (user, day)-grain shape as retention: one
+    distinct over (user, day), a per-user min-day aggregate joined back,
+    then the per-day count — raw events aggregate once and never again.
+    'Returning' falls out as active − new, no second pass."""
+    ev = _events(spark, sf)
+    user_days = (
+        ev.select("user_id", _epoch_day(F.col("ts")).alias("day")).distinct()
+    )
+    first = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        user_days.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("new_users"),
+        )
+        .withColumn(
+            "returning_users", F.col("active_users") - F.col("new_users")
+        )
+    )
+
+
+SQL_EV_DAU_NEW_RETURNING = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {O.sql_epoch_day('ts')} AS day FROM events
+),
+f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+SELECT ud.day,
+       CAST(count(*) AS BIGINT) AS active_users,
+       CAST(sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(count(*) - sum(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_users
+FROM ud JOIN f USING (user_id)
+GROUP BY ud.day
+"""
+
+
 def q_ev_retention_cohorts(spark, sf):
     # cohort retention: users grouped by first-seen day, counted per
     # days-since-first-seen offset — two aggregates over (user, day),
@@ -4499,6 +4541,7 @@ _BASE_QUERIES = {
     "ev_asof_join": q_ev_asof_join,
     "ev_funnel": q_ev_funnel,
     "ev_retention_cohorts": q_ev_retention_cohorts,
+    "ev_dau_new_returning": q_ev_dau_new_returning,
     "ev_error_window": q_ev_error_window,
     "token_count_salted": q_token_count_salted,
     "win_top3_per_nation": q_win_top3_per_nation,
@@ -4666,6 +4709,7 @@ ORACLES = {
     "ev_asof_join": SQL_EV_ASOF_JOIN,
     "ev_funnel": SQL_EV_FUNNEL,
     "ev_retention_cohorts": SQL_EV_RETENTION_COHORTS,
+    "ev_dau_new_returning": SQL_EV_DAU_NEW_RETURNING,
     "ev_error_window": SQL_EV_ERROR_WINDOW,
     "token_count_salted": SQL_TOKEN_COUNT_SALTED,
     "win_top3_per_nation": SQL_WIN_TOP3_PER_NATION,
