@@ -716,6 +716,23 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+def q_dedup_jaccard_deep(spark, sf):
+    """The DEEP-shingle (n=5) Jaccard config — the measured scale knob:
+    on a fixed-vocab corpus 3-word shingles make candidate pairs grow
+    quadratically (BASELINE.md "sf1 scaling": 102× candidates at 10×
+    docs) while the 5-word shingle space cuts them ~900×. Registry-
+    pinning this config keeps the scale path oracle-checked, not just a
+    docstring claim; 500k-doc wall for the full pipeline in SCALE.md."""
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        d,
+        n=5,
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+        repartition_input=_auto_spread_n(spark, d),
+    )
+
+
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH sh0 AS (SELECT doc_id AS id, unnest({O.sql_shingles('text', 3)}) AS gram FROM documents),
 rare AS (SELECT gram FROM sh0 GROUP BY gram
@@ -734,6 +751,11 @@ JOIN sz sa ON inter.id_a = sa.id
 JOIN sz sb ON inter.id_b = sb.id
 WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
 """
+
+
+SQL_DEDUP_JACCARD_DEEP = SQL_DEDUP_NGRAM_JACCARD.replace(
+    O.sql_shingles("text", 3), O.sql_shingles("text", 5)
+)
 
 
 CONTAINMENT_THRESHOLD = 0.8
@@ -4468,6 +4490,7 @@ _BASE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_deep": q_dedup_jaccard_deep,
     "dedup_containment": q_dedup_containment,
     "vec_dim_stats": q_vec_dim_stats,
     "dedup_clusters": q_dedup_clusters,
@@ -4640,6 +4663,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_jaccard_deep": SQL_DEDUP_JACCARD_DEEP,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "vec_dim_stats": SQL_VEC_DIM_STATS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
