@@ -65,21 +65,27 @@ def knn_edges(pairs: DataFrame, k: int) -> DataFrame:
     window top-k (rank pushes a partial group limit below the exchange)
     → distinct. Vectors never enter this operator.
 
-    The scored pair list feeds BOTH union legs; without materialization
-    Spark recomputes the (expensive) candidate generation once per leg —
-    measured 2× the whole query cost at sf0.1 — so it is checkpointed
-    first (multi-consumer DAG, same justification as pagerank's edge
-    pin; the materialized artifact is ids+sim only, never vectors)."""
+    Symmetrization is a single ``explode`` projection, NOT a self-union:
+    a union's two legs each re-run the (expensive) candidate generation
+    — measured 2× the whole query cost at sf0.1 — while materializing
+    the pairs instead OOMs outright on dense candidate sets (measured at
+    200k rows / ~10⁸ candidates). The explode keeps exactly one consumer
+    of the candidate subplan and stays fully streaming."""
     from pyspark.sql import Window
 
-    pairs = pairs.localCheckpoint(eager=True)
-    sym = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v"), "sim"
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias("u"), F.col("id_a").alias("v"), "sim"
-        )
-    ).filter(F.col("sim").isNotNull())
+    sym = pairs.filter(F.col("sim").isNotNull()).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("u"), F.col("id_b").alias("v")
+                ),
+                F.struct(
+                    F.col("id_b").alias("u"), F.col("id_a").alias("v")
+                ),
+            )
+        ).alias("e"),
+        "sim",
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"), "sim")
     w = Window.partitionBy("u").orderBy(F.col("sim").desc(), F.col("v").asc())
     top = sym.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return (
