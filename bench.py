@@ -36,6 +36,7 @@ HEADLINE = [
     "vec_dim_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_deep",
     "dedup_containment",
     "dedup_clusters",
     "dedup_simhash",
