@@ -54,6 +54,46 @@ def test_store_round_trip_search(spark, tmp_path):
     assert hits[0]["metadata"] == {"i": "1"}
 
 
+def test_similarity_search_with_score_tuples(spark, tmp_path):
+    """LangChain scored-retrieval surface (r05 verdict #9): (doc, score)
+    tuples, score = cosine similarity descending, doc stripped of the
+    score key."""
+    store = SparkVectorLakeStore.from_texts(
+        spark, str(tmp_path / "store"), TEXTS, dimension=64, approx_shards=2
+    )
+    scored = store.similarity_search_with_score(TEXTS[1], k=3)
+    assert scored and isinstance(scored[0], tuple)
+    docs, scores = zip(*scored)
+    assert docs[0]["page_content"] == TEXTS[1]
+    assert scores[0] == pytest.approx(1.0, abs=1e-6)
+    assert list(scores) == sorted(scores, reverse=True)
+    assert all("score" not in d for d in docs)
+
+
+def test_delete_then_compact_defragments(spark, tmp_path):
+    """adapter.delete(compact=True) wires the store's compaction in: the
+    survivors stay queryable and each shard collapses back to one file
+    (the delete rewrite alone leaves rewritten-but-fragmented shards —
+    r05 verdict #9)."""
+    import glob
+
+    loc = str(tmp_path / "store")
+    store = SparkVectorLakeStore.from_texts(
+        spark, loc, TEXTS, dimension=64, approx_shards=2
+    )
+    # several append generations → multiple files per shard
+    more_ids = store.add_texts(["extra doc one", "extra doc two"])
+    assert store.delete(more_ids, compact=True) is True
+
+    per_shard: dict = {}
+    for f in glob.glob(f"{loc}/data/shard_id=*/*.parquet"):
+        shard = f.split("shard_id=")[1].split("/")[0]
+        per_shard[shard] = per_shard.get(shard, 0) + 1
+    assert per_shard and all(n == 1 for n in per_shard.values())
+    assert store.similarity_search(TEXTS[0], k=1)[0]["page_content"] == TEXTS[0]
+    assert store.get_by_ids(more_ids) == []
+
+
 def test_stream_exact_dedup(spark, tmp_path):
     from vector_lake_spark.functions.text import fingerprint64
     from vector_lake_spark.streaming.dedup import stream_exact_dedup

@@ -53,6 +53,30 @@ def test_s3_round_trip_restore_and_query(spark, tmp_path, s3):
     assert hits[0]["id"] == ids[7]
 
 
+def test_sync_down_refuses_empty_remote_wipe(spark, tmp_path, s3):
+    """An empty remote prefix (never uploaded / typo'd bucket or prefix)
+    must NOT mirror-delete a non-empty local store (r05 ADVICE): refuse
+    by default, wipe only under the explicit flag."""
+    rng = np.random.RandomState(5)
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    lake.add_batch((rng.rand(10, 4) - 0.5).tolist())
+    lake.persist()
+
+    # nothing was ever uploaded under this (typo'd) prefix
+    sync = S3StoreSync(loc, BUCKET, "lkae-typo", client=s3)
+    with pytest.raises(ValueError, match="zero objects"):
+        sync.sync_down()
+    assert SparkVectorLake(spark, loc, dimension=4, approx_shards=4).count() == 10
+
+    # the explicit flag performs the wipe (restores the empty mirror)
+    assert sync.sync_down(allow_empty_remote=True) == 0
+    assert SparkVectorLake(spark, loc, dimension=4, approx_shards=4).count() == 0
+
+    # an empty local tree against an empty remote is a plain no-op
+    assert S3StoreSync(loc, BUCKET, "lkae-typo", client=s3).sync_down() == 0
+
+
 def test_s3_incremental_sync_uploads_only_new_shards(spark, tmp_path, s3):
     """Appending and re-persisting must re-upload only changed files —
     the reference's dirty-only sync semantics (index.py:385-390)."""

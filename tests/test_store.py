@@ -581,5 +581,124 @@ def test_upsert_validates_before_deleting(spark, tmp_path, rng):
         lake.upsert_batch([ids[0]], [[1.0, 2.0]])  # wrong dim
     with pytest.raises(ValueError, match="ids but"):
         lake.upsert_batch([ids[0], ids[1]], [[0.1, 0.2, 0.3, 0.4]])
+    # short metadata / documents lists used to IndexError only after the
+    # old versions were already destroyed (r05 ADVICE) — now both are
+    # validated up front alongside ids/vectors
+    with pytest.raises(ValueError, match="metadata"):
+        lake.upsert_batch(
+            [ids[0], ids[1]],
+            [[0.1] * 4, [0.2] * 4],
+            metadata=[{"only": "one"}],
+        )
+    with pytest.raises(ValueError, match="documents"):
+        lake.upsert_batch(
+            [ids[0], ids[1]], [[0.1] * 4, [0.2] * 4], documents=["just-one"]
+        )
+    # duplicate ids within one batch: replace-by-id is ill-defined
+    with pytest.raises(ValueError, match="duplicate ids"):
+        lake.upsert_batch([ids[0], ids[0]], [[0.1] * 4, [0.2] * 4])
     assert lake.count() == 5
     assert lake.load().filter(f"id = '{ids[0]}'").count() == 1
+    assert lake.load().filter("document = 'v1'").count() == 5
+
+
+def test_upsert_crash_before_swap_preserves_old_rows(
+    spark, tmp_path, rng, monkeypatch
+):
+    """Crash-atomicity leg 1 (r05 verdict #4): if the staged rewrite
+    WRITE fails, nothing has been renamed yet — the store must still
+    serve every old row (the delete-then-append upsert lost old versions
+    here)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    vecs = (rng.rand(20, 4) - 0.5).tolist()
+    ids = lake.add_batch(vecs, documents=[f"v1-{i}" for i in range(20)])
+    lake.persist()
+
+    real_parquet = DataFrameWriter.parquet
+
+    def crashing_parquet(self, path, *a, **kw):
+        if "_rewrite_tmp" in str(path):
+            raise RuntimeError("injected crash during staged write")
+        return real_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", crashing_parquet)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lake.upsert_batch([ids[3]], [[0.9, -0.9, 0.9, -0.9]], documents=["v2"])
+    monkeypatch.undo()
+
+    assert lake.count() == 20
+    rows = {r["id"]: r["document"] for r in lake.load().collect()}
+    assert rows[ids[3]] == "v1-3"  # old version intact, not lost
+
+
+def test_upsert_crash_mid_swap_is_recoverable(spark, tmp_path, rng, monkeypatch):
+    """Crash-atomicity leg 2: a crash between the two renames parks the
+    shard's only copy in _trash, further maintenance refuses until the
+    operator recovers it, and after recovery every id is visible exactly
+    once with either its old or its new version — nothing is lost."""
+    import glob
+    import os
+    import shutil
+
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    vecs = (rng.rand(20, 4) - 0.5).tolist()
+    ids = lake.add_batch(vecs, documents=[f"v1-{i}" for i in range(20)])
+    lake.persist()
+
+    class CrashAfterAside:
+        def __init__(self, real):
+            self._real = real
+
+        def rename(self, src, dst):
+            if "_rewrite_tmp" in str(src):
+                raise RuntimeError("injected crash mid-swap")
+            return self._real.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    orig_fs_path = SparkVectorLake._fs_path
+
+    def crashing_fs_path(self, path_str):
+        fs, p = orig_fs_path(self, path_str)
+        return CrashAfterAside(fs), p
+
+    monkeypatch.setattr(SparkVectorLake, "_fs_path", crashing_fs_path)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lake.upsert_batch([ids[3]], [[0.9, -0.9, 0.9, -0.9]], documents=["v2"])
+    monkeypatch.undo()
+
+    # the moved-aside shard survives in _trash; maintenance refuses
+    assert glob.glob(f"{loc}/_trash/shard_id=*/*.parquet")
+    with pytest.raises(IOError, match="refusing"):
+        lake.upsert_batch([ids[3]], [[0.9, -0.9, 0.9, -0.9]], documents=["v2"])
+
+    # operator recovery: rename the trash shards back
+    for shard_dir in glob.glob(f"{loc}/_trash/shard_id=*"):
+        dst = f"{loc}/data/{os.path.basename(shard_dir)}"
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(shard_dir, dst)
+    shutil.rmtree(f"{loc}/_trash")
+    shutil.rmtree(f"{loc}/_rewrite_tmp", ignore_errors=True)
+
+    rows = {r["id"]: r["document"] for r in lake.load().collect()}
+    assert len(rows) == 20  # every id exactly once
+    assert rows[ids[3]] in ("v1-3", "v2")  # either-old-or-new, never gone
+
+    # and the retried upsert completes
+    assert lake.upsert_batch(
+        [ids[3]], [[0.9, -0.9, 0.9, -0.9]], documents=["v2"]
+    ) >= 0
+    rows = {r["id"]: r["document"] for r in lake.load().collect()}
+    assert rows[ids[3]] == "v2"
+    assert len(rows) == 20
+
+
+def test_upsert_into_empty_store_is_pure_insert(spark, tmp_path, rng):
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=4)
+    assert lake.upsert_batch(["a", "b"], rng.rand(2, 4).tolist()) == 0
+    assert lake.count() == 2

@@ -137,6 +137,22 @@ class SparkVectorLakeStore:
             for r in rows
         ]
 
+    def similarity_search_with_score(
+        self, query: str, k: int = 4, n_probes: int = 2
+    ) -> list[tuple[dict, float]]:
+        """LangChain ``similarity_search_with_score`` surface: the same
+        routed top-k, returned as (document, score) tuples with the
+        document stripped of the score key — the shape scored-retrieval
+        callers (re-rankers, threshold filters) expect. Score is cosine
+        similarity in [-1, 1], higher = more similar (the store computes
+        it anyway — ``store.py query()``; this just stops discarding
+        it)."""
+        out = []
+        for d in self.similarity_search(query, k=k, n_probes=n_probes):
+            score = d.pop("score")
+            out.append((d, score))
+        return out
+
     def max_marginal_relevance_search(
         self,
         query: str,
@@ -191,15 +207,25 @@ class SparkVectorLakeStore:
             for i in selected
         ]
 
-    def delete(self, ids: Sequence[str]) -> bool:
+    def delete(self, ids: Sequence[str], compact: bool = False) -> bool:
         """LangChain ``VectorStore.delete`` surface (optional in the
         protocol; absent in the reference adapter): row-level removal via
         the store's shard-pruned ``delete_ids`` rewrite. Returns ``True``
         per the protocol's Optional[bool] success contract — deleting
         ids that are already absent is an idempotent success, NOT a
         falsy 0 (r05 review finding); callers wanting the rewrite count
-        use ``store.lake.delete_ids`` directly."""
+        use ``store.lake.delete_ids`` directly.
+
+        ``compact=True`` additionally runs the store's shard compaction
+        afterwards: the delete rewrite leaves each touched shard with
+        its surviving rows spread over the pre-delete file count, and
+        repeated deletes fragment shards into many small files — the
+        same pathology the reference's 256-tiny-segments layout has
+        (SURVEY.md §7.7). Off by default: compaction rewrites EVERY
+        shard, so batch it (delete many, compact once)."""
         self.lake.delete_ids(list(ids))
+        if compact:
+            self.lake.compact()
         return True
 
     def get_by_ids(self, ids: Sequence[str]) -> list[dict]:

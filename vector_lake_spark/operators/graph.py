@@ -50,7 +50,9 @@ def pagerank(
 
 
 def knn_edges(pairs: DataFrame, k: int) -> DataFrame:
-    """Mutual-candidate k-NN graph from a scored pair list.
+    """Union k-NN graph from a scored pair list: an edge is kept if
+    EITHER endpoint ranks it in its top-k (the union construction, not
+    the stricter mutual-kNN intersection).
 
     ``pairs``: (id_a < id_b, sim) — typically the banded-LSH candidate
     pairs (``operators/ann.lsh_neardup_pairs`` with no threshold), so the
@@ -114,7 +116,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
     The edge list is consumed by five plan branches (two degree legs,
     the orient join, both wedge sides, the closing probe) — checkpoint
-    once so upstream construction runs once (16-byte rows only)."""
+    once so upstream construction runs once (16-byte rows only). The
+    oriented ``fwd`` plan (two degree aggregations + two joins) is
+    itself consumed three times (both wedge sides and the closing
+    probe), so it is checkpointed too — rows are still just two ids +
+    one small int, and without it the degree/orient work re-executes
+    per consumer (r05 ADVICE)."""
     edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("id_a").alias("node"))
@@ -139,7 +146,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
         F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
-    )
+    ).localCheckpoint(eager=True)
     e1, e2 = fwd.alias("e1"), fwd.alias("e2")
     wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).filter(
         (F.col("e1.ddeg") < F.col("e2.ddeg"))

@@ -131,16 +131,33 @@ class S3StoreSync:
             self._delete_remote_keys(stale)
         return n
 
-    def sync_down(self) -> int:
+    def sync_down(self, allow_empty_remote: bool = False) -> int:
         """TRUE mirror restore (reference S4, download-on-demand; the
         demand unit is the store — Spark's scan prunes partitions at
         read time anyway): download files missing or size-changed
         locally AND remove local files absent remotely, so the restored
         tree is byte-identical to the mirror. Returns files
-        downloaded."""
+        downloaded.
+
+        An EMPTY remote prefix against a non-empty local tree is almost
+        always a mistake (never uploaded, wrong bucket/prefix typo) —
+        mirroring it would download nothing and then delete every local
+        store file, a destructive no-op "restore" (r05 ADVICE). Refuse
+        unless ``allow_empty_remote=True`` makes the wipe explicit —
+        the same refuse-on-unexplained-state posture as the store's
+        leftover-trash guard (store.py ``_check_no_leftover_trash``)."""
         remote = self._remote_files()
         self._check_size(remote, "sync_down")
         local = self._local_files()
+        if not remote and local and not allow_empty_remote:
+            raise ValueError(
+                f"S3StoreSync.sync_down: remote prefix "
+                f"s3://{self.bucket}/{self.prefix}/ lists zero objects but "
+                f"the local tree holds {len(local)} store files — a mirror "
+                f"restore would delete them all. If the bucket/prefix is "
+                f"right and you really want to wipe local state, call "
+                f"sync_down(allow_empty_remote=True)."
+            )
         n = 0
         for rel, size in sorted(remote.items()):
             if local.get(rel) == size and not self._always_dirty(rel):

@@ -99,7 +99,35 @@ class SparkVectorLake:
         Returns the assigned ids. Rows are routed but kept lazy until
         ``persist()`` — mirroring the reference's dirty-rows-then-sync
         contract (index.py:271-272)."""
+        ids, df = self._rows_df(vectors, metadata, documents, ids)
+        self._pending.append(df)
+        return ids
+
+    def _rows_df(
+        self,
+        vectors: Sequence[Sequence[float]],
+        metadata: Sequence[dict] | None,
+        documents: Sequence[str] | None,
+        ids: Sequence[str] | None,
+    ) -> tuple[list[str], DataFrame]:
+        """Validate a batch and build its rows DataFrame (I1/I2).
+
+        ALL validation happens here, before any caller mutates anything:
+        length mismatches between ids/vectors/metadata/documents and
+        wrong vector dimensions each raise with the store untouched
+        (upsert_batch relies on this — a bad batch must never destroy
+        the old versions it was going to replace)."""
         n = len(vectors)
+        if ids is not None and len(ids) != n:
+            raise ValueError(f"batch has {len(ids)} ids but {n} vectors")
+        if metadata is not None and len(metadata) != n:
+            raise ValueError(
+                f"batch has {len(metadata)} metadata dicts but {n} vectors"
+            )
+        if documents is not None and len(documents) != n:
+            raise ValueError(
+                f"batch has {len(documents)} documents but {n} vectors"
+            )
         for i, v in enumerate(vectors):
             if len(v) != self.dimension:
                 raise ValueError(
@@ -124,8 +152,7 @@ class SparkVectorLake:
         df = self.spark.createDataFrame(
             rows, schema="id string, vector array<double>, metadata string, document string"
         ).withColumn("timestamp", F.current_timestamp())
-        self._pending.append(df)
-        return ids
+        return ids, df
 
     def add_dataframe(self, df: DataFrame) -> None:
         """Ingest a prepared DataFrame with at least a ``vector`` column;
@@ -670,34 +697,69 @@ class SparkVectorLake:
         metadata: Sequence[dict] | None = None,
         documents: Sequence[str] | None = None,
     ) -> int:
-        """Replace-by-id (beyond the reference, which can only append):
-        delete any existing rows with the given ids, then ingest the new
-        versions and persist. Composes the shard-pruned ``delete_ids``
-        rewrite with the append-only write path, so only shards holding
-        an old version are rewritten and the new rows land as a plain
-        append — no full-store rewrite at any scale. Returns the number
-        of shards rewritten by the delete phase (0 = pure insert).
+        """Replace-by-id (beyond the reference, which can only append),
+        CRASH-ATOMIC per shard: the merged content of every touched
+        shard — surviving old rows plus the new versions — is staged as
+        one rewrite and installed by the retention path's
+        ``_swap_shards`` rename swap (r05 verdict #4). There is no
+        window where the old versions are gone but the new ones have
+        not landed: a crash before the swap leaves the store untouched;
+        a crash mid-swap parks the affected shard's only copy in
+        ``_trash`` where ``_check_no_leftover_trash`` blocks further
+        maintenance until an operator recovers it. Only shards holding
+        an old version or receiving a new row are rewritten — no
+        full-store rewrite at any scale. Returns the number of shards
+        that held an old version (0 = pure insert).
 
-        The replacement batch is validated BEFORE anything is deleted —
-        a bad vector dimension or an ids/vectors length mismatch must
-        fail the call with the old versions intact, not destroy them."""
+        The replacement batch is validated BEFORE anything is mutated
+        (``_rows_df``): ids/vectors/metadata/documents length
+        mismatches, wrong vector dimensions, and duplicate ids within
+        the batch each fail the call with the old versions intact."""
         ids = list(ids)
-        if len(ids) != len(vectors):
+        if len(set(ids)) != len(ids):
+            dupes = sorted({i for i in ids if ids.count(i) > 1})[:5]
             raise ValueError(
-                f"upsert_batch: {len(ids)} ids but {len(vectors)} vectors"
+                f"upsert_batch: duplicate ids within the batch ({dupes}…) — "
+                f"replace-by-id is ill-defined for a batch that contains "
+                f"the same id twice"
             )
-        for i, v in enumerate(vectors):
-            if len(v) != self.dimension:
-                raise ValueError(
-                    f"vector {i} has dimension {len(v)}, store expects "
-                    f"{self.dimension}"
-                )
-        rewritten = self.delete_ids(ids)
-        self.add_batch(
-            vectors, metadata=metadata, documents=documents, ids=list(ids)
+        ids, new_df = self._rows_df(vectors, metadata, documents, ids)
+        self._check_no_leftover_trash()
+        fs, data_p = self._fs_path(self._data_path)
+        if not fs.exists(data_p):
+            # pure insert into an empty store: a single append write is
+            # already all-or-nothing for our purposes (no old versions
+            # exist that a crash could lose)
+            self._pending.append(new_df)
+            self.persist()
+            return 0
+        routed_new = new_df.withColumn(
+            "shard_id", lsh_mod.shard_id_expr(F.col("vector"), self.hyperplanes)
         )
-        self.persist()
-        return rewritten
+        df = self.load()
+        old_shards = {
+            r["shard_id"]
+            for r in df.filter(F.col("id").isin(ids))
+            .select("shard_id")
+            .distinct()
+            .collect()
+        }
+        new_shards = {
+            r["shard_id"]
+            for r in routed_new.select("shard_id").distinct().collect()
+        }
+        target = sorted(old_shards | new_shards)
+        cols = [f.name for f in LAKE_SCHEMA.fields] + ["shard_id"]
+        merged = (
+            df.filter(F.col("shard_id").isin(target))
+            .filter(~F.col("id").isin(ids))
+            .select(cols)
+            .unionByName(routed_new.select(cols))
+            .repartition("shard_id")
+        )
+        self._swap_shards(merged, target)
+        self._write_meta({})
+        return len(old_shards)
 
     def delete(self) -> None:
         """S8 parity: remove the dataset (any URI scheme)."""
