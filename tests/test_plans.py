@@ -314,3 +314,51 @@ def test_ivf_quantized_staged_limits(spark):
     p = plan_string(df)
     assert p.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_q2_broadcasts_dims_and_no_cartesian(spark):
+    """Q2's min-cost comparison: the supplier/nation/region dim chain
+    and the part filter broadcast; the per-part min re-join is an
+    equi-join on l_partkey — no cartesian, no global sort."""
+    df = Q.q_q2_min_cost_supplier(spark, SF)
+    p = plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q9_broadcasts_three_dims_one_fact_shuffle(spark):
+    """Q9's five-table join: part/supplier/nation all broadcast — the
+    only non-broadcast join is lineitem x orders on the order key."""
+    df = Q.q_q9_product_profit(spark, SF)
+    p = plan_string(df)
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q12_pushes_ship_window_to_scan(spark):
+    """Q12's 1997 ship window must reach the lineitem parquet scan as
+    PushedFilters; the lateness predicate (cross-table date arithmetic)
+    stays a join filter."""
+    df = Q.q_q12_late_priority(spark, SF)
+    p = plan_string(df)
+    pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters")[1:]]
+    assert any("l_shipdate" in seg for seg in pushed), pushed
+
+
+def test_q20_semi_joins_both_nestings(spark):
+    """Q20's nested INs both plan as semi joins (parts filter and the
+    dominant-supplier set), never as distinct-then-inner-join blowups."""
+    df = Q.q_q20_dominant_suppliers(spark, SF)
+    p = plan_string(df)
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_plans_semi_and_anti_self_joins(spark):
+    """Q21's EXISTS / NOT EXISTS become one left-semi and one left-anti
+    self-join on the (orderkey, suppkey) pair set."""
+    df = Q.q_q21_waiting_suppliers(spark, SF)
+    p = plan_string(df)
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p

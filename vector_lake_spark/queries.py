@@ -2677,6 +2677,328 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
 
 
+def q_q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape (minimum-cost supplier): for each STANDARD size-5
+    part, the EUROPE supplier(s) whose best offer equals the part's
+    region-wide minimum. The testdata has no partsupp, so the offer
+    table is derived from lineitem — min unit price per (part,
+    supplier), rounded BEFORE the min so both engines agree exactly.
+
+    The oracle keeps TPC-H's correlated scalar-min subquery (`cost =
+    (SELECT min(cost) … WHERE same part)`); this side is the
+    decorrelated physical form Catalyst would produce anyway: per-part
+    min as a groupBy re-joined on equality. Supplier×nation×region is a
+    ~100-row broadcast dim; only the (part, supplier) offer aggregate
+    shuffles, and it shuffles 3 small columns."""
+    li = _t(spark, sf, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+        ).alias("cost")
+    )
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    offers = supply.join(
+        F.broadcast(supp), supply.l_suppkey == supp.s_suppkey
+    ).select("l_partkey", "cost", "s_name", "n_name")
+    best = offers.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        offers.join(best, "l_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            "min_cost",
+        )
+    )
+
+
+SQL_Q2_MIN_COST_SUPPLIER = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 6)) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, cost, s_name, n_name
+  FROM supply JOIN eu ON l_suppkey = s_suppkey
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand, s_name, n_name,
+       cost AS min_cost
+FROM offers
+JOIN part ON l_partkey = p_partkey
+WHERE p_size = 5 AND p_type = 'STANDARD'
+  AND cost = (SELECT min(o2.cost) FROM offers o2
+              WHERE o2.l_partkey = offers.l_partkey)
+"""
+
+
+def q_q9_product_profit(spark, sf):
+    """TPC-H Q9 shape (product-type profit): profit per (supplier
+    nation, order year) over parts named '%red%'. The testdata has no
+    partsupp.ps_supplycost, so cost is the deterministic stand-in
+    0.6 × p_retailprice — the query keeps Q9's defining structure: a
+    5-table join (lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation) with
+    an expression-derived group key (year). part + supplier + nation
+    broadcast; lineitem⋈orders is the one real shuffle, on the join
+    key both sides already need."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+SQL_Q9_PRODUCT_PROFIT = """
+SELECT n_name,
+       CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+"""
+
+
+def q_q12_late_priority(spark, sf):
+    """TPC-H Q12 shape (late shipments vs priority): conditional
+    two-way CASE aggregation over the lineitem⋈orders join. The
+    testdata has no shipmode or commit/receipt dates, so "late" is
+    shipped >60 days after the order date, the 1997 window filters on
+    ship date, and the group key is l_returnflag — the defining shape
+    (join + date-arithmetic predicate + CASE-bucketed counts) is
+    intact. The ship-window predicate pushes to the parquet scan; the
+    join shuffles only (orderkey, returnflag, shipdate) against
+    (orderkey, orderdate, priority)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    orders = _t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12_LATE_PRIORITY = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q_q20_dominant_suppliers(spark, sf):
+    """TPC-H Q20 shape (part promotion candidates): ASIA suppliers who
+    shipped more than half of some 'small%' part's total 1997 volume.
+    The testdata has no partsupp.ps_availqty, so the "excess capacity"
+    test becomes volume dominance — preserving Q20's defining nested-IN
+    with a per-group aggregate threshold (supplier IN (… GROUP BY
+    part, supplier HAVING sum > 0.5 × per-part total)).
+
+    l_quantity is integral, so the sums and the 0.5× threshold compare
+    exactly in both engines regardless of summation order. The shipped
+    subset is filtered by date (scan pushdown) and a broadcast semi on
+    the small-parts keys; the dominance test re-joins two aggregates of
+    the SAME pre-aggregated frame."""
+    part_keys = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    ship = (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        )
+        .join(F.broadcast(part_keys), "l_partkey", "left_semi")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = ship.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    per_p = ship.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tq"))
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        _t(spark, sf, "supplier")
+        .join(dominant, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+        )
+    )
+
+
+SQL_Q20_DOMINANT_SUPPLIERS = """
+WITH ship AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+),
+tot AS (
+  SELECT l_partkey, sum(l_quantity) AS tq FROM ship GROUP BY l_partkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM ship JOIN tot USING (l_partkey)
+    GROUP BY l_partkey, l_suppkey, tq
+    HAVING sum(l_quantity) > 0.5 * tq
+  )
+"""
+
+
+def q_q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per
+    supplier, the number of finalized multi-supplier orders where THIS
+    supplier shipped late and no other supplier did. The testdata has
+    no commit/receipt dates, so "late" is shipped >90 days after the
+    order date; the defining structure — EXISTS (another supplier in
+    the order) and NOT EXISTS (another LATE supplier in the order) as
+    self-joins on lineitem — is intact.
+
+    The oracle keeps the correlated EXISTS / NOT EXISTS; this side is
+    the decorrelated physical form: a left-semi and a left-anti join on
+    (orderkey, suppkey≠suppkey). All three legs are pre-deduplicated to
+    distinct (orderkey, suppkey) pairs, so numwait counts ORDERS (not
+    lineitems) and is insensitive to line multiplicity in both
+    engines."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ord_f = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_ps = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    with_other = l1.join(
+        all_ps.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.alias("lx").join(
+        late.alias("l3"),
+        (F.col("lx.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("lx.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    supp = _t(spark, sf, "supplier")
+    return (
+        sole_late.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_Q21_WAITING_SUPPLIERS = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+),
+allps AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM allps l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
 def q_q10_returned_items(spark, sf):
     """TPC-H Q10 shape (returned-item reporting): revenue lost to
     returns per customer in a quarter, top 20. Fact scan filtered on
@@ -4541,6 +4863,11 @@ _BASE_QUERIES = {
     "q7_nation_volume": q_q7_nation_volume,
     "q8_market_share": q_q8_market_share,
     "q15_top_supplier": q_q15_top_supplier,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q9_product_profit": q_q9_product_profit,
+    "q12_late_priority": q_q12_late_priority,
+    "q20_dominant_suppliers": q_q20_dominant_suppliers,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
     "q10_returned_items": q_q10_returned_items,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
@@ -4710,6 +5037,11 @@ ORACLES = {
     "q7_nation_volume": SQL_Q7_NATION_VOLUME,
     "q8_market_share": SQL_Q8_MARKET_SHARE,
     "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+    "q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
+    "q9_product_profit": SQL_Q9_PRODUCT_PROFIT,
+    "q12_late_priority": SQL_Q12_LATE_PRIORITY,
+    "q20_dominant_suppliers": SQL_Q20_DOMINANT_SUPPLIERS,
+    "q21_waiting_suppliers": SQL_Q21_WAITING_SUPPLIERS,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
