@@ -100,3 +100,40 @@ def test_ivf_recall_on_clustered_embeddings(spark):
     assert sum(recalls) / len(recalls) >= 0.85
     df.unpersist()
     assigned.unpersist()
+
+
+def test_append_equals_fresh_rebuild(spark, tmp_path):
+    """Incremental maintenance (r05 verdict #3): with the pinned
+    codebook, build(half) + append(half) must answer probes identically
+    to a fresh build over the union — assignment is a pure function of
+    (vector, codebook), so the partition layout converges to the same
+    thing either way. The sidecar's counts track the appends and
+    drift() vouches for them."""
+    from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = emb.filter("vec_id % 2 = 0")
+    second = emb.filter("vec_id % 2 = 1")
+
+    inc_loc = str(tmp_path / "incremental")
+    inc = IVFIndex.build(spark, inc_loc, first, centroids=IVF_CENTROIDS)
+    report = inc.append(second)
+    assert sum(report["appended"].values()) == second.count()
+    assert report["drift"]["counts_match_sidecar"]
+    assert report["drift"]["total_rows"] == emb.count()
+
+    fresh_loc = str(tmp_path / "fresh")
+    fresh = IVFIndex.build(spark, fresh_loc, emb, centroids=IVF_CENTROIDS)
+
+    for nprobe in (2, 4, 16):
+        assert _ids(inc.topk(Q.QUERY_VEC, K, nprobe=nprobe)) == _ids(
+            fresh.topk(Q.QUERY_VEC, K, nprobe=nprobe)
+        )
+
+    # reopen sees the post-append counts; external mutation is detected
+    reopened = IVFIndex(spark, inc_loc)
+    assert reopened.drift()["counts_match_sidecar"]
+    spark.read.parquet(f"{inc_loc}/data").limit(10).write.mode(
+        "append"
+    ).partitionBy("centroid_id").parquet(f"{inc_loc}/data")
+    assert not reopened.drift()["counts_match_sidecar"]

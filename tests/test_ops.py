@@ -720,6 +720,72 @@ def test_stream_neardup_incremental_equals_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_neardup_ingest_bounded_state_multi_batch(spark, tmp_path):
+    """The bounded-state ingest (NearDupIngest, r05 verdict #1) must
+    reproduce the batch candidate set across MULTIPLE micro-batches
+    while keeping ZERO rows in the streaming state store — cross-batch
+    pairs exist only via the persisted parquet band-key history, which
+    ends up holding exactly one row per ingested vector."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark import queries as Q
+    from vector_lake_spark.functions.vectors import to_double_array
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+    from vector_lake_spark.streaming.neardup import NearDupIngest, banded_keys
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    v = to_double_array(F.col("embedding"))
+    shard, bkeys = banded_keys(v, Q.H4, Q.NEARDUP_BANDS)
+    keyed = stream.select("vec_id", shard.alias("shard"), bkeys.alias("bkeys"))
+
+    ingest = NearDupIngest(
+        spark,
+        str(tmp_path / "history"),
+        str(tmp_path / "pairs"),
+        Q.NEARDUP_N_BANDS,
+    )
+    q = ingest.run(keyed, checkpoint=str(tmp_path / "ckpt"))
+
+    # multi-batch actually exercised, and NO streaming state anywhere
+    progs = [
+        json.loads(p.json) if hasattr(p, "json") else p
+        for p in q.recentProgress
+    ]
+    assert len([p for p in progs if p["numInputRows"] > 0]) >= 4
+    assert all(not p.get("stateOperators") for p in progs)
+
+    got = {(r["id_a"], r["id_b"]) for r in ingest.pairs().collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            emb,
+            Q.H4,
+            threshold=-1.0,  # keep ALL candidates: compare candidate sets
+            n_bands=Q.NEARDUP_N_BANDS,
+            band_bits=Q.NEARDUP_BAND_BITS,
+            carry_vectors=True,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+    # the history is the ONLY cross-batch state: one key row per vector
+    hist = spark.read.parquet(str(tmp_path / "history"))
+    assert hist.count() == emb.count()
+    assert set(hist.columns) == {"vec_id", "shard", "bkeys"}
+
+
 def _make_bmp(width, height, rgb):
     """Minimal uncompressed 24-bit BMP with a solid color."""
     import struct
@@ -826,3 +892,46 @@ def test_triangle_count_matches_bruteforce_on_random_graphs(
     row = triangle_stats(df).collect()[0]
     assert row["n_triangles"] == brute
     assert row["n_edges"] == len(edges)
+
+
+def test_progress_capture_records_state_metrics(spark, tmp_path):
+    """The StreamingQueryListener capture (streaming/metrics.py, r05
+    verdict #6) must record per-micro-batch throughput, latency, and
+    state-store size for a stateful query — the numbers SCALE.md's
+    streaming table is built from."""
+    from vector_lake_spark.queries import _events
+    from vector_lake_spark.streaming.events import stream_tumbling_agg
+    from vector_lake_spark.streaming.metrics import ProgressCapture
+
+    src = str(tmp_path / "events_src")
+    _events(spark, "/root/testdata/sf0.001").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        q = (
+            stream_tumbling_agg(stream)
+            .writeStream.format("memory")
+            .queryName("pc_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cap.wait_for(3)  # progress events are delivered asynchronously
+    finally:
+        spark.streams.removeListener(cap)
+
+    rows = cap.rows()
+    assert len(rows) >= 3  # one per micro-batch with input
+    assert all(r["input_rows"] > 0 for r in rows)
+    assert all(r["batch_ms"] is not None for r in rows)
+    assert all(r["rows_per_sec"] > 0 for r in rows)
+    # a watermarked window agg keeps state; the capture must see it
+    assert any(r["state_rows"] > 0 for r in rows)
+    assert any(r["state_bytes"] > 0 for r in rows)

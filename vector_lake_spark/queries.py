@@ -4045,20 +4045,22 @@ GROUP BY fp
 
 def q_dedup_stream_neardup(spark, sf):
     """Batch-vs-stream equivalence for incremental banded-LSH near-dup
-    ingestion (streaming/neardup.py, r04 verdict #7): the stateful
-    operator emits each (shard, band, key) candidate pair exactly once
-    across the stream — state holds ids + band keys, never vectors — and
-    the exact cosine re-rank runs Spark-side over the emitted pairs.
-    A single availableNow pass over the embeddings table must therefore
-    reproduce the batch ``vec_neardup_lsh`` pairs exactly, so it shares
-    that query's DuckDB oracle. The LSH keys are computed by the same
-    native column expressions as batch; no float math crosses into
-    Python anywhere."""
+    ingestion — the BOUNDED-STATE posture (r05 verdict #1,
+    ``streaming/neardup.NearDupIngest``): every batch's band keys
+    compact into a persisted parquet history table; pairs are
+    new-vs-new (bucket join within the batch) plus new-vs-history (one
+    equi-join against the 8-byte-key history), all JVM hash joins with
+    zero streaming state. The exact cosine re-rank runs Spark-side over
+    the emitted pairs. An availableNow pass over the embeddings table
+    must reproduce the batch ``vec_neardup_lsh`` pairs exactly, so it
+    shares that query's DuckDB oracle. The LSH keys are computed by the
+    same native column expressions as batch; no float math crosses into
+    Python anywhere. (The low-latency stateful variant keeps its own
+    multi-micro-batch equivalence test in tests/test_ops.py.)"""
+    import tempfile
+
     from vector_lake_spark.functions.vectors import dot, norm
-    from vector_lake_spark.streaming.neardup import (
-        banded_keys,
-        stream_neardup_candidates,
-    )
+    from vector_lake_spark.streaming.neardup import NearDupIngest, banded_keys
 
     schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
     stream = (
@@ -4071,9 +4073,12 @@ def q_dedup_stream_neardup(spark, sf):
     keyed = stream.select(
         F.col("vec_id"), shard.alias("shard"), bkeys.alias("bkeys")
     )
-    cands = stream_neardup_candidates(keyed, NEARDUP_N_BANDS)
-    name = _run_stream_to_memory(cands, "append")
-    pairs = spark.table(name)
+    tmp = tempfile.mkdtemp(prefix="neardup_ingest_")
+    ingest = NearDupIngest(
+        spark, f"{tmp}/history", f"{tmp}/pairs", NEARDUP_N_BANDS
+    )
+    ingest.run(keyed, checkpoint=f"{tmp}/ckpt")
+    pairs = ingest.pairs()
 
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
