@@ -40,11 +40,21 @@ spark = get_spark("triangle_stress")
 spark.sparkContext.setLogLevel("ERROR")
 
 # deterministic power-law attachment: u = hash(id)/2^64 in [0,1),
-# dst = floor(u^8 * id) — node 0 receives ~a fifth of all edges
-raw = spark.range(1, N + 1).selectExpr(
-    "id AS id_a",
+# dst = floor(u^8 * id) — node 0 receives ~a fifth of all edges.
+# A second, uniform attachment per node closes actual triangles
+# (i — hub — dst2(i) closes whenever dst2(i) also hits the hub), so the
+# census has real work to count, not just wedges to avoid.
+hub_edge = (
     "CAST(FLOOR(pow((CAST(xxhash64(id) AS DOUBLE) / 18446744073709551616.0)"
-    " + 0.5, 8) * id) AS BIGINT) AS id_b",
+    " + 0.5, 8) * id) AS BIGINT)"
+)
+uni_edge = (
+    "CAST(FLOOR(((CAST(xxhash64(id, 2) AS DOUBLE) / 18446744073709551616.0)"
+    " + 0.5) * id) AS BIGINT)"
+)
+base = spark.range(1, N // 2 + 1)
+raw = base.selectExpr("id AS id_a", f"{hub_edge} AS id_b").unionAll(
+    base.selectExpr("id AS id_a", f"{uni_edge} AS id_b")
 )
 edges = (
     raw.filter("id_a <> id_b")
