@@ -71,6 +71,11 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_orders",
+    # r06 decathlon completions — the heavier three (Q2 correlated min,
+    # Q9 five-table profit, Q21 semi+anti self-joins)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
     "agg_rollup",
     "win_running_total",
     "win_top3_per_nation",

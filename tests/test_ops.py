@@ -935,3 +935,82 @@ def test_progress_capture_records_state_metrics(spark, tmp_path):
     # a watermarked window agg keeps state; the capture must see it
     assert any(r["state_rows"] > 0 for r in rows)
     assert any(r["state_bytes"] > 0 for r in rows)
+
+
+def test_neardup_ingest_compact_history(spark, tmp_path):
+    """History compaction is a pure rewrite: file count collapses, row
+    count and subsequent emissions are unchanged — a batch processed
+    AFTER compaction still pairs correctly against the full history."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark import queries as Q
+    from vector_lake_spark.functions.vectors import to_double_array
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+    from vector_lake_spark.streaming.neardup import NearDupIngest, banded_keys
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    v = to_double_array(F.col("embedding"))
+    shard, bkeys = banded_keys(v, Q.H4, Q.NEARDUP_BANDS)
+    keyed = emb.select("vec_id", shard.alias("shard"), bkeys.alias("bkeys"))
+
+    hist_path = str(tmp_path / "history")
+    ingest = NearDupIngest(
+        spark, hist_path, str(tmp_path / "pairs"), Q.NEARDUP_N_BANDS
+    )
+    thirds = [keyed.filter(f"vec_id % 3 = {i}") for i in range(3)]
+    pairs = [ingest.process_batch(thirds[0]), ingest.process_batch(thirds[1])]
+
+    assert len(glob.glob(f"{hist_path}/*.parquet")) >= 2
+    n = ingest.compact_history()
+    assert n == thirds[0].count() + thirds[1].count()
+    assert len(glob.glob(f"{hist_path}/*.parquet")) == 1
+
+    pairs.append(ingest.process_batch(thirds[2]))  # after compaction
+    got = {
+        (r["id_a"], r["id_b"]) for df in pairs for r in df.collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            emb,
+            Q.H4,
+            threshold=-1.0,
+            n_bands=Q.NEARDUP_N_BANDS,
+            band_bits=Q.NEARDUP_BAND_BITS,
+            carry_vectors=True,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_knn_edges_mutual_subset_of_union(spark):
+    """mutual=True keeps exactly the pairs BOTH endpoints rank top-k —
+    a subset of the union graph, and verifiable directly on a small
+    hand-checkable pair list."""
+    from vector_lake_spark.operators.graph import knn_edges
+
+    # node 0 is popular (high sim to everyone); 1-2 prefer 0 over each
+    # other; with k=1: union keeps (0,1),(0,2),(0,3); mutual keeps only
+    # 0's own best (0,1) — 0 reciprocates only its single top choice
+    pairs = spark.createDataFrame(
+        [
+            (0, 1, 0.9),
+            (0, 2, 0.8),
+            (0, 3, 0.7),
+            (1, 2, 0.1),
+            (2, 3, 0.1),
+        ],
+        "id_a long, id_b long, sim double",
+    )
+    union = {
+        (r["id_a"], r["id_b"]) for r in knn_edges(pairs, 1).collect()
+    }
+    mutual = {
+        (r["id_a"], r["id_b"])
+        for r in knn_edges(pairs, 1, mutual=True).collect()
+    }
+    assert union == {(0, 1), (0, 2), (0, 3)}
+    assert mutual == {(0, 1)}

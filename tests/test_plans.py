@@ -362,3 +362,23 @@ def test_q21_plans_semi_and_anti_self_joins(spark):
     assert "LeftSemi" in p
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_q11_total_is_broadcast_single_row(spark):
+    """Q11's region-wide total rides a broadcast single-row aggregate
+    (house pattern), never a driver scalar; dims broadcast; threshold
+    compare is exact decimal→cents arithmetic (no float drift)."""
+    df = Q.q_q11_important_stock(spark, SF)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_mutual_same_shuffle_shape_as_union(spark):
+    """mutual=True adds one count aggregate over the union graph's own
+    rank output — still WindowGroupLimit below the exchange, still no
+    cartesian anywhere."""
+    df = Q.q_graph_knn_mutual(spark, SF)
+    p = plan_string(df)
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p

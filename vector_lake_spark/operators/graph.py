@@ -49,10 +49,16 @@ def pagerank(
     return ranks.select(F.col("a").alias("id"), F.round("r", 6).alias("rank"))
 
 
-def knn_edges(pairs: DataFrame, k: int) -> DataFrame:
-    """Union k-NN graph from a scored pair list: an edge is kept if
-    EITHER endpoint ranks it in its top-k (the union construction, not
-    the stricter mutual-kNN intersection).
+def knn_edges(pairs: DataFrame, k: int, mutual: bool = False) -> DataFrame:
+    """k-NN graph from a scored pair list. Default is the UNION
+    construction: an edge is kept if EITHER endpoint ranks it in its
+    top-k. ``mutual=True`` keeps the stricter intersection — both
+    endpoints must rank each other (each direction appears exactly once
+    in the symmetrized rank input, so mutuality is a 2-count on the
+    normalized pair; same shuffle, one extra count aggregate). Mutual
+    k-NN graphs are sparser and hub-resistant (a popular node can be in
+    everyone's top-k, but it only keeps k mutual edges), the usual
+    choice before density-based clustering.
 
     ``pairs``: (id_a < id_b, sim) — typically the banded-LSH candidate
     pairs (``operators/ann.lsh_neardup_pairs`` with no threshold), so the
@@ -90,13 +96,18 @@ def knn_edges(pairs: DataFrame, k: int) -> DataFrame:
     ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"), "sim")
     w = Window.partitionBy("u").orderBy(F.col("sim").desc(), F.col("v").asc())
     top = sym.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-    return (
-        top.select(
-            F.least("u", "v").alias("id_a"),
-            F.greatest("u", "v").alias("id_b"),
-        )
-        .distinct()
+    kept = top.select(
+        F.least("u", "v").alias("id_a"),
+        F.greatest("u", "v").alias("id_b"),
     )
+    if mutual:
+        return (
+            kept.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") == 2)
+            .select("id_a", "id_b")
+        )
+    return kept.distinct()
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:

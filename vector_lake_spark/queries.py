@@ -1004,6 +1004,19 @@ def q_graph_knn_edges(spark, sf):
     return knn_edges(_knn_candidate_pairs(spark, sf), GRAPH_KNN_K)
 
 
+def q_graph_knn_mutual(spark, sf):
+    """Mutual k-NN graph (r05 ADVICE follow-through: the union/mutual
+    distinction is now an explicit knob): an edge survives only if BOTH
+    endpoints rank it in their top-k — sparser and hub-resistant (a
+    popular node may appear in everyone's top-k but keeps only k mutual
+    edges), the standard prelude to density-based clustering."""
+    from vector_lake_spark.operators.graph import knn_edges
+
+    return knn_edges(
+        _knn_candidate_pairs(spark, sf), GRAPH_KNN_K, mutual=True
+    )
+
+
 def q_graph_triangles(spark, sf):
     """Global triangle census of the k-NN similarity graph via the
     degree-oriented wedge join (hub-proof: a degree-d hub centers only
@@ -1051,6 +1064,17 @@ edges AS (
 
 
 SQL_GRAPH_KNN_EDGES = f"WITH {_sql_knn_edges_cte()}\nSELECT id_a, id_b FROM edges"
+
+# mutual = both directions ranked: each direction appears exactly once in
+# the symmetrized rank input, so mutuality is count(*)=2 on the
+# normalized pair (the `edges` CTE in the shared builder goes unused)
+SQL_GRAPH_KNN_MUTUAL = f"""WITH {_sql_knn_edges_cte()}
+SELECT least(u, v) AS id_a, greatest(u, v) AS id_b
+FROM top
+WHERE rn <= {GRAPH_KNN_K}
+GROUP BY 1, 2
+HAVING count(*) = 2
+"""
 
 SQL_GRAPH_TRIANGLES = f"""WITH {_sql_knn_edges_cte()},
 tri AS (
@@ -2999,6 +3023,73 @@ GROUP BY s_name
 """
 
 
+def q_q11_important_stock(spark, sf):
+    """TPC-H Q11 shape (important stock identification): per-part supply
+    value from ONE region's suppliers, keeping parts whose value exceeds
+    a fixed fraction (1/10000) of the region-wide total — the
+    HAVING-against-scalar-subquery shape, the last of the 22 classic
+    TPC-H query structures. The testdata has no partsupp, so supply
+    value is lineitem revenue via the region's suppliers.
+
+    The whole money path is EXACT: per-row revenue rounds to 6 dp (a
+    deterministic double op, identical in both engines), sums as
+    DECIMAL(38,6) (exact, summation-order-independent — a double sum's
+    order drift flipped a 2-dp boundary part on first contact with the
+    oracle), and the threshold compares integer cents. The total rides
+    back as a broadcast single-row aggregate (house pattern);
+    supplier⋈nation⋈region broadcasts; one shuffle on l_partkey."""
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    nation = _t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _t(spark, sf, "lineitem")
+    val = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(38,6)")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(val), 2).alias("value_d"))
+        .select(
+            "l_partkey",
+            F.col("value_d").cast("double").alias("value"),
+            (F.col("value_d") * 100).cast("long").alias("c"),
+        )
+    )
+    total = per_part.agg(F.sum("c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("c") * 10000 > F.col("total_c"))
+        .select(F.col("l_partkey").cast("long").alias("l_partkey"), "value")
+    )
+
+
+SQL_Q11_IMPORTANT_STOCK = """
+WITH per_part AS (
+  SELECT l_partkey,
+         round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                        AS DECIMAL(38,6))), 2) AS value_d
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AMERICA'
+  GROUP BY l_partkey
+),
+cents AS (
+  SELECT l_partkey, CAST(value_d AS DOUBLE) AS value,
+         CAST(value_d * 100 AS BIGINT) AS c
+  FROM per_part
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey, value
+FROM cents
+WHERE c * 10000 > (SELECT sum(c) FROM cents)
+"""
+
+
 def q_q10_returned_items(spark, sf):
     """TPC-H Q10 shape (returned-item reporting): revenue lost to
     returns per customer in a quarter, top 20. Fact scan filtered on
@@ -4826,6 +4917,7 @@ _BASE_QUERIES = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "graph_pagerank": q_graph_pagerank,
     "graph_knn_edges": q_graph_knn_edges,
+    "graph_knn_mutual": q_graph_knn_mutual,
     "graph_triangles": q_graph_triangles,
     # dedup_minhash (Spark-ML HashingTF variant) was dropped from the
     # registry in round 3: it is rows-only (no oracle is possible for the
@@ -4873,6 +4965,7 @@ _BASE_QUERIES = {
     "q12_late_priority": q_q12_late_priority,
     "q20_dominant_suppliers": q_q20_dominant_suppliers,
     "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "q11_important_stock": q_q11_important_stock,
     "q10_returned_items": q_q10_returned_items,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
@@ -5004,6 +5097,7 @@ ORACLES = {
     "dedup_edit_distance": SQL_DEDUP_EDIT_DISTANCE,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "graph_knn_edges": SQL_GRAPH_KNN_EDGES,
+    "graph_knn_mutual": SQL_GRAPH_KNN_MUTUAL,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "dedup_minhash_native": SQL_DEDUP_MINHASH_NATIVE,
     # dedup_minhash (ML variant): rows-only by design
@@ -5047,6 +5141,7 @@ ORACLES = {
     "q12_late_priority": SQL_Q12_LATE_PRIORITY,
     "q20_dominant_suppliers": SQL_Q20_DOMINANT_SUPPLIERS,
     "q21_waiting_suppliers": SQL_Q21_WAITING_SUPPLIERS,
+    "q11_important_stock": SQL_Q11_IMPORTANT_STOCK,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,

@@ -238,6 +238,63 @@ class NearDupIngest:
         writer.parquet(self.history_path)
         return pairs
 
+    def compact_history(self) -> int:
+        """Small-file hygiene for long-running ingest: every micro-batch
+        appends one file (per partition) to the history, so a
+        long-lived stream accretes thousands of tiny parquet files —
+        the same pathology the store's ``compact`` fixes. Rewrites the
+        history to one file (one per shard when partitioned); contents
+        unchanged. Staged-write + two directory renames: a crash leaves
+        either the old or the staged history intact, and a leftover
+        staging/old dir makes the next compact REFUSE until an operator
+        resolves it (the store's leftover-trash posture). Returns the
+        compacted row count."""
+        hist = self._history()
+        if hist is None:
+            return 0
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+
+        def hpath(s):
+            return jvm.org.apache.hadoop.fs.Path(s)
+
+        fs = hpath(self.history_path).getFileSystem(conf)
+        staged = hpath(self.history_path + "__compact")
+        old = hpath(self.history_path + "__old")
+        if fs.exists(staged) or fs.exists(old):
+            raise IOError(
+                f"refusing to compact: leftover "
+                f"{self.history_path}__compact/__old from an interrupted "
+                f"earlier compact — inspect, restore or delete it, then "
+                f"retry"
+            )
+        # pin the contents BEFORE touching the directory (never read and
+        # replace the same files in one job)
+        data = hist.localCheckpoint(eager=True)
+        n = data.count()
+        if self.partition_history_by_shard:
+            (
+                data.repartition("shard")
+                .write.partitionBy("shard")
+                .parquet(self.history_path + "__compact")
+            )
+        else:
+            data.coalesce(1).write.parquet(self.history_path + "__compact")
+        if not fs.rename(hpath(self.history_path), old):
+            raise IOError("compact_history: could not move history aside")
+        if not fs.rename(staged, hpath(self.history_path)):
+            if not fs.rename(old, hpath(self.history_path)):
+                raise IOError(
+                    "compact_history: swap failed AND rollback failed; "
+                    f"old history preserved at {self.history_path}__old"
+                )
+            raise IOError(
+                "compact_history: could not move staged history into "
+                "place; old history restored"
+            )
+        fs.delete(old, True)
+        return n
+
     def foreach_batch(self):
         """``writeStream.foreachBatch`` hook: process + sink to
         ``pairs_path``."""
