@@ -853,12 +853,137 @@ def test_real_wav_decode_through_spark(spark):
     assert r["rms"] == pytest.approx(10000.0, abs=0.01)
 
 
-def test_compressed_image_decode_stays_gated(spark):
-    """Non-BMP payloads must still raise the honest environment gate."""
+def test_dct_image_decode_stays_gated(spark):
+    """DCT codecs (JPEG) must still raise the honest environment gate;
+    PNG no longer does (r06 — stdlib zlib decode)."""
     from vector_lake_spark.multimodal import _decode_image
 
-    with pytest.raises(NotImplementedError, match="compressed-image"):
-        _decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="DCT"):
+        _decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def _make_png(pixels, color_type, filters):
+    """Minimal PNG encoder for tests: `pixels` is an (h, w, ch) uint8
+    numpy array, `filters` one PNG filter byte per row — the encoder
+    applies the real filter transforms so the decoder must invert all
+    of them."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        cur = pixels[r].reshape(-1).astype(np.int32)
+        f = filters[r]
+        line = np.zeros(w * ch, dtype=np.int32)
+        for i in range(w * ch):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (int(cur[i]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(int(x) for x in line)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_inverts_every_filter():
+    """decode_png must invert all five PNG filter types exactly — the
+    test encoder applies a different filter per row over random RGB
+    pixels and the decoded channel means must equal numpy's."""
+    import numpy as np
+
+    from vector_lake_spark.multimodal import decode_png
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(5, 7, 3)).astype("uint8")
+    payload = _make_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    d = decode_png(payload)
+    assert (d["width"], d["height"]) == (7, 5)
+    assert d["mean_r"] == round(float(px[:, :, 0].mean()), 6)
+    assert d["mean_g"] == round(float(px[:, :, 1].mean()), 6)
+    assert d["mean_b"] == round(float(px[:, :, 2].mean()), 6)
+
+    # grayscale and RGBA variants (alpha excluded from means)
+    gray = rng.randint(0, 256, size=(4, 4, 1)).astype("uint8")
+    dg = decode_png(_make_png(gray, color_type=0, filters=[4, 3, 1, 2]))
+    assert dg["mean_r"] == dg["mean_b"] == round(float(gray.mean()), 6)
+    rgba = rng.randint(0, 256, size=(3, 3, 4)).astype("uint8")
+    da = decode_png(_make_png(rgba, color_type=6, filters=[1, 4, 2]))
+    assert da["mean_g"] == round(float(rgba[:, :, 1].mean()), 6)
+
+    # explicit format gates (16-bit / palette / interlaced)
+    import struct
+    import zlib as _z
+
+    def bad_header(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        body = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+        )
+        return b"\x89PNG\r\n\x1a\n" + body
+
+    for depth, color, il in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        with pytest.raises(NotImplementedError):
+            decode_png(bad_header(depth, color, il))
+
+
+def test_real_png_decode_through_spark(spark):
+    """r06: PNG decodes FOR REAL (stdlib zlib + filter reconstruction)
+    through the Arrow mapInPandas boundary."""
+    import numpy as np
+
+    from vector_lake_spark.multimodal import extract_png_features
+
+    rng = np.random.RandomState(3)
+    px1 = rng.randint(0, 256, size=(6, 4, 3)).astype("uint8")
+    px2 = np.full((2, 2, 3), 100, dtype="uint8")
+    rows = [
+        (1, _make_png(px1, color_type=2, filters=[4, 1, 3, 2, 0, 4])),
+        (2, _make_png(px2, color_type=2, filters=[0, 2])),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_png_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (4, 6)
+    assert out[1]["mean_r"] == round(float(px1[:, :, 0].mean()), 6)
+    assert (out[2]["mean_r"], out[2]["mean_g"], out[2]["mean_b"]) == (
+        100.0,
+        100.0,
+        100.0,
+    )
 
 
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 12, 25), (2, 30, 90), (3, 8, 28)])

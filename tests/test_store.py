@@ -702,3 +702,25 @@ def test_upsert_into_empty_store_is_pure_insert(spark, tmp_path, rng):
     lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=4)
     assert lake.upsert_batch(["a", "b"], rng.rand(2, 4).tolist()) == 0
     assert lake.count() == 2
+
+
+def test_upsert_large_batch_uses_anti_join_path(spark, tmp_path, rng):
+    """Batches above the isin cutoff run the broadcast semi/anti-join
+    form (no thousand-literal plans) — same semantics: replace existing,
+    insert new, exactly-once per id."""
+    lake = SparkVectorLake(spark, str(tmp_path / "lake"), dimension=4, approx_shards=4)
+    n = 1200
+    vecs = (rng.rand(n, 4) - 0.5).tolist()
+    ids = [f"id-{i}" for i in range(n)]
+    lake.add_batch(vecs, ids=ids, documents=["v1"] * n)
+    lake.persist()
+
+    # replace the first 1100, insert 101 new → batch of 1201 (> cutoff)
+    up_ids = ids[:1100] + [f"new-{i}" for i in range(101)]
+    up_vecs = (rng.rand(1201, 4) - 0.5).tolist()
+    assert lake.upsert_batch(up_ids, up_vecs, documents=["v2"] * 1201) >= 1
+
+    rows = {r["id"]: r["document"] for r in lake.load().collect()}
+    assert len(rows) == n + 101
+    assert all(rows[i] == "v2" for i in up_ids)
+    assert all(rows[i] == "v1" for i in ids[1100:])

@@ -2,15 +2,19 @@
 
 Media are opaque ``binary`` columns + typed metadata structs; transforms run
 as Arrow-batched ``mapInPandas`` over the binary payloads so the bytes never
-pass through Python row-at-a-time serde. Decode status (r05):
+pass through Python row-at-a-time serde. Decode status (r06):
 
 - REAL, stdlib-only: uncompressed 24-bit BMP (``decode_bmp`` — struct
-  parsing → dims + channel means) and PCM-16 WAV (``decode_wav`` — the
-  stdlib ``wave`` module → rate/duration/RMS), each with a Spark
-  operator (``extract_bmp_features`` / ``extract_wav_features``) and
-  exact-pixel/exact-sample tests through the Arrow boundary.
-- Environment-gated: compressed codecs (JPEG/PNG/video) need PIL/opencv,
-  absent in this container — ``_decode_image`` raises for those, and the
+  parsing → dims + channel means), **8-bit PNG** (``decode_png`` —
+  stdlib zlib inflate + full None/Sub/Up/Average/Paeth filter
+  reconstruction; a genuinely compressed codec decoded without any
+  external library), and PCM-16 WAV (``decode_wav`` — the stdlib
+  ``wave`` module → rate/duration/RMS), each with a Spark operator
+  (``extract_bmp_features`` / ``extract_png_features`` /
+  ``extract_wav_features``) and exact-pixel/exact-sample tests through
+  the Arrow boundary.
+- Environment-gated: DCT codecs (JPEG, video) need PIL/opencv, absent
+  in this container — ``_decode_image`` raises for those, and the
   deterministic byte-fold stand-in keeps the e2e pipeline testable.
 
 At 100 TB: binary payloads dominate row size, so every transform projects
@@ -56,15 +60,110 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image(payload: bytes):
-    """Decode an image payload. Uncompressed 24-bit BMP decodes for real
-    (stdlib struct — r05); compressed codecs (JPEG/PNG/...) need PIL or
-    opencv, which this container lacks, and stay honestly gated."""
+    """Decode an image payload. Uncompressed 24-bit BMP (r05) and 8-bit
+    PNG (r06 — DEFLATE is stdlib zlib, filters reconstructed here)
+    decode for real; DCT codecs (JPEG/video) need PIL or opencv, which
+    this container lacks, and stay honestly gated."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload is not None and payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed-image codecs unavailable in this environment "
-        "(uncompressed BMP decodes natively — decode_bmp)"
+        "DCT image codecs (JPEG) unavailable in this environment "
+        "(BMP and PNG decode natively — decode_bmp / decode_png)"
     )
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL decode of an 8-bit non-interlaced PNG (grayscale / RGB /
+    RGBA) with pure stdlib ``zlib`` + numpy: chunk walk, DEFLATE
+    inflate, full scanline filter reconstruction (None/Sub/Up/Average/
+    Paeth per the PNG spec), then dimensions + per-channel means.
+
+    PNG is a *compressed* codec whose compression is stdlib-available —
+    so unlike JPEG it needs no external library, just the filter
+    arithmetic. Limits are explicit: bit depth 8, color types 0/2/6,
+    no interlacing; anything else raises NotImplementedError (palette
+    and 16-bit variants are format work, not environment gates)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, idat, header = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if header is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, _comp, _filt, interlace = header
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for r in range(h):
+        f = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up — vectorizable (no intra-row dependency)
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry an intra-row dependency
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) // 2
+                elif f == 4:  # Paeth
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        out[r] = cur
+        prev = cur
+    px = out.reshape(h, w, ch).astype(np.float64)
+    if ch == 1:
+        mr = mg = mb = float(px.mean())
+    else:  # RGB / RGBA (alpha excluded from the channel means)
+        mr, mg, mb = (float(px[:, :, i].mean()) for i in range(3))
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_r": round(mr, 6),
+        "mean_g": round(mg, 6),
+        "mean_b": round(mb, 6),
+    }
 
 
 def decode_bmp(payload: bytes) -> dict:
@@ -232,6 +331,31 @@ def extract_bmp_features(df: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 d = decode_bmp(bytes(payload))
+                d["media_id"] = mid
+                rows.append(d)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=BMP_FEATURES_SCHEMA
+    )
+
+
+def extract_png_features(df: DataFrame) -> DataFrame:
+    """REAL compressed-image decode over Arrow batches (r06): 8-bit PNG
+    payloads → dimensions + channel means via stdlib zlib + numpy
+    filter reconstruction. Same column-pruned mapInPandas shape (and
+    output schema) as the BMP operator."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_png(bytes(payload))
                 d["media_id"] = mid
                 rows.append(d)
             yield pd.DataFrame(

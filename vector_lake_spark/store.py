@@ -737,12 +737,23 @@ class SparkVectorLake:
             "shard_id", lsh_mod.shard_id_expr(F.col("vector"), self.hyperplanes)
         )
         df = self.load()
+        # a huge replacement batch would inline thousands of isin
+        # literals into the plan — switch to the broadcast semi/anti
+        # form delete_ids already uses (same cutoff rationale)
+        if len(ids) > 1000:
+            id_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(i,) for i in ids], "__up_id string"
+                )
+            )
+            hit = df.join(id_df, df["id"] == id_df["__up_id"], "left_semi")
+            kept_pred = None
+        else:
+            hit = df.filter(F.col("id").isin(ids))
+            kept_pred = ~F.col("id").isin(ids)
         old_shards = {
             r["shard_id"]
-            for r in df.filter(F.col("id").isin(ids))
-            .select("shard_id")
-            .distinct()
-            .collect()
+            for r in hit.select("shard_id").distinct().collect()
         }
         new_shards = {
             r["shard_id"]
@@ -750,10 +761,15 @@ class SparkVectorLake:
         }
         target = sorted(old_shards | new_shards)
         cols = [f.name for f in LAKE_SCHEMA.fields] + ["shard_id"]
+        survivors = df.filter(F.col("shard_id").isin(target))
+        if kept_pred is not None:
+            survivors = survivors.filter(kept_pred)
+        else:
+            survivors = survivors.join(
+                id_df, survivors["id"] == id_df["__up_id"], "left_anti"
+            )
         merged = (
-            df.filter(F.col("shard_id").isin(target))
-            .filter(~F.col("id").isin(ids))
-            .select(cols)
+            survivors.select(cols)
             .unionByName(routed_new.select(cols))
             .repartition("shard_id")
         )
