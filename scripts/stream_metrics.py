@@ -94,7 +94,12 @@ for name, build, mode in RUNS:
             .start()
         )
         q.awaitTermination()
-        cap.wait_for(N_FILES)  # progress events land asynchronously
+        # progress events land asynchronously
+        if not cap.wait_for(N_FILES):
+            print(
+                f"WARNING: {name}: only {len(cap.rows())}/{N_FILES} "
+                f"batches reported — table below is incomplete"
+            )
     finally:
         spark.streams.removeListener(cap)
     print(f"\n== {name}")

@@ -783,7 +783,7 @@ def test_neardup_ingest_bounded_state_multi_batch(spark, tmp_path):
     # the history is the ONLY cross-batch state: one key row per vector
     hist = spark.read.parquet(str(tmp_path / "history"))
     assert hist.count() == emb.count()
-    assert set(hist.columns) == {"vec_id", "shard", "bkeys"}
+    assert set(hist.columns) == {"vec_id", "shard", "bkeys", "ingest_batch"}
 
 
 def _make_bmp(width, height, rgb):
@@ -960,6 +960,17 @@ def test_png_decode_inverts_every_filter():
         with pytest.raises(NotImplementedError):
             decode_png(bad_header(depth, color, il))
 
+    # degenerate dimensions raise instead of emitting NaN means
+    zero_ihdr = struct.pack(">IIBBBBB", 0, 1, 8, 2, 0, 0, 0)
+    zero_png = b"\x89PNG\r\n\x1a\n" + (
+        struct.pack(">I", len(zero_ihdr))
+        + b"IHDR"
+        + zero_ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + zero_ihdr))
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        decode_png(zero_png)
+
 
 def test_real_png_decode_through_spark(spark):
     """r06: PNG decodes FOR REAL (stdlib zlib + filter reconstruction)
@@ -1048,7 +1059,8 @@ def test_progress_capture_records_state_metrics(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
-        cap.wait_for(3)  # progress events are delivered asynchronously
+        # progress events are delivered asynchronously
+        assert cap.wait_for(3), "listener never saw all batches"
     finally:
         spark.streams.removeListener(cap)
 
@@ -1086,14 +1098,19 @@ def test_neardup_ingest_compact_history(spark, tmp_path):
         spark, hist_path, str(tmp_path / "pairs"), Q.NEARDUP_N_BANDS
     )
     thirds = [keyed.filter(f"vec_id % 3 = {i}") for i in range(3)]
-    pairs = [ingest.process_batch(thirds[0]), ingest.process_batch(thirds[1])]
+    pairs = [
+        ingest.process_batch(thirds[0], 0),
+        ingest.process_batch(thirds[1], 1),
+    ]
 
-    assert len(glob.glob(f"{hist_path}/*.parquet")) >= 2
+    assert len(glob.glob(f"{hist_path}/*/*.parquet")) >= 2
     n = ingest.compact_history()
     assert n == thirds[0].count() + thirds[1].count()
-    assert len(glob.glob(f"{hist_path}/*.parquet")) == 1
+    # everything collapses into the reserved compacted partition
+    assert len(glob.glob(f"{hist_path}/ingest_batch=-1/*.parquet")) == 1
+    assert len(glob.glob(f"{hist_path}/*/*.parquet")) == 1
 
-    pairs.append(ingest.process_batch(thirds[2]))  # after compaction
+    pairs.append(ingest.process_batch(thirds[2], 2))  # after compaction
     got = {
         (r["id_a"], r["id_b"]) for df in pairs for r in df.collect()
     }
@@ -1139,3 +1156,63 @@ def test_knn_edges_mutual_subset_of_union(spark):
     }
     assert union == {(0, 1), (0, 2), (0, 3)}
     assert mutual == {(0, 1)}
+
+    # duplicate input rows must not fake mutuality (two copies of ONE
+    # direction) nor drop real mutual edges (count 4) — r06 review
+    duped = pairs.unionAll(pairs)
+    mutual_dup = {
+        (r["id_a"], r["id_b"])
+        for r in knn_edges(duped, 1, mutual=True).collect()
+    }
+    assert mutual_dup == mutual
+
+
+def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once under foreachBatch replay (r06 review finding): a
+    batch re-processed with the SAME batch_id — the crash-and-replay
+    case — must leave history and pairs byte-identical: no duplicate
+    history keys, no duplicate pairs, no batch-vs-own-keys pairing."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark import queries as Q
+    from vector_lake_spark.functions.vectors import to_double_array
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+    from vector_lake_spark.streaming.neardup import NearDupIngest, banded_keys
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    v = to_double_array(F.col("embedding"))
+    shard, bkeys = banded_keys(v, Q.H4, Q.NEARDUP_BANDS)
+    keyed = emb.select("vec_id", shard.alias("shard"), bkeys.alias("bkeys"))
+    halves = [keyed.filter(f"vec_id % 2 = {i}") for i in range(2)]
+
+    ingest = NearDupIngest(
+        spark,
+        str(tmp_path / "history"),
+        str(tmp_path / "pairs"),
+        Q.NEARDUP_N_BANDS,
+    )
+    ingest.process_batch(halves[0], 0)
+    ingest.process_batch(halves[1], 1)
+    # replay batch 1 (crash between its writes and the checkpoint commit)
+    ingest.process_batch(halves[1], 1)
+
+    hist = spark.read.parquet(str(tmp_path / "history"))
+    assert hist.count() == emb.count()  # no duplicate keys
+    assert hist.select("vec_id").distinct().count() == emb.count()
+
+    got = {(r["id_a"], r["id_b"]) for r in ingest.pairs().collect()}
+    n_rows = ingest.pairs().count()
+    assert n_rows == len(got)  # no duplicate pair rows
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(
+            emb,
+            Q.H4,
+            threshold=-1.0,
+            n_bands=Q.NEARDUP_N_BANDS,
+            band_bits=Q.NEARDUP_BAND_BITS,
+            carry_vectors=True,
+        ).collect()
+    }
+    assert got == want

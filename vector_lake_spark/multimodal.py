@@ -115,6 +115,8 @@ def decode_png(payload: bytes) -> dict:
             f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
             f"(depth={depth}, color_type={color}, interlace={interlace})"
         )
+    if w == 0 or h == 0:
+        raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     ch = {0: 1, 2: 3, 6: 4}[color]
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
@@ -320,17 +322,18 @@ WAV_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_bmp_features(df: DataFrame) -> DataFrame:
-    """REAL image decode over Arrow batches (r05): uncompressed 24-bit
-    BMP payloads → dimensions + channel means, stdlib-only. Same
-    column-pruned mapInPandas shape as the feature stub, so swapping a
-    full codec in changes only the kernel."""
+def _extract_image_stats(df: DataFrame, decode_fn) -> DataFrame:
+    """Shared Arrow kernel wrapper for real image decodes: the operator
+    shape (column-pruned mapInPandas, IMAGE stats schema) is identical
+    for every codec — swapping a codec in changes only ``decode_fn``
+    (the promise the BMP docstring makes, now structural — r06
+    review)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                d = decode_bmp(bytes(payload))
+                d = decode_fn(bytes(payload))
                 d["media_id"] = mid
                 rows.append(d)
             yield pd.DataFrame(
@@ -343,31 +346,19 @@ def extract_bmp_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=BMP_FEATURES_SCHEMA
     )
+
+
+def extract_bmp_features(df: DataFrame) -> DataFrame:
+    """REAL image decode over Arrow batches (r05): uncompressed 24-bit
+    BMP payloads → dimensions + channel means, stdlib-only."""
+    return _extract_image_stats(df, decode_bmp)
 
 
 def extract_png_features(df: DataFrame) -> DataFrame:
     """REAL compressed-image decode over Arrow batches (r06): 8-bit PNG
     payloads → dimensions + channel means via stdlib zlib + numpy
-    filter reconstruction. Same column-pruned mapInPandas shape (and
-    output schema) as the BMP operator."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                d = decode_png(bytes(payload))
-                d["media_id"] = mid
-                rows.append(d)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
-                ],
-            )
-
-    return df.select("media_id", "payload").mapInPandas(
-        batches, schema=BMP_FEATURES_SCHEMA
-    )
+    filter reconstruction."""
+    return _extract_image_stats(df, decode_png)
 
 
 def extract_wav_features(df: DataFrame) -> DataFrame:

@@ -101,8 +101,19 @@ def knn_edges(pairs: DataFrame, k: int, mutual: bool = False) -> DataFrame:
         F.greatest("u", "v").alias("id_b"),
     )
     if mutual:
+        # count DISTINCT directions, not raw rows: a duplicated input
+        # pair would otherwise emit a one-sided edge as "mutual" (two
+        # copies of one direction) and drop a real mutual edge (c == 4)
+        # — r06 review finding. The distinct also absorbs the rank-slot
+        # ambiguity a duplicate introduces on its own side.
         return (
-            kept.groupBy("id_a", "id_b")
+            top.select(
+                F.least("u", "v").alias("id_a"),
+                F.greatest("u", "v").alias("id_b"),
+                F.col("u").alias("direction"),
+            )
+            .distinct()
+            .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") == 2)
             .select("id_a", "id_b")

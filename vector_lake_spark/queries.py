@@ -2783,15 +2783,20 @@ def q_q9_product_profit(spark, sf):
     5-table join (lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation) with
     an expression-derived group key (year). part + supplier + nation
     broadcast; lineitem⋈orders is the one real shuffle, on the join
-    key both sides already need."""
+    key both sides already need. Profit rounds to 6 dp per row then
+    sums as DECIMAL(38,6) — exact and summation-order-independent, so
+    the 2-dp result can never drift across engines at a boundary (the
+    Q11 lesson applied up front)."""
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
     supp = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
     orders = _t(spark, sf, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        0.6
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"),
+        6,
+    ).cast("decimal(38,6)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -2800,15 +2805,18 @@ def q_q9_product_profit(spark, sf):
         .groupBy(
             "n_name", F.year("o_orderdate").cast("long").alias("o_year")
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("sum_profit")
+        )
     )
 
 
 SQL_Q9_PRODUCT_PROFIT = """
 SELECT n_name,
        CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+       CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 - 0.6 * p_retailprice * l_quantity, 6)
+                           AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -725,6 +725,14 @@ class SparkVectorLake:
             )
         ids, new_df = self._rows_df(vectors, metadata, documents, ids)
         self._check_no_leftover_trash()
+        # flush any rows a prior add_batch left pending: they must be
+        # durable BEFORE the replace-by-id pass so (a) they stay visible
+        # after the upsert (the delete-then-append upsert's trailing
+        # persist() used to flush them) and (b) a pending row whose id
+        # is in this batch gets REPLACED rather than resurrected by a
+        # later persist (r06 review finding)
+        if self._pending:
+            self.persist()
         fs, data_p = self._fs_path(self._data_path)
         if not fs.exists(data_p):
             # pure insert into an empty store: a single append write is

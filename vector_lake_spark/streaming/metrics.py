@@ -45,18 +45,21 @@ class ProgressCapture(StreamingQueryListener):
     def onQueryTerminated(self, event):  # noqa: N802
         pass
 
-    def wait_for(self, n_batches: int, timeout: float = 10.0) -> None:
+    def wait_for(self, n_batches: int, timeout: float = 10.0) -> bool:
         """Listener events are delivered ASYNCHRONOUSLY — the final
         batch's progress can land after ``awaitTermination`` returns.
-        Poll until ``n_batches`` non-empty progress events arrived (or
-        the timeout passes); call before reading ``rows()``."""
+        Poll until ``n_batches`` non-empty progress events arrived;
+        returns True when they did, False on timeout — callers must
+        check (a silently truncated metrics table reads as complete —
+        r06 review finding)."""
         import time
 
         deadline = time.time() + timeout
         while time.time() < deadline:
             if len(self.rows()) >= n_batches:
-                return
+                return True
             time.sleep(0.1)
+        return len(self.rows()) >= n_batches
 
     def rows(self, include_empty: bool = False) -> list[dict]:
         """One summary dict per micro-batch:

@@ -43,10 +43,12 @@ Scale posture notes:
   exact cosine kernel runs in Spark after the sink. Nothing
   float-sensitive crosses the Arrow boundary, which is what keeps the
   stream hash-oracle-able.
-- ``NearDupIngest`` restart semantics are at-least-once: a crash
-  between the pairs write and the history append can re-emit a batch's
-  pairs on replay (downstream dedup or a transactional sink absorbs
-  it); it can never LOSE a pair, because the history append is last.
+- ``NearDupIngest`` restart semantics are exactly-once: every per-batch
+  write is a dynamic partition overwrite of that batch's own
+  ``ingest_batch=N`` partition, and the history join excludes the
+  batch's own partition — so a replayed batch overwrites its earlier
+  attempt with the identical deterministic result instead of appending
+  duplicates or pairing the batch against its own keys.
 """
 
 from __future__ import annotations
@@ -174,26 +176,40 @@ def cross_candidate_pairs(
 
 
 class NearDupIngest:
-    """Incremental near-dup candidate ingestion with BOUNDED state.
+    """Incremental near-dup candidate ingestion with BOUNDED state and
+    EXACTLY-ONCE restart semantics.
 
     State lives in a persisted parquet band-key history table
-    (``history_path``: vec_id, shard, bkeys — ~8·(n_bands+2) bytes per
-    row), not in the streaming state store. Per micro-batch:
+    (``history_path``: vec_id, shard, bkeys, ingest_batch —
+    ~8·(n_bands+3) bytes per row, physically partitioned by
+    ``ingest_batch``), not in the streaming state store. Per
+    micro-batch ``batch_id``:
 
     1. new-vs-new pairs: the batch bucket join over this batch's keys;
     2. new-vs-history pairs: one equi-join of the batch's exploded keys
-       against the history's, with the shared first-matching-band
-       residual;
-    3. the emitted pairs append to ``pairs_path``;
-    4. the batch's keys append to the history (LAST — see module
-       docstring for the at-least-once restart contract).
+       against the history's (EXCLUDING any partition this batch wrote
+       on a crashed earlier attempt — a partition-pruned filter), with
+       the shared first-matching-band residual;
+    3. the pairs land in ``pairs_path`` partition ``ingest_batch=N``
+       via DYNAMIC PARTITION OVERWRITE — a replayed batch overwrites
+       its own partition with the identical deterministic result
+       instead of appending duplicates;
+    4. the batch's keys land in the history the same way (overwrite of
+       partition N only).
+
+    Every per-batch write is therefore idempotent: a crash anywhere
+    between steps and the streaming checkpoint commit makes the replay
+    converge to exactly the same on-disk state — no duplicate history
+    keys, no duplicate pairs, no self-pairing (the step-2 exclusion).
 
     This is ``dedup_incremental``'s posture applied to near-dup: the
     stream does one bounded join per batch against an 8-byte-key table,
     every kernel is a JVM hash join, and nothing accretes in executor
-    memory between batches. At 100 TB the history is partitioned by
-    ``shard`` on disk, so the per-batch join prunes to the shards the
-    batch actually touches."""
+    memory between batches. At 100 TB add ``shard`` to the history
+    partitioning so the per-batch join prunes to the shards the batch
+    actually touches."""
+
+    COMPACTED_BATCH = -1  # sentinel partition for compacted history
 
     def __init__(
         self,
@@ -209,34 +225,74 @@ class NearDupIngest:
         self.n_bands = n_bands
         self.partition_history_by_shard = partition_history_by_shard
 
-    def _history(self) -> DataFrame | None:
+    def _read_if_exists(self, path: str) -> DataFrame | None:
         jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(self.history_path)
+        p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if not fs.exists(p):
             return None
-        return self.spark.read.parquet(self.history_path)
+        return self.spark.read.parquet(path)
 
-    def process_batch(self, batch: DataFrame) -> DataFrame:
-        """Emit this batch's candidate pairs and absorb its keys into
-        the history. Returns the (already materialized) pairs."""
+    def _history(self) -> DataFrame | None:
+        return self._read_if_exists(self.history_path)
+
+    def _hist_partitions(self):
+        return (
+            ["ingest_batch", "shard"]
+            if self.partition_history_by_shard
+            else ["ingest_batch"]
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> DataFrame:
+        """Emit batch ``batch_id``'s candidate pairs (into its
+        ``pairs_path`` partition) and absorb its keys into the history
+        (its ``history_path`` partition). Idempotent per batch_id —
+        both writes are dynamic partition overwrites of that batch's
+        partition only. Returns the (already materialized) pairs."""
+        if batch_id < 0:
+            raise ValueError(
+                f"batch_id must be >= 0 (got {batch_id}); "
+                f"{self.COMPACTED_BATCH} is reserved for compacted history"
+            )
         # the batch feeds three consumers (within-pairs, cross-pairs,
-        # history append) — pin it so the source is read once
+        # history write) — pin it so the source is read once
         batch = batch.localCheckpoint(eager=True)
         pairs = within_candidate_pairs(batch, self.n_bands)
         hist = self._history()
         if hist is not None:
+            # exclude this batch's own partition: a crashed earlier
+            # attempt may have written it, and pairing the batch against
+            # its own keys would duplicate every within-batch pair
+            # (partition-pruned — the excluded files are never read)
+            prior = hist.filter(F.col("ingest_batch") != F.lit(batch_id))
             pairs = pairs.unionByName(
-                cross_candidate_pairs(batch, hist, self.n_bands)
+                cross_candidate_pairs(
+                    batch, prior.drop("ingest_batch"), self.n_bands
+                )
             )
-        # materialize BEFORE the history append so the cross join can
-        # never observe this batch on both sides
         pairs = pairs.localCheckpoint(eager=True)
-        writer = batch.write.mode("append")
-        if self.partition_history_by_shard:
-            writer = writer.partitionBy("shard")
-        writer.parquet(self.history_path)
+        (
+            pairs.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(self.pairs_path)
+        )
+        (
+            batch.withColumn("ingest_batch", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self._hist_partitions())
+            .parquet(self.history_path)
+        )
         return pairs
+
+    def pairs(self) -> DataFrame:
+        """All pairs emitted so far (the partition column dropped)."""
+        df = self._read_if_exists(self.pairs_path)
+        if df is None:
+            return self.spark.createDataFrame([], schema=OUTPUT_SCHEMA)
+        return df.select("id_a", "id_b")
 
     def compact_history(self) -> int:
         """Small-file hygiene for long-running ingest: every micro-batch
@@ -269,17 +325,25 @@ class NearDupIngest:
                 f"retry"
             )
         # pin the contents BEFORE touching the directory (never read and
-        # replace the same files in one job)
-        data = hist.localCheckpoint(eager=True)
+        # replace the same files in one job); all compacted rows land in
+        # the reserved ingest_batch=-1 partition — streaming batch ids
+        # are >= 0, so no future dynamic overwrite can clobber it
+        data = hist.withColumn(
+            "ingest_batch", F.lit(self.COMPACTED_BATCH).cast("long")
+        ).localCheckpoint(eager=True)
         n = data.count()
         if self.partition_history_by_shard:
             (
                 data.repartition("shard")
-                .write.partitionBy("shard")
+                .write.partitionBy(*self._hist_partitions())
                 .parquet(self.history_path + "__compact")
             )
         else:
-            data.coalesce(1).write.parquet(self.history_path + "__compact")
+            (
+                data.coalesce(1)
+                .write.partitionBy("ingest_batch")
+                .parquet(self.history_path + "__compact")
+            )
         if not fs.rename(hpath(self.history_path), old):
             raise IOError("compact_history: could not move history aside")
         if not fs.rename(staged, hpath(self.history_path)):
@@ -296,13 +360,12 @@ class NearDupIngest:
         return n
 
     def foreach_batch(self):
-        """``writeStream.foreachBatch`` hook: process + sink to
-        ``pairs_path``."""
+        """``writeStream.foreachBatch`` hook: one idempotent
+        ``process_batch`` per micro-batch, keyed by the streaming
+        engine's ``batch_id``."""
 
         def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.process_batch(batch_df).write.mode("append").parquet(
-                self.pairs_path
-            )
+            self.process_batch(batch_df, int(batch_id))
 
         return fn
 
@@ -317,9 +380,6 @@ class NearDupIngest:
         )
         q.awaitTermination()
         return q
-
-    def pairs(self) -> DataFrame:
-        return self.spark.read.parquet(self.pairs_path)
 
 
 # ---------------------------------------------------------------------------
