@@ -1412,6 +1412,42 @@ LIMIT 20
 """
 
 
+def q_text_boilerplate_ngrams(spark, sf):
+    """Boilerplate n-gram mining (the C4-style prep for repeated-span
+    removal): 5-word shingles ranked by how many DISTINCT documents
+    repeat them — the spans a curation pass would strip before
+    training. One explode + one aggregate (shingles are already
+    distinct per doc, so the doc count is a plain count); the shingle
+    text itself is the group key here (the mining output must be
+    human-readable), unlike the dedup joins which hash shingles to
+    8 bytes — at 100 TB mine on a sample or hash first and join the
+    top keys back for display."""
+    from vector_lake_spark.operators.dedup import shingles
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            "doc_id", F.explode(shingles(F.col("text"), 5)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), F.col("gram"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_BOILERPLATE_NGRAMS = f"""
+SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest({O.sql_shingles('text', 5)}) AS gram
+      FROM documents)
+GROUP BY gram
+HAVING count(*) >= 3
+ORDER BY n_docs DESC, gram
+LIMIT 20
+"""
+
+
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
@@ -4939,6 +4975,7 @@ _BASE_QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_token_top20": q_text_token_top20,
+    "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf_top20": q_text_tfidf_top20,
@@ -5115,6 +5152,7 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_token_top20": SQL_TEXT_TOKEN_TOP20,
+    "text_boilerplate_ngrams": SQL_TEXT_BOILERPLATE_NGRAMS,
     "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_tfidf_top20": SQL_TEXT_TFIDF_TOP20,
