@@ -45,7 +45,9 @@ HEADLINE = [
     # computes the same banding ~2x faster and is the recommended path
     "dedup_minhash_native",
     "graph_triangles",
+    "graph_knn_mutual",
     "text_stats_by_lang",
+    "text_boilerplate_ngrams",
     "text_quality",
     "text_token_top20",
     "text_tfidf_top20",
