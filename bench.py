@@ -87,6 +87,12 @@ HEADLINE = [
     "ev_sessionize",
     "ev_gapfill_locf",
     "mm_binary_stats",
+    # r06 serving-layer additions
+    "ev_rollup_merge",
+    "ev_status_islands",
+    "cdc_latest_state",
+    "sketch_distinct_users",
+    "zorder_events",
 ]
 
 

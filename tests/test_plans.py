@@ -382,3 +382,64 @@ def test_knn_mutual_same_shuffle_shape_as_union(spark):
     p = plan_string(df)
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_islands_reuses_user_partitioning(spark):
+    """Gaps-and-islands: the lag window, the running-sum window, and the
+    (user, island, type) grouping all reuse ONE user_id hash exchange
+    (HashPartitioning(user_id) satisfies the superset grouping); only
+    the final few-row per-type rollup exchanges again."""
+    df = Q.q_ev_status_islands(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "user_id" in plan.split("Exchange hashpartitioning")[2].split("\n")[0]
+
+
+def test_cdc_latest_single_key_shuffle_no_global_sort(spark):
+    """CDC compaction: one exchange on the snapshot key; the rank=1
+    filter plans as WindowGroupLimit (per-key top-1), never a global
+    sort."""
+    df = Q.q_cdc_latest_state(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+    assert "WindowGroupLimit" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_rollup_merge_partial_aggregates_union(spark):
+    """Merge-on-read rollup: both legs partial-aggregate before the
+    union and the final merge re-aggregates partials — no leg ships raw
+    events across the exchange, and the two scans carry pushed date
+    filters."""
+    df = Q.q_ev_rollup_merge(spark, SF)
+    plan = plan_string(df)
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_layout_one_range_exchange_local_sort(spark):
+    """The layout job is exactly one range shuffle + an in-partition
+    (non-global) sort on the Morton code."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.operators.layout import zorder_layout
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", F.dayofmonth("ts").cast("long").alias("d")
+    )
+    df = zorder_layout(e, F.col("user_id"), F.col("d"), 8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    sort_line = [ln for ln in plan.splitlines() if "Sort [__z" in ln][0]
+    assert "], false, 0" in sort_line  # local (in-partition) sort, not global
+
+
+def test_sketch_distinct_single_aggregation_tree(spark):
+    """HLL sketch + exact distinct in one grouped aggregate family — no
+    joins, no cartesian; the sketch adds no extra exchange."""
+    df = Q.q_sketch_distinct_users(spark, SF)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan

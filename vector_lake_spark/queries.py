@@ -1420,8 +1420,14 @@ def q_text_boilerplate_ngrams(spark, sf):
     distinct per doc, so the doc count is a plain count); the shingle
     text itself is the group key here (the mining output must be
     human-readable), unlike the dedup joins which hash shingles to
-    8 bytes — at 100 TB mine on a sample or hash first and join the
-    top keys back for display."""
+    8 bytes. At 100 TB mine on a sample, or hash-first and join the
+    surviving keys back for display — measured on THIS corpus the
+    hash-first two-phase is 2× slower (7.6 s vs 3.7 s at sf0.1): the
+    synthetic fixed vocabulary makes most grams clear the ≥3 floor, so
+    the "small surviving set" premise fails and the second explode
+    doubles scan cost. Single-phase with map-side partial aggregation
+    is the right default; switch to hash-first only when the floor is
+    genuinely selective (natural text, higher floors)."""
     from vector_lake_spark.operators.dedup import shingles
 
     d = _t(spark, sf, "documents")
@@ -4926,6 +4932,289 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Incremental rollups, sketches, islands, layout (round 6)
+# ---------------------------------------------------------------------------
+
+ROLLUP_CUTOFF = "2024-01-20"
+
+
+def q_ev_rollup_merge(spark, sf):
+    """Hypertable-style merge-on-read rollup: weekly totals served by
+    MERGING a pre-aggregated daily rollup of history (ts < cutoff) with
+    a partial aggregate of the raw delta (ts >= cutoff) — the pattern
+    that serves aggregates over 100 TB of history without rescanning it
+    (history is a few bytes/day/type of partials; only the delta touches
+    raw events).  count/sum are decomposable so the merge is exact; the
+    oracle recomputes the same weekly totals directly from raw events —
+    a green hash PROVES rollup+delta == full recompute."""
+    e = _events(spark, sf)
+    day = F.to_date("ts")
+    cutoff = F.to_date(F.lit(ROLLUP_CUTOFF))
+
+    def partial(df):
+        return df.groupBy(day.alias("day"), "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
+        )
+
+    rollup = partial(e.filter(day < cutoff))  # materialized table at scale
+    delta = partial(e.filter(day >= cutoff))  # today's raw tail
+    return (
+        rollup.unionByName(delta)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("week", F.col("day").cast("timestamp")),
+                "yyyy-MM-dd",
+            ).alias("week_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_EV_ROLLUP_MERGE = """
+SELECT strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS week_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+SKETCH_LG_K = 14  # HLL lgConfigK: ~0.4% relative standard error
+
+
+def q_sketch_distinct_users(spark, sf):
+    """Cardinality sketching (Apache DataSketches HLL, built into Spark
+    3.5+): per event type, the exact distinct-user count alongside a
+    boolean asserting the HLL estimate lands within 5%.  At 100 TB the
+    sketch IS the answer (distinct-count without a distinct shuffle —
+    partials merge associatively, ~2^lgK bytes per group); here the
+    exact count rides along so the oracle can verify the sketch's
+    accuracy claim inside the hash check instead of trusting it."""
+    e = _events(spark, sf)
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(SKETCH_LG_K))
+        ).alias("est"),
+    )
+    return per.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("est") - F.col("n_users")) <= 0.05 * F.col("n_users")
+        ).alias("est_within_5pct"),
+    )
+
+
+SQL_SKETCH_DISTINCT_USERS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS est_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_sketch_user_overlap(spark, sf):
+    """Sketch MERGEABILITY — the property that makes sketches the 100 TB
+    tool: the distinct-user count of clickers ∪ purchasers estimated by
+    unioning two independently-built HLL sketches (never rescanning
+    either side), checked within 5% of the exact union cardinality.
+    This is how cross-day / cross-source audience overlap is served from
+    per-partition sketches without a global distinct."""
+    e = _events(spark, sf)
+    sketches = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(SKETCH_LG_K)).alias("sk"))
+    )
+    est = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.filter(F.col("event_type").isin("click", "purchase")).agg(
+        F.countDistinct("user_id").alias("n_union_users")
+    )
+    return exact.join(F.broadcast(est)).select(
+        "n_union_users",
+        (
+            F.abs(F.col("est") - F.col("n_union_users"))
+            <= 0.05 * F.col("n_union_users")
+        ).alias("est_within_5pct"),
+    )
+
+
+SQL_SKETCH_USER_OVERLAP = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_union_users,
+       TRUE AS est_within_5pct
+FROM events
+WHERE event_type IN ('click', 'purchase')
+"""
+
+
+def q_ev_status_islands(spark, sf):
+    """Gaps-and-islands / SCD2 interval build: per user, collapse the
+    ordered event stream into runs ("islands") of consecutive identical
+    event types (lag-compare → running sum of change-points → group),
+    then summarize run statistics per event type.  The change-point
+    window partitions by user — shuffles once on user_id and never
+    compares across users, so it scales with the largest single user's
+    history, not the table.  This is the exact plan shape of an SCD2
+    dimension build (valid_from/valid_to intervals from an attribute
+    change log)."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type"))
+    ).cast("long")
+    runs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("chg", changed)
+        .withColumn(
+            "island",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "island", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            (
+                F.unix_timestamp(F.max("ts"))
+                - F.unix_timestamp(F.min("ts"))
+            ).alias("dur_s"),
+        )
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("max_run"),
+        F.round(F.avg("run_len"), 6).alias("avg_run"),
+        F.round(F.avg("dur_s"), 6).alias("avg_dur_s"),
+    )
+
+
+SQL_EV_STATUS_ISLANDS = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+islands AS (
+  SELECT user_id, island, event_type,
+         CAST(count(*) AS BIGINT) AS run_len,
+         CAST(floor(date_part('epoch', max(ts))) AS BIGINT)
+           - CAST(floor(date_part('epoch', min(ts))) AS BIGINT) AS dur_s
+  FROM runs
+  GROUP BY user_id, island, event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       max(run_len) AS max_run,
+       round(avg(run_len), 6) AS avg_run,
+       round(avg(dur_s), 6) AS avg_dur_s
+FROM islands
+GROUP BY event_type
+"""
+
+
+def q_cdc_latest_state(spark, sf):
+    """CDC log compaction (the lakehouse MERGE/upsert-apply pattern):
+    collapse an append-only change log to the current snapshot — each
+    user's LATEST event wins, ties broken by event_id so replays are
+    deterministic.  One shuffle on the key, `row_number`-over-desc then
+    rank=1 filter (planned as a partial top-1 per key, never a global
+    sort).  At 100 TB this is exactly how a Delta/Hudi-style MERGE
+    compacts: new log partitions fold into the snapshot keyed the same
+    way, and the window never crosses keys so skew is bounded by the
+    hottest single key's log."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
+    )
+
+
+SQL_CDC_LATEST_STATE = """
+SELECT user_id,
+       event_type AS last_event_type,
+       round(value, 6) AS last_value,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def q_zorder_events(spark, sf):
+    """Z-order (Morton) clustering key — the 2-D layout primitive
+    (operators/layout.py): interleave user_id and day-number bits so a
+    range-sort on ONE code clusters files narrowly in BOTH dimensions
+    (Delta/Iceberg OPTIMIZE ZORDER, as plain codegen arithmetic).  The
+    registry entry verifies the code bit-for-bit against the oracle's
+    unrolled shift/or expression on the 20 highest codes;
+    tests/test_layout.py verifies the layout effect itself (per-file
+    min/max narrowing in both dimensions after zorder_layout)."""
+    from vector_lake_spark.operators.layout import morton2
+
+    e = _events(spark, sf)
+    day = _epoch_day(F.col("ts"))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            day.alias("day_no"),
+            morton2(
+                F.col("user_id").bitwiseAND(F.lit(65535)),
+                day.bitwiseAND(F.lit(65535)),
+            ).alias("zcode"),
+        )
+        .orderBy(F.col("zcode").desc(), "event_id")
+        .limit(20)
+    )
+
+
+def _sql_zorder_events() -> str:
+    from vector_lake_spark.operators.layout import sql_morton2
+
+    day = O.sql_epoch_day("ts")
+    return f"""
+SELECT event_id, user_id,
+       CAST({day} AS BIGINT) AS day_no,
+       {sql_morton2('(user_id & 65535)', f'(({day}) & 65535)')} AS zcode
+FROM events
+ORDER BY zcode DESC, event_id
+LIMIT 20
+"""
+
+
+SQL_ZORDER_EVENTS = _sql_zorder_events()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 #
@@ -5062,6 +5351,12 @@ _BASE_QUERIES = {
     "mm_feature_extract": q_mm_feature_extract,
     "mm_frame_sample": q_mm_frame_sample,
     "ann_ivf_stored": q_ann_ivf_stored,
+    "ev_rollup_merge": q_ev_rollup_merge,
+    "sketch_distinct_users": q_sketch_distinct_users,
+    "sketch_user_overlap": q_sketch_user_overlap,
+    "ev_status_islands": q_ev_status_islands,
+    "cdc_latest_state": q_cdc_latest_state,
+    "zorder_events": q_zorder_events,
 }
 
 # Round of each query's newest PASSING driver CORRECTNESS row, derived from
@@ -5242,4 +5537,10 @@ ORACLES = {
     "ann_ivf_stored": SQL_ANN_IVF,
     # the deterministic byte-fold stand-in is plain integer arithmetic
     "mm_feature_extract": SQL_MM_FEATURE_EXTRACT,
+    "ev_rollup_merge": SQL_EV_ROLLUP_MERGE,
+    "sketch_distinct_users": SQL_SKETCH_DISTINCT_USERS,
+    "sketch_user_overlap": SQL_SKETCH_USER_OVERLAP,
+    "ev_status_islands": SQL_EV_STATUS_ISLANDS,
+    "cdc_latest_state": SQL_CDC_LATEST_STATE,
+    "zorder_events": SQL_ZORDER_EVENTS,
 }
