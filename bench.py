@@ -92,6 +92,7 @@ HEADLINE = [
     "ev_status_islands",
     "cdc_latest_state",
     "sketch_distinct_users",
+    "sketch_value_percentiles",
     "zorder_events",
 ]
 

@@ -443,3 +443,44 @@ def test_sketch_distinct_single_aggregation_tree(spark):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
     assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
+    """Runtime bloom-filter join pruning (Catalyst InjectRuntimeFilter):
+    when a fact-fact shuffle join has a selective build side, Spark
+    plants a `might_contain` semi-filter on the probe side's scan — at
+    100 TB this skips most lineitem row groups before the shuffle. The
+    default thresholds (10 GB application-side scan) are sized for real
+    clusters, so this test scales them to the test data the same way
+    the real defaults relate to real data; the assertion is that the
+    optimizer DOES inject the filter under those proportions (enabled
+    by default — spark.sql.optimizer.runtime.bloomFilter.enabled)."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

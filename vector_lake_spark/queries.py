@@ -5056,6 +5056,45 @@ WHERE event_type IN ('click', 'purchase')
 """
 
 
+def q_sketch_value_percentiles(spark, sf):
+    """Quantile sketching (`approx_percentile`, a mergeable KLL-family
+    summary): per event type, exact p50/p90 of the value column
+    alongside a boolean asserting the sketch lands within 2% of both.
+    Exact `percentile` must buffer every value per group; the sketch
+    holds a bounded summary that merges across partitions — at 100 TB
+    the sketch replaces the exact aggregate the same way HLL replaces
+    count(DISTINCT) (see sketch_distinct_users); the oracle verifies
+    the accuracy claim inside the hash."""
+    e = _events(spark, sf)
+    per = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.9))").alias("ex"),
+        F.expr("approx_percentile(value, array(0.5, 0.9), 10000)").alias(
+            "ap"
+        ),
+    )
+    ok = (
+        F.abs(F.col("ap")[0] - F.col("ex")[0]) <= 0.02 * F.abs(F.col("ex")[0])
+    ) & (
+        F.abs(F.col("ap")[1] - F.col("ex")[1]) <= 0.02 * F.abs(F.col("ex")[1])
+    )
+    return per.select(
+        "event_type",
+        F.round(F.col("ex")[0], 6).alias("p50"),
+        F.round(F.col("ex")[1], 6).alias("p90"),
+        ok.alias("approx_within_2pct"),
+    )
+
+
+SQL_SKETCH_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       TRUE AS approx_within_2pct
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_ev_status_islands(spark, sf):
     """Gaps-and-islands / SCD2 interval build: per user, collapse the
     ordered event stream into runs ("islands") of consecutive identical
@@ -5354,6 +5393,7 @@ _BASE_QUERIES = {
     "ev_rollup_merge": q_ev_rollup_merge,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_user_overlap": q_sketch_user_overlap,
+    "sketch_value_percentiles": q_sketch_value_percentiles,
     "ev_status_islands": q_ev_status_islands,
     "cdc_latest_state": q_cdc_latest_state,
     "zorder_events": q_zorder_events,
@@ -5540,6 +5580,7 @@ ORACLES = {
     "ev_rollup_merge": SQL_EV_ROLLUP_MERGE,
     "sketch_distinct_users": SQL_SKETCH_DISTINCT_USERS,
     "sketch_user_overlap": SQL_SKETCH_USER_OVERLAP,
+    "sketch_value_percentiles": SQL_SKETCH_VALUE_PERCENTILES,
     "ev_status_islands": SQL_EV_STATUS_ISLANDS,
     "cdc_latest_state": SQL_CDC_LATEST_STATE,
     "zorder_events": SQL_ZORDER_EVENTS,
