@@ -724,3 +724,37 @@ def test_upsert_large_batch_uses_anti_join_path(spark, tmp_path, rng):
     assert len(rows) == n + 101
     assert all(rows[i] == "v2" for i in up_ids)
     assert all(rows[i] == "v1" for i in ids[1100:])
+
+
+def test_query_filtered_ann(spark, tmp_path, rng):
+    """Filtered ANN: `where` restricts ranking to rows whose metadata
+    satisfies the predicate (pre-filter semantics — the heap only sees
+    qualifying rows, so k results are all qualifying and exactly the
+    qualifying top-k)."""
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=4)
+    vecs = rng.rand(40, 4).tolist()
+    cats = ["a" if i % 2 == 0 else "b" for i in range(40)]
+    lake.add_batch(vecs, metadata=[{"cat": c} for c in cats])
+    lake.persist()
+    q = vecs[6]
+    pred = "get_json_object(metadata, '$.cat') = 'a'"
+    hits = lake.query(q, k=5, n_probes=4, where=pred).collect()
+    assert len(hits) == 5
+    import json as _json
+
+    assert all(_json.loads(h["metadata"])["cat"] == "a" for h in hits)
+    # equivalent unfiltered query over the same probes, post-filtered,
+    # must agree on the winners (pre-filter never loses qualifying rows)
+    unfiltered = lake.query(q, k=40, n_probes=4).collect()
+    expect = [h["id"] for h in unfiltered
+              if _json.loads(h["metadata"])["cat"] == "a"][:5]
+    assert [h["id"] for h in hits] == expect
+    # Column-form predicate equivalent to the SQL-string form
+    from pyspark.sql import functions as F
+
+    hits2 = lake.query(
+        q, k=5, n_probes=4,
+        where=F.get_json_object("metadata", "$.cat") == "a",
+    ).collect()
+    assert [h["id"] for h in hits2] == [h["id"] for h in hits]

@@ -139,6 +139,33 @@ LIMIT {K}
 """
 
 
+def q_vec_topk_filtered(spark, sf):
+    """Filtered ANN — the vector-store staple the reference lacks: exact
+    top-k cosine restricted to a metadata predicate (label ∈ {1,3,5}),
+    the "search within a tenant/category" shape. The predicate is a
+    plain pushable filter BELOW the bounded-heap rank, so the scan
+    prunes on it (row-group stats) and the heap ranks only qualifying
+    rows — pre-filter semantics, no recall loss, unlike post-filter
+    vector stores that over-fetch k·C candidates and hope. The store
+    API twin is `SparkVectorLake.query(where=...)`."""
+    return topk_cosine(
+        _t(spark, sf, "embeddings").filter(F.col("label").isin(1, 3, 5)),
+        QUERY_VEC,
+        K,
+        keep_cols=("label",),
+    )
+
+
+SQL_VEC_TOPK_FILTERED = f"""
+SELECT vec_id, label,
+       round(list_cosine_similarity({EMB}, {QV}), 6) AS score
+FROM embeddings
+WHERE label IN (1, 3, 5)
+ORDER BY score DESC, vec_id
+LIMIT {K}
+"""
+
+
 def q_vec_topk_l2(spark, sf):
     return topk_l2(_t(spark, sf, "embeddings"), QUERY_VEC, K, keep_cols=("label",))
 
@@ -5397,6 +5424,7 @@ _BASE_QUERIES = {
     "ev_status_islands": q_ev_status_islands,
     "cdc_latest_state": q_cdc_latest_state,
     "zorder_events": q_zorder_events,
+    "vec_topk_filtered": q_vec_topk_filtered,
 }
 
 # Round of each query's newest PASSING driver CORRECTNESS row, derived from
@@ -5584,4 +5612,5 @@ ORACLES = {
     "ev_status_islands": SQL_EV_STATUS_ISLANDS,
     "cdc_latest_state": SQL_CDC_LATEST_STATE,
     "zorder_events": SQL_ZORDER_EVENTS,
+    "vec_topk_filtered": SQL_VEC_TOPK_FILTERED,
 }

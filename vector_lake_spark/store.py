@@ -270,12 +270,23 @@ class SparkVectorLake:
         return df
 
     def query(
-        self, vector: Sequence[float], k: int = 4, n_probes: int = 1
+        self,
+        vector: Sequence[float],
+        k: int = 4,
+        n_probes: int = 1,
+        where: "F.Column | str | None" = None,
     ) -> DataFrame:
         """Route → partition-pruned probe → exact cosine top-k (A8/A9/A11).
 
         ``n_probes > 1`` adds lowest-margin bit-flip shards (multi-probe;
-        recall knob the reference lacks)."""
+        recall knob the reference lacks). ``where`` is an optional
+        metadata predicate (Column or SQL string) applied BEFORE ranking
+        — filtered ANN: the predicate composes with the shard pruning in
+        the same scan (pushed to parquet where the expression allows),
+        so top-k ranks only rows that satisfy it. Note post-filter
+        semantics of the LSH route still apply: probes are chosen by the
+        query vector, so a highly selective predicate may warrant more
+        probes to hold recall."""
         from vector_lake_spark.operators.ann import multiprobe_shards
 
         if len(vector) != self.dimension:
@@ -285,6 +296,10 @@ class SparkVectorLake:
             )
         probes = multiprobe_shards(vector, self.hyperplanes, n_probes)
         pruned = self.load().filter(F.col("shard_id").isin(probes))
+        if where is not None:
+            pruned = pruned.filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
         # "vector" rides along so A10 (query_vectors) and downstream
         # re-ranking (adapter MMR) read the STORED vectors instead of
         # recomputing or re-embedding
