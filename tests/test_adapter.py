@@ -226,3 +226,39 @@ def test_delete_and_get_by_ids(spark, tmp_path):
     store.delete([ids[1]])
     assert store.get_by_ids([ids[1]]) == []
     assert store.lake.count() == 2
+
+
+def test_similarity_search_with_filter(spark, tmp_path):
+    """LangChain `filter` dict: metadata equality applied as a
+    pre-filter below the top-k heap — every hit satisfies the filter,
+    and the qualifying top hit is found even when unfiltered search
+    would rank non-qualifying docs above it."""
+    store = SparkVectorLakeStore.from_texts(
+        spark,
+        str(tmp_path / "store"),
+        TEXTS,
+        metadatas=[
+            {"lang": "en" if i % 2 == 0 else "de", "i": i}
+            for i in range(len(TEXTS))
+        ],
+        dimension=64,
+        approx_shards=2,
+    )
+    hits = store.similarity_search(TEXTS[0], k=3, n_probes=2, filter={"lang": "de"})
+    assert hits
+    assert all(h["metadata"]["lang"] == "de" for h in hits)
+    # int filter values compare via canonical JSON text
+    hits_i = store.similarity_search(TEXTS[0], k=3, n_probes=2, filter={"i": 1})
+    assert [h["metadata"]["i"] for h in hits_i] == [1]
+    # scored + MMR surfaces accept the same filter
+    scored = store.similarity_search_with_score(
+        TEXTS[0], k=2, n_probes=2, filter={"lang": "de"}
+    )
+    assert scored and all(d["metadata"]["lang"] == "de" for d, _ in scored)
+    mmr = store.max_marginal_relevance_search(
+        TEXTS[0], k=2, fetch_k=4, n_probes=2, filter={"lang": "de"}
+    )
+    assert mmr and all(d["metadata"]["lang"] == "de" for d in mmr)
+    # non-scalar filter values are rejected loudly
+    with pytest.raises(ValueError, match="scalars"):
+        store.similarity_search(TEXTS[0], k=1, filter={"lang": ["en", "de"]})

@@ -116,18 +116,55 @@ class SparkVectorLakeStore:
         self.lake.persist()
         return ids
 
-    def similarity_search(self, query: str, k: int = 4, n_probes: int = 2) -> list[dict]:
+    @staticmethod
+    def _filter_predicate(filter: dict | None):
+        """LangChain ``filter`` dict → a Spark Column predicate over the
+        JSON metadata column: equality on every key, AND-composed
+        (the LangChain convention). Scalars only — JSON numbers and
+        strings compare via their canonical text, booleans via
+        true/false."""
+        if not filter:
+            return None
+        from pyspark.sql import functions as F
+
+        pred = None
+        for key, val in sorted(filter.items()):
+            if isinstance(val, bool):
+                txt = "true" if val else "false"
+            elif isinstance(val, (int, float, str)):
+                txt = str(val)
+            else:
+                raise ValueError(
+                    f"filter values must be scalars, got {type(val).__name__} "
+                    f"for key {key!r}"
+                )
+            clause = F.get_json_object("metadata", f"$.{key}") == txt
+            pred = clause if pred is None else (pred & clause)
+        return pred
+
+    def similarity_search(
+        self,
+        query: str,
+        k: int = 4,
+        n_probes: int = 2,
+        filter: dict | None = None,
+    ) -> list[dict]:
         """L2: embed the query, routed top-k, wrap as page_content/metadata
         dicts (the LangChain ``Document`` shape without the dependency).
 
         Defaults to 2 LSH probes: the reference probes a single shard
         (index.py:487-489), which silently misses near neighbors that hash
         across a hyperplane; multi-probe restores recall at the cost of one
-        extra pruned partition read."""
+        extra pruned partition read. ``filter`` is the LangChain metadata
+        equality dict, applied as a pre-filter BELOW the top-k heap
+        (store.query(where=...)) — results are exactly the qualifying
+        top-k, never a post-filtered shortfall."""
         import json
 
         qv = self.embedding([query])[0]
-        rows = self.lake.query(qv, k=k, n_probes=n_probes).collect()
+        rows = self.lake.query(
+            qv, k=k, n_probes=n_probes, where=self._filter_predicate(filter)
+        ).collect()
         return [
             {
                 "page_content": r["document"],
@@ -138,7 +175,11 @@ class SparkVectorLakeStore:
         ]
 
     def similarity_search_with_score(
-        self, query: str, k: int = 4, n_probes: int = 2
+        self,
+        query: str,
+        k: int = 4,
+        n_probes: int = 2,
+        filter: dict | None = None,
     ) -> list[tuple[dict, float]]:
         """LangChain ``similarity_search_with_score`` surface: the same
         routed top-k, returned as (document, score) tuples with the
@@ -148,7 +189,9 @@ class SparkVectorLakeStore:
         it anyway — ``store.py query()``; this just stops discarding
         it)."""
         out = []
-        for d in self.similarity_search(query, k=k, n_probes=n_probes):
+        for d in self.similarity_search(
+            query, k=k, n_probes=n_probes, filter=filter
+        ):
             score = d.pop("score")
             out.append((d, score))
         return out
@@ -160,6 +203,7 @@ class SparkVectorLakeStore:
         fetch_k: int = 20,
         lambda_mult: float = 0.5,
         n_probes: int = 2,
+        filter: dict | None = None,
     ) -> list[dict]:
         """MMR diversified retrieval (the LangChain ``VectorStore``
         surface beyond the reference's plain ``similarity_search``):
@@ -172,7 +216,12 @@ class SparkVectorLakeStore:
         import numpy as np
 
         qv = np.asarray(self.embedding([query])[0], dtype=np.float64)
-        rows = self.lake.query(qv.tolist(), k=fetch_k, n_probes=n_probes).collect()
+        rows = self.lake.query(
+            qv.tolist(),
+            k=fetch_k,
+            n_probes=n_probes,
+            where=self._filter_predicate(filter),
+        ).collect()
         if not rows:
             return []
         # the STORED candidate vectors (query() carries them) — no extra
