@@ -1216,3 +1216,101 @@ def test_neardup_ingest_replay_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming rollup maintenance (r06)
+# ---------------------------------------------------------------------------
+
+
+def _rollup_events_3_files(spark, tmp_path):
+    """The sf0.001 events table split into 3 files so maxFilesPerTrigger=1
+    yields 3 real micro-batches."""
+    src = str(tmp_path / "events_src")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .repartition(3)
+        .write.parquet(src)
+    )
+    return src
+
+
+def test_stream_rollup_multi_batch_equals_direct(spark, tmp_path):
+    """Three micro-batches of partials, merged, equal the direct weekly
+    aggregate over all raw events — batch-arrival order is irrelevant
+    because count/sum partials are associative."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.streaming.rollup import RollupIngest
+
+    src = _rollup_events_3_files(spark, tmp_path)
+    schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ingest = RollupIngest(spark, str(tmp_path / "rollup"))
+    q = ingest.attach(stream, str(tmp_path / "ckpt"), availableNow=True)
+    q.awaitTermination()
+    parts = ingest.partials()
+    assert parts.select("ingest_batch").distinct().count() == 3
+    got = {
+        (r["week_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ingest.serve_weekly().collect()
+    }
+    direct = {
+        (r["week_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in normalize_event_ts(spark.read.parquet(src))
+        .groupBy(
+            F.date_format(
+                F.date_trunc("week", F.to_date("ts").cast("timestamp")),
+                "yyyy-MM-dd",
+            ).alias("week_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_stream_rollup_replay_idempotent_and_compaction_invariant(
+    spark, tmp_path
+):
+    """A replayed micro-batch overwrites its own partition (no double
+    counting), and compact_partials shrinks the table to one row per
+    (day, type) without changing what serve_weekly returns."""
+    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.streaming.rollup import RollupIngest
+
+    src = _rollup_events_3_files(spark, tmp_path)
+    e = normalize_event_ts(spark.read.parquet(src)).localCheckpoint(
+        eager=True
+    )
+    ingest = RollupIngest(spark, str(tmp_path / "rollup"))
+    ingest.process_batch(e.limit(400), 0)
+    ingest.process_batch(e.limit(400), 0)  # crash-replay of batch 0
+    ingest.process_batch(e.subtract(e.limit(400)), 1)
+    before = sorted(
+        map(tuple, ingest.serve_weekly().collect()), key=str
+    )
+    rows_before = ingest.partials().count()
+    n = ingest.compact_partials()
+    assert n == ingest.partials().count() <= rows_before
+    assert (
+        ingest.partials().select("ingest_batch").distinct().collect()[0][0]
+        == -1
+    )
+    after = sorted(map(tuple, ingest.serve_weekly().collect()), key=str)
+    assert before == after
+    # leftover staging dir makes the next compact refuse
+    import os
+
+    os.makedirs(str(tmp_path / "rollup") + "__old")
+    with pytest.raises(IOError, match="refusing to compact"):
+        ingest.compact_partials()

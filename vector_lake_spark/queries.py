@@ -5011,6 +5011,38 @@ GROUP BY 1, 2
 """
 
 
+def q_ev_stream_rollup(spark, sf):
+    """Streaming materialized-rollup maintenance (streaming/rollup.py):
+    the events table ingested as a bounded file stream through
+    ``RollupIngest`` (foreachBatch → per-batch decomposable partials,
+    idempotent dynamic-partition overwrites, zero streaming state),
+    then weekly totals served purely from the maintained partials.
+    Shares the batch entry's oracle (a direct weekly GROUP BY over raw
+    events) — a green hash proves stream-maintained partials merge to
+    EXACTLY the full recompute; multi-batch incremental equivalence,
+    replay idempotence and compaction invariance are pinned in
+    tests/test_ops.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.streaming.rollup import RollupIngest
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    work = tempfile.mkdtemp(prefix="stream_rollup_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ingest = RollupIngest(spark, work + "/rollup")
+    q = ingest.attach(stream, work + "/ckpt", availableNow=True)
+    q.awaitTermination()
+    return ingest.serve_weekly()
+
+
 SKETCH_LG_K = 14  # HLL lgConfigK: ~0.4% relative standard error
 
 
@@ -5418,6 +5450,7 @@ _BASE_QUERIES = {
     "mm_frame_sample": q_mm_frame_sample,
     "ann_ivf_stored": q_ann_ivf_stored,
     "ev_rollup_merge": q_ev_rollup_merge,
+    "ev_stream_rollup": q_ev_stream_rollup,
     "sketch_distinct_users": q_sketch_distinct_users,
     "sketch_user_overlap": q_sketch_user_overlap,
     "sketch_value_percentiles": q_sketch_value_percentiles,
@@ -5606,6 +5639,8 @@ ORACLES = {
     # the deterministic byte-fold stand-in is plain integer arithmetic
     "mm_feature_extract": SQL_MM_FEATURE_EXTRACT,
     "ev_rollup_merge": SQL_EV_ROLLUP_MERGE,
+    # stream-maintained partials must merge to the batch recompute
+    "ev_stream_rollup": SQL_EV_ROLLUP_MERGE,
     "sketch_distinct_users": SQL_SKETCH_DISTINCT_USERS,
     "sketch_user_overlap": SQL_SKETCH_USER_OVERLAP,
     "sketch_value_percentiles": SQL_SKETCH_VALUE_PERCENTILES,
