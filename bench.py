@@ -32,6 +32,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_stored",
     "ann_ivf_quantized",
+    "vec_topk_pq",
     "vec_centroid_by_label",
     "vec_dim_stats",
     "dedup_exact",
@@ -89,6 +90,7 @@ HEADLINE = [
     "mm_binary_stats",
     # r06 serving-layer additions
     "ev_rollup_merge",
+    "ev_stream_rollup",
     "ev_status_islands",
     "cdc_latest_state",
     "sketch_distinct_users",

@@ -122,9 +122,20 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--mult", type=float, default=10.0, help="multiple of sf0.1 sizes")
     ap.add_argument("--skip-events", action="store_true")
+    ap.add_argument(
+        "--only-events",
+        action="store_true",
+        help="generate just events.parquet (events-family stresses)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.RandomState(42)
+
+    if args.only_events:
+        n_ev = int(BASE["events"] * args.mult)
+        pq.write_table(gen_events(rng, n_ev), f"{args.out}/events.parquet")
+        print(f"events: {n_ev}")
+        return
 
     n_docs = int(BASE["documents"] * args.mult)
     pq.write_table(
