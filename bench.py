@@ -33,6 +33,7 @@ HEADLINE = [
     "ann_ivf_stored",
     "ann_ivf_quantized",
     "vec_topk_pq",
+    "ann_ivfpq_topk",
     "vec_centroid_by_label",
     "vec_dim_stats",
     "dedup_exact",

@@ -5284,6 +5284,76 @@ LIMIT {K}
 SQL_VEC_TOPK_PQ = _sql_vec_topk_pq()
 
 
+IVFPQ_NPROBE = 4
+IVFPQ_CAND = 16 * K  # uniform corpus needs the deep ADC pool (see vec_topk_pq)
+
+
+def q_ann_ivfpq_topk(spark, sf):
+    """IVF-PQ — the canonical billion-scale ANN cascade (FAISS's
+    workhorse), composed from this repo's two pinned codebooks: IVF
+    centroid pruning cuts the scan to ~nprobe/16 of the corpus
+    (partition pruning when stored via IVFIndex), the PQ-ADC pass ranks
+    survivors reading 8-byte codes, and only the final pool pays the
+    full-precision kernel. Every stage deterministic (both codebooks
+    pinned, rounded scores, vec_id ties) — the full three-stage cascade
+    hash-checks against DuckDB."""
+    from vector_lake_spark.functions.vectors import cosine_similarity, lit_vector
+    from vector_lake_spark.operators.ann import (
+        assign_centroid_expr,
+        nearest_centroids,
+    )
+    from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from vector_lake_spark.operators.pq import pq_adc_expr, pq_codes_expr
+
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    probes = nearest_centroids(QUERY_VEC, IVF_CENTROIDS, IVFPQ_NPROBE)
+    pruned = emb.withColumn(
+        "centroid_id", assign_centroid_expr(v, IVF_CENTROIDS)
+    ).filter(F.col("centroid_id").isin([int(i) for i in probes]))
+    adc = pq_adc_expr(pq_codes_expr(v), QUERY_VEC)
+    cands = (
+        pruned.select("vec_id", "embedding", adc.alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("vec_id"))
+        .limit(IVFPQ_CAND)
+    )
+    score = F.round(
+        cosine_similarity(
+            to_double_array(F.col("embedding")), lit_vector(QUERY_VEC)
+        ),
+        6,
+    )
+    return (
+        cands.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(K)
+    )
+
+
+def _sql_ann_ivfpq() -> str:
+    from vector_lake_spark.operators.ann import ivf_assign_sql, nearest_centroids
+    from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
+    from vector_lake_spark.operators.pq import sql_pq_adc
+
+    probes = ", ".join(
+        str(i) for i in nearest_centroids(QUERY_VEC, IVF_CENTROIDS, IVFPQ_NPROBE)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {EMB} AS v FROM embeddings),
+a AS (SELECT vec_id, v, {ivf_assign_sql('v', IVF_CENTROIDS)} AS centroid_id FROM e),
+p AS (SELECT vec_id, v FROM a WHERE centroid_id IN ({probes})),
+s AS (SELECT vec_id, v, {sql_pq_adc('v', QUERY_VEC)} AS adc FROM p),
+c AS (SELECT vec_id, v FROM s ORDER BY adc DESC, vec_id LIMIT {IVFPQ_CAND})
+SELECT vec_id, round(list_cosine_similarity(v, {QV}), 6) AS score
+FROM c
+ORDER BY score DESC, vec_id
+LIMIT {K}
+"""
+
+
+SQL_ANN_IVFPQ = _sql_ann_ivfpq()
+
+
 def q_cdc_latest_state(spark, sf):
     """CDC log compaction (the lakehouse MERGE/upsert-apply pattern):
     collapse an append-only change log to the current snapshot — each
@@ -5516,6 +5586,7 @@ _BASE_QUERIES = {
     "zorder_events": q_zorder_events,
     "vec_topk_filtered": q_vec_topk_filtered,
     "vec_topk_pq": q_vec_topk_pq,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 # Round of each query's newest PASSING driver CORRECTNESS row, derived from
@@ -5707,4 +5778,5 @@ ORACLES = {
     "zorder_events": SQL_ZORDER_EVENTS,
     "vec_topk_filtered": SQL_VEC_TOPK_FILTERED,
     "vec_topk_pq": SQL_VEC_TOPK_PQ,
+    "ann_ivfpq_topk": SQL_ANN_IVFPQ,
 }
