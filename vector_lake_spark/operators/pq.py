@@ -42,27 +42,37 @@ from vector_lake_spark.operators.pq_codebooks import (
 )
 
 
-def _sub_sqdist(vec: Column, m: int, centroid: list[float]) -> Column:
-    """Squared L2 between subspace m of ``vec`` and a centroid —
-    unrolled literal terms (stays in whole-stage codegen)."""
-    base = m * PQ_SUB
-    terms = [
-        (vec[base + d] - F.lit(centroid[d]))
-        * (vec[base + d] - F.lit(centroid[d]))
-        for d in range(PQ_SUB)
-    ]
-    return reduce(lambda a, b: a + b, terms)
-
-
 def pq_code_expr(vec: Column, m: int) -> Column:
     """Nearest-centroid code for subspace ``m`` (0..PQ_K-1): rounded
     squared-L2 argmin, lowest index on ties — the IVF assignment rule
-    per subspace."""
-    dists = F.array(
+    per subspace.
+
+    Expression shape matters here: ONE ``transform`` over the 16-row
+    codebook literal, with the subvector sliced once. The fully-unrolled
+    literal form (8 subspaces × 16 centroids × 8 dims ≈ 3k expression
+    nodes in one projection) blew past the codegen method-size cliff
+    into interpreted evaluation (measured 15.6 s at sf0.1); 128 separate
+    zip_with/aggregate kernels still re-sliced per centroid (8.0 s); the
+    single-transform form is ~1 s for identical arithmetic. Fold order
+    is dim-ascending, matching the left-associative `+` chain in
+    ``sql_pq_code`` term-for-term."""
+    sub = F.slice(vec, m * PQ_SUB + 1, PQ_SUB)
+    book = F.array(
         *[
-            F.round(_sub_sqdist(vec, m, PQ_CODEBOOKS[m][k]), SCORE_DECIMALS)
+            F.array(*[F.lit(v) for v in PQ_CODEBOOKS[m][k]])
             for k in range(PQ_K)
         ]
+    )
+    dists = F.transform(
+        book,
+        lambda c: F.round(
+            F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            SCORE_DECIMALS,
+        ),
     )
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
