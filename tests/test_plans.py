@@ -484,3 +484,14 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_staged_limits_no_global_sort(spark):
+    """Both PQ cascades plan their stages as bounded top-k
+    (TakeOrderedAndProject) — the ADC pool and the exact re-rank are
+    heaps, never a global sort of the corpus."""
+    for q in (Q.q_vec_topk_pq, Q.q_ann_ivfpq_topk):
+        p = plan_string(q(spark, SF))
+        assert p.count("TakeOrderedAndProject") >= 2
+        assert "CartesianProduct" not in p
+        assert "Exchange rangepartitioning" not in p  # no global sort
