@@ -1458,6 +1458,12 @@ def q_text_boilerplate_ngrams(spark, sf):
     from vector_lake_spark.operators.dedup import shingles
 
     d = _t(spark, sf, "documents")
+    # single-file local input runs the shingle explode in ONE task —
+    # the same local-mode artifact text_repetition documents; the
+    # round-robin spread is a no-op on any many-file production table
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        d = d.repartition(spread)
     return (
         d.select(
             "doc_id", F.explode(shingles(F.col("text"), 5)).alias("gram")
