@@ -262,3 +262,12 @@ def test_similarity_search_with_filter(spark, tmp_path):
     # non-scalar filter values are rejected loudly
     with pytest.raises(ValueError, match="scalars"):
         store.similarity_search(TEXTS[0], k=1, filter={"lang": ["en", "de"]})
+
+
+def test_empty_filter_dict_is_unfiltered(spark, tmp_path):
+    store = SparkVectorLakeStore.from_texts(
+        spark, str(tmp_path / "store"), TEXTS, dimension=64, approx_shards=2
+    )
+    a = store.similarity_search(TEXTS[0], k=3, n_probes=2, filter={})
+    b = store.similarity_search(TEXTS[0], k=3, n_probes=2)
+    assert [d["page_content"] for d in a] == [d["page_content"] for d in b]

@@ -224,3 +224,48 @@ def test_redact_removes_all_matches(text):
     scrubbed = _redact_py(text)
     assert not _EMAIL.search(scrubbed)
     assert not _PHONE.search(scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) code properties — pure-python reference, no Spark
+# ---------------------------------------------------------------------------
+
+
+def _interleave(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _deinterleave(z: int, bits: int = 16) -> tuple[int, int]:
+    x = y = 0
+    for i in range(bits):
+        x |= ((z >> (2 * i)) & 1) << i
+        y |= ((z >> (2 * i + 1)) & 1) << i
+    return x, y
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_morton_bijective(x, y):
+    """Interleave is a bijection on the 16-bit grid: deinterleave
+    recovers (x, y) exactly, so the Z-code loses no layout
+    information."""
+    assert _deinterleave(_interleave(x, y)) == (x, y)
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65534),
+)
+def test_morton_monotone_along_axes(x, y):
+    """With one coordinate fixed, the code is strictly monotone in the
+    other — axis-aligned range predicates map to (unions of) Z-ranges,
+    which is what makes min/max pruning on the Z-sort effective."""
+    assert _interleave(x, y + 1) > _interleave(x, y)
+    if x < 65535:
+        assert _interleave(x + 1, y) > _interleave(x, y)

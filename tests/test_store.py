@@ -758,3 +758,19 @@ def test_query_filtered_ann(spark, tmp_path, rng):
         where=F.get_json_object("metadata", "$.cat") == "a",
     ).collect()
     assert [h["id"] for h in hits2] == [h["id"] for h in hits]
+
+
+def test_query_filtered_empty_and_none(spark, tmp_path, rng):
+    """Edge semantics: a predicate matching nothing returns an empty
+    frame (not an error); where=None is the unfiltered query."""
+    loc = str(tmp_path / "lake")
+    lake = SparkVectorLake(spark, loc, dimension=4, approx_shards=2)
+    lake.add_batch(rng.rand(10, 4).tolist(), metadata=[{"cat": "a"}] * 10)
+    lake.persist()
+    q = [0.5, 0.5, 0.5, 0.5]
+    assert (
+        lake.query(q, k=5, n_probes=2,
+                   where="get_json_object(metadata,'$.cat') = 'zzz'").count()
+        == 0
+    )
+    assert lake.query(q, k=5, n_probes=2, where=None).count() == 5
