@@ -111,4 +111,33 @@ for name, build, mode in RUNS:
             f"  {r['state_bytes'] / 1024:>8.0f}"
         )
 
+# rollup maintenance is a foreachBatch sink (no memory table) — same
+# listener, its "state" is the persisted partials table, so state_rows
+# from the store is 0 by design; report the on-disk partial count instead
+from vector_lake_spark.streaming.rollup import RollupIngest
+
+cap = ProgressCapture()
+spark.streams.addListener(cap)
+try:
+    work = tempfile.mkdtemp(prefix="smx_rollup_")
+    ingest = RollupIngest(spark, work + "/rollup")
+    q = ingest.attach(stream_of(events_src), work + "/ckpt")
+    q.awaitTermination()
+    if not cap.wait_for(N_FILES):
+        print(
+            f"WARNING: rollup_ingest: only {len(cap.rows())}/{N_FILES} "
+            f"batches reported — table below is incomplete"
+        )
+finally:
+    spark.streams.removeListener(cap)
+print("\n== rollup_ingest (foreachBatch; streaming state store EMPTY by design)")
+print("batch  input_rows  rows/s     batch_ms  state_rows  state_KB")
+for r in cap.rows():
+    print(
+        f"{r['batch']:>5}  {r['input_rows']:>10}  {r['rows_per_sec']:>9}"
+        f"  {r['batch_ms']:>8}  {r['state_rows']:>10}"
+        f"  {r['state_bytes'] / 1024:>8.0f}"
+    )
+print("persisted partial rows (the real state):", ingest.partials().count())
+
 spark.stop()
