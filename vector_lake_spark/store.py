@@ -599,24 +599,48 @@ class SparkVectorLake:
             "Inspect and recover or delete it manually, then retry."
         )
 
-    def compact(self, target_files_per_shard: int = 1) -> None:
+    def compact(
+        self,
+        target_files_per_shard: int = 1,
+        time_cluster: bool = False,
+    ) -> None:
         """Rewrite each shard into ``target_files_per_shard`` files — the
         small-files fix for the reference's 256-tiny-segments pathology
-        (SURVEY.md §7.7). Atomic per shard via temp-dir + rename swap."""
+        (SURVEY.md §7.7). Atomic per shard via temp-dir + rename swap.
+
+        ``time_cluster=True`` instead lays every rewritten file out as a
+        CONTIGUOUS time range (range-partition on (shard_id, timestamp),
+        sampled bounds, one shuffle + in-partition sort — the same move
+        as ``operators/layout.zorder_layout`` with time as the only
+        dimension): each file's parquet footer then carries a tight
+        timestamp min/max, so ``delete_older_than``'s
+        ``timestamp < cutoff`` scan skips whole files/row-groups of
+        young data and retention I/O tracks the EXPIRED fraction, not
+        the shard size. (A hash salt here would interleave times across
+        every file and leave footers full-span — measured in
+        tests/test_store.py::test_compact_time_cluster_narrows_footers.)"""
         self._check_no_leftover_trash()
         df = self.load()
         present = [r["shard_id"] for r in df.select("shard_id").distinct().collect()]
         if not present:
             return
-        # repartition on shard_id alone would put each shard in ONE task
-        # (one file, knob ignored); an intra-shard salt splits hot shards
-        # into up to target_files_per_shard files for parallel reads
-        salted = df.withColumn(
-            "__salt", F.pmod(F.xxhash64("id"), F.lit(target_files_per_shard))
-        )
-        rewritten = salted.repartition(
-            target_files_per_shard * len(present), "shard_id", "__salt"
-        ).drop("__salt")
+        n_out = target_files_per_shard * len(present)
+        if time_cluster:
+            rewritten = df.repartitionByRange(
+                n_out, "shard_id", "timestamp"
+            ).sortWithinPartitions("shard_id", "timestamp")
+        else:
+            # repartition on shard_id alone would put each shard in ONE
+            # task (one file, knob ignored); an intra-shard salt splits
+            # hot shards into up to target_files_per_shard files for
+            # parallel reads
+            salted = df.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64("id"), F.lit(target_files_per_shard)),
+            )
+            rewritten = salted.repartition(n_out, "shard_id", "__salt").drop(
+                "__salt"
+            )
         self._swap_shards(rewritten, present)
 
     def delete_shards(self, shard_ids: Sequence) -> None:
