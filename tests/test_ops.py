@@ -853,13 +853,17 @@ def test_real_wav_decode_through_spark(spark):
     assert r["rms"] == pytest.approx(10000.0, abs=0.01)
 
 
-def test_dct_image_decode_stays_gated(spark):
-    """DCT codecs (JPEG) must still raise the honest environment gate;
-    PNG no longer does (r06 — stdlib zlib decode)."""
+def test_image_decode_gates_are_loud(spark):
+    """r06: JPEG no longer environment-gates (jpeg.py decodes baseline
+    for real — test_jpeg.py); a malformed JPEG fails with a structural
+    error, and an unrecognized payload still raises the honest
+    NotImplementedError naming what decodes natively."""
     from vector_lake_spark.multimodal import _decode_image
 
-    with pytest.raises(NotImplementedError, match="DCT"):
-        _decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ValueError):
+        _decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # SOI but garbage
+    with pytest.raises(NotImplementedError, match="BMP, PNG and baseline"):
+        _decode_image(b"GIF89a notsupported")
 
 
 def _make_png(pixels, color_type, filters):

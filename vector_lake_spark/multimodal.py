@@ -60,17 +60,23 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image(payload: bytes):
-    """Decode an image payload. Uncompressed 24-bit BMP (r05) and 8-bit
-    PNG (r06 — DEFLATE is stdlib zlib, filters reconstructed here)
-    decode for real; DCT codecs (JPEG/video) need PIL or opencv, which
-    this container lacks, and stay honestly gated."""
+    """Decode an image payload. Uncompressed 24-bit BMP (r05), 8-bit
+    PNG (r06 — DEFLATE is stdlib zlib, filters reconstructed here) and
+    baseline 4:4:4 JPEG (r06 — full Huffman + dequant + IDCT in
+    ``jpeg.py``, numpy only) decode for real; the remaining gates are
+    format subsets (progressive/subsampled JPEG, palette PNG) and
+    video, each raising with the feature named."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        from vector_lake_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "DCT image codecs (JPEG) unavailable in this environment "
-        "(BMP and PNG decode natively — decode_bmp / decode_png)"
+        "unrecognized image payload (BMP, PNG and baseline JPEG decode "
+        "natively — decode_bmp / decode_png / jpeg.decode_jpeg)"
     )
 
 
@@ -359,6 +365,15 @@ def extract_png_features(df: DataFrame) -> DataFrame:
     payloads → dimensions + channel means via stdlib zlib + numpy
     filter reconstruction."""
     return _extract_image_stats(df, decode_png)
+
+
+def extract_jpeg_features(df: DataFrame) -> DataFrame:
+    """REAL DCT-codec decode over Arrow batches (r06): baseline 4:4:4
+    JPEG payloads → dimensions + channel means via the numpy-only
+    Huffman + IDCT decoder (``jpeg.py``)."""
+    from vector_lake_spark.jpeg import decode_jpeg
+
+    return _extract_image_stats(df, decode_jpeg)
 
 
 def extract_wav_features(df: DataFrame) -> DataFrame:
