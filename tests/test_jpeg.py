@@ -87,11 +87,11 @@ def test_unsupported_features_raise_loudly():
         decode_jpeg_pixels(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"nonsense")
-    # subsampled Hi/Vi: patch the component spec in a fresh payload
+    # sampling factor 3 is past the 1..2 decode subset
     payload = bytearray(encode_jpeg(img, 100))
     i = payload.find(b"\xff\xc0")
-    payload[i + 11] = 0x22  # Hi=2, Vi=2
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    payload[i + 11] = 0x33  # Hi=3, Vi=3
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_jpeg_pixels(bytes(payload))
 
 
@@ -122,3 +122,38 @@ def test_dispatch_recognizes_jpeg():
     img = np.full((8, 8), 5, dtype=np.uint8)
     d = _decode_image(encode_jpeg(img, 100))
     assert (d["width"], d["height"], d["mean_r"]) == (8, 8, 5.0)
+
+
+def test_420_subsampled_round_trip():
+    """4:2:0 — 4 Y blocks + Cb + Cr per MCU, chroma 2x2-averaged at
+    encode and nearest-upsampled at decode. Gray content is exact at
+    q100 (chroma planes are constant 128 — averaging is lossless);
+    colored gradients clear a PSNR floor."""
+    gray_rgb = np.full((20, 28, 3), 90, dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(gray_rgb, 100, subsample=True))
+    assert out.shape == (20, 28, 3)
+    assert np.array_equal(out, gray_rgb)
+
+    h, w = 32, 48
+    rgb = np.stack(
+        [
+            np.linspace(0, 200, w)[None, :].repeat(h, 0),
+            np.linspace(30, 220, h)[:, None].repeat(w, 1),
+            np.full((h, w), 128.0),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(rgb, 90, subsample=True))
+    mse = float(((dec.astype(float) - rgb.astype(float)) ** 2).mean())
+    assert 10 * np.log10(255**2 / mse) > 30
+    # the 4:2:0 file is genuinely smaller (half the chroma blocks)
+    assert len(encode_jpeg(rgb, 90, subsample=True)) < len(
+        encode_jpeg(rgb, 90)
+    )
+
+
+def test_420_odd_dimensions():
+    img = np.full((17, 23, 3), 64, dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg(img, 100, subsample=True))
+    assert out.shape == (17, 23, 3)
+    assert np.array_equal(out, img)

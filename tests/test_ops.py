@@ -960,7 +960,9 @@ def test_png_decode_inverts_every_filter():
         )
         return b"\x89PNG\r\n\x1a\n" + body
 
-    for depth, color, il in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+    # palette (8, 3, 0) moved out of the gate list in r06 — it decodes
+    # for real via PLTE (test_palette_png_decodes_via_plte)
+    for depth, color, il in [(16, 2, 0), (8, 2, 1)]:
         with pytest.raises(NotImplementedError):
             decode_png(bad_header(depth, color, il))
 
@@ -1318,3 +1320,49 @@ def test_stream_rollup_replay_idempotent_and_compaction_invariant(
     os.makedirs(str(tmp_path / "rollup") + "__old")
     with pytest.raises(IOError, match="refusing to compact"):
         ingest.compact_partials()
+
+
+def test_palette_png_decodes_via_plte():
+    """r06: color-type-3 PNG resolves indices through the PLTE chunk."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from vector_lake_spark.multimodal import decode_png
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = np.array([[0, 1, 2, 1], [2, 2, 0, 0]], dtype=np.uint8)
+    h, w = idx.shape
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"".join(bytes(c) for c in pal))
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    expect = np.array([pal[i] for i in idx.flat], dtype=float).reshape(h, w, 3)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_r"] == round(float(expect[:, :, 0].mean()), 6)
+    assert d["mean_g"] == round(float(expect[:, :, 1].mean()), 6)
+    assert d["mean_b"] == round(float(expect[:, :, 2].mean()), 6)
+    # palette index past the PLTE end is a loud structural error
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", bytes(pal[0]))
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(short)

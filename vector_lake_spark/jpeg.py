@@ -5,15 +5,18 @@ Closes the last "DCT codecs are environment-gated" gap
 implement the subset for real and gate the rest loudly. Scope:
 
 - **Decoder** (`decode_jpeg_pixels`): baseline sequential DCT (SOF0),
-  8-bit, 1 or 3 components, NO chroma subsampling (Hi=Vi=1), no
-  restart markers. Marker walk → DQT/DHT/SOF0/SOS parse → bit-unstuffed
+  8-bit, 1 or 3 components, sampling factors 1..2 — 4:4:4, 4:2:2 and
+  4:2:0 (the camera default) all decode, with nearest-neighbor chroma
+  upsampling; no restart markers. Marker walk → DQT/DHT/SOF0/SOS parse → bit-unstuffed
   Huffman decode (table-driven from the file's own DHT segments) →
   dequant → 2-D IDCT (orthonormal DCT matrix — exactly JPEG's Annex A
   definition) → level shift → YCbCr→RGB. Anything outside the subset
-  (progressive SOF2, subsampled 4:2:0, 12-bit, arithmetic coding)
-  raises NotImplementedError naming the feature.
+  (progressive SOF2, 12-bit precision, arithmetic coding, sampling
+  factors above 2, restart intervals) raises NotImplementedError
+  naming the feature.
 - **Encoder** (`encode_jpeg`): the matching baseline writer, used by
-  the tests so exactness can be proven without a reference binary:
+  the tests so exactness can be proven without a reference binary
+  (`subsample=True` writes 4:2:0 with 2×2-averaged chroma):
   both ends are this module, so a constant-gray image at the all-ones
   quant table must round-trip EXACTLY (DC-only blocks are integer
   arithmetic end-to-end), and smooth images must round-trip above a
@@ -198,9 +201,21 @@ def _dht_segment(tc: int, th: int, symbols: list[int], length: int) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = p.shape
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
+    pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
     """Encode a uint8 array — (h, w) grayscale or (h, w, 3) RGB — as a
-    baseline 4:4:4 JFIF JPEG."""
+    baseline JFIF JPEG: 4:4:4 by default, 4:2:0 (2×2-averaged chroma,
+    the format virtually every camera writes) with ``subsample=True``."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
@@ -210,6 +225,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("degenerate image")
+    if gray:
+        subsample = False
 
     if gray:
         planes = [px.astype(np.float64)]
@@ -225,15 +242,25 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     qlum = _quality_scale(LUM_Q, quality)
     qchr = _quality_scale(CHR_Q, quality)
     qtbls = [qlum] if gray else [qlum, qchr]
-
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ncomp = 1 if gray else 3
+    # sampling factors (Hi, Vi) per component
+    samp = [(1, 1)] * ncomp
+    if subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     padded = []
-    for p in planes:
-        pp = np.empty((ph, pw))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
-        pp[:, w:] = pp[:, w - 1 : w]
-        padded.append(pp)
+    for ci, p in enumerate(planes):
+        hi, vi = samp[ci]
+        if subsample and ci > 0:  # 2x2 chroma averaging
+            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
+            p = _pad_replicate(p, ph2, pw2)
+            p = (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+        padded.append(_pad_replicate(p, mcus_y * 8 * vi, mcus_x * 8 * hi))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -243,10 +270,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     for tq, tbl in enumerate(qtbls):
         zz = bytes(int(tbl[r, c]) for r, c in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
-    ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, hi << 4 | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, DC_SYMBOLS, 4)
     out += _dht_segment(1, 0, AC_SYMBOLS, 8)
@@ -261,13 +288,18 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     pred = [0] * ncomp
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for by in range(mcus_y):
+        for bx in range(mcus_x):
             for ci in range(ncomp):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                pred[ci] = _encode_block(
-                    bw, block, qtbls[0 if ci == 0 else 1], pred[ci]
-                )
+                hi, vi = samp[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        r0 = (by * vi + vy) * 8
+                        c0 = (bx * hi + vx) * 8
+                        block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
+                        pred[ci] = _encode_block(
+                            bw, block, qtbls[0 if ci == 0 else 1], pred[ci]
+                        )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -349,8 +381,8 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline 4:4:4 JPEG to uint8 pixels — (h, w) for
-    grayscale, (h, w, 3) RGB otherwise."""
+    """Decode a baseline JPEG (4:4:4 / 4:2:2 / 4:2:0) to uint8
+    pixels — (h, w) for grayscale, (h, w, 3) RGB otherwise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -393,12 +425,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling (Hi/Vi != 1) is outside the "
-                        "baseline 4:4:4 subset"
+                        f"sampling factors {hi}x{vi} unsupported "
+                        f"(4:4:4, 4:2:2 and 4:2:0 decode — factors 1..2)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
@@ -420,38 +453,59 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, comps = sof
     ncomp = len(comps)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.zeros((ph, pw)) for _ in range(ncomp)]
+    comp_info = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for cid, _, hi, vi in comps:
+        planes.append(np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi)))
     br = _BitReader(payload, pos)
     pred = [0] * ncomp
-    comp_q = {cid: tq for cid, tq in comps}
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for by in range(mcus_y):
+        for bx in range(mcus_x):
             for ci, (cid, td, ta) in enumerate(scan_comps):
-                q = np.zeros((8, 8), dtype=np.int64)
-                size = _huff_decode(br, htabs[(0, td)])
-                diff = _extend(br.read_bits(size), size) if size else 0
-                pred[ci] += diff
-                q[0, 0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(br, htabs[(1, ta)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k >= 64:
-                        raise ValueError("AC run past end of block")
-                    r, c = ZIGZAG[k]
-                    q[r, c] = _extend(br.read_bits(size), size)
-                    k += 1
-                coef = q * qtbls[comp_q[cid]]
-                block = _C.T @ coef.astype(np.float64) @ _C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+                tq, hi, vi = comp_info[cid]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        q = np.zeros((8, 8), dtype=np.int64)
+                        size = _huff_decode(br, htabs[(0, td)])
+                        diff = (
+                            _extend(br.read_bits(size), size) if size else 0
+                        )
+                        pred[ci] += diff
+                        q[0, 0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, htabs[(1, ta)])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k >= 64:
+                                raise ValueError("AC run past end of block")
+                            r, c = ZIGZAG[k]
+                            q[r, c] = _extend(br.read_bits(size), size)
+                            k += 1
+                        coef = q * qtbls[tq]
+                        block = _C.T @ coef.astype(np.float64) @ _C + 128.0
+                        r0 = (by * vi + vy) * 8
+                        c0 = (bx * hi + vx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+    # upsample subsampled components to full resolution, then crop
+    up = []
+    for ci, (cid, _, hi, vi) in enumerate(comps):
+        p = planes[ci]
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

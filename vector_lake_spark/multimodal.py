@@ -13,9 +13,13 @@ pass through Python row-at-a-time serde. Decode status (r06):
   (``extract_bmp_features`` / ``extract_png_features`` /
   ``extract_wav_features``) and exact-pixel/exact-sample tests through
   the Arrow boundary.
-- Environment-gated: DCT codecs (JPEG, video) need PIL/opencv, absent
-  in this container — ``_decode_image`` raises for those, and the
-  deterministic byte-fold stand-in keeps the e2e pipeline testable.
+- REAL, numpy-only: baseline JPEG (``jpeg.py`` — Huffman + dequant +
+  IDCT + YCbCr, with a matching encoder so exactness is provable;
+  ``extract_jpeg_features``).
+- Remaining gates are named format subsets (progressive JPEG,
+  16-bit PNG) and video codecs — ``_decode_image`` raises with the
+  feature named, and the deterministic byte-fold stand-in keeps the
+  e2e pipeline testable for payloads outside the decoded set.
 
 At 100 TB: binary payloads dominate row size, so every transform projects
 only the columns it needs (column pruning keeps untouched media out of the
@@ -63,9 +67,9 @@ def _decode_image(payload: bytes):
     """Decode an image payload. Uncompressed 24-bit BMP (r05), 8-bit
     PNG (r06 — DEFLATE is stdlib zlib, filters reconstructed here) and
     baseline 4:4:4 JPEG (r06 — full Huffman + dequant + IDCT in
-    ``jpeg.py``, numpy only) decode for real; the remaining gates are
-    format subsets (progressive/subsampled JPEG, palette PNG) and
-    video, each raising with the feature named."""
+    ``jpeg.py``, numpy only) decode for real (PNG incl. palette); the
+    remaining gates are format subsets (progressive JPEG, 16-bit PNG)
+    and video, each raising with the feature named."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload[:8] == PNG_SIGNATURE:
@@ -91,9 +95,10 @@ def decode_png(payload: bytes) -> dict:
 
     PNG is a *compressed* codec whose compression is stdlib-available —
     so unlike JPEG it needs no external library, just the filter
-    arithmetic. Limits are explicit: bit depth 8, color types 0/2/6,
-    no interlacing; anything else raises NotImplementedError (palette
-    and 16-bit variants are format work, not environment gates)."""
+    arithmetic. Limits are explicit: bit depth 8, color types 0/2/3/6
+    (palette via PLTE lookup — r06), no interlacing; anything else
+    raises NotImplementedError (16-bit and sub-byte-depth variants are
+    format work, not environment gates)."""
     import struct
     import zlib
 
@@ -101,7 +106,7 @@ def decode_png(payload: bytes) -> dict:
 
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
-    pos, idat, header = 8, [], None
+    pos, idat, header, plte = 8, [], None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -109,6 +114,8 @@ def decode_png(payload: bytes) -> dict:
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             header = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -116,14 +123,17 @@ def decode_png(payload: bytes) -> dict:
     if header is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, color, _comp, _filt, interlace = header
-    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+    if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
         raise NotImplementedError(
-            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
-            f"(depth={depth}, color_type={color}, interlace={interlace})"
+            f"only 8-bit gray/RGB/palette/RGBA non-interlaced PNG "
+            f"supported (depth={depth}, color_type={color}, "
+            f"interlace={interlace})"
         )
+    if color == 3 and (plte is None or len(plte) % 3 or not plte):
+        raise ValueError("palette PNG without a valid PLTE chunk")
     if w == 0 or h == 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -160,7 +170,15 @@ def decode_png(payload: bytes) -> dict:
                 cur[i] = (int(line[i]) + pred) & 0xFF
         out[r] = cur
         prev = cur
-    px = out.reshape(h, w, ch).astype(np.float64)
+    if color == 3:  # palette indices -> RGB via PLTE lookup
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        px = pal[idx].astype(np.float64)
+        ch = 3
+    else:
+        px = out.reshape(h, w, ch).astype(np.float64)
     if ch == 1:
         mr = mg = mb = float(px.mean())
     else:  # RGB / RGBA (alpha excluded from the channel means)
