@@ -157,3 +157,25 @@ def test_420_odd_dimensions():
     out = decode_jpeg_pixels(encode_jpeg(img, 100, subsample=True))
     assert out.shape == (17, 23, 3)
     assert np.array_equal(out, img)
+
+
+def test_restart_intervals_round_trip():
+    """DRI/RSTn: encoder emits a restart marker every n MCUs (byte
+    re-alignment + DC predictor reset), decoder honors them — exact
+    round trip at q100 across several intervals, including 4:2:0."""
+    img = np.zeros((8, 64), dtype=np.uint8)
+    for i, v in enumerate([10, 60, 110, 160, 210, 255, 5, 95]):
+        img[:, i * 8 : (i + 1) * 8] = v
+    payload = encode_jpeg(img, 100, restart_interval=3)
+    assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+    assert np.array_equal(decode_jpeg_pixels(payload), img)
+
+    rgb = np.full((32, 48, 3), 120, dtype=np.uint8)
+    p2 = encode_jpeg(rgb, 100, subsample=True, restart_interval=2)
+    assert np.array_equal(decode_jpeg_pixels(p2), rgb)
+    # corrupted restart marker fails loudly, not silently
+    broken = bytearray(payload)
+    i = broken.find(b"\xff\xd0")
+    broken[i + 1] = 0xD7  # wrong RST index
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg_pixels(bytes(broken))

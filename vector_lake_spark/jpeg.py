@@ -7,12 +7,12 @@ implement the subset for real and gate the rest loudly. Scope:
 - **Decoder** (`decode_jpeg_pixels`): baseline sequential DCT (SOF0),
   8-bit, 1 or 3 components, sampling factors 1..2 — 4:4:4, 4:2:2 and
   4:2:0 (the camera default) all decode, with nearest-neighbor chroma
-  upsampling; no restart markers. Marker walk → DQT/DHT/SOF0/SOS parse → bit-unstuffed
+  upsampling; DRI/RSTn restart intervals honored. Marker walk → DQT/DHT/SOF0/SOS parse → bit-unstuffed
   Huffman decode (table-driven from the file's own DHT segments) →
   dequant → 2-D IDCT (orthonormal DCT matrix — exactly JPEG's Annex A
   definition) → level shift → YCbCr→RGB. Anything outside the subset
   (progressive SOF2, 12-bit precision, arithmetic coding, sampling
-  factors above 2, restart intervals) raises NotImplementedError
+  factors above 2) raises NotImplementedError
   naming the feature.
 - **Encoder** (`encode_jpeg`): the matching baseline writer, used by
   the tests so exactness can be proven without a reference binary
@@ -211,11 +211,17 @@ def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 array — (h, w) grayscale or (h, w, 3) RGB — as a
     baseline JFIF JPEG: 4:4:4 by default, 4:2:0 (2×2-averaged chroma,
-    the format virtually every camera writes) with ``subsample=True``."""
+    the format virtually every camera writes) with ``subsample=True``.
+    ``restart_interval=n`` emits a DRI segment and an RSTm marker every
+    n MCUs (DC predictors reset, stream re-byte-aligned) — the
+    error-resilience feature most camera files carry."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise ValueError("pixels must be uint8")
@@ -280,6 +286,8 @@ def encode_jpeg(
     if not gray:
         out += _dht_segment(0, 1, DC_SYMBOLS, 4)
         out += _dht_segment(1, 1, AC_SYMBOLS, 8)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -288,8 +296,17 @@ def encode_jpeg(
 
     bw = _BitWriter()
     pred = [0] * ncomp
+    mcu_no = 0
+    rst = 0
     for by in range(mcus_y):
         for bx in range(mcus_x):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                out += bw.flush()  # byte-align with 1-padding
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            mcu_no += 1
             for ci in range(ncomp):
                 hi, vi = samp[ci]
                 for vy in range(vi):
@@ -331,8 +348,7 @@ class _BitReader:
                 return
             else:
                 raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02X} in entropy stream "
-                    f"(restart markers are outside the baseline subset)"
+                    f"unexpected marker 0xFF{nxt:02X} in entropy stream"
                 )
         else:
             self.pos += 1
@@ -350,6 +366,18 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self, n: int) -> None:
+        """Consume the byte-aligned RSTn marker between restart
+        intervals: drop pad bits, expect 0xFFD0+n."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+            raise ValueError(
+                f"expected restart marker RST{n} at byte {self.pos}, "
+                f"found 0x{self.data[self.pos]:02X}{self.data[self.pos+1]:02X}"
+            )
+        self.pos += 2
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -390,6 +418,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
     scan_comps = None
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -447,7 +476,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             pos = pos + 2 + seglen
             break
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         pos = pos + 2 + seglen
     if sof is None or scan_comps is None:
         raise ValueError("JPEG missing SOF0/SOS")
@@ -463,8 +492,15 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         planes.append(np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi)))
     br = _BitReader(payload, pos)
     pred = [0] * ncomp
+    mcu_no = 0
+    rst = 0
     for by in range(mcus_y):
         for bx in range(mcus_x):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                br.sync_restart(rst)
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            mcu_no += 1
             for ci, (cid, td, ta) in enumerate(scan_comps):
                 tq, hi, vi = comp_info[cid]
                 for vy in range(vi):
