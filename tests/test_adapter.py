@@ -247,9 +247,14 @@ def test_similarity_search_with_filter(spark, tmp_path):
     hits = store.similarity_search(TEXTS[0], k=3, n_probes=2, filter={"lang": "de"})
     assert hits
     assert all(h["metadata"]["lang"] == "de" for h in hits)
-    # int filter values compare via canonical JSON text
+    # numeric filter values compare numerically across representations:
+    # int 1 matches stored int 1, and float 1.0 matches it too
     hits_i = store.similarity_search(TEXTS[0], k=3, n_probes=2, filter={"i": 1})
     assert [h["metadata"]["i"] for h in hits_i] == [1]
+    hits_f = store.similarity_search(
+        TEXTS[0], k=3, n_probes=2, filter={"i": 1.0}
+    )
+    assert [h["metadata"]["i"] for h in hits_f] == [1]
     # scored + MMR surfaces accept the same filter
     scored = store.similarity_search_with_score(
         TEXTS[0], k=2, n_probes=2, filter={"lang": "de"}

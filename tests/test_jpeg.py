@@ -179,3 +179,14 @@ def test_restart_intervals_round_trip():
     broken[i + 1] = 0xD7  # wrong RST index
     with pytest.raises(ValueError, match="restart marker"):
         decode_jpeg_pixels(bytes(broken))
+
+
+def test_fill_bytes_and_tem_markers_are_skipped():
+    """ISO 10918-1 B.1.1.2 allows any run of 0xFF fill bytes before a
+    marker, and TEM (0xFF01) carries no length field — both must be
+    skipped, not parsed as a segment (r06 review)."""
+    img = np.full((8, 8), 42, dtype=np.uint8)
+    payload = encode_jpeg(img, 100)
+    # inject fill bytes + a TEM marker right after SOI
+    patched = payload[:2] + b"\xff\xff\xff" + b"\xff\x01" + payload[2:]
+    assert np.array_equal(decode_jpeg_pixels(patched), img)

@@ -1112,9 +1112,14 @@ def test_neardup_ingest_compact_history(spark, tmp_path):
     assert len(glob.glob(f"{hist_path}/*/*.parquet")) >= 2
     n = ingest.compact_history()
     assert n == thirds[0].count() + thirds[1].count()
-    # everything collapses into the reserved compacted partition
+    # older batches collapse into the reserved compacted partition; the
+    # NEWEST batch partition stays unfolded (replay safety — it is the
+    # only one that could be crashed-but-uncommitted, r06 review)
     assert len(glob.glob(f"{hist_path}/ingest_batch=-1/*.parquet")) == 1
-    assert len(glob.glob(f"{hist_path}/*/*.parquet")) == 1
+    assert sorted(
+        p.rsplit("=", 1)[1]
+        for p in glob.glob(f"{hist_path}/ingest_batch=*")
+    ) == ["-1", "1"]
 
     pairs.append(ingest.process_batch(thirds[2], 2))  # after compaction
     got = {
@@ -1308,10 +1313,11 @@ def test_stream_rollup_replay_idempotent_and_compaction_invariant(
     rows_before = ingest.partials().count()
     n = ingest.compact_partials()
     assert n == ingest.partials().count() <= rows_before
-    assert (
-        ingest.partials().select("ingest_batch").distinct().collect()[0][0]
-        == -1
-    )
+    # older batches folded into -1; the NEWEST batch partition stays
+    # unfolded (it is the only one that could be crashed-uncommitted)
+    assert sorted(
+        r[0] for r in ingest.partials().select("ingest_batch").distinct().collect()
+    ) == [-1, 1]
     after = sorted(map(tuple, ingest.serve_weekly().collect()), key=str)
     assert before == after
     # leftover staging dir makes the next compact refuse
@@ -1320,6 +1326,90 @@ def test_stream_rollup_replay_idempotent_and_compaction_invariant(
     os.makedirs(str(tmp_path / "rollup") + "__old")
     with pytest.raises(IOError, match="refusing to compact"):
         ingest.compact_partials()
+
+
+def test_stream_rollup_compact_between_crash_and_replay(spark, tmp_path):
+    """The r06 review's crash→compact→replay hole: a batch that wrote
+    its partition but never committed the streaming checkpoint, then a
+    compaction, then the replay. The newest partition is never folded,
+    so the replay's dynamic overwrite replaces — not duplicates — its
+    contribution, and serve_weekly stays exactly the direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.streaming.rollup import RollupIngest
+
+    src = _rollup_events_3_files(spark, tmp_path)
+    e = normalize_event_ts(spark.read.parquet(src)).localCheckpoint(
+        eager=True
+    )
+    b0, b1 = e.limit(500), e.subtract(e.limit(500))
+    ingest = RollupIngest(spark, str(tmp_path / "rollup"))
+    ingest.process_batch(b0, 0)
+    ingest.process_batch(b1, 1)  # "crashes" before checkpoint commit
+    ingest.compact_partials()  # operator hygiene while the stream is down
+    ingest.process_batch(b1, 1)  # engine replays batch 1
+    got = {
+        (r["week_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ingest.serve_weekly().collect()
+    }
+    direct = {
+        (r["week_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in RollupIngest.partial_agg(e)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("week", F.col("day").cast("timestamp")),
+                "yyyy-MM-dd",
+            ).alias("week_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+def test_neardup_compact_between_crash_and_replay(spark, tmp_path):
+    """Same hole for the near-dup history: after crash→compact→replay
+    the history holds each key exactly once and the replayed batch's
+    pair emission equals its pre-compact emission."""
+    from vector_lake_spark.functions.vectors import to_double_array
+    from vector_lake_spark.queries import H4, NEARDUP_BANDS
+    from vector_lake_spark.streaming.neardup import NearDupIngest, banded_keys
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(120)
+        .localCheckpoint(eager=True)
+    )
+    v = to_double_array(F.col("embedding"))
+    shard, bkeys = banded_keys(v, H4, NEARDUP_BANDS)
+    keyed = emb.select(
+        "vec_id", shard.alias("shard"), bkeys.alias("bkeys")
+    ).localCheckpoint(eager=True)
+    b0, b1 = keyed.limit(60), keyed.subtract(keyed.limit(60))
+    ingest = NearDupIngest(
+        spark,
+        str(tmp_path / "hist"),
+        str(tmp_path / "pairs"),
+        n_bands=len(NEARDUP_BANDS),
+    )
+    ingest.process_batch(b0, 0)
+    first = {
+        tuple(r) for r in ingest.process_batch(b1, 1).select("id_a", "id_b").collect()
+    }  # written, but checkpoint "never committed"
+    ingest.compact_history()
+    replay = {
+        tuple(r) for r in ingest.process_batch(b1, 1).select("id_a", "id_b").collect()
+    }
+    assert replay == first
+    hist = ingest._history()
+    assert hist.count() == hist.select("vec_id").distinct().count()
+    total_pairs = ingest.pairs().count()
+    assert total_pairs == ingest.pairs().distinct().count()
 
 
 def test_palette_png_decodes_via_plte():

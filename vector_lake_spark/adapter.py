@@ -129,16 +129,23 @@ class SparkVectorLakeStore:
 
         pred = None
         for key, val in sorted(filter.items()):
+            field = F.get_json_object("metadata", f"$.{key}")
             if isinstance(val, bool):
-                txt = "true" if val else "false"
-            elif isinstance(val, (int, float, str)):
-                txt = str(val)
+                clause = field == ("true" if val else "false")
+            elif isinstance(val, (int, float)):
+                # numeric equality, not text: json.dumps(3.0) stores
+                # "3.0" while str(3) is "3" — a text compare silently
+                # matches nothing across int/float representations
+                # (r06 review); casting the JSON text to double makes
+                # 3, 3.0 and "3.0" all compare as numbers
+                clause = field.cast("double") == float(val)
+            elif isinstance(val, str):
+                clause = field == val
             else:
                 raise ValueError(
                     f"filter values must be scalars, got {type(val).__name__} "
                     f"for key {key!r}"
                 )
-            clause = F.get_json_object("metadata", f"$.{key}") == txt
             pred = clause if pred is None else (pred & clause)
         return pred
 

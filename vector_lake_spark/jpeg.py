@@ -422,9 +422,17 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may pad a
+        # marker — skip them (r06 review: real camera files use these)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: parameterless markers, no length field
+            pos += 2
+            continue
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT

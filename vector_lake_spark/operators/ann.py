@@ -532,7 +532,8 @@ class IVFIndex:
             assign_centroid_expr(
                 to_double_array(F.col(self.vec_col)), self.centroids
             ),
-        )
+        ).localCheckpoint(eager=True)  # the write and the count must
+        # see the same rows even for a non-deterministic input plan
         (
             assigned.select(self.id_col, self.vec_col, "centroid_id")
             .repartition("centroid_id")
@@ -540,19 +541,31 @@ class IVFIndex:
             .partitionBy("centroid_id")
             .parquet(f"{self.location}/data")
         )
-        # count what actually landed (reading back also covers retries)
-        on_disk = self._on_disk_counts()
-        before = dict(self.counts or {})
+        # the appended counts come from the batch itself — O(batch), not
+        # O(index): a full per-append rescan made "incremental" appends
+        # degrade linearly with corpus size, and a legacy sidecar without
+        # counts misreported the whole pre-existing index as appended
+        # (both r06 review findings)
         appended = {
-            cid: n - before.get(cid, 0)
-            for cid, n in on_disk.items()
-            if n != before.get(cid, 0)
+            int(r["centroid_id"]): r["n"]
+            for r in assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         }
-        self.counts = on_disk
+        if self.counts is None:
+            # legacy sidecar (pre-counts): one-time full recount to
+            # initialize — includes this batch
+            self.counts = self._on_disk_counts()
+        else:
+            merged = dict(self.counts)
+            for cid, n in appended.items():
+                merged[cid] = merged.get(cid, 0) + n
+            self.counts = merged
         self._write_meta()
-        # the drift report reuses the counts just measured — no second
-        # full aggregation per append (r06 review finding)
-        return {"appended": appended, "drift": self.drift(on_disk)}
+        # imbalance from the maintained counts; the disk-vs-sidecar
+        # mutation audit stays in an explicit drift() call, which is the
+        # one place a full recount is the point
+        return {"appended": appended, "drift": self.drift(self.counts)}
 
     def _on_disk_counts(self) -> dict:
         return {

@@ -4980,15 +4980,14 @@ def q_ev_rollup_merge(spark, sf):
     raw events).  count/sum are decomposable so the merge is exact; the
     oracle recomputes the same weekly totals directly from raw events —
     a green hash PROVES rollup+delta == full recompute."""
+    from vector_lake_spark.streaming.rollup import RollupIngest
+
     e = _events(spark, sf)
     day = F.to_date("ts")
     cutoff = F.to_date(F.lit(ROLLUP_CUTOFF))
-
-    def partial(df):
-        return df.groupBy(day.alias("day"), "event_type").agg(
-            F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
-        )
-
+    # the ONE partial-aggregate definition, shared with the streaming
+    # maintainer — stream-vs-batch oracle equality depends on it
+    partial = RollupIngest.partial_agg
     rollup = partial(e.filter(day < cutoff))  # materialized table at scale
     delta = partial(e.filter(day >= cutoff))  # today's raw tail
     return (

@@ -298,65 +298,56 @@ class NearDupIngest:
         """Small-file hygiene for long-running ingest: every micro-batch
         appends one file (per partition) to the history, so a
         long-lived stream accretes thousands of tiny parquet files —
-        the same pathology the store's ``compact`` fixes. Rewrites the
-        history to one file (one per shard when partitioned); contents
-        unchanged. Staged-write + two directory renames: a crash leaves
-        either the old or the staged history intact, and a leftover
-        staging/old dir makes the next compact REFUSE until an operator
-        resolves it (the store's leftover-trash posture). Returns the
-        compacted row count."""
+        the same pathology the store's ``compact`` fixes. Contents
+        unchanged; crash-safety via the shared staged-write + rename
+        swap (``fsutil.staged_replace``).
+
+        **Replay safety (r06 review fix):** the NEWEST batch partition
+        is deliberately left unfolded. Structured Streaming commits
+        batch N's checkpoint before starting N+1, so at most the newest
+        batch can be crashed-but-uncommitted; folding it into the
+        reserved ``ingest_batch=-1`` partition would let its keys escape
+        ``process_batch``'s own-partition exclusion on replay —
+        duplicate pairs and duplicate history keys, forever. Folding
+        strictly-older partitions is always safe: their batches are
+        committed and can never replay. Returns the total history row
+        count."""
+        from vector_lake_spark.fsutil import staged_replace
+
         hist = self._history()
         if hist is None:
             return 0
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-
-        def hpath(s):
-            return jvm.org.apache.hadoop.fs.Path(s)
-
-        fs = hpath(self.history_path).getFileSystem(conf)
-        staged = hpath(self.history_path + "__compact")
-        old = hpath(self.history_path + "__old")
-        if fs.exists(staged) or fs.exists(old):
-            raise IOError(
-                f"refusing to compact: leftover "
-                f"{self.history_path}__compact/__old from an interrupted "
-                f"earlier compact — inspect, restore or delete it, then "
-                f"retry"
+        real = [
+            r[0]
+            for r in hist.select("ingest_batch").distinct().collect()
+            if r[0] >= 0
+        ]
+        newest = max(real) if real else None
+        folded = (
+            hist
+            if newest is None
+            else hist.filter(F.col("ingest_batch") != F.lit(newest))
+        ).withColumn("ingest_batch", F.lit(self.COMPACTED_BATCH).cast("long"))
+        if newest is not None:
+            folded = folded.unionByName(
+                hist.filter(F.col("ingest_batch") == F.lit(newest))
             )
         # pin the contents BEFORE touching the directory (never read and
-        # replace the same files in one job); all compacted rows land in
-        # the reserved ingest_batch=-1 partition — streaming batch ids
-        # are >= 0, so no future dynamic overwrite can clobber it
-        data = hist.withColumn(
-            "ingest_batch", F.lit(self.COMPACTED_BATCH).cast("long")
-        ).localCheckpoint(eager=True)
+        # replace the same files in one job)
+        data = folded.localCheckpoint(eager=True)
         n = data.count()
-        if self.partition_history_by_shard:
-            (
-                data.repartition("shard")
-                .write.partitionBy(*self._hist_partitions())
-                .parquet(self.history_path + "__compact")
-            )
-        else:
-            (
-                data.coalesce(1)
-                .write.partitionBy("ingest_batch")
-                .parquet(self.history_path + "__compact")
-            )
-        if not fs.rename(hpath(self.history_path), old):
-            raise IOError("compact_history: could not move history aside")
-        if not fs.rename(staged, hpath(self.history_path)):
-            if not fs.rename(old, hpath(self.history_path)):
-                raise IOError(
-                    "compact_history: swap failed AND rollback failed; "
-                    f"old history preserved at {self.history_path}__old"
-                )
-            raise IOError(
-                "compact_history: could not move staged history into "
-                "place; old history restored"
-            )
-        fs.delete(old, True)
+
+        def write_staged(staging: str) -> None:
+            if self.partition_history_by_shard:
+                data.repartition("shard").write.partitionBy(
+                    *self._hist_partitions()
+                ).parquet(staging)
+            else:
+                data.repartition("ingest_batch").write.partitionBy(
+                    "ingest_batch"
+                ).parquet(staging)
+
+        staged_replace(self.spark, self.history_path, write_staged)
         return n
 
     def foreach_batch(self):

@@ -50,8 +50,10 @@ class RollupIngest:
     @staticmethod
     def partial_agg(events: DataFrame) -> DataFrame:
         """The per-batch partial: decomposable (count, sum) by
-        (day, event_type). Must stay IDENTICAL to the history leg of
-        ``q_ev_rollup_merge`` for the oracle equality to hold."""
+        (day, event_type). The single shared definition —
+        ``q_ev_rollup_merge`` imports this same function for its
+        history/delta legs, so stream-vs-batch oracle equality can't
+        drift (r06 review)."""
         return events.groupBy(
             F.to_date("ts").alias("day"), "event_type"
         ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
@@ -125,53 +127,53 @@ class RollupIngest:
     # -- maintenance ----------------------------------------------------
 
     def compact_partials(self) -> int:
-        """Merge every batch partition into ONE row per (day, type) in
-        the reserved ``ingest_batch=-1`` partition — rollup compaction
-        both defragments (one file) and SHRINKS (decomposable partials
+        """Merge batch partitions into ONE row per (day, type) in the
+        reserved ``ingest_batch=-1`` partition — rollup compaction both
+        defragments (one file) and SHRINKS (decomposable partials
         re-aggregate), so steady-state size is the key space, not the
-        ingest history. Staged-write + two renames, refuse-on-leftovers
-        (the store's crash-safe swap posture). Returns compacted row
-        count."""
+        ingest history. Crash-safety via the shared staged-write +
+        rename swap (``fsutil.staged_replace``).
+
+        **Replay safety (r06 review fix):** the NEWEST batch partition
+        is left unfolded — only the newest batch can be
+        crashed-but-uncommitted (Structured Streaming commits N before
+        starting N+1), and folding it would double-count that batch
+        when its replay re-creates the partition beside the already-
+        merged ``-1`` copy. Strictly-older partitions are committed and
+        can never replay, so folding them is always safe. Returns the
+        compacted table's row count."""
+        from vector_lake_spark.fsutil import staged_replace
+
         parts = self.partials()
         if parts is None:
             return 0
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-
-        def hpath(s):
-            return jvm.org.apache.hadoop.fs.Path(s)
-
-        fs = hpath(self.rollup_path).getFileSystem(conf)
-        staged = hpath(self.rollup_path + "__compact")
-        old = hpath(self.rollup_path + "__old")
-        if fs.exists(staged) or fs.exists(old):
-            raise IOError(
-                f"refusing to compact: leftover {self.rollup_path}"
-                f"__compact/__old from an interrupted earlier compact — "
-                f"inspect, restore or delete it, then retry"
-            )
+        real = [
+            r[0]
+            for r in parts.select("ingest_batch").distinct().collect()
+            if r[0] >= 0
+        ]
+        newest = max(real) if real else None
+        foldable = (
+            parts
+            if newest is None
+            else parts.filter(F.col("ingest_batch") != F.lit(newest))
+        )
         data = (
-            parts.groupBy("day", "event_type")
+            foldable.groupBy("day", "event_type")
             .agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"))
-            .withColumn(
-                "ingest_batch", F.lit(COMPACTED_BATCH).cast("long")
+            .withColumn("ingest_batch", F.lit(COMPACTED_BATCH).cast("long"))
+        )
+        if newest is not None:
+            data = data.unionByName(
+                parts.filter(F.col("ingest_batch") == F.lit(newest))
             )
-            .localCheckpoint(eager=True)  # pin BEFORE touching the dir
-        )
+        data = data.localCheckpoint(eager=True)  # pin BEFORE the swap
         n = data.count()
-        (
-            data.coalesce(1)
-            .write.partitionBy("ingest_batch")
-            .parquet(self.rollup_path + "__compact")
-        )
-        if not fs.rename(hpath(self.rollup_path), old):
-            raise IOError("compact_partials: could not move table aside")
-        if not fs.rename(staged, hpath(self.rollup_path)):
-            if not fs.rename(old, hpath(self.rollup_path)):
-                raise IOError(
-                    "compact_partials: swap failed AND rollback failed; "
-                    f"manual recovery needed under {self.rollup_path}__old"
-                )
-            raise IOError("compact_partials: swap failed; rolled back")
-        fs.delete(old, True)
+
+        def write_staged(staging: str) -> None:
+            data.repartition("ingest_batch").write.partitionBy(
+                "ingest_batch"
+            ).parquet(staging)
+
+        staged_replace(self.spark, self.rollup_path, write_staged)
         return n
