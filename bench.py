@@ -97,6 +97,11 @@ HEADLINE = [
     "sketch_distinct_users",
     "sketch_value_percentiles",
     "zorder_events",
+    # r06 wave 2: SCD2 history rebuild, incremental join-agg view
+    # maintenance, late-interaction multi-vector scoring
+    "cdc_scd2_intervals",
+    "ivm_join_agg",
+    "vec_maxsim_topk",
 ]
 
 

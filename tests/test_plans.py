@@ -495,3 +495,42 @@ def test_pq_staged_limits_no_global_sort(spark):
         assert p.count("TakeOrderedAndProject") >= 2
         assert "CartesianProduct" not in p
         assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_scd2_both_windows_share_one_exchange(spark):
+    """SCD2 reconstruction: the change-point lag window and the
+    interval lead/row_number window share the SAME (user_id) ordering,
+    so Catalyst plans ONE hash exchange on the entity key — the whole
+    history rebuild is a single shuffle."""
+    df = Q.q_cdc_scd2_intervals(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_ivm_join_agg_broadcasts_dim_both_legs(spark):
+    """IVM join-aggregate: both the base and the delta leg broadcast
+    the customer dimension (no fact-side shuffle for the join), each
+    leg partial-aggregates before the union, and the two fact scans
+    carry pushed date filters — the refresh cost shape that keeps the
+    delta leg O(batch) at 100 TB."""
+    df = Q.q_ivm_join_agg(spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Union" in plan
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_maxsim_is_single_scan_bounded_heap(spark):
+    """Late-interaction max-sim: the 16-cosine scorer stays one
+    projection over one scan with a TakeOrderedAndProject heap — no
+    shuffle, no Python, no explode of token vectors."""
+    df = Q.q_vec_maxsim_topk(spark, SF)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

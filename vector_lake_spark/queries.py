@@ -12,6 +12,7 @@ same deterministic tie-breaks — see ``oracles.py``).
 from __future__ import annotations
 
 import math
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -5444,6 +5445,185 @@ LIMIT 20
 SQL_ZORDER_EVENTS = _sql_zorder_events()
 
 
+def q_cdc_scd2_intervals(spark, sf):
+    """SCD Type-2 reconstruction — turn an append-only change log into
+    versioned validity intervals (the dimension-table history pattern
+    every lakehouse serving layer needs beside ``cdc_latest_state``'s
+    Type-1 snapshot).  Two window passes over the SAME (user_id ×
+    ts,event_id) ordering: lag() keeps only change points (rows whose
+    tracked attribute differs from the previous row), then lead() +
+    row_number() close each interval and number the versions — Catalyst
+    plans both windows over ONE hash exchange (plan-pinned in
+    tests/test_plans.py), so at 100 TB this is a single shuffle on the
+    entity key and skew is bounded by the hottest single entity's log.
+    The open current version carries valid_to = NULL."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+    )
+
+
+SQL_CDC_SCD2_INTERVALS = """
+WITH c AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       event_type AS state,
+       row_number() OVER w AS version,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(date_trunc('second', lead(ts) OVER w),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+IVM_CUTOFF = "1998-01-01"
+
+
+def q_ivm_join_agg(spark, sf):
+    """Incremental view maintenance of a JOIN-aggregate — the serving
+    pattern one step past ``ev_rollup_merge``'s single-table rollup:
+    the materialized view is revenue by (order month × customer
+    segment), i.e. an aggregate over orders ⋈ customer.  Because the
+    dimension side is static, the delta identity is
+    agg(J(R∪ΔR, S)) = merge(agg(J(R,S)), agg(J(ΔR,S))): the base
+    partials are a table you persist once, and each new fact batch pays
+    ONE broadcast join + partial agg over the batch alone — at 100 TB
+    the view refresh cost is O(|ΔR|), never a rescan of fact history.
+    Both legs broadcast the customer dim (plan-pinned); the oracle
+    recomputes the view directly from the full join, so the green hash
+    PROVES base+delta merge == full recompute."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    cutoff = F.to_timestamp(F.lit(IVM_CUTOFF))
+
+    def partial(facts):
+        return (
+            facts.join(
+                F.broadcast(c), facts["o_custkey"] == c["c_custkey"]
+            )
+            .groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                "c_mktsegment",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("o_totalprice").alias("rev"),
+            )
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "c_mktsegment")
+        .agg(
+            F.sum("cnt").alias("n_orders"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_IVM_JOIN_AGG = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+
+
+MAXSIM_T = 4  # token vectors per document (64-dim → 4 × 16-dim slices)
+MAXSIM_SUB = DIM // MAXSIM_T
+
+
+def q_vec_maxsim_topk(spark, sf):
+    """Late-interaction (ColBERT-style) max-sim top-k — the multi-vector
+    retrieval scorer: document and query are each a BAG of token
+    vectors, score = Σ over query tokens of the max cosine against any
+    document token.  Here both sides derive deterministically from the
+    single stored embedding (4 contiguous 16-dim slices), so the whole
+    scorer is pure codegen array arithmetic — per (query-token,
+    doc-token) cosine rounded at 6 dp, `greatest` over doc tokens,
+    left-associative sum over query tokens — mirrored term-for-term in
+    DuckDB.  At 100 TB this is the same scan shape as ``vec_topk_cosine``
+    (one pass, `TakeOrderedAndProject` bounded heap, no shuffle of
+    vectors); real multi-vector corpora store `array<array<float>>` and
+    the expression transfers unchanged via `transform`."""
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        lit_vector,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    doc_slices = [
+        F.slice(v, t * MAXSIM_SUB + 1, MAXSIM_SUB) for t in range(MAXSIM_T)
+    ]
+    terms = []
+    for qi in range(MAXSIM_T):
+        qslice = QUERY_VEC[qi * MAXSIM_SUB : (qi + 1) * MAXSIM_SUB]
+        terms.append(
+            F.greatest(
+                *[
+                    F.round(cosine_similarity(d, lit_vector(qslice)), 6)
+                    for d in doc_slices
+                ]
+            )
+        )
+    score = F.round(reduce(lambda a, b: a + b, terms), 6)
+    return (
+        emb.select("vec_id", "label", score.alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(K)
+    )
+
+
+def _sql_vec_maxsim() -> str:
+    terms = []
+    for qi in range(MAXSIM_T):
+        qslice = lsh_mod.sql_lit_list(
+            QUERY_VEC[qi * MAXSIM_SUB : (qi + 1) * MAXSIM_SUB]
+        )
+        cos = [
+            f"round(list_cosine_similarity(list_slice({EMB}, "
+            f"{t * MAXSIM_SUB + 1}, {(t + 1) * MAXSIM_SUB}), {qslice}), 6)"
+            for t in range(MAXSIM_T)
+        ]
+        terms.append(f"greatest({', '.join(cos)})")
+    total = terms[0]
+    for t in terms[1:]:
+        total = f"({total} + {t})"
+    return f"""
+SELECT vec_id, label, round({total}, 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id
+LIMIT {K}
+"""
+
+
+SQL_VEC_MAXSIM = _sql_vec_maxsim()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5592,6 +5772,9 @@ _BASE_QUERIES = {
     "vec_topk_filtered": q_vec_topk_filtered,
     "vec_topk_pq": q_vec_topk_pq,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "cdc_scd2_intervals": q_cdc_scd2_intervals,
+    "ivm_join_agg": q_ivm_join_agg,
+    "vec_maxsim_topk": q_vec_maxsim_topk,
 }
 
 # Round of each query's newest PASSING driver CORRECTNESS row, derived from
@@ -5784,4 +5967,7 @@ ORACLES = {
     "vec_topk_filtered": SQL_VEC_TOPK_FILTERED,
     "vec_topk_pq": SQL_VEC_TOPK_PQ,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ,
+    "cdc_scd2_intervals": SQL_CDC_SCD2_INTERVALS,
+    "ivm_join_agg": SQL_IVM_JOIN_AGG,
+    "vec_maxsim_topk": SQL_VEC_MAXSIM,
 }
