@@ -84,5 +84,21 @@ if __name__ == "__main__":
     laid.write.mode("overwrite").parquet(f"{work}/events_zorder")
     print("z-ordered files written to", f"{work}/events_zorder")
 
+    # 5. SCD2 history, maintained incrementally: two in-order change
+    #    batches fold into a bucket-partitioned interval table; only
+    #    the touched buckets are rewritten, out-of-order rows would
+    #    quarantine instead of corrupting history.
+    from vector_lake_spark.streaming.scd2 import SCD2Ingest
+
+    e = events.localCheckpoint(eager=True)
+    mid = e.approxQuantile("event_id", [0.5], 0.0)[0]
+    scd2 = SCD2Ingest(spark, f"{work}/scd2", f"{work}/scd2_quar")
+    scd2.process_batch(e.filter(F.col("event_id") <= mid), 0)
+    scd2.process_batch(e.filter(F.col("event_id") > mid), 1)
+    print("stream-maintained SCD2 history (one entity):")
+    scd2.serve_intervals().filter(F.col("user_id") == 7).orderBy(
+        "version"
+    ).show(6)
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()

@@ -1456,3 +1456,129 @@ def test_palette_png_decodes_via_plte():
     )
     with pytest.raises(ValueError, match="palette index"):
         decode_png(short)
+
+
+def _scd2_time_batches(spark, n=3):
+    """sf0.001 events split into n contiguous time ranges — per-entity
+    in-order batch arrival, the SCD2 ordering contract."""
+    from vector_lake_spark.sources import normalize_event_ts
+
+    e = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ).localCheckpoint(eager=True)
+    cuts = e.approxQuantile("event_id", [i / n for i in range(1, n)], 0.0)
+    # event_id is assigned in ts order in the generator; split on it for
+    # exact, disjoint, time-contiguous batches
+    lo = None
+    batches = []
+    for c in cuts + [None]:
+        cond = F.lit(True) if lo is None else F.col("event_id") > F.lit(lo)
+        if c is not None:
+            cond = cond & (F.col("event_id") <= F.lit(c))
+        batches.append(e.filter(cond).localCheckpoint(eager=True))
+        lo = c
+    return e, batches
+
+
+def test_scd2_ingest_multibatch_equals_batch_rebuild(spark, tmp_path):
+    """Three in-order micro-batches folded through SCD2Ingest serve the
+    SAME versioned history as the batch rebuild over all raw events."""
+    from vector_lake_spark.queries import q_cdc_scd2_intervals
+    from vector_lake_spark.streaming.scd2 import SCD2Ingest
+
+    _, batches = _scd2_time_batches(spark)
+    ingest = SCD2Ingest(
+        spark, str(tmp_path / "iv"), str(tmp_path / "quar")
+    )
+    for i, b in enumerate(batches):
+        ingest.process_batch(b, i)
+    served = sorted(
+        map(tuple, ingest.serve_intervals().collect()), key=str
+    )
+    direct = sorted(
+        map(
+            tuple,
+            q_cdc_scd2_intervals(spark, "/root/testdata/sf0.001").collect(),
+        ),
+        key=str,
+    )
+    assert served == direct
+    assert ingest.quarantine() is None  # nothing was out of order
+
+
+def test_scd2_replay_idempotent_and_late_rows_quarantined(spark, tmp_path):
+    """Replaying a committed batch leaves the interval table bit-identical
+    (its rows are at-or-below the per-entity watermark -> quarantined,
+    folded nothing twice); a genuinely late event also only lands in
+    quarantine."""
+    from vector_lake_spark.streaming.scd2 import SCD2Ingest
+
+    _, batches = _scd2_time_batches(spark, n=2)
+    ingest = SCD2Ingest(
+        spark, str(tmp_path / "iv"), str(tmp_path / "quar")
+    )
+    ingest.process_batch(batches[0], 0)
+    ingest.process_batch(batches[1], 1)
+    before = sorted(map(tuple, ingest.intervals().collect()), key=str)
+
+    ingest.process_batch(batches[1], 1)  # engine replays batch 1
+    after = sorted(map(tuple, ingest.intervals().collect()), key=str)
+    assert after == before
+    quar = ingest.quarantine()
+    assert quar.count() == batches[1].count()  # replay rows quarantined
+    ingest.process_batch(batches[1], 1)  # double replay: still idempotent
+    assert ingest.quarantine().count() == batches[1].count()
+
+    # a genuinely late, never-seen event: quarantined, table unchanged
+    late = batches[0].orderBy("event_id").limit(1).select(
+        "user_id", "ts", (F.col("event_id") + 1000000).alias("event_id"),
+        F.lit("zzz_never_seen").alias("event_type"),
+        "value", "props",
+    )
+    ingest.process_batch(late, 2)
+    assert (
+        sorted(map(tuple, ingest.intervals().collect()), key=str) == before
+    )
+    assert ingest.quarantine().filter(
+        F.col("event_type") == "zzz_never_seen"
+    ).count() == 1
+
+
+def test_scd2_rewrites_only_affected_buckets(spark, tmp_path):
+    """A batch touching one entity dynamically overwrites ONLY that
+    entity's bucket partition — every other bucket's files are left
+    byte-identical on disk (the O(affected-buckets) rewrite contract)."""
+    import glob
+    import os
+
+    from vector_lake_spark.streaming.scd2 import SCD2Ingest
+
+    full, batches = _scd2_time_batches(spark, n=2)
+    ingest = SCD2Ingest(
+        spark, str(tmp_path / "iv"), str(tmp_path / "quar"), n_buckets=8
+    )
+    ingest.process_batch(batches[0], 0)
+
+    def listing():
+        return {
+            p: os.stat(p).st_mtime_ns
+            for p in glob.glob(str(tmp_path / "iv" / "bucket=*" / "*.parquet"))
+        }
+
+    before = listing()
+    one_user = int(batches[1].select("user_id").first()[0])
+    ingest.process_batch(
+        batches[1].filter(F.col("user_id") == one_user), 1
+    )
+    after = listing()
+    from pyspark.sql.functions import xxhash64
+
+    tgt = (
+        spark.range(1)
+        .select(F.pmod(xxhash64(F.lit(one_user).cast("long")), F.lit(8)))
+        .first()[0]
+    )
+    for p, m in before.items():
+        if f"bucket={tgt}" not in p:
+            assert p in after and after[p] == m, f"untouched bucket rewritten: {p}"
+    assert any(f"bucket={tgt}" in p and (p not in before or after[p] != before[p]) for p in after)

@@ -5495,6 +5495,39 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_ev_stream_scd2(spark, sf):
+    """Streaming SCD2 maintenance (streaming/scd2.py): the events table
+    ingested as a bounded file stream through ``SCD2Ingest`` —
+    per-batch fold of accepted change events into a bucket-partitioned
+    interval table (dynamic overwrite of ONLY the affected buckets,
+    per-entity (ts, event_id) watermark quarantining out-of-order rows,
+    zero streaming state) — then the history served from the table.
+    Shares the batch entry's oracle (``SQL_CDC_SCD2_INTERVALS``, a full
+    rebuild from raw events): a green hash proves incremental
+    maintenance == full recompute.  Multi-batch equivalence, replay
+    idempotence, late-row quarantine and bucket-pruned rewrites are
+    pinned in tests/test_ops.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.streaming.scd2 import SCD2Ingest
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    work = tempfile.mkdtemp(prefix="stream_scd2_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ingest = SCD2Ingest(spark, work + "/intervals", work + "/quarantine")
+    q = ingest.attach(stream, work + "/ckpt", availableNow=True)
+    q.awaitTermination()
+    return ingest.serve_intervals()
+
+
 IVM_CUTOFF = "1998-01-01"
 
 
@@ -5775,6 +5808,7 @@ _BASE_QUERIES = {
     "cdc_scd2_intervals": q_cdc_scd2_intervals,
     "ivm_join_agg": q_ivm_join_agg,
     "vec_maxsim_topk": q_vec_maxsim_topk,
+    "ev_stream_scd2": q_ev_stream_scd2,
 }
 
 # Round of each query's newest PASSING driver CORRECTNESS row, derived from
@@ -5970,4 +6004,5 @@ ORACLES = {
     "cdc_scd2_intervals": SQL_CDC_SCD2_INTERVALS,
     "ivm_join_agg": SQL_IVM_JOIN_AGG,
     "vec_maxsim_topk": SQL_VEC_MAXSIM,
+    "ev_stream_scd2": SQL_CDC_SCD2_INTERVALS,
 }
