@@ -50,3 +50,15 @@ def staged_replace(spark, path: str, write_staged: Callable[[str], None]) -> Non
             f"{path}; old data restored"
         )
     fs.delete(old, True)
+
+def read_if_exists(spark, path: str):
+    """Read a parquet directory, or None if it doesn't exist yet — the
+    shared existence probe every incremental maintainer needs before
+    its first batch (one implementation instead of per-module copies —
+    r06 review)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(path)

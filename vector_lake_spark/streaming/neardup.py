@@ -226,12 +226,9 @@ class NearDupIngest:
         self.partition_history_by_shard = partition_history_by_shard
 
     def _read_if_exists(self, path: str) -> DataFrame | None:
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            return None
-        return self.spark.read.parquet(path)
+        from vector_lake_spark.fsutil import read_if_exists
+
+        return read_if_exists(self.spark, path)
 
     def _history(self) -> DataFrame | None:
         return self._read_if_exists(self.history_path)

@@ -92,12 +92,9 @@ class RollupIngest:
     # -- serve ----------------------------------------------------------
 
     def partials(self) -> DataFrame | None:
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(self.rollup_path)
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            return None
-        return self.spark.read.parquet(self.rollup_path)
+        from vector_lake_spark.fsutil import read_if_exists
+
+        return read_if_exists(self.spark, self.rollup_path)
 
     def serve_weekly(self, delta: DataFrame | None = None) -> DataFrame:
         """Weekly totals from the maintained partials, optionally merged

@@ -69,12 +69,9 @@ class SCD2Ingest:
         )
 
     def _read(self, path: str) -> DataFrame | None:
-        jvm = self.spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            return None
-        return self.spark.read.parquet(path)
+        from vector_lake_spark.fsutil import read_if_exists
+
+        return read_if_exists(self.spark, path)
 
     def intervals(self) -> DataFrame | None:
         """The raw maintained table (bucket, user_id, state, version,
@@ -90,24 +87,52 @@ class SCD2Ingest:
         """foreachBatch hook: fold this batch's (user_id, ts, event_id,
         event_type) rows into the interval table.
 
-        Steps: split accepted/late on the per-entity (ts, event_id)
-        watermark; quarantine late rows idempotently; recompute change
-        points over (existing change points of AFFECTED buckets ∪
-        accepted rows); rewrite only those buckets."""
+        Steps: derive the batch's buckets and partition-prune EVERY
+        read of the existing table to them (the batch's users — hence
+        their open-row watermarks and their change points — can only
+        live there); split accepted/late on the per-entity (ts,
+        event_id) watermark; quarantine late rows idempotently;
+        recompute change points over (existing change points of
+        affected buckets ∪ accepted rows); rewrite only those
+        buckets."""
         if batch_id < 0:
             raise ValueError(f"batch_id must be >= 0 (got {batch_id})")
         rows = batch.select(
             "user_id", "ts", "event_id", "event_type"
         ).dropDuplicates(["user_id", "event_id"])
+        # the batch alone determines which buckets matter — prune the
+        # table read BEFORE the watermark join, so a batch touching 1 of
+        # B buckets reads 1/B of the history, not all of it (r06 review:
+        # the O(affected-buckets) contract must hold for the watermark
+        # lookup too, and the few-entity stress couldn't see this)
+        buckets = [
+            r[0]
+            for r in rows.select(self._bucket(F.col("user_id")).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not buckets:
+            return
         existing = self.intervals()
+        touched = (
+            None
+            if existing is None
+            else existing.filter(F.col("bucket").isin(buckets))
+        )
 
-        if existing is not None:
-            open_rows = existing.filter(F.col("valid_to").isNull()).select(
+        if touched is not None:
+            open_rows = touched.filter(F.col("valid_to").isNull()).select(
                 "user_id",
                 F.col("last_seen").alias("_ls"),
                 F.col("last_seen_eid").alias("_le"),
             )
-            tagged = rows.join(open_rows, "user_id", "left")
+            # pin ONCE: the accepted/late split feeds four consumers
+            # (emptiness probe, quarantine write, merged fold, watermark
+            # update) — without this the watermark join re-runs per
+            # consumer (r06 review)
+            tagged = rows.join(open_rows, "user_id", "left").localCheckpoint(
+                eager=True
+            )
             is_late = F.col("_ls").isNotNull() & (
                 F.struct(F.col("ts"), F.col("event_id"))
                 <= F.struct(F.col("_ls"), F.col("_le"))
@@ -115,7 +140,7 @@ class SCD2Ingest:
             accepted = tagged.filter(~is_late).drop("_ls", "_le")
             late = tagged.filter(is_late).drop("_ls", "_le")
         else:
-            accepted, late = rows, None
+            accepted, late = rows.localCheckpoint(eager=True), None
 
         # NB: replaying a committed batch re-routes the WHOLE batch here
         # (its accepted rows are now at-or-below the watermark, which is
@@ -132,22 +157,12 @@ class SCD2Ingest:
                 .partitionBy("ingest_batch")
                 .parquet(self.quarantine_path)
             )
-
-        # affected buckets: partition-prune the existing read
-        buckets = [
-            r[0]
-            for r in accepted.select(
-                self._bucket(F.col("user_id")).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not buckets:
+        if accepted.isEmpty():
             return
+
         merged_src = accepted
         old_last = None
-        if existing is not None:
-            touched = existing.filter(F.col("bucket").isin(buckets))
+        if touched is not None:
             cps = touched.select(
                 "user_id",
                 F.col("valid_from").alias("ts"),
