@@ -1582,3 +1582,50 @@ def test_scd2_rewrites_only_affected_buckets(spark, tmp_path):
         if f"bucket={tgt}" not in p:
             assert p in after and after[p] == m, f"untouched bucket rewritten: {p}"
     assert any(f"bucket={tgt}" in p and (p not in before or after[p] != before[p]) for p in after)
+
+
+def test_ivm_identity_holds_with_dim_inserts_too(spark):
+    """The full insert-only IVM identity behind `ivm_join_agg`,
+    including a dimension delta: with disjoint inserts ΔR (facts) and
+    ΔS (dim rows), agg(J(R∪ΔR, S∪ΔS)) == merge of three partial legs —
+    the stored base partials agg(J(R,S)), the new-fact leg
+    agg(J(ΔR, S∪ΔS)), and the late-arriving-dimension leg agg(J(R, ΔS))
+    (old facts that only now find their dim row). Checked exactly on
+    the sf0.001 tables with customer split in half."""
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    cut = "1998-01-01"
+    r = o.filter(F.col("o_orderdate") < cut)
+    dr = o.filter(F.col("o_orderdate") >= cut)
+    s = c.filter(F.col("c_custkey") % 2 == 0)
+    ds = c.filter(F.col("c_custkey") % 2 == 1)
+    month = F.date_format("o_orderdate", "yyyy-MM")
+
+    def partial(facts, dim):
+        return (
+            facts.join(F.broadcast(dim), facts["o_custkey"] == dim["c_custkey"])
+            .groupBy(month.alias("month"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def merge(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("month", "c_mktsegment")
+            .agg(F.sum("cnt").alias("n"))
+        )
+
+    maintained = {
+        tuple(row)
+        for row in merge(
+            [partial(r, s), partial(dr, s.unionByName(ds)), partial(r, ds)]
+        ).collect()
+    }
+    direct = {
+        tuple(row)
+        for row in merge([partial(o, c)]).collect()
+    }
+    assert maintained == direct
