@@ -100,6 +100,7 @@ HEADLINE = [
     # r06 wave 2: SCD2 history rebuild, incremental join-agg view
     # maintenance, late-interaction multi-vector scoring
     "cdc_scd2_intervals",
+    "cdc_diff_snapshots",
     "ev_stream_scd2",
     "ivm_join_agg",
     "vec_maxsim_topk",

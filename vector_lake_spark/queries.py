@@ -5400,6 +5400,112 @@ WHERE rn = 1
 """
 
 
+# Two bounded windows, NARROW enough that some entities appear in only
+# one — so the oracle hash exercises all three change types (insert /
+# update / delete), not just updates.
+CDC_DIFF_OLD = ("2024-01-01", "2024-01-03")
+CDC_DIFF_NEW = ("2024-01-28", "2024-01-31")
+
+
+def q_cdc_diff_snapshots(spark, sf):
+    """Snapshot diff — the CHANGE-DATA-FEED emitter (Delta CDF /
+    Iceberg changelog shape), the inverse of ``cdc_latest_state``'s
+    log compaction: given two per-entity snapshots (latest state in
+    each of two windows), emit one row per changed entity tagged
+    insert / update / delete with old and new values.  One full outer
+    join on the entity key (both snapshot builds and the join shuffle
+    on user_id — at 100 TB the snapshots are bucketed on the key and
+    the diff is co-partitioned, no second shuffle); deletes are
+    entities present only in the first window, inserts only in the
+    second.  Downstream consumers replay exactly this row shape to
+    maintain any derived table — it composes with ``ivm_join_agg``'s
+    delta legs."""
+    e = _events(spark, sf)
+
+    def snapshot(lo, hi):
+        # per (user, event_type) latest value — the per-attribute state
+        # key, which genuinely churns between windows (a pure user_id
+        # key never deletes on this corpus: heavy users are active in
+        # every window)
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            e.filter(
+                (F.col("ts") >= F.to_timestamp(F.lit(lo)))
+                & (F.col("ts") < F.to_timestamp(F.lit(hi)))
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", F.round("value", 6).alias("value"))
+        )
+
+    old = snapshot(*CDC_DIFF_OLD)
+    new = snapshot(*CDC_DIFF_NEW)
+    j = old.alias("o").join(
+        new.alias("n"),
+        (F.col("o.user_id") == F.col("n.user_id"))
+        & (F.col("o.event_type") == F.col("n.event_type")),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.user_id"), F.col("n.user_id")).alias(
+                "user_id"
+            ),
+            F.coalesce(F.col("o.event_type"), F.col("n.event_type")).alias(
+                "event_type"
+            ),
+            F.when(F.col("o.user_id").isNull(), "insert")
+            .when(F.col("n.user_id").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("o.value").alias("old_value"),
+            F.col("n.value").alias("new_value"),
+        )
+        # updates that change nothing are NOT changes — a CDF must not
+        # emit no-op rows (they'd churn every downstream consumer)
+        .filter(
+            (F.col("change_type") != "update")
+            | (F.col("old_value") != F.col("new_value"))
+        )
+    )
+
+
+SQL_CDC_DIFF_SNAPSHOTS = f"""
+WITH o AS (
+  SELECT user_id, event_type, round(value, 6) AS value
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE ts >= TIMESTAMP '{CDC_DIFF_OLD[0]}'
+      AND ts <  TIMESTAMP '{CDC_DIFF_OLD[1]}'
+  ) WHERE rn = 1
+),
+n AS (
+  SELECT user_id, event_type, round(value, 6) AS value
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE ts >= TIMESTAMP '{CDC_DIFF_NEW[0]}'
+      AND ts <  TIMESTAMP '{CDC_DIFF_NEW[1]}'
+  ) WHERE rn = 1
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       coalesce(o.event_type, n.event_type) AS event_type,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.value AS old_value,
+       n.value AS new_value
+FROM o FULL OUTER JOIN n
+  ON o.user_id = n.user_id AND o.event_type = n.event_type
+WHERE (o.user_id IS NULL OR n.user_id IS NULL) OR o.value <> n.value
+"""
+
+
 def q_zorder_events(spark, sf):
     """Z-order (Morton) clustering key — the 2-D layout primitive
     (operators/layout.py): interleave user_id and day-number bits so a
@@ -5809,6 +5915,7 @@ _BASE_QUERIES = {
     "ivm_join_agg": q_ivm_join_agg,
     "vec_maxsim_topk": q_vec_maxsim_topk,
     "ev_stream_scd2": q_ev_stream_scd2,
+    "cdc_diff_snapshots": q_cdc_diff_snapshots,
 }
 
 # Round of each query's newest PASSING driver CORRECTNESS row, derived from
@@ -6005,4 +6112,5 @@ ORACLES = {
     "ivm_join_agg": SQL_IVM_JOIN_AGG,
     "vec_maxsim_topk": SQL_VEC_MAXSIM,
     "ev_stream_scd2": SQL_CDC_SCD2_INTERVALS,
+    "cdc_diff_snapshots": SQL_CDC_DIFF_SNAPSHOTS,
 }
