@@ -534,3 +534,18 @@ def test_maxsim_is_single_scan_bounded_heap(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_diff_two_snapshot_shuffles_join_reuses_them(spark):
+    """Snapshot diff: each windowed snapshot shuffles once on the
+    (user_id, event_type) key and the full-outer join REUSES that
+    partitioning (no third exchange); the rank=1 filters plan as
+    WindowGroupLimit per-key top-1, never a global sort."""
+    df = Q.q_cdc_diff_snapshots(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1].split("\n")[0]
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
