@@ -549,3 +549,48 @@ def test_cdc_diff_two_snapshot_shuffles_join_reuses_them(spark):
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_topk_both_stages_bounded(spark):
+    """Binary-signature retrieval: the coarse Hamming rank and the exact
+    re-rank must BOTH plan as bounded top-k (TakeOrderedAndProject) —
+    never a global sort — and the signature fold is pure codegen (no
+    Python eval)."""
+    df = Q.q_vec_topk_hamming(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rrf_pools_bounded_no_global_sort(spark):
+    """RRF fusion: each retriever's candidate pool is a bounded top-k
+    heap over its scan; rank windows run over the 100-row pools only.
+    No full-corpus range exchange may appear."""
+    df = Q.q_vec_topk_rrf(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_single_source_window_shuffle(spark):
+    """Token-budget selection: one scan, one hash exchange on source for
+    the per-source window — no global sort, no Python."""
+    df = Q.q_pipe_token_budget(spark, SF)
+    plan = plan_string(df)
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_broadcasts_plan_explode_mapside(spark):
+    """Temperature resampling: the 5-row mix plan broadcasts onto the
+    corpus scan and the copy fan-out is a map-side generate — the only
+    exchanges are the tiny count aggregations, never a shuffle of the
+    resampled rows keyed by document."""
+    df = Q.q_pipe_temperature_mix(spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan and "explode(array_repeat" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -5764,6 +5764,347 @@ SQL_VEC_MAXSIM = _sql_vec_maxsim()
 
 
 # ---------------------------------------------------------------------------
+# Round-6 wave 3: binary-signature retrieval, rank fusion, data mixing
+# ---------------------------------------------------------------------------
+
+# Binary (1-bit) quantization: each dimension's sign packed into a 64-bit
+# signature (two 32-bit halves so the packing arithmetic never overflows a
+# signed BIGINT in either engine).  Candidate ranking is XOR + popcount —
+# the cheapest possible coarse scorer, and what production binary-embedding
+# engines run over memory-mapped signatures.
+HAMMING_POOL = 50
+
+
+def _sign_bits(v) -> list[int]:
+    return [1 if x >= 0 else 0 for x in v]
+
+
+def _pack_bits(bits: list[int]) -> int:
+    acc = 0
+    for b in bits:
+        acc = acc * 2 + b
+    return acc
+
+
+QSIG_HI = _pack_bits(_sign_bits(QUERY_VEC[:32]))
+QSIG_LO = _pack_bits(_sign_bits(QUERY_VEC[32:]))
+
+
+def q_vec_topk_hamming(spark, sf):
+    """Binary-quantized retrieval: sign-bit signatures (64 dims → two
+    32-bit halves in BIGINTs), coarse rank by Hamming distance to the
+    query signature (XOR + ``bit_count``, pure codegen integer ops),
+    keep ``HAMMING_POOL`` candidates (``TakeOrderedAndProject`` bounded
+    heap, ties on vec_id), exact full-precision cosine re-rank to top-k.
+
+    The 100 TB shape: signatures are 8 bytes/vector (32× smaller than
+    the float32 embedding), so the coarse scan reads 8 B/row and does
+    two XORs + two popcounts — the float vectors are touched for only
+    ``HAMMING_POOL`` rows.  In the store the signature would be a
+    persisted column (computed once at ingest, like ``vec_quantize_int8``
+    persists scales); here it is computed inline so the oracle mirrors
+    the arithmetic exactly."""
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        lit_vector,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+
+    def sig(half):
+        # MSB-first fold: bit i of the half = sign(v[i]); max 2^32-1,
+        # so the running acc*2+b never overflows a signed 64-bit long
+        return F.aggregate(
+            half,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * F.lit(2).cast("long")
+            + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+
+    ham = (
+        F.bit_count(sig(F.slice(v, 1, 32)).bitwiseXOR(F.lit(QSIG_HI)))
+        + F.bit_count(sig(F.slice(v, 33, 32)).bitwiseXOR(F.lit(QSIG_LO)))
+    ).cast("long")
+    cand = (
+        emb.select("vec_id", v.alias("v"), ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id"))
+        .limit(HAMMING_POOL)
+    )
+    exact = F.round(cosine_similarity(F.col("v"), lit_vector(QUERY_VEC)), 6)
+    return (
+        cand.select("vec_id", "hamming", exact.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(K)
+    )
+
+
+SQL_VEC_TOPK_HAMMING = f"""
+WITH s AS (
+  SELECT vec_id, {EMB} AS v,
+    CAST(list_sum(list_transform(range(1,33),
+        i -> CASE WHEN ({EMB})[i] >= 0
+             THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT) AS hi,
+    CAST(list_sum(list_transform(range(1,33),
+        i -> CASE WHEN ({EMB})[i+32] >= 0
+             THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT) AS lo
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id, v,
+         CAST(bit_count(xor(hi, {QSIG_HI})) + bit_count(xor(lo, {QSIG_LO}))
+              AS BIGINT) AS hamming
+  FROM s ORDER BY hamming ASC, vec_id LIMIT {HAMMING_POOL}
+)
+SELECT vec_id, hamming, round(list_cosine_similarity(v, {QV}), 6) AS score
+FROM c ORDER BY score DESC, vec_id LIMIT {K}
+"""
+
+
+RRF_TERM = "vector"
+RRF_K_CONST = 60  # the standard RRF damping constant
+RRF_POOL = 100  # ranks are computed over each retriever's top pool only
+
+
+def q_vec_topk_rrf(spark, sf):
+    """Reciprocal-rank fusion of a lexical and a vector retriever — the
+    standard hybrid-search fusion (score = Σ 1/(60+rank)), complementing
+    ``hybrid_topk``'s weighted-sum fusion.  Each retriever contributes
+    only its top ``RRF_POOL`` candidates: both legs are bounded
+    ``TakeOrderedAndProject`` heaps (no global sort, no full-corpus
+    ``row_number``), the rank windows then run over ≤100 rows each, and
+    the fusion is a full-outer join of two 100-row sets — at 100 TB the
+    only full scans are the two candidate generators, which are the
+    same single-pass bounded-heap shapes as ``vec_topk_cosine``.
+    Documents missing from a pool contribute no term for that retriever
+    (the standard RRF convention)."""
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        lit_vector,
+    )
+
+    d = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    tf = F.size(F.filter(tokens(F.col("text")), lambda t: t == RRF_TERM))
+    kw = (
+        d.select(F.col("doc_id").alias("id"), tf.alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("id"))
+        .limit(RRF_POOL)
+        .withColumn(
+            "rank_kw",
+            F.row_number().over(
+                Window.orderBy(F.col("tf").desc(), F.col("id"))
+            ),
+        )
+    )
+    score = F.round(
+        cosine_similarity(to_double_array(F.col("embedding")),
+                          lit_vector(QUERY_VEC)),
+        6,
+    )
+    vx = (
+        emb.select(F.col("vec_id").alias("id"), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(RRF_POOL)
+        .withColumn(
+            "rank_vec",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("id"))
+            ),
+        )
+    )
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K_CONST) + F.col("rank_kw")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(RRF_K_CONST) + F.col("rank_vec")), F.lit(0.0)
+        ),
+        9,
+    )
+    return (
+        kw.select("id", "rank_kw")
+        .join(vx.select("id", "rank_vec"), "id", "full_outer")
+        .select("id", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("id"))
+        .limit(K)
+    )
+
+
+SQL_VEC_TOPK_RRF = f"""
+WITH kw0 AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter({O.sql_tokens('text')}, t -> t = '{RRF_TERM}'))
+              AS BIGINT) AS tf
+  FROM documents ORDER BY tf DESC, id LIMIT {RRF_POOL}
+),
+kw AS (SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rank_kw FROM kw0),
+v0 AS (
+  SELECT vec_id AS id,
+         round(list_cosine_similarity({EMB}, {QV}), 6) AS score
+  FROM embeddings ORDER BY score DESC, id LIMIT {RRF_POOL}
+),
+v AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_vec FROM v0)
+SELECT COALESCE(kw.id, v.id) AS id,
+       round(COALESCE(1.0/({RRF_K_CONST}+rank_kw), 0.0)
+           + COALESCE(1.0/({RRF_K_CONST}+rank_vec), 0.0), 9) AS rrf
+FROM kw FULL OUTER JOIN v ON kw.id = v.id
+ORDER BY rrf DESC, id LIMIT {K}
+"""
+
+
+TOKEN_BUDGET_PER_SOURCE = 1000
+
+
+def q_pipe_token_budget(spark, sf):
+    """Token-budget corpus selection: within each source, keep the
+    highest-quality documents until a per-source token budget is
+    exhausted — how a training mix is actually cut when the budget is
+    tokens, not documents.  Ordering is (quality desc, doc_id), the
+    running total is an exact BIGINT window sum of token counts (no
+    float accumulation at the keep/drop boundary), and the quality
+    score itself is the registry's shared codegen expression
+    (``functions/text.quality_score``), rounded to 9 dp so both engines
+    order identically.  One scan + one window shuffle on ``source``; at
+    100 TB the window partitions by source (thousands of cells), so
+    the sort is per-source, never global."""
+    from vector_lake_spark.functions.text import quality_score, token_count
+
+    d = _t(spark, sf, "documents")
+    q = F.round(quality_score(F.col("text")), 9)
+    scored = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("ntok"),
+        q.alias("q"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = scored.withColumn("cum", F.sum("ntok").over(w)).filter(
+        F.col("cum") <= TOKEN_BUDGET_PER_SOURCE
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("ntok").cast("long").alias("tokens_kept"),
+    )
+
+
+SQL_PIPE_TOKEN_BUDGET = f"""
+WITH s AS (
+  SELECT doc_id, source, {O.sql_token_count('text')} AS ntok,
+         round({O.sql_quality_score('text')}, 9) AS q
+  FROM documents
+),
+c AS (
+  SELECT *, sum(ntok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(ntok) AS BIGINT) AS tokens_kept
+FROM c WHERE cum <= {TOKEN_BUDGET_PER_SOURCE} GROUP BY source
+"""
+
+
+def q_pipe_temperature_mix(spark, sf):
+    """Temperature-based domain resampling (α = 0.5, i.e. sampling
+    probabilities ∝ √share — the standard low-resource-language
+    upsampling used in multilingual LLM mixes): per-language targets
+    are computed from exact integer arithmetic (fixed-point √n via the
+    exactly-rounded IEEE sqrt, BIGINT sums, integer half-up division —
+    no cross-engine float-order hazard), then the corpus is MATERIALLY
+    resampled: each document gets ``target//n`` full copies plus one
+    extra copy decided by the same deterministic id-hash rule
+    ``pipe_stratified_sample`` uses.  Output is the per-language audit
+    (corpus size, target, rows actually emitted).  One scan + one
+    broadcast of the 5-row plan + an ``explode`` whose fan-out equals
+    the resampled corpus size — the 100 TB shape (no shuffle of text;
+    the explode is map-side)."""
+    from vector_lake_spark.functions.text import token_hash60
+
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_dom"))
+    # fixed-point sqrt weight: floor(sqrt(n·10^6)) — IEEE sqrt is exactly
+    # rounded, so both engines produce the identical BIGINT
+    wt = F.floor(F.sqrt(F.col("n_dom").cast("double") * F.lit(1e6))).cast(
+        "long"
+    )
+    wts = counts.withColumn("wt", wt)
+    tot = wts.agg(
+        F.sum("wt").alias("wt_sum"), F.sum("n_dom").alias("n_total")
+    )
+    plan = (
+        wts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_n",
+            F.expr("(2*n_total*wt + wt_sum) div (2*wt_sum)").cast("long"),
+        )
+        .withColumn(
+            "full_copies", F.expr("target_n div n_dom").cast("long")
+        )
+        .withColumn(
+            "rem",
+            (F.col("target_n") - F.col("full_copies") * F.col("n_dom")).cast(
+                "long"
+            ),
+        )
+        .select("lang", "n_dom", "target_n", "full_copies", "rem")
+    )
+    h = token_hash60(F.col("doc_id").cast("string")) % 10000
+    ncopies = (
+        F.col("full_copies")
+        + F.when(h * F.col("n_dom") < 10000 * F.col("rem"), 1).otherwise(0)
+    ).cast("int")
+    emitted = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(plan), "lang")
+        .select(
+            "lang",
+            "n_dom",
+            "target_n",
+            F.explode(F.array_repeat(F.lit(1), ncopies)).alias("one"),
+        )
+    )
+    return emitted.groupBy("lang", "n_dom", "target_n").agg(
+        F.count(F.lit(1)).alias("n_emitted")
+    )
+
+
+SQL_PIPE_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dom
+           FROM documents GROUP BY lang),
+w AS (SELECT lang, n_dom,
+             CAST(floor(sqrt(CAST(n_dom AS DOUBLE)*1000000.0)) AS BIGINT) AS wt
+      FROM c),
+t AS (SELECT CAST(sum(wt) AS BIGINT) AS wt_sum,
+             CAST(sum(n_dom) AS BIGINT) AS n_total FROM w),
+p AS (
+  SELECT lang, n_dom,
+         CAST((2*n_total*wt + wt_sum) // (2*wt_sum) AS BIGINT) AS target_n
+  FROM w CROSS JOIN t
+),
+p2 AS (
+  SELECT lang, n_dom, target_n, target_n // n_dom AS full_copies,
+         target_n - (target_n // n_dom) * n_dom AS rem
+  FROM p
+),
+e AS (
+  SELECT d.lang, p2.n_dom, p2.target_n,
+         p2.full_copies
+           + CASE WHEN ({O.sql_token_hash60("CAST(doc_id AS VARCHAR)")}
+                        % 10000) * p2.n_dom < 10000 * p2.rem
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN p2 ON d.lang = p2.lang
+)
+SELECT lang, n_dom, target_n, CAST(sum(n_copies) AS BIGINT) AS n_emitted
+FROM e GROUP BY lang, n_dom, target_n
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 #
@@ -5914,6 +6255,10 @@ _BASE_QUERIES = {
     "cdc_scd2_intervals": q_cdc_scd2_intervals,
     "ivm_join_agg": q_ivm_join_agg,
     "vec_maxsim_topk": q_vec_maxsim_topk,
+    "vec_topk_hamming": q_vec_topk_hamming,
+    "vec_topk_rrf": q_vec_topk_rrf,
+    "pipe_token_budget": q_pipe_token_budget,
+    "pipe_temperature_mix": q_pipe_temperature_mix,
     "ev_stream_scd2": q_ev_stream_scd2,
     "cdc_diff_snapshots": q_cdc_diff_snapshots,
 }
@@ -6111,6 +6456,10 @@ ORACLES = {
     "cdc_scd2_intervals": SQL_CDC_SCD2_INTERVALS,
     "ivm_join_agg": SQL_IVM_JOIN_AGG,
     "vec_maxsim_topk": SQL_VEC_MAXSIM,
+    "vec_topk_hamming": SQL_VEC_TOPK_HAMMING,
+    "vec_topk_rrf": SQL_VEC_TOPK_RRF,
+    "pipe_token_budget": SQL_PIPE_TOKEN_BUDGET,
+    "pipe_temperature_mix": SQL_PIPE_TEMPERATURE_MIX,
     "ev_stream_scd2": SQL_CDC_SCD2_INTERVALS,
     "cdc_diff_snapshots": SQL_CDC_DIFF_SNAPSHOTS,
 }
