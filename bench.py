@@ -104,6 +104,11 @@ HEADLINE = [
     "ev_stream_scd2",
     "ivm_join_agg",
     "vec_maxsim_topk",
+    # r06 wave 3: binary-signature retrieval, rank fusion, data mixing
+    "vec_topk_hamming",
+    "vec_topk_rrf",
+    "pipe_token_budget",
+    "pipe_temperature_mix",
 ]
 
 
