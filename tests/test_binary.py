@@ -1,0 +1,125 @@
+"""SignatureIndex (binary sign-bit index) — persisted-artifact twin of
+the ``vec_topk_hamming`` registry query."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from vector_lake_spark import queries as Q
+from vector_lake_spark.operators.binary import (
+    SignatureIndex,
+    n_halves,
+    pack_query_sig,
+    sig_exprs,
+)
+from vector_lake_spark.functions.vectors import to_double_array
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_index_topk_equals_inline_registry_query(spark, emb, tmp_path):
+    """The persisted index must return EXACTLY what the inline registry
+    query computes (same pool, same tie-breaks) — signatures packed at
+    build time equal signatures computed inline, bit for bit."""
+    idx = SignatureIndex.build(spark, str(tmp_path / "sig"), emb, dim=64)
+    got = _rows(idx.topk(emb, Q.QUERY_VEC, k=Q.K, pool=Q.HAMMING_POOL))
+    want = _rows(Q.q_vec_topk_hamming(spark, SF_DIR))
+    assert got == want
+
+
+def test_full_pool_degrades_to_exact_search(spark, emb, tmp_path):
+    """pool >= corpus size: every row reaches the re-rank, so the result
+    must equal exact brute-force cosine top-k."""
+    from vector_lake_spark.operators.topk import topk_cosine
+
+    n = emb.count()
+    idx = SignatureIndex.build(spark, str(tmp_path / "sig"), emb, dim=64)
+    got = _rows(
+        idx.topk(emb, Q.QUERY_VEC, k=Q.K, pool=n).select("vec_id", "score")
+    )
+    want = _rows(
+        topk_cosine(emb, Q.QUERY_VEC, Q.K).select("vec_id", "score")
+    )
+    assert got == want
+
+
+def test_append_equals_fresh_rebuild(spark, emb, tmp_path):
+    """Packing is a pure per-row function: build(half1)+append(half2)
+    must answer queries identically to build(all)."""
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = SignatureIndex.build(spark, str(tmp_path / "inc"), half1, dim=64)
+    appended = inc.append(half2)
+    assert appended == half2.count()
+    full = SignatureIndex.build(spark, str(tmp_path / "full"), emb, dim=64)
+    got = _rows(inc.topk(emb, Q.QUERY_VEC, k=Q.K, pool=Q.HAMMING_POOL))
+    want = _rows(full.topk(emb, Q.QUERY_VEC, k=Q.K, pool=Q.HAMMING_POOL))
+    assert got == want
+    assert inc.drift()["counts_match_sidecar"]
+
+
+def test_reopen_from_sidecar(spark, emb, tmp_path):
+    """A fresh handle constructed from the sidecar alone answers the
+    same query (dim/columns/count all round-trip)."""
+    loc = str(tmp_path / "sig")
+    built = SignatureIndex.build(spark, loc, emb, dim=64)
+    reopened = SignatureIndex(spark, loc)
+    assert (reopened.dim, reopened.n_rows) == (built.dim, built.n_rows)
+    assert _rows(reopened.topk(emb, Q.QUERY_VEC, k=5)) == _rows(
+        built.topk(emb, Q.QUERY_VEC, k=5)
+    )
+
+
+def test_non_multiple_of_32_dims_pack_consistently(spark):
+    """dim=40 (one full + one 8-bit half): an expression-packed row
+    signature must equal the driver-side packing of the same values —
+    a vector queried against itself has Hamming distance 0."""
+    vec = [(-1.0) ** i * (i + 1) for i in range(40)]
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    assert n_halves(40) == 2
+    packed_rows = df.select(
+        *[
+            e.alias(f"s{h}")
+            for h, e in enumerate(
+                sig_exprs(to_double_array(F.col("embedding")), 40)
+            )
+        ]
+    ).collect()[0]
+    assert list(packed_rows) == pack_query_sig(vec)
+
+
+def test_query_dim_mismatch_raises(spark, emb, tmp_path):
+    idx = SignatureIndex.build(spark, str(tmp_path / "sig"), emb, dim=64)
+    with pytest.raises(ValueError, match="query dim"):
+        idx.topk(emb, [0.0] * 16, k=5)
+
+
+def test_signature_scan_reads_only_signature_columns(spark, emb, tmp_path):
+    """The coarse stage's parquet scan must read (id, sig_*) ONLY —
+    never the float vectors (that is the 30x I/O contract)."""
+    idx = SignatureIndex.build(spark, str(tmp_path / "sig"), emb, dim=64)
+    df = idx.topk(emb, Q.QUERY_VEC, k=Q.K)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    sig_scans = [
+        seg
+        for seg in plan.split("Scan parquet")
+        if "sig_0" in seg.split("ReadSchema")[-1].split("\n")[0]
+    ]
+    assert sig_scans, plan
+    assert all(
+        "embedding" not in seg.split("ReadSchema")[-1].split("\n")[0]
+        for seg in sig_scans
+    ), plan

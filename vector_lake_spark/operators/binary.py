@@ -1,0 +1,237 @@
+"""Binary (1-bit) signature index — the persisted-signature posture the
+``vec_topk_hamming`` registry query computes inline.
+
+Each vector's per-dimension signs pack into ``ceil(dim/32)`` BIGINT
+halves (32 bits per half, so the MSB-first shift-sum fold never
+overflows a signed 64-bit long in any engine). The index directory
+holds ONLY (id, sig_0..sig_h) — 8·(h+1) bytes of logical payload per
+row — so the coarse candidate scan reads ~30× less than the float
+layout (measured: ``scripts/hamming_scan_bench.py``, SCALE.md "Vector
+search"). The exact re-rank joins the small candidate pool back to the
+caller's corpus.
+
+Sign-bit signatures are the 1-bit end of the quantization ladder this
+repo already covers (float32 → int8 ``vec_quantize_int8`` → PQ codes →
+sign bits); like the IVF/PQ artifacts the index is deterministic (a
+pure function of the vectors), so build/append order can never change
+query results.
+
+Reference parity note: the reference has no quantization at all — this
+extends its ANN surface the same way IVF/PQ do (SURVEY.md §2.B), reusing
+``IVFIndex``'s artifact pattern (data dir + JSON sidecar + drift check).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from vector_lake_spark.functions.vectors import (
+    cosine_similarity,
+    lit_vector,
+    to_double_array,
+)
+from vector_lake_spark.operators.ann import _fs_path
+
+BITS_PER_HALF = 32
+
+
+def n_halves(dim: int) -> int:
+    return (dim + BITS_PER_HALF - 1) // BITS_PER_HALF
+
+
+def sig_half_expr(v: Column, start: int, width: int) -> Column:
+    """Pack signs of ``v[start:start+width]`` (0-based) into one BIGINT,
+    MSB-first — identical fold to the registry query's, so index-built
+    signatures equal inline-computed ones bit-for-bit."""
+    return F.aggregate(
+        F.slice(v, start + 1, width),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2).cast("long")
+        + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def sig_exprs(v: Column, dim: int) -> list[Column]:
+    """One packed BIGINT column expression per 32-dim half."""
+    return [
+        sig_half_expr(
+            v, h * BITS_PER_HALF, min(BITS_PER_HALF, dim - h * BITS_PER_HALF)
+        )
+        for h in range(n_halves(dim))
+    ]
+
+
+def pack_query_sig(query: Sequence[float]) -> list[int]:
+    """Driver-side packing of the query's sign bits (same fold)."""
+    out = []
+    dim = len(query)
+    for h in range(n_halves(dim)):
+        acc = 0
+        for x in query[h * BITS_PER_HALF : (h + 1) * BITS_PER_HALF]:
+            acc = acc * 2 + (1 if x >= 0 else 0)
+        out.append(acc)
+    return out
+
+
+def hamming_expr(sig_cols: Sequence[str], qsig: Sequence[int]) -> Column:
+    """XOR + popcount across the halves — pure codegen integer ops."""
+    terms = [
+        F.bit_count(F.col(c).bitwiseXOR(F.lit(int(q))))
+        for c, q in zip(sig_cols, qsig)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("long")
+
+
+class SignatureIndex:
+    """Persisted sign-bit signature table + JSON sidecar.
+
+    ``build`` packs and writes signatures once at ingest; ``topk`` scans
+    ONLY the signature table for the Hamming candidate pool, then joins
+    the ≤``pool`` winners back to the corpus for the exact cosine
+    re-rank — at 100 TB the coarse scan reads 8·halves bytes/row while
+    the float vectors are touched for ``pool`` rows. ``pool >= corpus``
+    degrades gracefully to exact search (every row re-ranked).
+
+    Signatures are a pure function of the vectors (no codebook, no fit),
+    so ``append`` needs no drift tripwire for codebook fitness — only
+    the sidecar row-count audit (external-mutation detection)."""
+
+    def __init__(self, spark, location: str):
+        self.spark = spark
+        self.location = str(location)
+        fs, p = _fs_path(spark, f"{self.location}/_sig_meta.json")
+        stream = fs.open(p)
+        try:
+            raw = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        meta = json.loads(raw.decode())
+        self.dim = int(meta["dim"])
+        self.vec_col = meta["vec_col"]
+        self.id_col = meta["id_col"]
+        self.n_rows = int(meta["n_rows"])
+
+    def _write_meta(self) -> None:
+        meta = {
+            "dim": self.dim,
+            "vec_col": self.vec_col,
+            "id_col": self.id_col,
+            "n_rows": self.n_rows,
+        }
+        fs, p = _fs_path(self.spark, f"{self.location}/_sig_meta.json")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(meta).encode()))
+        finally:
+            out.close()
+
+    @property
+    def sig_cols(self) -> list[str]:
+        return [f"sig_{h}" for h in range(n_halves(self.dim))]
+
+    @classmethod
+    def _signed(cls, df: DataFrame, dim: int, vec_col: str, id_col: str):
+        v = to_double_array(F.col(vec_col))
+        return df.select(
+            id_col,
+            *[
+                e.alias(f"sig_{h}")
+                for h, e in enumerate(sig_exprs(v, dim))
+            ],
+        )
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        location: str,
+        df: DataFrame,
+        dim: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "SignatureIndex":
+        signed = cls._signed(df, dim, vec_col, id_col).localCheckpoint(
+            eager=True
+        )  # write + count must see the same rows
+        signed.write.mode("overwrite").parquet(f"{location}/data")
+        meta = {
+            "dim": dim,
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "n_rows": signed.count(),
+        }
+        fs, p = _fs_path(spark, f"{location}/_sig_meta.json")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(meta).encode()))
+        finally:
+            out.close()
+        return cls(spark, location)
+
+    def append(self, df: DataFrame) -> int:
+        """Incremental maintenance: packing is a pure per-row function,
+        so appending a batch's signatures IS the whole update — query
+        results over build+append equal a fresh rebuild of the union by
+        construction (and by test). Returns rows appended."""
+        signed = self._signed(
+            df, self.dim, self.vec_col, self.id_col
+        ).localCheckpoint(eager=True)
+        signed.write.mode("append").parquet(f"{self.location}/data")
+        n = signed.count()
+        self.n_rows += n
+        self._write_meta()
+        return n
+
+    def drift(self) -> dict:
+        """Sidecar row-count audit: a mismatch means the data directory
+        was mutated outside build/append (rebuild it)."""
+        on_disk = self.load().count()
+        return {
+            "total_rows": on_disk,
+            "counts_match_sidecar": on_disk == self.n_rows,
+        }
+
+    def load(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.location}/data")
+
+    def topk(
+        self,
+        corpus: DataFrame,
+        query: Sequence[float],
+        k: int,
+        pool: int = 50,
+    ) -> DataFrame:
+        """Staged retrieval: Hamming candidate pool over the signature
+        scan → exact cosine re-rank of the pool joined back to
+        ``corpus``. Deterministic ties (hamming, id) / (score desc, id)
+        — the same cascade shape as ``q_vec_topk_hamming``."""
+        if len(query) != self.dim:
+            raise ValueError(
+                f"query dim {len(query)} != index dim {self.dim}"
+            )
+        qsig = pack_query_sig(query)
+        cand = (
+            self.load()
+            .select(
+                self.id_col,
+                hamming_expr(self.sig_cols, qsig).alias("hamming"),
+            )
+            .orderBy(F.col("hamming").asc(), F.col(self.id_col))
+            .limit(pool)
+        )
+        v = to_double_array(F.col(self.vec_col))
+        exact = F.round(cosine_similarity(v, lit_vector(list(query))), 6)
+        return (
+            cand.join(corpus, self.id_col)
+            .select(self.id_col, "hamming", exact.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(self.id_col))
+            .limit(k)
+        )

@@ -4919,6 +4919,37 @@ def q_ann_ivf_stored(spark, sf):
     return idx.topk(QUERY_VEC, K, nprobe=4)
 
 
+_SIG_REGISTRY_CACHE: dict = {}
+
+
+def q_vec_topk_hamming_stored(spark, sf):
+    # Persisted-signature path: pack sign bits ONCE into the index's
+    # 2-BIGINT-per-row table (the 30× smaller coarse scan — measured in
+    # SCALE.md "Vector search"), then run the staged Hamming→exact
+    # cascade from the artifact.  Signatures are a pure function of the
+    # vectors, so this is deterministic end-to-end and shares
+    # ``vec_topk_hamming``'s oracle; artifact-equals-inline and the
+    # signature-columns-only scan are pinned in tests/test_binary.py.
+    # Same cache/cleanup discipline as q_ann_ivf_stored.
+    import atexit
+    import shutil
+    import tempfile
+
+    from vector_lake_spark.operators.binary import SignatureIndex
+
+    idx = _SIG_REGISTRY_CACHE.get((sf, id(spark)))
+    if idx is None:
+        tmp = tempfile.mkdtemp(prefix="sig_registry_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        idx = SignatureIndex.build(
+            spark, f"{tmp}/index", _t(spark, sf, "embeddings"), dim=DIM
+        )
+        _SIG_REGISTRY_CACHE[(sf, id(spark))] = idx
+    return idx.topk(
+        _t(spark, sf, "embeddings"), QUERY_VEC, K, pool=HAMMING_POOL
+    )
+
+
 def q_win_distribution(spark, sf):
     cust = _t(spark, sf, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -6256,6 +6287,7 @@ _BASE_QUERIES = {
     "ivm_join_agg": q_ivm_join_agg,
     "vec_maxsim_topk": q_vec_maxsim_topk,
     "vec_topk_hamming": q_vec_topk_hamming,
+    "vec_topk_hamming_stored": q_vec_topk_hamming_stored,
     "vec_topk_rrf": q_vec_topk_rrf,
     "pipe_token_budget": q_pipe_token_budget,
     "pipe_temperature_mix": q_pipe_temperature_mix,
@@ -6457,6 +6489,7 @@ ORACLES = {
     "ivm_join_agg": SQL_IVM_JOIN_AGG,
     "vec_maxsim_topk": SQL_VEC_MAXSIM,
     "vec_topk_hamming": SQL_VEC_TOPK_HAMMING,
+    "vec_topk_hamming_stored": SQL_VEC_TOPK_HAMMING,
     "vec_topk_rrf": SQL_VEC_TOPK_RRF,
     "pipe_token_budget": SQL_PIPE_TOKEN_BUDGET,
     "pipe_temperature_mix": SQL_PIPE_TEMPERATURE_MIX,
