@@ -32,12 +32,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from vector_lake_spark.queries import QUERY_VEC, QSIG_HI, QSIG_LO
 from vector_lake_spark.functions.vectors import (
     cosine_similarity,
     lit_vector,
     to_double_array,
 )
+from vector_lake_spark.operators.binary import (
+    hamming_from_exprs,
+    pack_query_sig,
+    sig_exprs,
+)
+from vector_lake_spark.queries import QUERY_VEC
 from vector_lake_spark.session import get_spark
 
 N = int(os.environ.get("HAMMING_BENCH_N", 2_000_000))
@@ -65,7 +70,16 @@ def timed(fn, runs: int = 3) -> float:
 def main() -> None:
     spark = get_spark()
     root = tempfile.mkdtemp(prefix="hamming_bench_")
+    try:
+        _run(spark, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+def _run(spark, root: str) -> None:
     full_path, sig_path = f"{root}/full", f"{root}/sig"
+    qsig = pack_query_sig(QUERY_VEC)
 
     # deterministic synthetic corpus (seeded rand, zero-centered dims so
     # signatures carry real entropy)
@@ -80,20 +94,14 @@ def main() -> None:
     full = spark.read.parquet(full_path)
     v = to_double_array(F.col("embedding"))
 
-    def sig(half):
-        return F.aggregate(
-            half,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc * F.lit(2).cast("long")
-            + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-        )
-
-    # persisted-signature layout: computed ONCE at ingest (this is the
-    # write the store would fold into add_dataframe)
+    # persisted-signature layout: computed ONCE at ingest with the shared
+    # packing kernel (operators/binary.py — the SignatureIndex write)
     full.select(
         "vec_id",
-        sig(F.slice(v, 1, 32)).alias("sig_hi"),
-        sig(F.slice(v, 33, 32)).alias("sig_lo"),
+        *[
+            e.alias(f"sig_{h}")
+            for h, e in enumerate(sig_exprs(v, len(QUERY_VEC)))
+        ],
     ).write.mode("overwrite").parquet(sig_path)
     sigs = spark.read.parquet(sig_path)
 
@@ -115,10 +123,9 @@ def main() -> None:
 
     # (b) signature coarse scan + 50-row exact re-rank (the staged query)
     def hamming_staged():
-        ham = (
-            F.bit_count(F.col("sig_hi").bitwiseXOR(F.lit(QSIG_HI)))
-            + F.bit_count(F.col("sig_lo").bitwiseXOR(F.lit(QSIG_LO)))
-        ).cast("long")
+        ham = hamming_from_exprs(
+            [F.col("sig_0"), F.col("sig_1")], qsig
+        )
         cand = (
             sigs.select("vec_id", ham.alias("hamming"))
             .orderBy(F.col("hamming").asc(), "vec_id")
@@ -144,9 +151,6 @@ def main() -> None:
     print(f"coarse cosine scan (floats):        {t_cos:.2f} s")
     print(f"hamming scan + 50-row exact rerank: {t_ham:.2f} s")
     print(f"speedup: {t_cos/t_ham:.2f}x")
-
-    shutil.rmtree(root, ignore_errors=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

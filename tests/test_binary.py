@@ -123,3 +123,14 @@ def test_signature_scan_reads_only_signature_columns(spark, emb, tmp_path):
         "embedding" not in seg.split("ReadSchema")[-1].split("\n")[0]
         for seg in sig_scans
     ), plan
+
+
+def test_build_rejects_misaligned_vector_dims(spark, tmp_path):
+    """Data-side guard: packing a vector whose length != the declared
+    index dim must fail the build loudly (F.slice would otherwise
+    silently truncate into a garbage LSB-aligned signature)."""
+    df = spark.createDataFrame(
+        [(0, [1.0] * 40)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector dim != index dim 64"):
+        SignatureIndex.build(spark, str(tmp_path / "bad"), df, dim=64)

@@ -1629,3 +1629,44 @@ def test_ivm_identity_holds_with_dim_inserts_too(spark):
         for row in merge([partial(o, c)]).collect()
     }
     assert maintained == direct
+
+
+def test_temperature_mix_surfaces_fully_downsampled_lang(spark, tmp_path):
+    """A downsampled language whose every document loses the
+    fractional-remainder hash draw must still surface in the audit with
+    n_emitted=0 (explode_outer + count(col)) — matching the oracle's
+    GROUP BY, which never drops the group. Fixture: lang 'aa' has 4
+    docs, target 3 (full_copies=0, rem=3, keep-prob 75%) and all four
+    doc ids were chosen to fail the hash rule; lang 'bb' upsamples 1→2."""
+    import duckdb
+
+    from vector_lake_spark import queries as Q
+
+    # token_hash60(str(id)) % 10000 of 1/4/6/7 are all >= 7500 → with
+    # n_dom=4, rem=3 the keep rule h*4 < 10000*3 fails for every doc
+    rows = [(i, "x", "aa", "s", 1) for i in (1, 4, 6, 7)]
+    rows.append((0, "x", "bb", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        tuple(r)
+        for r in Q.q_pipe_temperature_mix(spark, str(tmp_path)).collect()
+    }
+    assert ("aa", 4, 3, 0) in out, out
+    assert ("bb", 1, 2, 2) in out, out
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        tuple(r)
+        for r in con.execute(
+            Q.ORACLES["pipe_temperature_mix"]
+        ).fetchall()
+    }
+    assert out == oracle

@@ -76,16 +76,35 @@ def pack_query_sig(query: Sequence[float]) -> list[int]:
     return out
 
 
-def hamming_expr(sig_cols: Sequence[str], qsig: Sequence[int]) -> Column:
-    """XOR + popcount across the halves — pure codegen integer ops."""
+def hamming_from_exprs(
+    halves: Sequence[Column], qsig: Sequence[int]
+) -> Column:
+    """XOR + popcount across packed halves — pure codegen integer ops.
+    Takes the half COLUMNS (stored or computed inline), so the registry
+    query, the bench script, and the index share one kernel."""
     terms = [
-        F.bit_count(F.col(c).bitwiseXOR(F.lit(int(q))))
-        for c, q in zip(sig_cols, qsig)
+        F.bit_count(h.bitwiseXOR(F.lit(int(q))))
+        for h, q in zip(halves, qsig)
     ]
     total = terms[0]
     for t in terms[1:]:
         total = total + t
     return total.cast("long")
+
+
+def hamming_expr(sig_cols: Sequence[str], qsig: Sequence[int]) -> Column:
+    return hamming_from_exprs([F.col(c) for c in sig_cols], qsig)
+
+
+def _write_sidecar(spark, location: str, meta: dict) -> None:
+    """The ONE sidecar serialization path (build and _write_meta both
+    route here — the IVF bootstrap-drift lesson, ann.py:502)."""
+    fs, p = _fs_path(spark, f"{location}/_sig_meta.json")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
 
 
 class SignatureIndex:
@@ -120,18 +139,16 @@ class SignatureIndex:
         self.n_rows = int(meta["n_rows"])
 
     def _write_meta(self) -> None:
-        meta = {
-            "dim": self.dim,
-            "vec_col": self.vec_col,
-            "id_col": self.id_col,
-            "n_rows": self.n_rows,
-        }
-        fs, p = _fs_path(self.spark, f"{self.location}/_sig_meta.json")
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(json.dumps(meta).encode()))
-        finally:
-            out.close()
+        _write_sidecar(
+            self.spark,
+            self.location,
+            {
+                "dim": self.dim,
+                "vec_col": self.vec_col,
+                "id_col": self.id_col,
+                "n_rows": self.n_rows,
+            },
+        )
 
     @property
     def sig_cols(self) -> list[str]:
@@ -140,12 +157,25 @@ class SignatureIndex:
     @classmethod
     def _signed(cls, df: DataFrame, dim: int, vec_col: str, id_col: str):
         v = to_double_array(F.col(vec_col))
+        halves = sig_exprs(v, dim)
+        # data-side dim guard (the query side already raises in topk):
+        # F.slice would silently truncate a misaligned vector into a
+        # garbage LSB-aligned signature — fail the job loudly instead
+        halves[0] = F.when(F.size(v) == dim, halves[0]).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"SignatureIndex: vector dim != index dim {dim} "
+                        "(got "
+                    ),
+                    F.size(v).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
         return df.select(
             id_col,
-            *[
-                e.alias(f"sig_{h}")
-                for h, e in enumerate(sig_exprs(v, dim))
-            ],
+            *[e.alias(f"sig_{h}") for h, e in enumerate(halves)],
         )
 
     @classmethod
@@ -158,22 +188,23 @@ class SignatureIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
     ) -> "SignatureIndex":
-        signed = cls._signed(df, dim, vec_col, id_col).localCheckpoint(
-            eager=True
-        )  # write + count must see the same rows
-        signed.write.mode("overwrite").parquet(f"{location}/data")
-        meta = {
-            "dim": dim,
-            "vec_col": vec_col,
-            "id_col": id_col,
-            "n_rows": signed.count(),
-        }
-        fs, p = _fs_path(spark, f"{location}/_sig_meta.json")
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(json.dumps(meta).encode()))
-        finally:
-            out.close()
+        cls._signed(df, dim, vec_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{location}/data")
+        # count what actually landed (metadata-only footer count of the
+        # freshly written files — the IVFIndex.build pattern; no need to
+        # pin the source plan when the count reads the output)
+        n_rows = spark.read.parquet(f"{location}/data").count()
+        _write_sidecar(
+            spark,
+            location,
+            {
+                "dim": dim,
+                "vec_col": vec_col,
+                "id_col": id_col,
+                "n_rows": n_rows,
+            },
+        )
         return cls(spark, location)
 
     def append(self, df: DataFrame) -> int:

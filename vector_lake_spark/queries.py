@@ -5805,20 +5805,16 @@ SQL_VEC_MAXSIM = _sql_vec_maxsim()
 # engines run over memory-mapped signatures.
 HAMMING_POOL = 50
 
+# the ONE packing implementation (operators/binary.py) — shared by this
+# inline query, the SignatureIndex artifact, and the bench script, so
+# the three can never desynchronize
+from vector_lake_spark.operators.binary import (  # noqa: E402
+    hamming_from_exprs,
+    pack_query_sig,
+    sig_exprs,
+)
 
-def _sign_bits(v) -> list[int]:
-    return [1 if x >= 0 else 0 for x in v]
-
-
-def _pack_bits(bits: list[int]) -> int:
-    acc = 0
-    for b in bits:
-        acc = acc * 2 + b
-    return acc
-
-
-QSIG_HI = _pack_bits(_sign_bits(QUERY_VEC[:32]))
-QSIG_LO = _pack_bits(_sign_bits(QUERY_VEC[32:]))
+QSIG_HI, QSIG_LO = pack_query_sig(QUERY_VEC)
 
 
 def q_vec_topk_hamming(spark, sf):
@@ -5842,21 +5838,7 @@ def q_vec_topk_hamming(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     v = to_double_array(F.col("embedding"))
-
-    def sig(half):
-        # MSB-first fold: bit i of the half = sign(v[i]); max 2^32-1,
-        # so the running acc*2+b never overflows a signed 64-bit long
-        return F.aggregate(
-            half,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc * F.lit(2).cast("long")
-            + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-        )
-
-    ham = (
-        F.bit_count(sig(F.slice(v, 1, 32)).bitwiseXOR(F.lit(QSIG_HI)))
-        + F.bit_count(sig(F.slice(v, 33, 32)).bitwiseXOR(F.lit(QSIG_LO)))
-    ).cast("long")
+    ham = hamming_from_exprs(sig_exprs(v, DIM), [QSIG_HI, QSIG_LO])
     cand = (
         emb.select("vec_id", v.alias("v"), ham.alias("hamming"))
         .orderBy(F.col("hamming").asc(), F.col("vec_id"))
@@ -6069,9 +6051,15 @@ def q_pipe_temperature_mix(spark, sf):
     )
     plan = (
         wts.crossJoin(F.broadcast(tot))
+        # the 2·N·wt product overflows BIGINT around 1e11 docs; DECIMAL(38)
+        # keeps the fixed-point arithmetic exact to ~1e28 (DuckDB mirrors
+        # with HUGEINT) — half-up integer division either way
         .withColumn(
             "target_n",
-            F.expr("(2*n_total*wt + wt_sum) div (2*wt_sum)").cast("long"),
+            F.expr(
+                "CAST((2*CAST(n_total AS DECIMAL(38,0))*wt + wt_sum)"
+                " div (2*wt_sum) AS BIGINT)"
+            ),
         )
         .withColumn(
             "full_copies", F.expr("target_n div n_dom").cast("long")
@@ -6089,6 +6077,9 @@ def q_pipe_temperature_mix(spark, sf):
         F.col("full_copies")
         + F.when(h * F.col("n_dom") < 10000 * F.col("rem"), 1).otherwise(0)
     ).cast("int")
+    # explode_outer + count(one): a fully-downsampled-away language must
+    # still surface with n_emitted=0 (the oracle's GROUP BY does) — a
+    # plain explode would silently drop it from the audit
     emitted = (
         d.select("doc_id", "lang")
         .join(F.broadcast(plan), "lang")
@@ -6096,11 +6087,11 @@ def q_pipe_temperature_mix(spark, sf):
             "lang",
             "n_dom",
             "target_n",
-            F.explode(F.array_repeat(F.lit(1), ncopies)).alias("one"),
+            F.explode_outer(F.array_repeat(F.lit(1), ncopies)).alias("one"),
         )
     )
     return emitted.groupBy("lang", "n_dom", "target_n").agg(
-        F.count(F.lit(1)).alias("n_emitted")
+        F.count("one").alias("n_emitted")
     )
 
 
@@ -6114,7 +6105,8 @@ t AS (SELECT CAST(sum(wt) AS BIGINT) AS wt_sum,
              CAST(sum(n_dom) AS BIGINT) AS n_total FROM w),
 p AS (
   SELECT lang, n_dom,
-         CAST((2*n_total*wt + wt_sum) // (2*wt_sum) AS BIGINT) AS target_n
+         CAST((2*CAST(n_total AS HUGEINT)*wt + wt_sum) // (2*wt_sum)
+              AS BIGINT) AS target_n
   FROM w CROSS JOIN t
 ),
 p2 AS (
