@@ -107,6 +107,7 @@ HEADLINE = [
     # r06 wave 3: binary-signature retrieval, rank fusion, data mixing
     "vec_topk_hamming",
     "vec_topk_hamming_stored",
+    "vec_topk_hamming_batch",
     "vec_topk_rrf",
     "pipe_token_budget",
     "pipe_temperature_mix",

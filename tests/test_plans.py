@@ -594,3 +594,24 @@ def test_temperature_mix_broadcasts_plan_explode_mapside(spark):
     assert "Generate" in plan and "explode(array_repeat" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_batch_partial_group_limit_sig_scan_only(spark):
+    """Batch signature retrieval: the rn<=pool window filter must plan a
+    partial WindowGroupLimit below the exchange (winners-only shuffle),
+    and the coarse Hamming stage's parquet scan must read only the
+    signature columns, never the float vectors."""
+    df = Q.q_vec_topk_hamming_batch(spark, SF)
+    plan = plan_string(df)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "CartesianProduct" not in plan
+    sig_scans = [
+        seg
+        for seg in plan.split("Scan parquet")
+        if "sig_0" in seg.split("ReadSchema")[-1].split("\n")[0]
+    ]
+    assert sig_scans, plan
+    assert all(
+        "embedding" not in seg.split("ReadSchema")[-1].split("\n")[0]
+        for seg in sig_scans
+    ), plan

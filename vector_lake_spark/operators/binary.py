@@ -26,7 +26,7 @@ from __future__ import annotations
 import json
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from vector_lake_spark.functions.vectors import (
     cosine_similarity,
@@ -105,6 +105,77 @@ def _write_sidecar(spark, location: str, meta: dict) -> None:
         out.write(bytearray(json.dumps(meta).encode()))
     finally:
         out.close()
+
+
+def hamming_topk_batch(
+    sig_df: DataFrame,
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    dim: int,
+    k: int,
+    pool: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per-query staged retrieval over a signature table: broadcast the
+    (tiny) query batch with its packed signatures, Hamming-rank every
+    (signature row × query) pair, keep ``pool`` per query via the
+    ``rn <= pool`` window filter — Catalyst's ``InferWindowGroupLimit``
+    plans a partial group limit below the exchange, exactly the
+    ``topk_cosine_batch`` shape, so the exchange carries
+    ≤ pool·|queries|·|partitions| rows, never the cross product — then
+    join the pools back to ``corpus`` for the exact cosine re-rank to
+    ``rn <= k``.  The corpus's float vectors are read for
+    pool·|queries| rows only; the full scan touches just the signature
+    columns."""
+    from vector_lake_spark.functions.vectors import dot, norm
+
+    halves = [f"sig_{h}" for h in range(n_halves(dim))]
+    qv = to_double_array(F.col(query_vec_col))
+    q = F.broadcast(
+        queries_df.select(
+            query_id_col,
+            qv.alias("__qv"),
+            *[
+                e.alias(f"__qsig_{h}")
+                for h, e in enumerate(sig_exprs(qv, dim))
+            ],
+        ).withColumn("__qnorm", norm(F.col("__qv")))
+    )
+    ham_terms = [
+        F.bit_count(F.col(c).bitwiseXOR(F.col(f"__qsig_{h}")))
+        for h, c in enumerate(halves)
+    ]
+    ham = ham_terms[0]
+    for t in ham_terms[1:]:
+        ham = ham + t
+    wpool = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming").asc(), F.col(id_col)
+    )
+    pooled = (
+        sig_df.crossJoin(q.select(query_id_col, *[f"__qsig_{h}" for h in range(len(halves))]))
+        .select(query_id_col, id_col, ham.cast("long").alias("hamming"))
+        .withColumn("prn", F.row_number().over(wpool))
+        .filter(F.col("prn") <= pool)
+        .drop("prn")
+    )
+    v = to_double_array(F.col(vec_col))
+    score = F.round(
+        F.try_divide(dot(v, F.col("__qv")), norm(v) * F.col("__qnorm")),
+        6,
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        pooled.join(corpus, id_col)
+        .join(q.select(query_id_col, "__qv", "__qnorm"), query_id_col)
+        .select(query_id_col, id_col, "hamming", score.alias("score"))
+        .withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
 
 
 class SignatureIndex:
@@ -265,4 +336,29 @@ class SignatureIndex:
             .select(self.id_col, "hamming", exact.alias("score"))
             .orderBy(F.col("score").desc(), F.col(self.id_col))
             .limit(k)
+        )
+
+    def topk_batch(
+        self,
+        corpus: DataFrame,
+        queries_df: DataFrame,
+        k: int,
+        pool: int = 50,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Batch twin of ``topk`` (the ``topk_cosine_batch`` shape):
+        per-query Hamming pools over ONE signature scan, winners-only
+        shuffle, exact re-rank of pool·|queries| corpus rows."""
+        return hamming_topk_batch(
+            self.load(),
+            corpus,
+            queries_df,
+            self.dim,
+            k,
+            pool=pool,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
         )

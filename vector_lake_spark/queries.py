@@ -4950,6 +4950,76 @@ def q_vec_topk_hamming_stored(spark, sf):
     )
 
 
+def q_vec_topk_hamming_batch(spark, sf):
+    # Batch staged retrieval from the persisted signature artifact: one
+    # signature-columns-only scan Hamming-ranks every (row × query)
+    # pair, the rn<=pool window filter keeps 50 candidates per query
+    # BEFORE the exchange (InferWindowGroupLimit — the
+    # topk_cosine_batch shape), and only pool·|queries| corpus rows are
+    # read at full precision for the exact re-rank.  Shares the stored
+    # index (and its cache) with vec_topk_hamming_stored; queries are
+    # the same 5 corpus rows vec_topk_batch uses.
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # reuse (or build) the cached stored index
+    q_vec_topk_hamming_stored(spark, sf)
+    idx = _SIG_REGISTRY_CACHE[(sf, id(spark))]
+    return idx.topk_batch(emb, queries, k=5, pool=HAMMING_POOL)
+
+
+def _sql_vec_topk_hamming_batch() -> str:
+    pack_hi = (
+        "CAST(list_sum(list_transform(range(1,33), i -> CASE WHEN ({v})[i]"
+        " >= 0 THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT)"
+    )
+    pack_lo = (
+        "CAST(list_sum(list_transform(range(1,33), i -> CASE WHEN"
+        " ({v})[i+32] >= 0 THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END))"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, {EMB} AS v,
+         {pack_hi.format(v=EMB)} AS hi,
+         {pack_lo.format(v=EMB)} AS lo
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, hi AS qhi, lo AS qlo
+  FROM s WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.query_id, s.vec_id,
+         CAST(bit_count(xor(s.hi, q.qhi)) + bit_count(xor(s.lo, q.qlo))
+              AS BIGINT) AS hamming
+  FROM s CROSS JOIN q
+),
+pooled AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id) AS prn
+  FROM pairs
+),
+exact AS (
+  SELECT p.query_id, p.vec_id, p.hamming,
+         round(list_cosine_similarity(s.v, q.qv), 6) AS score
+  FROM pooled p JOIN s ON p.vec_id = s.vec_id
+                JOIN q ON p.query_id = q.query_id
+  WHERE p.prn <= {HAMMING_POOL}
+)
+SELECT query_id, vec_id, hamming, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS BIGINT) AS rn
+FROM exact
+QUALIFY rn <= 5
+"""
+# (the SQL constant is materialized after HAMMING_POOL is defined —
+# see the wave-3 section below)
+
+
 def q_win_distribution(spark, sf):
     cust = _t(spark, sf, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -5816,6 +5886,8 @@ from vector_lake_spark.operators.binary import (  # noqa: E402
 
 QSIG_HI, QSIG_LO = pack_query_sig(QUERY_VEC)
 
+SQL_VEC_TOPK_HAMMING_BATCH = _sql_vec_topk_hamming_batch()
+
 
 def q_vec_topk_hamming(spark, sf):
     """Binary-quantized retrieval: sign-bit signatures (64 dims → two
@@ -6280,6 +6352,7 @@ _BASE_QUERIES = {
     "vec_maxsim_topk": q_vec_maxsim_topk,
     "vec_topk_hamming": q_vec_topk_hamming,
     "vec_topk_hamming_stored": q_vec_topk_hamming_stored,
+    "vec_topk_hamming_batch": q_vec_topk_hamming_batch,
     "vec_topk_rrf": q_vec_topk_rrf,
     "pipe_token_budget": q_pipe_token_budget,
     "pipe_temperature_mix": q_pipe_temperature_mix,
@@ -6482,6 +6555,7 @@ ORACLES = {
     "vec_maxsim_topk": SQL_VEC_MAXSIM,
     "vec_topk_hamming": SQL_VEC_TOPK_HAMMING,
     "vec_topk_hamming_stored": SQL_VEC_TOPK_HAMMING,
+    "vec_topk_hamming_batch": SQL_VEC_TOPK_HAMMING_BATCH,
     "vec_topk_rrf": SQL_VEC_TOPK_RRF,
     "pipe_token_budget": SQL_PIPE_TOKEN_BUDGET,
     "pipe_temperature_mix": SQL_PIPE_TEMPERATURE_MIX,
