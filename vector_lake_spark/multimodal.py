@@ -15,11 +15,16 @@ pass through Python row-at-a-time serde. Decode status (r06):
   the Arrow boundary.
 - REAL, numpy-only: baseline JPEG (``jpeg.py`` — Huffman + dequant +
   IDCT + YCbCr, with a matching encoder so exactness is provable;
-  ``extract_jpeg_features``).
-- Remaining gates are named format subsets (progressive JPEG,
-  16-bit PNG) and video codecs — ``_decode_image`` raises with the
-  feature named, and the deterministic byte-fold stand-in keeps the
-  e2e pipeline testable for payloads outside the decoded set.
+  ``extract_jpeg_features``) and **video**: MJPEG-in-AVI (``avi.py`` —
+  stdlib RIFF container walk + frames through the native JPEG codec,
+  with a matching writer; ``extract_video_frames`` probes the
+  container, samples the timeline, and decodes ONLY the sampled
+  frames).
+- Remaining gates are named format subsets (progressive JPEG, 16-bit
+  PNG, MP4/Matroska containers, interframe video codecs) —
+  ``_decode_image`` / ``avi.probe_avi`` raise with the feature named,
+  and the deterministic byte-fold stand-in keeps the e2e pipeline
+  testable for payloads outside the decoded set.
 
 At 100 TB: binary payloads dominate row size, so every transform projects
 only the columns it needs (column pruning keeps untouched media out of the
@@ -308,6 +313,70 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             "frame_no",
             (F.col("frame_no") * every_ms).alias("offset_ms"),
         )
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), False),
+        T.StructField("offset_ms", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video decode over Arrow batches (r06): MJPEG-in-AVI payloads
+    are probed (header walk, no frame decode), the timeline is sampled
+    every ``every_ms``, and ONLY the sampled frames decode through the
+    native JPEG codec — per sampled frame: (frame_no, offset_ms, dims,
+    channel means).
+
+    The 100 TB shape: frame independence (MJPEG) means a sampled frame
+    never touches its neighbors, so sampling cost is
+    frames_sampled × decode, not duration × decode; the probe slices
+    frame chunks by (offset, length) so unsampled frames are never even
+    copied out of the payload buffer. Other containers / interframe
+    codecs raise by name (``avi.probe_avi``)."""
+    from vector_lake_spark.avi import decode_avi_frames, probe_avi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                info = probe_avi(data)
+                fps = info.get("fps") or 1.0
+                stride = max(int(round(every_ms * fps / 1000.0)), 1)
+                wanted = list(range(0, info["n_frames"], stride))
+                _, frames = decode_avi_frames(data, wanted)
+                for fno, px in frames:
+                    px3 = px if px.ndim == 3 else px[:, :, None].repeat(3, 2)
+                    means = px3.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_no": fno,
+                            "offset_ms": int(fno * 1000 / fps),
+                            "width": int(px.shape[1]),
+                            "height": int(px.shape[0]),
+                            "mean_r": round(float(means[0]), 4),
+                            "mean_g": round(float(means[1]), 4),
+                            "mean_b": round(float(means[2]), 4),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
     )
 
 
