@@ -94,3 +94,71 @@ def test_extract_video_frames_arrow_end_to_end(spark, avi_payload):
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == tuple(
             float(c) for c in rgb
         )
+
+
+def test_truncated_payload_raises_named_container_error(avi_payload):
+    with pytest.raises(ValueError, match="truncated AVI"):
+        probe_avi(avi_payload[:-10])
+
+
+def test_headerless_avi_refuses_blind_decode():
+    """An AVI with frame chunks but no 'vids' strh must refuse — the
+    codec cannot be validated, so frames never reach the JPEG decoder
+    blind."""
+    from vector_lake_spark.avi import _chunk, _list
+
+    jpeg = encode_jpeg(_const_frame(1, 2, 3), quality=100)
+    payload = _chunk(
+        b"RIFF", b"AVI " + _list(b"movi", _chunk(b"00dc", jpeg))
+    )
+    with pytest.raises(NotImplementedError, match="vids"):
+        probe_avi(payload)
+
+
+def test_second_stream_chunks_never_reach_frame_table(avi_payload):
+    """A second stream's '01dc' chunks (another codec) must not
+    interleave into the validated MJPG stream's frame numbering."""
+    import struct as _struct
+
+    from vector_lake_spark.avi import _chunk
+
+    # splice a 01dc garbage chunk into the movi list
+    movi_pos = avi_payload.find(b"movi")
+    insert_at = movi_pos + 4
+    extra = _chunk(b"01dc", b"\x00" * 10)
+    patched = bytearray(
+        avi_payload[:insert_at] + extra + avi_payload[insert_at:]
+    )
+    # grow the RIFF and movi LIST sizes to stay consistent
+    (riff_sz,) = _struct.unpack_from("<I", patched, 4)
+    _struct.pack_into("<I", patched, 4, riff_sz + len(extra))
+    (movi_sz,) = _struct.unpack_from("<I", patched, movi_pos - 8 + 4)
+    _struct.pack_into(
+        "<I", patched, movi_pos - 8 + 4, movi_sz + len(extra)
+    )
+    info = probe_avi(bytes(patched))
+    assert info["n_frames"] == len(FRAMES_RGB)
+    _, frames = decode_avi_frames(bytes(patched))
+    for (fno, px), rgb in zip(frames, FRAMES_RGB):
+        assert np.array_equal(px, _const_frame(*rgb)), fno
+
+
+def test_zero_rate_avi_raises_in_operator(spark, avi_payload):
+    """dwRate=0 + dwMicroSecPerFrame=0: the operator must refuse to
+    fabricate timestamps from an invented rate."""
+    import struct as _struct
+
+    from vector_lake_spark.multimodal import extract_video_frames
+
+    patched = bytearray(avi_payload)
+    strh = patched.find(b"vids")
+    # dwScale/dwRate sit 20 bytes into the strh body
+    _struct.pack_into("<II", patched, strh + 20, 0, 0)
+    avih = patched.find(b"avih") + 8
+    _struct.pack_into("<I", patched, avih, 0)  # dwMicroSecPerFrame = 0
+    df = spark.createDataFrame(
+        [(1, "video", bytes(patched))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="usable frame rate"):
+        extract_video_frames(df, every_ms=1000).collect()

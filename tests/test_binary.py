@@ -134,3 +134,14 @@ def test_build_rejects_misaligned_vector_dims(spark, tmp_path):
     )
     with pytest.raises(Exception, match="vector dim != index dim 64"):
         SignatureIndex.build(spark, str(tmp_path / "bad"), df, dim=64)
+
+
+def test_batch_query_dim_mismatch_raises(spark, emb, tmp_path):
+    """The batch path mirrors topk's loud dim guard: a misaligned query
+    vector must fail, not slice into a garbage signature."""
+    idx = SignatureIndex.build(spark, str(tmp_path / "sig"), emb, dim=64)
+    bad = spark.createDataFrame(
+        [(0, [0.5] * 16)], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(Exception, match="query dim != index dim 64"):
+        idx.topk_batch(emb, bad, k=5).collect()

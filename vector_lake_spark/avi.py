@@ -61,7 +61,8 @@ def encode_avi_mjpeg(frames: list[bytes], fps: int, width: int, height: int) -> 
         usec_per_frame,  # dwMicroSecPerFrame
         max_bytes * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # dwFlags (AVIF_HASINDEX off; 0x10 = WASCAPTUREFILE-ish benign)
+        0,  # dwFlags — no AVIF_HASINDEX (0x10): we write no idx1 chunk,
+        #     so advertising one would break index-trusting readers
         len(frames),  # dwTotalFrames
         0,  # dwInitialFrames
         1,  # dwStreams
@@ -109,11 +110,19 @@ def encode_avi_mjpeg(frames: list[bytes], fps: int, width: int, height: int) -> 
 
 
 def _walk(payload: bytes, pos: int, end: int):
-    """Yield (fourcc, body_start, body_len) for chunks in [pos, end)."""
+    """Yield (fourcc, body_start, body_len) for chunks in [pos, end).
+    A declared size past the buffer end raises — a truncated payload
+    (partial upload, corrupt object) must fail with a NAMED container
+    error at probe time, not a cryptic codec error mid-decode."""
     while pos + 8 <= end:
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"truncated AVI: chunk {fourcc!r} declares {size} bytes "
+                f"but only {end - body} remain"
+            )
         yield fourcc, body, size
         pos = body + size + (size % 2)  # chunks pad to even
 
@@ -125,11 +134,14 @@ def probe_avi(payload: bytes) -> dict:
     are sliced only for the frames a sampler actually selects."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload (RIFF/'AVI ' header missing)")
-    info: dict = {"frames": []}
+    info: dict = {}
+    chunks: list[tuple[bytes, int, int]] = []
     handler = None
+    vids_stream = None
+    stream_no = 0  # strh chunks appear in stream order
 
     def walk_list(pos: int, end: int) -> None:
-        nonlocal handler
+        nonlocal handler, vids_stream, stream_no
         for fourcc, body, size in _walk(payload, pos, end):
             if fourcc == b"LIST":
                 walk_list(body + 4, body + size)
@@ -153,22 +165,40 @@ def probe_avi(payload: bytes) -> dict:
                     height=h,
                 )
             elif fourcc == b"strh" and size >= 48:
-                if payload[body : body + 4] == b"vids":
+                if (
+                    payload[body : body + 4] == b"vids"
+                    and vids_stream is None
+                ):
                     handler = payload[body + 4 : body + 8]
+                    vids_stream = stream_no
                     scale, rate = struct.unpack_from(
                         "<II", payload, body + 20
                     )
-                    if scale:
+                    if scale and rate:
                         info["fps"] = rate / scale
+                stream_no += 1
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
-                info["frames"].append((body, size))
+                chunks.append((fourcc, body, size))
 
     walk_list(12, len(payload))
-    if handler is not None and handler not in (b"MJPG", b"mjpg"):
+    if vids_stream is None:
+        raise NotImplementedError(
+            "AVI without a 'vids' stream header — cannot validate the "
+            "video codec, refusing to decode frames blind"
+        )
+    if handler not in (b"MJPG", b"mjpg"):
         raise NotImplementedError(
             f"AVI video handler {handler!r} not supported (MJPG only — "
             "interframe codecs need their GOP; out of scope by design)"
         )
+    # frame table pinned to the VALIDATED video stream only: a second
+    # stream's 'NNdc' chunks (audio-in-dc, a second codec) must never
+    # interleave into the frame numbering or reach the JPEG decoder
+    prefix = b"%02d" % vids_stream
+    info["frames"] = [
+        (body, size) for fourcc, body, size in chunks
+        if fourcc[:2] == prefix
+    ]
     if "fps" not in info and info.get("usec_per_frame"):
         info["fps"] = 1_000_000 / info["usec_per_frame"]
     info["n_frames"] = len(info["frames"])

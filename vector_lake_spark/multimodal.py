@@ -351,7 +351,15 @@ def extract_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
                 info = probe_avi(data)
-                fps = info.get("fps") or 1.0
+                fps = info.get("fps")
+                if not fps:
+                    # never fabricate timestamps from an invented rate —
+                    # the module contract is raise-by-name
+                    raise ValueError(
+                        "AVI without a usable frame rate (dwRate/dwScale "
+                        "and dwMicroSecPerFrame all zero) — cannot "
+                        "compute sample offsets"
+                    )
                 stride = max(int(round(every_ms * fps / 1000.0)), 1)
                 wanted = list(range(0, info["n_frames"], stride))
                 _, frames = decode_avi_frames(data, wanted)

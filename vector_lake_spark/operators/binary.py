@@ -77,13 +77,17 @@ def pack_query_sig(query: Sequence[float]) -> list[int]:
 
 
 def hamming_from_exprs(
-    halves: Sequence[Column], qsig: Sequence[int]
+    halves: Sequence[Column], qsig: Sequence
 ) -> Column:
     """XOR + popcount across packed halves — pure codegen integer ops.
-    Takes the half COLUMNS (stored or computed inline), so the registry
-    query, the bench script, and the index share one kernel."""
+    ``qsig`` elements may be ints (a literal query signature) or
+    Columns (a per-row query signature, the batch path), so the
+    registry queries, the bench script, and both index entry points
+    share this ONE kernel."""
     terms = [
-        F.bit_count(h.bitwiseXOR(F.lit(int(q))))
+        F.bit_count(
+            h.bitwiseXOR(q if isinstance(q, Column) else F.lit(int(q)))
+        )
         for h, q in zip(halves, qsig)
     ]
     total = terms[0]
@@ -134,23 +138,33 @@ def hamming_topk_batch(
 
     halves = [f"sig_{h}" for h in range(n_halves(dim))]
     qv = to_double_array(F.col(query_vec_col))
+    qsig_halves = sig_exprs(qv, dim)
+    # query-side dim guard (mirrors _signed's data-side guard and
+    # topk's ValueError): a misaligned query vector must fail loudly,
+    # not slice into a garbage-but-valid signature
+    qsig_halves[0] = F.when(F.size(qv) == dim, qsig_halves[0]).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"topk_batch: query dim != index dim {dim} (got "),
+                F.size(qv).cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
     q = F.broadcast(
         queries_df.select(
             query_id_col,
             qv.alias("__qv"),
             *[
                 e.alias(f"__qsig_{h}")
-                for h, e in enumerate(sig_exprs(qv, dim))
+                for h, e in enumerate(qsig_halves)
             ],
         ).withColumn("__qnorm", norm(F.col("__qv")))
     )
-    ham_terms = [
-        F.bit_count(F.col(c).bitwiseXOR(F.col(f"__qsig_{h}")))
-        for h, c in enumerate(halves)
-    ]
-    ham = ham_terms[0]
-    for t in ham_terms[1:]:
-        ham = ham + t
+    ham = hamming_from_exprs(
+        [F.col(c) for c in halves],
+        [F.col(f"__qsig_{h}") for h in range(len(halves))],
+    )
     wpool = Window.partitionBy(query_id_col).orderBy(
         F.col("hamming").asc(), F.col(id_col)
     )

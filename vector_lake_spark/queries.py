@@ -4970,21 +4970,25 @@ def q_vec_topk_hamming_batch(spark, sf):
     return idx.topk_batch(emb, queries, k=5, pool=HAMMING_POOL)
 
 
+def _sql_pack_half(v: str, offset: int) -> str:
+    """The ONE DuckDB mirror of the MSB-first sign-bit packing fold
+    (``operators/binary.sig_half_expr``) — shared by the single-query
+    and batch hamming oracles so the SQL side can't desynchronize
+    either (the same discipline as the Spark-side shared kernel)."""
+    idx = "i" if offset == 0 else f"i+{offset}"
+    return (
+        f"CAST(list_sum(list_transform(range(1,33), i -> CASE WHEN "
+        f"({v})[{idx}] >= 0 THEN CAST(1 AS BIGINT) << (32 - i) "
+        f"ELSE 0 END)) AS BIGINT)"
+    )
+
+
 def _sql_vec_topk_hamming_batch() -> str:
-    pack_hi = (
-        "CAST(list_sum(list_transform(range(1,33), i -> CASE WHEN ({v})[i]"
-        " >= 0 THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT)"
-    )
-    pack_lo = (
-        "CAST(list_sum(list_transform(range(1,33), i -> CASE WHEN"
-        " ({v})[i+32] >= 0 THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END))"
-        " AS BIGINT)"
-    )
     return f"""
 WITH s AS (
   SELECT vec_id, {EMB} AS v,
-         {pack_hi.format(v=EMB)} AS hi,
-         {pack_lo.format(v=EMB)} AS lo
+         {_sql_pack_half(EMB, 0)} AS hi,
+         {_sql_pack_half(EMB, 32)} AS lo
   FROM embeddings
 ),
 q AS (
@@ -5927,12 +5931,8 @@ def q_vec_topk_hamming(spark, sf):
 SQL_VEC_TOPK_HAMMING = f"""
 WITH s AS (
   SELECT vec_id, {EMB} AS v,
-    CAST(list_sum(list_transform(range(1,33),
-        i -> CASE WHEN ({EMB})[i] >= 0
-             THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT) AS hi,
-    CAST(list_sum(list_transform(range(1,33),
-        i -> CASE WHEN ({EMB})[i+32] >= 0
-             THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END)) AS BIGINT) AS lo
+    {_sql_pack_half(EMB, 0)} AS hi,
+    {_sql_pack_half(EMB, 32)} AS lo
   FROM embeddings
 ),
 c AS (
