@@ -5946,6 +5946,76 @@ FROM c ORDER BY score DESC, vec_id LIMIT {K}
 """
 
 
+def q_vec_hamming_recall(spark, sf):
+    """Retrieval-quality audit as a first-class query: recall@k of the
+    binary-signature candidate pool against exact cosine top-k, for the
+    registry's pinned query vector.  'Measure, don't guess' made an
+    operator — the same join a production retrieval stack runs
+    continuously to catch signature/index drift, and because both legs
+    are deterministic the recall number itself is hash-checked against
+    the oracle.  Cost: two bounded-heap scans + a k-row join; at 100 TB
+    the audit runs on a sampled query set at the same per-query cost as
+    the queries it audits."""
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        lit_vector,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    ham = hamming_from_exprs(sig_exprs(v, DIM), [QSIG_HI, QSIG_LO])
+    pool = (
+        emb.select("vec_id", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id"))
+        .limit(HAMMING_POOL)
+        .select("vec_id")
+    )
+    exact_score = F.round(cosine_similarity(v, lit_vector(QUERY_VEC)), 6)
+    exact = (
+        emb.select("vec_id", exact_score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(K)
+        .select("vec_id")
+    )
+    hit = exact.join(pool, "vec_id", "left_semi")
+    n_hits = hit.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_hits.select(
+        F.lit(K).cast("long").alias("k"),
+        F.lit(HAMMING_POOL).cast("long").alias("pool"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / F.lit(K), 6).alias("recall_at_k"),
+    )
+
+
+SQL_VEC_HAMMING_RECALL = f"""
+WITH s AS (
+  SELECT vec_id, {EMB} AS v,
+    {_sql_pack_half(EMB, 0)} AS hi,
+    {_sql_pack_half(EMB, 32)} AS lo
+  FROM embeddings
+),
+pool AS (
+  SELECT vec_id,
+         CAST(bit_count(xor(hi, {QSIG_HI})) + bit_count(xor(lo, {QSIG_LO}))
+              AS BIGINT) AS hamming
+  FROM s ORDER BY hamming ASC, vec_id LIMIT {HAMMING_POOL}
+),
+exact AS (
+  SELECT vec_id, round(list_cosine_similarity(v, {QV}), 6) AS score
+  FROM s ORDER BY score DESC, vec_id LIMIT {K}
+),
+h AS (
+  SELECT count(*) AS n_hits FROM exact
+  WHERE vec_id IN (SELECT vec_id FROM pool)
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       CAST({HAMMING_POOL} AS BIGINT) AS pool,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits / {K}.0, 6) AS recall_at_k
+FROM h
+"""
+
+
 RRF_TERM = "vector"
 RRF_K_CONST = 60  # the standard RRF damping constant
 RRF_POOL = 100  # ranks are computed over each retriever's top pool only
@@ -6353,6 +6423,7 @@ _BASE_QUERIES = {
     "vec_topk_hamming": q_vec_topk_hamming,
     "vec_topk_hamming_stored": q_vec_topk_hamming_stored,
     "vec_topk_hamming_batch": q_vec_topk_hamming_batch,
+    "vec_hamming_recall": q_vec_hamming_recall,
     "vec_topk_rrf": q_vec_topk_rrf,
     "pipe_token_budget": q_pipe_token_budget,
     "pipe_temperature_mix": q_pipe_temperature_mix,
@@ -6556,6 +6627,7 @@ ORACLES = {
     "vec_topk_hamming": SQL_VEC_TOPK_HAMMING,
     "vec_topk_hamming_stored": SQL_VEC_TOPK_HAMMING,
     "vec_topk_hamming_batch": SQL_VEC_TOPK_HAMMING_BATCH,
+    "vec_hamming_recall": SQL_VEC_HAMMING_RECALL,
     "vec_topk_rrf": SQL_VEC_TOPK_RRF,
     "pipe_token_budget": SQL_PIPE_TOKEN_BUDGET,
     "pipe_temperature_mix": SQL_PIPE_TEMPERATURE_MIX,
