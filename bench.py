@@ -109,6 +109,7 @@ HEADLINE = [
     "vec_topk_hamming_stored",
     "vec_topk_hamming_batch",
     "vec_hamming_recall",
+    "ann_ivf_recall",
     "vec_topk_rrf",
     "pipe_token_budget",
     "pipe_temperature_mix",

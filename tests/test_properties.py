@@ -269,3 +269,85 @@ def test_morton_monotone_along_axes(x, y):
     assert _interleave(x, y + 1) > _interleave(x, y)
     if x < 65535:
         assert _interleave(x + 1, y) > _interleave(x, y)
+
+
+# --- wave-3 kernels: sign-bit packing + temperature-mix arithmetic -------
+
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        min_size=1,
+        max_size=96,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_query_sig_bounds_and_halves(vec):
+    from vector_lake_spark.operators.binary import (
+        BITS_PER_HALF,
+        n_halves,
+        pack_query_sig,
+    )
+
+    sig = pack_query_sig(vec)
+    assert len(sig) == n_halves(len(vec))
+    for h, s in enumerate(sig):
+        width = min(BITS_PER_HALF, len(vec) - h * BITS_PER_HALF)
+        assert 0 <= s < (1 << width)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_pack_query_sig_bit_semantics(vec):
+    """Bit i of half h is exactly sign(vec[h*32+i]) >= 0, MSB-first —
+    the contract the Spark fold, the SQL template, and the index all
+    share."""
+    from vector_lake_spark.operators.binary import pack_query_sig
+
+    sig = pack_query_sig(vec)
+    for i, x in enumerate(vec):
+        h, pos = divmod(i, 32)
+        width = min(32, len(vec) - h * 32)
+        bit = (sig[h] >> (width - 1 - pos)) & 1
+        assert bit == (1 if x >= 0 else 0), (i, x)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=30)
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_targets_sum_close_and_flatten(counts):
+    """The fixed-point integer targets must (a) sum to ~N (±1 per
+    domain from half-up rounding), (b) never silence a domain
+    (target >= 1), (c) never downsample a below-arithmetic-mean domain
+    (T_i/n_i = sqrt(n̄_q/n_i) where n̄_q is the quadratic-mean
+    threshold ≥ the arithmetic mean, so count < mean ⟹ upsample), and
+    (d) flatten MONOTONICALLY: the repeat factor t_i/n_i never
+    increases with domain size (the α=0.5 contract — what 'low-resource
+    upsampling' actually promises)."""
+    import math
+
+    wts = [math.floor(math.sqrt(n * 1_000_000)) for n in counts]
+    wt_sum, n_total = sum(wts), sum(counts)
+    targets = [
+        (2 * n_total * w + wt_sum) // (2 * wt_sum) for w in wts
+    ]
+    assert all(t >= 1 for t in targets)
+    assert abs(sum(targets) - n_total) <= len(counts)
+    mean = n_total / len(counts)
+    for n, t in zip(counts, targets):
+        if n < mean:
+            assert t >= n - 1, (n, t)
+    # monotone flattening, with ±1 integer-rounding slack on each side
+    for (n_i, t_i) in zip(counts, targets):
+        for (n_j, t_j) in zip(counts, targets):
+            if n_i < n_j:
+                assert (t_i + 1) * n_j >= (t_j - 1) * n_i, (
+                    (n_i, t_i),
+                    (n_j, t_j),
+                )

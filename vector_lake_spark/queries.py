@@ -1268,6 +1268,82 @@ LIMIT {K}
 SQL_ANN_IVF = _sql_ann_ivf()
 
 
+def q_ann_ivf_recall(spark, sf):
+    """In-engine IVF recall audit — the `vec_hamming_recall` pattern
+    applied to the partition-pruned family: recall@k of the nprobe=4
+    probe set vs exact cosine top-k over the full corpus, as one
+    hash-checked query.  Together the two audits make 'measure, don't
+    guess' a first-class operator across both approximate-retrieval
+    families (signature pools and centroid pruning); at 100 TB this
+    runs over a sampled query log on a schedule, and a falling recall
+    number is the codebook-refit signal (`IVFIndex.drift` sees the
+    population imbalance; this sees the QUALITY effect)."""
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        lit_vector,
+    )
+    from vector_lake_spark.operators.ann import (
+        assign_centroid_expr,
+        nearest_centroids,
+    )
+    from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    score = F.round(cosine_similarity(v, lit_vector(QUERY_VEC)), 6)
+    exact = (
+        emb.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(K)
+    )
+    probes = [
+        int(i) for i in nearest_centroids(QUERY_VEC, IVF_CENTROIDS, 4)
+    ]
+    probed = emb.withColumn(
+        "centroid_id", assign_centroid_expr(v, IVF_CENTROIDS)
+    ).filter(F.col("centroid_id").isin(probes))
+    hit = exact.join(probed.select("vec_id"), "vec_id", "left_semi")
+    return hit.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(K).cast("long").alias("k"),
+        F.lit(4).cast("long").alias("nprobe"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / F.lit(K), 6).alias("recall_at_k"),
+    )
+
+
+def _sql_ann_ivf_recall() -> str:
+    from vector_lake_spark.operators.ann import (
+        ivf_assign_sql,
+        nearest_centroids,
+    )
+    from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    probes = ", ".join(
+        str(i) for i in nearest_centroids(QUERY_VEC, IVF_CENTROIDS, nprobe=4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {EMB} AS v FROM embeddings),
+exact AS (
+  SELECT vec_id, round(list_cosine_similarity(v, {QV}), 6) AS score
+  FROM e ORDER BY score DESC, vec_id LIMIT {K}
+),
+a AS (SELECT vec_id, {ivf_assign_sql('v', IVF_CENTROIDS)} AS centroid_id
+      FROM e),
+h AS (
+  SELECT count(*) AS n_hits FROM exact
+  WHERE vec_id IN (SELECT vec_id FROM a WHERE centroid_id IN ({probes}))
+)
+SELECT CAST({K} AS BIGINT) AS k,
+       CAST(4 AS BIGINT) AS nprobe,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits / {K}.0, 6) AS recall_at_k
+FROM h
+"""
+
+
+SQL_ANN_IVF_RECALL = _sql_ann_ivf_recall()
+
+
 IVF_QUANT_NPROBE = 4
 IVF_QUANT_CAND = 40  # quantized candidate pool = 4×K before exact re-rank
 
@@ -6424,6 +6500,7 @@ _BASE_QUERIES = {
     "vec_topk_hamming_stored": q_vec_topk_hamming_stored,
     "vec_topk_hamming_batch": q_vec_topk_hamming_batch,
     "vec_hamming_recall": q_vec_hamming_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "vec_topk_rrf": q_vec_topk_rrf,
     "pipe_token_budget": q_pipe_token_budget,
     "pipe_temperature_mix": q_pipe_temperature_mix,
@@ -6628,6 +6705,7 @@ ORACLES = {
     "vec_topk_hamming_stored": SQL_VEC_TOPK_HAMMING,
     "vec_topk_hamming_batch": SQL_VEC_TOPK_HAMMING_BATCH,
     "vec_hamming_recall": SQL_VEC_HAMMING_RECALL,
+    "ann_ivf_recall": SQL_ANN_IVF_RECALL,
     "vec_topk_rrf": SQL_VEC_TOPK_RRF,
     "pipe_token_budget": SQL_PIPE_TOKEN_BUDGET,
     "pipe_temperature_mix": SQL_PIPE_TEMPERATURE_MIX,
