@@ -110,6 +110,7 @@ HEADLINE = [
     "vec_topk_hamming_batch",
     "vec_hamming_recall",
     "ann_ivf_recall",
+    "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",
     "pipe_temperature_mix",

@@ -1670,3 +1670,42 @@ def test_temperature_mix_surfaces_fully_downsampled_lang(spark, tmp_path):
         ).fetchall()
     }
     assert out == oracle
+
+
+def test_dq_constraint_report_semantics(spark):
+    """Operator-level contract: metrics, thresholds, and pass/fail on a
+    table with known defects (nulls, dup key, out-of-range, dangling
+    ref)."""
+    from vector_lake_spark.operators.dq import (
+        completeness,
+        constraint_report,
+        satisfies,
+        subset_of,
+        uniqueness,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, 10.0, "x"),
+        (1, 2, 20.0, None),   # null name
+        (1, 2, 30.0, "y"),    # duplicate (k1,k2)
+        (2, 1, 999.0, "z"),   # out of range; k=2 missing from dim
+    ]
+    df = spark.createDataFrame(rows, "k1 int, k2 int, v double, name string")
+    dim = spark.createDataFrame([(1,)], "d int")
+    rep = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in constraint_report(
+            df,
+            [
+                completeness("name", threshold=0.9),
+                uniqueness(["k1", "k2"]),
+                satisfies("v_range", F.col("v") <= 100.0, threshold=0.5),
+                subset_of("k1", dim, "d"),
+            ],
+        ).collect()
+    }
+    assert rep["completeness(name)"] == (0.75, False)
+    assert rep["uniqueness(k1,k2)"] == (0.75, False)
+    assert rep["satisfies(v_range)"] == (0.75, True)  # 0.75 >= 0.5
+    assert rep["subset_of(k1)"] == (0.75, False)

@@ -615,3 +615,13 @@ def test_hamming_batch_partial_group_limit_sig_scan_only(spark):
         "embedding" not in seg.split("ReadSchema")[-1].split("\n")[0]
         for seg in sig_scans
     ), plan
+
+
+def test_dq_report_semi_joins_no_cartesian_fact_product(spark):
+    """The DQ suite: all aggregate metrics ride one reduce; referential
+    legs plan as LeftSemi key joins; the only cross joins are broadcasts
+    of single-row totals — never a fact×fact product."""
+    df = Q.q_dq_lineitem_report(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan

@@ -6092,6 +6092,94 @@ FROM h
 """
 
 
+def q_dq_lineitem_report(spark, sf):
+    """Declarative data-quality suite (the Deequ / Great-Expectations
+    staple) as one oracle-checked query: eight constraints over
+    lineitem — completeness, exact key uniqueness, three domain/range
+    checks, a deliberately-failing distribution check (so ``passed``
+    exercises both branches), and two referential-integrity legs —
+    compiled by ``operators/dq.constraint_report`` into ONE aggregate
+    scan plus two key-only anti-join legs.  At 100 TB the whole suite
+    is a single pass over the fact table; the uniqueness metric is an
+    exact two-phase count_distinct, not a sketch, because a uniqueness
+    CLAIM should not rest on an estimate."""
+    from vector_lake_spark.operators.dq import (
+        completeness,
+        constraint_report,
+        satisfies,
+        subset_of,
+        uniqueness,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    part = _t(spark, sf, "part")
+    q = F.col("l_quantity")
+    rep = constraint_report(
+        li,
+        [
+            completeness("l_shipdate"),
+            uniqueness(["l_orderkey", "l_linenumber"]),
+            satisfies("quantity_range", (q >= 1) & (q <= 50)),
+            satisfies(
+                "discount_range",
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1),
+            ),
+            satisfies(
+                "returnflag_domain",
+                F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+            # deliberately failing: exercises passed=false in the report
+            satisfies("quantity_le_40", q <= 40),
+            subset_of("l_orderkey", orders, "o_orderkey"),
+            subset_of("l_partkey", part, "p_partkey"),
+        ],
+    )
+    return rep
+
+
+SQL_DQ_LINEITEM_REPORT = """
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM lineitem),
+m AS (
+  SELECT
+    round(count(l_shipdate) / greatest(total, 1), 6) AS completeness_ship,
+    round((SELECT CAST(count(*) AS DOUBLE) FROM
+             (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+          / greatest(total, 1), 6) AS uniq_key,
+    round(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+              THEN 1 ELSE 0 END) / greatest(total, 1), 6) AS qty_range,
+    round(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+              THEN 1 ELSE 0 END) / greatest(total, 1), 6) AS disc_range,
+    round(sum(CASE WHEN l_returnflag IN ('A','N','R')
+              THEN 1 ELSE 0 END) / greatest(total, 1), 6) AS rf_domain,
+    round(sum(CASE WHEN l_quantity <= 40 THEN 1 ELSE 0 END)
+          / greatest(total, 1), 6) AS qty_le_40,
+    round((SELECT CAST(count(*) AS DOUBLE) FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+          / greatest(total, 1), 6) AS ref_orders,
+    round((SELECT CAST(count(*) AS DOUBLE) FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part))
+          / greatest(total, 1), 6) AS ref_part
+  FROM lineitem CROSS JOIN n
+  GROUP BY total
+),
+rows_out AS (
+  SELECT 'completeness(l_shipdate)' AS check_name, completeness_ship AS metric FROM m
+  UNION ALL SELECT 'uniqueness(l_orderkey,l_linenumber)', uniq_key FROM m
+  UNION ALL SELECT 'satisfies(quantity_range)', qty_range FROM m
+  UNION ALL SELECT 'satisfies(discount_range)', disc_range FROM m
+  UNION ALL SELECT 'satisfies(returnflag_domain)', rf_domain FROM m
+  UNION ALL SELECT 'satisfies(quantity_le_40)', qty_le_40 FROM m
+  UNION ALL SELECT 'subset_of(l_orderkey)', ref_orders FROM m
+  UNION ALL SELECT 'subset_of(l_partkey)', ref_part FROM m
+)
+SELECT check_name AS "check", metric,
+       CAST(1.0 AS DOUBLE) AS threshold,
+       metric >= 1.0 AS passed
+FROM rows_out
+"""
+
+
 RRF_TERM = "vector"
 RRF_K_CONST = 60  # the standard RRF damping constant
 RRF_POOL = 100  # ranks are computed over each retriever's top pool only
@@ -6501,6 +6589,7 @@ _BASE_QUERIES = {
     "vec_topk_hamming_batch": q_vec_topk_hamming_batch,
     "vec_hamming_recall": q_vec_hamming_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "dq_lineitem_report": q_dq_lineitem_report,
     "vec_topk_rrf": q_vec_topk_rrf,
     "pipe_token_budget": q_pipe_token_budget,
     "pipe_temperature_mix": q_pipe_temperature_mix,
@@ -6706,6 +6795,7 @@ ORACLES = {
     "vec_topk_hamming_batch": SQL_VEC_TOPK_HAMMING_BATCH,
     "vec_hamming_recall": SQL_VEC_HAMMING_RECALL,
     "ann_ivf_recall": SQL_ANN_IVF_RECALL,
+    "dq_lineitem_report": SQL_DQ_LINEITEM_REPORT,
     "vec_topk_rrf": SQL_VEC_TOPK_RRF,
     "pipe_token_budget": SQL_PIPE_TOKEN_BUDGET,
     "pipe_temperature_mix": SQL_PIPE_TEMPERATURE_MIX,
