@@ -114,6 +114,15 @@ HEADLINE = [
     "vec_topk_rrf",
     "pipe_token_budget",
     "pipe_temperature_mix",
+    # r06 wave 4: weighted selection, per-key trends, entropy quality,
+    # robust anomalies, sequence transitions, TWAP, drift monitoring
+    "pipe_weighted_sample",
+    "ev_trend_per_user",
+    "text_entropy",
+    "ev_anomaly_mad",
+    "ev_transition_matrix",
+    "ev_twap",
+    "drift_psi",
 ]
 
 

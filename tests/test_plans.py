@@ -625,3 +625,81 @@ def test_dq_report_semi_joins_no_cartesian_fact_product(spark):
     plan = plan_string(df)
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_map_side_topk(spark):
+    """Priority sampling must plan TakeOrderedAndProject (per-partition
+    N-heaps, no global sort exchange) and stay whole-stage JVM — the
+    100 TB posture is N rows per task reaching the merge, never a full
+    shuffle of the corpus by priority."""
+    df = Q.q_pipe_weighted_sample(spark, SF)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trend_per_user_partial_agg_no_join(spark):
+    """Per-key regression: regr_slope/intercept are algebraic aggregates —
+    the plan must show a partial HashAggregate below a single user_id
+    exchange, and no join or window (the moments merge map-side)."""
+    df = Q.q_ev_trend_per_user(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_regr_slope" in plan
+
+
+def test_text_entropy_combiner_before_shuffle(spark):
+    """Token-entropy: the (doc_id, tok) count must partial-aggregate below
+    its exchange so shuffle bytes scale with distinct tokens per doc, not
+    total tokens; no Python in the plan."""
+    df = Q.q_text_entropy(spark, SF)
+    plan = plan_string(df)
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_anomaly_mad_broadcasts_stats(spark):
+    """MAD anomaly scorer: both the 5-row median and MAD tables must come
+    back as broadcast joins onto the event scan — never a sort-merge join
+    keyed by event_type (which would shuffle the fact table twice)."""
+    df = Q.q_ev_anomaly_mad(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_transition_matrix_single_entity_exchange(spark):
+    """Markov transitions: exactly one exchange keyed on user_id feeds the
+    lag window; the (prev, curr) count partial-aggregates and the
+    normalization window runs over the ≤|types|² aggregate, so no second
+    fact-table shuffle."""
+    df = Q.q_ev_transition_matrix(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_twap_single_exchange_partial_agg(spark):
+    """TWAP: the lead() window and the per-user aggregate share the one
+    user_id exchange (window output is already partitioned by the group
+    key), and the weighted sums partial-aggregate map-side."""
+    df = Q.q_ev_twap(spark, SF)
+    plan = plan_string(df)
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_psi_counts_only_shuffle(spark):
+    """PSI drift: the fact table aggregates once on (type, bucket) with
+    conditional period counts (partial agg below the exchange); the
+    period-total join is a broadcast of the 5-row aggregate — the fact
+    table never shuffles twice and never sort-merge joins."""
+    df = Q.q_drift_psi(spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan

@@ -6433,6 +6433,396 @@ FROM e GROUP BY lang, n_dom, target_n
 """
 
 
+WEIGHTED_SAMPLE_N = 100
+
+
+def q_pipe_weighted_sample(spark, sf):
+    """Distributed weighted sampling without replacement via priority
+    sampling (Duffield–Lund–Thorup, "Priority sampling for estimation of
+    arbitrary subset sums", JACM 2007): each document draws priority
+    q_i = w_i / u_i with weight w_i = token count and u_i a deterministic
+    uniform from the md5-derived 60-bit id hash; the sample is the N
+    largest priorities.  Both the hash→(0,1] map and the single division
+    are IEEE-exact (+,-,*,/ are exactly rounded), so Spark and DuckDB
+    produce bit-identical priorities — no float-order hazard, unlike
+    ln/pow-based Efraimidis–Spirakis keys.
+
+    Scale shape: one scan + ``TakeOrderedAndProject`` — each task keeps a
+    local N-heap and only N rows per partition reach the driver-side
+    merge; document text never shuffles.  At 100 TB this is the
+    map-side-top-k pattern, same as ``vec_topk_cosine``."""
+    from vector_lake_spark.functions.text import token_hash60
+
+    d = _t(spark, sf, "documents")
+    h = (token_hash60(F.col("doc_id").cast("string")) + F.lit(1)).cast(
+        "double"
+    )
+    ntok = token_count(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            ntok.cast("long").alias("ntok"),
+            (ntok.cast("double") / h).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_N)
+    )
+
+
+SQL_PIPE_WEIGHTED_SAMPLE = f"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST({O.sql_token_count('text')} AS BIGINT) AS ntok,
+         CAST({O.sql_token_hash60("CAST(doc_id AS VARCHAR)")} + 1
+              AS DOUBLE) AS h
+  FROM documents
+)
+SELECT doc_id, source, ntok, CAST(ntok AS DOUBLE) / h AS priority
+FROM s
+ORDER BY priority DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_N}
+"""
+
+
+def q_ev_trend_per_user(spark, sf):
+    """Per-key OLS trend: regression of event value on time (days since
+    epoch) per user — the "is this metric drifting per entity" primitive
+    (Spark-side ``regr_slope``/``regr_intercept`` are JVM declarative
+    aggregates with map-side partial merge, so the shuffle carries 6
+    moments per user, not events).  Rounded to 6 decimals per the repo's
+    float-sum-order convention (same as ``avg(value)`` elsewhere).
+
+    100 TB shape: one scan, one shuffle on user_id with partial
+    aggregation; no join, no window.  regr_* are algebraic aggregates —
+    the exact pattern that scales to billions of keys."""
+    e = _events(spark, sf)
+    # ts→double keeps fractional seconds (micros/1e6, exactly-rounded the
+    # same way DuckDB's date_part('epoch') computes it); the −20000-day
+    # recentering conditions the x² moments (x ∈ O(10²) instead of 2·10⁴)
+    # so the regr_* cancellation error stays far below the round-6 grid.
+    x = F.col("ts").cast("double") / F.lit(86400.0) - F.lit(20000.0)
+    y = F.col("value")
+    return (
+        e.select(F.col("user_id"), x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
+SQL_EV_TREND_PER_USER = """
+WITH e AS (
+  SELECT user_id, date_part('epoch', ts) / 86400.0 - 20000.0 AS x, value AS y
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(regr_slope(y, x), 6) AS slope_per_day,
+       round(regr_intercept(y, x), 6) AS intercept
+FROM e
+GROUP BY user_id
+HAVING count(*) >= 2
+"""
+
+
+def q_text_entropy(spark, sf):
+    """Unigram token entropy per document — the Shannon-entropy quality
+    signal (low entropy ⇒ repetitive/boilerplate text; used alongside
+    ``text_repetition``'s n-gram ratio in C4/Gopher-style filters).
+    H = ln(n) − Σ c·ln(c) / n over the token histogram.  Two shuffles
+    ((doc_id, tok) count then doc_id), both with map-side partial agg;
+    ln() is the one non-exactly-rounded op, absorbed by the repo's
+    round-6 convention.
+
+    100 TB shape: the explode fans out map-side; the first groupBy keys
+    on (doc_id, tok) so the combiner collapses within-doc repeats before
+    the shuffle — bytes on the wire ∝ distinct tokens, not tokens."""
+    d = _t(spark, sf, "documents")
+    hist = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return (
+        hist.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+SQL_TEXT_ENTROPY = f"""
+WITH h AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest({O.sql_tokens('text')}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM h
+GROUP BY doc_id
+"""
+
+
+def q_ev_anomaly_mad(spark, sf):
+    """Robust anomaly detection: flag events whose value deviates from the
+    per-type median by more than 3 robust sigmas (MAD · 1.4826 — the
+    normal-consistency constant).  Complements ``ev_anomaly_zscore``:
+    median/MAD don't move when the outliers themselves inflate mean/stddev.
+    Exactness: exact median (avg of two middle doubles — exactly rounded),
+    subtraction/abs/multiply/compare all IEEE-exact, so the flagged SET is
+    deterministic cross-engine; only the reported score is rounded.
+
+    Scale: two passes over events, each a 5-group aggregate (partial agg
+    map-side, 5-row broadcast back) — the grouped-median sort is the
+    scale-out cost; at 100 TB swap ``median`` for ``approx_percentile``
+    (the sketch path ``sketch_value_percentiles`` already demonstrates)."""
+    e = _events(spark, sf)
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median("adev").alias("mad"), F.first("med").alias("med")
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                (F.col("value") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+        )
+    )
+
+
+SQL_EV_ANOMALY_MAD = """
+WITH m AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad, any_value(m.med) AS med
+  FROM events e JOIN m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - d.med) / (1.4826 * d.mad), 6) AS robust_z
+FROM events e JOIN d USING (event_type)
+WHERE abs(e.value - d.med) > 3.0 * 1.4826 * d.mad
+"""
+
+
+def q_ev_transition_matrix(spark, sf):
+    """Per-user event-sequence Markov transition matrix: count and
+    probability of each (previous event_type → event_type) step, with
+    steps ordered by timestamp (event_id tie-break) within each user.
+    The next-action model behind session analytics and sequence-aware
+    sampling.
+
+    100 TB shape: ONE hash exchange on user_id feeds the lag window
+    (sequence ops partition by entity — the standard pattern); the
+    (prev, curr) count then collapses to at most |types|² rows with
+    map-side partial agg, and the per-source normalization is a window
+    over that tiny aggregate, not the fact table."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+SQL_EV_TRANSITION_MATRIX = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
+def q_ev_twap(spark, sf):
+    """Time-weighted average value per user (TWAP): each event's value
+    holds until the user's next event; weight = that holding time in
+    seconds.  The standard finance/telemetry aggregate when sampling is
+    irregular — a plain avg() over-weights chatty periods (returned
+    side-by-side as ``plain_avg`` to make the bias visible).
+
+    Exactness: the timestamp→double cast and the Δt subtraction are
+    IEEE-exact; the weighted sums take the repo's round-6 convention for
+    float accumulation order.  100 TB shape: one user_id exchange for the
+    lead() window, then pure map-side partial aggregation."""
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_d = F.col("ts").cast("double")
+    steps = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("dt", F.lead(ts_d).over(w) - ts_d)
+        .filter(F.col("dt").isNotNull())
+    )
+    return steps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_holds"),
+        F.round(
+            F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+        ).alias("twap"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
+
+
+SQL_EV_TWAP = """
+WITH s AS (
+  SELECT user_id, value,
+         lead(date_part('epoch', ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - date_part('epoch', ts) AS dt
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+       round(sum(value * dt) / sum(dt), 6) AS twap,
+       round(avg(value), 6) AS plain_avg
+FROM s WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# PSI: log-spaced breakpoints in integer cents (powers of √10) so the
+# bucket decision is pure integer comparison — no transcendental boundary
+# hazard. value has 2-decimal precision; round(value*100) recovers exact
+# cents in both engines.
+PSI_BREAKS_CENTS = [3, 10, 32, 100, 316, 1000, 3162, 10000, 31623]
+PSI_SPLIT = "2024-01-16 00:00:00"
+
+
+def q_drift_psi(spark, sf):
+    """Population Stability Index per event_type between a reference
+    window (first 15 days) and the current window — the production
+    drift monitor for feature/score distributions (PSI > 0.2 ⇒ act).
+    Buckets are fixed log-spaced breakpoints on exact integer cents
+    (round(value·100)), so bucketing is integer comparison, never a
+    float/ln boundary decision; Laplace-smoothed shares (n+½)/(N+5)
+    keep empty buckets finite exactly like the oracle.
+
+    100 TB shape: one scan → groupBy (type, bucket) with the two period
+    counts as conditional aggregates (map-side combine; output is at most
+    |types| × 10 rows), then a tiny second agg — nothing but counts ever
+    shuffle."""
+    e = _events(spark, sf)
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    bucket = reduce(
+        lambda a, b: a + b,
+        [
+            (F.col("cents") >= F.lit(b)).cast("int")
+            for b in PSI_BREAKS_CENTS
+        ],
+    )
+    is_cur = F.col("ts") >= F.lit(PSI_SPLIT).cast("timestamp")
+    per_bucket = (
+        e.select("event_type", "ts", cents.alias("cents"))
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(~is_cur, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(is_cur, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = per_bucket.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (F.col("t_ref") + F.lit(5.0))
+    p_cur = (F.col("n_cur") + F.lit(0.5)) / (F.col("t_cur") + F.lit(5.0))
+    return (
+        per_bucket.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            ((p_cur - p_ref) * (F.log(p_cur) - F.log(p_ref))).alias("term"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ref").cast("long").alias("rows_ref"),
+            F.sum("n_cur").cast("long").alias("rows_cur"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+    )
+
+
+_PSI_BUCKET_SQL = " + ".join(
+    f"CASE WHEN cents >= {b} THEN 1 ELSE 0 END" for b in PSI_BREAKS_CENTS
+)
+
+SQL_DRIFT_PSI = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+         (ts >= TIMESTAMP '{PSI_SPLIT}') AS is_cur
+  FROM events
+),
+pb AS (
+  SELECT event_type, ({_PSI_BUCKET_SQL}) AS bucket,
+         sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
+         sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+  FROM b GROUP BY event_type, ({_PSI_BUCKET_SQL})
+),
+t AS (
+  SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+  FROM pb GROUP BY event_type
+)
+SELECT pb.event_type,
+       CAST(sum(n_ref) AS BIGINT) AS rows_ref,
+       CAST(sum(n_cur) AS BIGINT) AS rows_cur,
+       round(sum(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+                 * (ln((n_cur + 0.5) / (t_cur + 5.0))
+                    - ln((n_ref + 0.5) / (t_ref + 5.0)))), 6) AS psi
+FROM pb JOIN t USING (event_type)
+GROUP BY pb.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6595,6 +6985,13 @@ _BASE_QUERIES = {
     "pipe_temperature_mix": q_pipe_temperature_mix,
     "ev_stream_scd2": q_ev_stream_scd2,
     "cdc_diff_snapshots": q_cdc_diff_snapshots,
+    "pipe_weighted_sample": q_pipe_weighted_sample,
+    "ev_trend_per_user": q_ev_trend_per_user,
+    "text_entropy": q_text_entropy,
+    "ev_anomaly_mad": q_ev_anomaly_mad,
+    "ev_transition_matrix": q_ev_transition_matrix,
+    "ev_twap": q_ev_twap,
+    "drift_psi": q_drift_psi,
 }
 
 # Round of each query's newest PASSING driver CORRECTNESS row, derived from
@@ -6801,4 +7198,11 @@ ORACLES = {
     "pipe_temperature_mix": SQL_PIPE_TEMPERATURE_MIX,
     "ev_stream_scd2": SQL_CDC_SCD2_INTERVALS,
     "cdc_diff_snapshots": SQL_CDC_DIFF_SNAPSHOTS,
+    "pipe_weighted_sample": SQL_PIPE_WEIGHTED_SAMPLE,
+    "ev_trend_per_user": SQL_EV_TREND_PER_USER,
+    "text_entropy": SQL_TEXT_ENTROPY,
+    "ev_anomaly_mad": SQL_EV_ANOMALY_MAD,
+    "ev_transition_matrix": SQL_EV_TRANSITION_MATRIX,
+    "ev_twap": SQL_EV_TWAP,
+    "drift_psi": SQL_DRIFT_PSI,
 }
