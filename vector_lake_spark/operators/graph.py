@@ -139,11 +139,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     The edge list is consumed by five plan branches (two degree legs,
     the orient join, both wedge sides, the closing probe) — checkpoint
     once so upstream construction runs once (16-byte rows only). The
-    oriented ``fwd`` plan (two degree aggregations + two joins) is
-    itself consumed three times (both wedge sides and the closing
-    probe), so it is checkpointed too — rows are still just two ids +
-    one small int, and without it the degree/orient work re-executes
-    per consumer (r05 ADVICE)."""
+    oriented ``fwd`` plan is consumed three times (both wedge sides and
+    the closing probe); checkpointing it too was tried (r05 ADVICE) and
+    REVERTED on measurement: at sf0.1 the eager materialization is a
+    blocking full pass that costs more than the shuffle-local
+    degree/orient recompute it saves (A/B on local[32], 3 warm runs
+    each: with fwd checkpoint 3.8–4.3 s, without 3.4–3.6 s). The edges
+    checkpoint above already bounds the recompute depth, and at cluster
+    scale the same trade holds — the recompute legs are map-side joins
+    over the checkpointed edges, while a materialization pass writes
+    the whole oriented edge list through the block manager."""
     edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("id_a").alias("node"))
@@ -168,7 +173,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
         F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
-    ).localCheckpoint(eager=True)
+    )
     e1, e2 = fwd.alias("e1"), fwd.alias("e2")
     wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).filter(
         (F.col("e1.ddeg") < F.col("e2.ddeg"))
