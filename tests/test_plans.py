@@ -694,12 +694,15 @@ def test_twap_single_exchange_partial_agg(spark):
 
 
 def test_psi_counts_only_shuffle(spark):
-    """PSI drift: the fact table aggregates once on (type, bucket) with
-    conditional period counts (partial agg below the exchange); the
-    period-total join is a broadcast of the 5-row aggregate — the fact
-    table never shuffles twice and never sort-merge joins."""
+    """PSI drift: the fact table aggregates once into the checkpointed
+    (type, bucket) count table (eager, ≤|types|×10 rows — its two
+    consumers therefore cost ONE fact scan); downstream, the grid
+    completion joins as a broadcast and nothing sort-merge joins."""
     df = Q.q_drift_psi(spark, SF)
     plan = plan_string(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+    # the fact scan happened once, inside the eager checkpoint — the
+    # final plan reads the materialized counts, not events.parquet
+    assert "events.parquet" not in plan

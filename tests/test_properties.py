@@ -389,8 +389,7 @@ def test_wave4_invariants(spark):
 
     bounds = {
         r["user_id"]: r
-        for r in Q.QUERIES["ev_twap"](spark, sf)
-        .sparkSession.read.parquet(f"{sf}/events.parquet")
+        for r in spark.read.parquet(f"{sf}/events.parquet")
         .groupBy("user_id")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
         .collect()
@@ -400,26 +399,44 @@ def test_wave4_invariants(spark):
         assert b["lo"] - 1e-6 <= r["twap"] <= b["hi"] + 1e-6, (uid, r, b)
 
 
-def test_weighted_sample_inclusion_monotone_in_weight(spark):
-    """Priority sampling invariant: holding the uniform fixed, a larger
-    weight can only increase the priority — verified by recomputing
-    priorities from the sampled rows' hashes and checking the sample is
-    exactly the global top-N of the full priority ranking."""
+def test_weighted_sample_is_global_topn_and_monotone_in_weight(spark):
+    """Two priority-sampling invariants: (a) the emitted sample is exactly
+    the global top-N of the full priority ranking (checked against an
+    independent recomputation of every document's priority); (b) holding
+    the uniform fixed, a larger weight strictly increases the priority —
+    recomputed per sampled row from the md5 hash with the weight doubled."""
+    import hashlib
+
     from vector_lake_spark import queries as Q
     from vector_lake_spark.queries import WEIGHTED_SAMPLE_N
 
     sf = "/root/testdata/sf0.001"
     sample = Q.QUERIES["pipe_weighted_sample"](spark, sf).collect()
     assert len(sample) <= WEIGHTED_SAMPLE_N
-    # priorities strictly ordered by construction (hash ties broken by id)
+    # priorities ordered descending by construction
     ps = [r["priority"] for r in sample]
     assert ps == sorted(ps, reverse=True)
+
+    def priority(doc_id: int, weight: int) -> float:
+        # mirror token_hash60: first 15 md5 hex chars of the id string
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = float(h + 1) / float(2**60)
+        return float(weight) / u
+
+    for r in sample:
+        p = priority(r["doc_id"], r["ntok"])
+        assert p == r["priority"], (r, p)
+        # weight-monotonicity with the uniform held fixed
+        assert priority(r["doc_id"], 2 * r["ntok"]) > p
+
     # every sampled priority must be >= every unsampled one: recompute
     # the full ranking independently
     import duckdb
 
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
     full = con.execute(
         Q.ORACLES["pipe_weighted_sample"].replace(
             f"LIMIT {WEIGHTED_SAMPLE_N}", ""

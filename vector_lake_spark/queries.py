@@ -6454,8 +6454,15 @@ def q_pipe_weighted_sample(spark, sf):
     from vector_lake_spark.functions.text import token_hash60
 
     d = _t(spark, sf, "documents")
-    h = (token_hash60(F.col("doc_id").cast("string")) + F.lit(1)).cast(
-        "double"
+    # u = (hash+1)/2^60 ∈ (0, 1]; priority = w/u is then on the weights'
+    # scale, so the (N+1)-th priority is directly usable as the DLT
+    # threshold τ in the max(w_i, τ) subset-sum estimator. Two exactly-
+    # rounded divisions, mirrored op-for-op in the oracle.
+    u = (
+        (token_hash60(F.col("doc_id").cast("string")) + F.lit(1)).cast(
+            "double"
+        )
+        / F.lit(float(2**60))
     )
     ntok = token_count(F.col("text"))
     return (
@@ -6463,7 +6470,7 @@ def q_pipe_weighted_sample(spark, sf):
             "doc_id",
             "source",
             ntok.cast("long").alias("ntok"),
-            (ntok.cast("double") / h).alias("priority"),
+            (ntok.cast("double") / u).alias("priority"),
         )
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(WEIGHTED_SAMPLE_N)
@@ -6475,10 +6482,10 @@ WITH s AS (
   SELECT doc_id, source,
          CAST({O.sql_token_count('text')} AS BIGINT) AS ntok,
          CAST({O.sql_token_hash60("CAST(doc_id AS VARCHAR)")} + 1
-              AS DOUBLE) AS h
+              AS DOUBLE) / {float(2**60)!r} AS u
   FROM documents
 )
-SELECT doc_id, source, ntok, CAST(ntok AS DOUBLE) / h AS priority
+SELECT doc_id, source, ntok, CAST(ntok AS DOUBLE) / u AS priority
 FROM s
 ORDER BY priority DESC, doc_id
 LIMIT {WEIGHTED_SAMPLE_N}
@@ -6694,22 +6701,29 @@ def q_ev_twap(spark, sf):
 
     Exactness: the timestamp→double cast and the Δt subtraction are
     IEEE-exact; the weighted sums take the repo's round-6 convention for
-    float accumulation order.  100 TB shape: one user_id exchange for the
-    lead() window, then pure map-side partial aggregation."""
+    float accumulation order.  ``plain_avg`` averages ALL the user's
+    events (the weighted sums skip only the final event's NULL Δt via
+    null-ignoring aggregates) — averaging the filtered rows instead
+    would drop each user's last value and the "bias baseline" could
+    itself sit arbitrarily far from avg(value).  100 TB shape: one
+    user_id exchange for the lead() window, then pure map-side partial
+    aggregation."""
     e = _events(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_d = F.col("ts").cast("double")
-    steps = (
-        e.select("user_id", "ts", "event_id", "value")
-        .withColumn("dt", F.lead(ts_d).over(w) - ts_d)
-        .filter(F.col("dt").isNotNull())
+    steps = e.select("user_id", "ts", "event_id", "value").withColumn(
+        "dt", F.lead(ts_d).over(w) - ts_d
     )
-    return steps.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_holds"),
-        F.round(
-            F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
-        ).alias("twap"),
-        F.round(F.avg("value"), 6).alias("plain_avg"),
+    return (
+        steps.groupBy("user_id")
+        .agg(
+            F.count("dt").alias("n_holds"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+        )
+        .filter(F.col("n_holds") >= 1)
     )
 
 
@@ -6721,11 +6735,12 @@ WITH s AS (
            - date_part('epoch', ts) AS dt
   FROM events
 )
-SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+SELECT user_id, CAST(count(dt) AS BIGINT) AS n_holds,
        round(sum(value * dt) / sum(dt), 6) AS twap,
        round(avg(value), 6) AS plain_avg
-FROM s WHERE dt IS NOT NULL
+FROM s
 GROUP BY user_id
+HAVING count(dt) >= 1
 """
 
 
@@ -6734,7 +6749,12 @@ GROUP BY user_id
 # hazard. value has 2-decimal precision; round(value*100) recovers exact
 # cents in both engines.
 PSI_BREAKS_CENTS = [3, 10, 32, 100, 316, 1000, 3162, 10000, 31623]
-PSI_SPLIT = "2024-01-16 00:00:00"
+# Reference/current split as UTC epoch seconds (2024-01-16T00:00:00Z) —
+# compared via unix_micros so the cut is session-timezone-independent
+# (a string→timestamp literal would parse in the session zone and move
+# rows between periods under a non-UTC session; the oracle's naive
+# comparison is UTC wall time).
+PSI_SPLIT_EPOCH = 1705363200
 
 
 def q_drift_psi(spark, sf):
@@ -6743,13 +6763,18 @@ def q_drift_psi(spark, sf):
     drift monitor for feature/score distributions (PSI > 0.2 ⇒ act).
     Buckets are fixed log-spaced breakpoints on exact integer cents
     (round(value·100)), so bucketing is integer comparison, never a
-    float/ln boundary decision; Laplace-smoothed shares (n+½)/(N+5)
-    keep empty buckets finite exactly like the oracle.
+    float/ln boundary decision.  The full |types| × 10 bucket grid is
+    materialized (explode of a literal sequence on the 5-row totals) so
+    buckets empty in BOTH periods still contribute their Laplace-smoothed
+    term — dropping them underestimates PSI exactly when a distribution
+    collapses into few buckets, the high-drift case the monitor exists
+    to catch; smoothing is (n+½)/(N+5), and with all 10 buckets present
+    the smoothed shares sum to 1.
 
     100 TB shape: one scan → groupBy (type, bucket) with the two period
     counts as conditional aggregates (map-side combine; output is at most
-    |types| × 10 rows), then a tiny second agg — nothing but counts ever
-    shuffle."""
+    |types| × 10 rows); the grid completion and PSI arithmetic run on
+    that tiny aggregate — nothing but counts ever shuffles."""
     e = _events(spark, sf)
     cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
     bucket = reduce(
@@ -6759,7 +6784,9 @@ def q_drift_psi(spark, sf):
             for b in PSI_BREAKS_CENTS
         ],
     )
-    is_cur = F.col("ts") >= F.lit(PSI_SPLIT).cast("timestamp")
+    is_cur = F.unix_micros(F.col("ts")) >= F.lit(
+        PSI_SPLIT_EPOCH * 1_000_000
+    )
     per_bucket = (
         e.select("event_type", "ts", cents.alias("cents"))
         .withColumn("bucket", bucket)
@@ -6768,15 +6795,26 @@ def q_drift_psi(spark, sf):
             F.sum(F.when(~is_cur, 1).otherwise(0)).alias("n_ref"),
             F.sum(F.when(is_cur, 1).otherwise(0)).alias("n_cur"),
         )
+        # two consumers below (the totals and the grid left-join); the
+        # eager materialization of this ≤|types|×10-row aggregate pins
+        # the fact scan to exactly one execution
+        .localCheckpoint(eager=True)
     )
     tot = per_bucket.groupBy("event_type").agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
+    grid = tot.withColumn(
+        "bucket", F.explode(F.sequence(F.lit(0), F.lit(9)))
+    )
+    filled = (
+        grid.join(F.broadcast(per_bucket), ["event_type", "bucket"], "left")
+        .withColumn("n_ref", F.coalesce(F.col("n_ref"), F.lit(0)))
+        .withColumn("n_cur", F.coalesce(F.col("n_cur"), F.lit(0)))
+    )
     p_ref = (F.col("n_ref") + F.lit(0.5)) / (F.col("t_ref") + F.lit(5.0))
     p_cur = (F.col("n_cur") + F.lit(0.5)) / (F.col("t_cur") + F.lit(5.0))
     return (
-        per_bucket.join(F.broadcast(tot), "event_type")
-        .select(
+        filled.select(
             "event_type",
             "n_ref",
             "n_cur",
@@ -6799,7 +6837,7 @@ SQL_DRIFT_PSI = f"""
 WITH b AS (
   SELECT event_type,
          CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
-         (ts >= TIMESTAMP '{PSI_SPLIT}') AS is_cur
+         (date_part('epoch', ts) >= {PSI_SPLIT_EPOCH}) AS is_cur
   FROM events
 ),
 pb AS (
@@ -6811,15 +6849,26 @@ pb AS (
 t AS (
   SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
   FROM pb GROUP BY event_type
+),
+g AS (
+  SELECT event_type, t_ref, t_cur,
+         unnest([0, 1, 2, 3, 4, 5, 6, 7, 8, 9]) AS bucket
+  FROM t
+),
+f AS (
+  SELECT g.event_type, g.t_ref, g.t_cur,
+         coalesce(pb.n_ref, 0) AS n_ref, coalesce(pb.n_cur, 0) AS n_cur
+  FROM g LEFT JOIN pb
+    ON g.event_type = pb.event_type AND g.bucket = pb.bucket
 )
-SELECT pb.event_type,
+SELECT event_type,
        CAST(sum(n_ref) AS BIGINT) AS rows_ref,
        CAST(sum(n_cur) AS BIGINT) AS rows_cur,
        round(sum(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
                  * (ln((n_cur + 0.5) / (t_cur + 5.0))
                     - ln((n_ref + 0.5) / (t_ref + 5.0)))), 6) AS psi
-FROM pb JOIN t USING (event_type)
-GROUP BY pb.event_type
+FROM f
+GROUP BY event_type
 """
 
 
