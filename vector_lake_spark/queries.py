@@ -257,6 +257,93 @@ LIMIT {K}
 """
 
 
+def q_ann_lsh_recall(spark, sf):
+    """In-engine recall audit for the LSH multi-probe routing — the
+    store's DEFAULT query path (reference routing: index.py:487-489,
+    which probes exactly one shard).  Completes the recall-audit family
+    (`vec_hamming_recall`, `ann_ivf_recall` — r06 verdict #4): recall@k
+    of the probe set vs exact cosine top-k, measured at n_probes =
+    1, 2, 4 in ONE query (one shard assignment, one exact top-k, three
+    semi-join counts).  At 100 TB this runs over a sampled query log on
+    a schedule; a falling curve at fixed n_probes is the signal to add
+    probes or re-draw hyperplanes, and the 1→2→4 deltas price each
+    extra probe (each probe costs ~1/16 of the corpus here)."""
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        lit_vector,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    score = F.round(cosine_similarity(v, lit_vector(QUERY_VEC)), 6)
+    exact = (
+        emb.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(K)
+    )
+    sharded = emb.select(
+        "vec_id", lsh_mod.shard_id_expr(v, H4).alias("shard")
+    )
+    rows = []
+    for n_probes in (1, 2, 4):
+        probes = [
+            int(s) for s in multiprobe_shards(QUERY_VEC, H4, n_probes)
+        ]
+        hit = exact.join(
+            sharded.filter(F.col("shard").isin(probes)).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        rows.append(
+            hit.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit(n_probes).cast("long").alias("n_probes"),
+                F.lit(K).cast("long").alias("k"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                F.round(F.col("n_hits") / F.lit(K), 6).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    return reduce(DataFrame.unionByName, rows)
+
+
+def _sql_ann_lsh_recall() -> str:
+    arms = []
+    for n_probes in (1, 2, 4):
+        probes = ", ".join(
+            str(int(s)) for s in multiprobe_shards(QUERY_VEC, H4, n_probes)
+        )
+        arms.append(
+            f"""SELECT CAST({n_probes} AS BIGINT) AS n_probes,
+       CAST({K} AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM exact
+             WHERE vec_id IN (SELECT vec_id FROM s
+                              WHERE shard IN ({probes}))) AS BIGINT)
+         AS n_hits,
+       round((SELECT count(*) FROM exact
+              WHERE vec_id IN (SELECT vec_id FROM s
+                               WHERE shard IN ({probes}))) / {K}.0, 6)
+         AS recall_at_k"""
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH s AS (
+  SELECT vec_id, {EMB} AS v,
+         CAST({lsh_mod.shard_id_sql(EMB, H4)} AS BIGINT) AS shard
+  FROM embeddings
+),
+exact AS (
+  SELECT vec_id FROM s
+  ORDER BY round(list_cosine_similarity(v, {QV}), 6) DESC, vec_id
+  LIMIT {K}
+)
+{union}
+"""
+
+
+SQL_ANN_LSH_RECALL = _sql_ann_lsh_recall()
+
+
 def q_vec_neardup_pairs(spark, sf):
     return embedding_neardup_pairs(
         _t(spark, sf, "embeddings"), threshold=NEARDUP_COS_THRESHOLD
@@ -6893,6 +6980,7 @@ _BASE_QUERIES = {
     "lsh_shard_assign": q_lsh_shard_assign,
     "lsh_shard_hist": q_lsh_shard_hist,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_recall": q_ann_lsh_recall,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -7089,10 +7177,21 @@ _LAST_DRIVER_ROUND = _last_driver_rounds()
 
 # Stalest-first (stable within a round, preserving _BASE_QUERIES order):
 # never-checked queries land inside the driver's 50-row window first.
+#
+# _FRONTLOAD pins names to the very front of the window, AHEAD of
+# never-checked entries — used when the implementation neighborhood of an
+# already-checked entry was rewritten and the evidence must be refreshed
+# this round regardless of age (r06 verdict #1: the two mm_* entries'
+# newest green row predates the real PNG/JPEG/AVI decoders that landed
+# around them in multimodal.py). See docs/ROTATION.md for the policy.
+_FRONTLOAD: tuple[str, ...] = ("mm_binary_stats", "mm_frame_sample")
+
 QUERIES = dict(
     sorted(
         _BASE_QUERIES.items(),
-        key=lambda kv: _LAST_DRIVER_ROUND.get(kv[0], 0),
+        key=lambda kv: (
+            -1 if kv[0] in _FRONTLOAD else _LAST_DRIVER_ROUND.get(kv[0], 0)
+        ),
     )
 )
 
@@ -7106,6 +7205,7 @@ ORACLES = {
     "lsh_shard_assign": SQL_LSH_SHARD_ASSIGN,
     "lsh_shard_hist": SQL_LSH_SHARD_HIST,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_lsh_recall": SQL_ANN_LSH_RECALL,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,

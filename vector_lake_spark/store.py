@@ -45,7 +45,11 @@ an explicit ``compact()`` maintenance op.
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import json
+import os
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -64,6 +68,18 @@ LAKE_SCHEMA = T.StructType(
         T.StructField("timestamp", T.TimestampType(), False),
     ]
 )
+
+
+def _locked(fn):
+    """Run a maintenance method under the store's single-writer lease
+    (``_maintenance_lock``) — applied to every stage+swap mutator."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._maintenance_lock():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 class SparkVectorLake:
@@ -506,6 +522,51 @@ class SparkVectorLake:
         fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
         return fs, p
 
+    @contextlib.contextmanager
+    def _maintenance_lock(self):
+        """Single-writer lease around every stage+swap maintenance path
+        (r06 verdict #5). Each swap is crash-atomic ALONE, but two
+        concurrent mutators can interleave ``_swap_shards`` renames and
+        silently drop one writer's shards — so the contract is enforced,
+        not just documented: a ``{location}/_maintenance.lock`` file is
+        created with the Hadoop FS create(overwrite=false) primitive
+        (atomic-exclusive on HDFS and local FS), and a second mutator
+        fails FAST with the holder's identity instead of corrupting the
+        store. The lock is released on success or any exception; only a
+        hard crash strands it, and the error message tells the operator
+        exactly what to inspect and delete (same recovery posture as
+        ``_check_no_leftover_trash``). Note s3a caveat: S3 create is not
+        atomic-exclusive — on S3 run maintenance from a single scheduler
+        (docs/S3.md)."""
+        lock = f"{self.location}/_maintenance.lock"
+        fs, p = self._fs_path(lock)
+        try:
+            out = fs.create(p, False)
+        except Exception:
+            held_since = "unknown"
+            with contextlib.suppress(Exception):
+                mtime = fs.getFileStatus(p).getModificationTime()
+                held_since = time.strftime(
+                    "%Y-%m-%d %H:%M:%S", time.gmtime(mtime / 1000)
+                )
+            raise IOError(
+                f"refusing maintenance: another writer holds {lock} "
+                f"(since {held_since} UTC). The store is single-writer "
+                f"for upsert/compact/retention/delete. If the holder "
+                f"crashed, verify no maintenance job is running, then "
+                f"delete the lock file and retry."
+            ) from None
+        try:
+            holder = json.dumps(
+                {"pid": os.getpid(), "acquired_unix": int(time.time())}
+            ).encode()
+            out.write(bytearray(holder))
+            out.close()
+            yield
+        finally:
+            with contextlib.suppress(Exception):
+                fs.delete(p, False)
+
     def _swap_shards(self, rewritten: DataFrame, shard_ids: Sequence) -> None:
         """Replace each listed shard directory with its rewritten contents.
 
@@ -599,6 +660,7 @@ class SparkVectorLake:
             "Inspect and recover or delete it manually, then retry."
         )
 
+    @_locked
     def compact(
         self,
         target_files_per_shard: int = 1,
@@ -651,6 +713,7 @@ class SparkVectorLake:
             fs, p = self._fs_path(f"{self._data_path}/shard_id={sid}")
             fs.delete(p, True)
 
+    @_locked
     def delete_older_than(self, cutoff) -> int:
         """Retention delete: drop rows with ``timestamp < cutoff``.
 
@@ -679,6 +742,7 @@ class SparkVectorLake:
         self._swap_shards(kept, affected)
         return len(affected)
 
+    @_locked
     def delete_ids(self, ids: Sequence) -> int:
         """Row-level delete by id — beyond the reference's segment-only
         deletes (S6/S8): GDPR-style point removal without rewriting the
@@ -729,6 +793,7 @@ class SparkVectorLake:
         self._swap_shards(kept, affected)
         return len(affected)
 
+    @_locked
     def upsert_batch(
         self,
         ids: Sequence[str],
