@@ -110,6 +110,14 @@ HEADLINE = [
     "vec_topk_hamming_batch",
     "vec_hamming_recall",
     "ann_ivf_recall",
+    # r07 wave 5: audit completion (LSH + PQ recall), embedding OOD,
+    # Zipf corpus health, dedup funnel report, sketch-merged rolling DAU
+    "ann_lsh_recall",
+    "vec_pq_recall",
+    "vec_ood_score",
+    "text_zipf_fit",
+    "pipe_dedup_report",
+    "sketch_rolling_dau",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

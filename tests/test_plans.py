@@ -706,3 +706,69 @@ def test_psi_counts_only_shuffle(spark):
     # the fact scan happened once, inside the eager checkpoint — the
     # final plan reads the materialized counts, not events.parquet
     assert "events.parquet" not in plan
+
+
+def test_pq_recall_evaluates_adc_once(spark):
+    """vec_pq_recall must carry exactly ONE ranked ADC pool (one
+    TakeOrderedAndProject over the ADC kernel feeding a rank window +
+    predicate folds), never three unioned pool subplans re-running the
+    128-LUT expression — the 33.5 s -> ~2 s r07 rewrite, pinned."""
+    df = Q.q_vec_pq_recall(spark, SF)
+    tree = plan_string(df).split("\n\n")[0]  # tree section only
+    # one bounded ADC heap + the exact top-k heap, no union of repeated
+    # pool subplans
+    assert tree.count("TakeOrderedAndProject") == 2
+    assert tree.count("Scan parquet") == 2
+    assert "Union" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_ood_score_broadcasts_centroids(spark):
+    """vec_ood_score: the 640-row (label, dim) centroid table must come
+    back as a broadcast join onto the exploded dims — a sort-merge join
+    here would shuffle the full exploded fact (64 rows per vector)."""
+    df = Q.q_vec_ood_score(spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_report_single_scan_scalar_carry(spark):
+    """pipe_dedup_report: the funnel counts fold via the broadcast
+    scalar-carry join (single-row aggregates), never a cartesian or a
+    re-scan per stage — documents parquet must be scanned at most
+    twice (total + keeper legs share the fingerprint/quality scan)."""
+    df = Q.q_pipe_dedup_report(spark, SF)
+    plan = plan_string(df)
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert tree.count("Scan parquet") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_fit_partial_aggregates_tokens(spark):
+    """text_zipf_fit: the (lang, token) count must partial-aggregate
+    below its exchange (shuffle bytes ~ distinct tokens, not total
+    tokens), and the OLS runs over <= top-N rows per lang — no join,
+    no Python."""
+    df = Q.q_text_zipf_fit(spark, SF)
+    plan = plan_string(df)
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_dau_explodes_aggregates_not_events(spark):
+    """sketch_rolling_dau: the 7-day fan-out must explode per-day
+    AGGREGATE rows (sketches / user-day pairs), never the raw event
+    scan — the events parquet is read at most twice (sketch leg +
+    exact leg) regardless of the window length."""
+    df = Q.q_sketch_rolling_dau(spark, SF)
+    plan = plan_string(df)
+    tree = plan.split("\n\n")[0]
+    # sketch leg + exact leg + two day-list semi-join legs: 4 scans,
+    # independent of the window length (the 7-int explode fans out
+    # aggregate rows, never events)
+    assert tree.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in plan

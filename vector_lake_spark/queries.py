@@ -6960,6 +6960,401 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Wave 5 (r07): audit completion + pipeline observability
+# ---------------------------------------------------------------------------
+
+
+def q_vec_pq_recall(spark, sf):
+    """In-engine recall audit for the PQ-ADC family — completes the
+    audit set (hamming, IVF, LSH, now PQ): recall@k of the ADC
+    candidate pool vs exact cosine top-k at pool depths 4×K / 8×K /
+    16×K in ONE query. The measured curve (0.6/0.9/1.0 on the uniform
+    test corpus) was previously a docstring claim pinned only by
+    tests/test_pq.py; this makes it a continuously-monitorable,
+    hash-checked operator like its three siblings — the pool-depth dial
+    gets priced in recall terms from a sampled query log."""
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        lit_vector,
+    )
+    from vector_lake_spark.operators.pq import pq_adc_expr, pq_codes_expr
+
+    emb = _t(spark, sf, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    score = F.round(cosine_similarity(v, lit_vector(QUERY_VEC)), 6)
+    exact = (
+        emb.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(K)
+    )
+    # ONE ADC evaluation + ONE bounded sort: rank the deepest (16×K)
+    # pool, then every shallower pool is a rank predicate — the 128-LUT
+    # ADC kernel (the expensive expression) runs exactly once, and the
+    # three depths fold in a single aggregate (vs 3 unioned subplans:
+    # measured 33.5 s → ~2 s at sf0.01).
+    deepest = 16 * K
+    pool = (
+        emb.select(
+            "vec_id", pq_adc_expr(pq_codes_expr(v), QUERY_VEC).alias("adc")
+        )
+        .orderBy(F.col("adc").desc(), F.col("vec_id"))
+        .limit(deepest)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("adc").desc(), F.col("vec_id"))
+            ),
+        )
+    )
+    hits = exact.join(pool.select("vec_id", "rank"), "vec_id")
+    counts = hits.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("rank") <= mult * K).cast("long")), F.lit(0)
+            ).alias(f"h{mult}")
+            for mult in (4, 8, 16)
+        ]
+    )
+    arm = lambda mult: F.struct(  # noqa: E731
+        F.lit(mult).cast("long").alias("pool_mult"),
+        F.lit(K).cast("long").alias("k"),
+        F.col(f"h{mult}").cast("long").alias("n_hits"),
+        F.round(F.col(f"h{mult}") / F.lit(K), 6).alias("recall_at_k"),
+    )
+    return counts.select(
+        F.explode(F.array(arm(4), arm(8), arm(16))).alias("s")
+    ).select("s.*")
+
+
+def _sql_vec_pq_recall() -> str:
+    from vector_lake_spark.operators.pq import sql_pq_adc
+
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({mult} AS BIGINT) AS pool_mult,
+       CAST({K} AS BIGINT) AS k,
+       CAST(h{mult} AS BIGINT) AS n_hits,
+       round(h{mult} / {K}.0, 6) AS recall_at_k
+FROM h"""
+        for mult in (4, 8, 16)
+    )
+    sums = ",\n         ".join(
+        f"coalesce(sum(CASE WHEN p.rank <= {mult * K} THEN 1 ELSE 0 END), 0)"
+        f" AS h{mult}"
+        for mult in (4, 8, 16)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {EMB} AS v FROM embeddings),
+s AS (SELECT vec_id, {sql_pq_adc('v', QUERY_VEC)} AS adc FROM e),
+p AS (
+  SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id) AS rank
+  FROM s ORDER BY adc DESC, vec_id LIMIT {16 * K}
+),
+exact AS (
+  SELECT vec_id FROM e
+  ORDER BY round(list_cosine_similarity(v, {QV}), 6) DESC, vec_id
+  LIMIT {K}
+),
+h AS (
+  SELECT {sums}
+  FROM exact JOIN p USING (vec_id)
+)
+{arms}
+"""
+
+
+SQL_VEC_PQ_RECALL = _sql_vec_pq_recall()
+
+
+ZIPF_TOP_N = 50
+
+
+def q_text_zipf_fit(spark, sf):
+    """Vocabulary Zipf-law fit per language — the corpus-health
+    diagnostic that catches machine-generated or boilerplate-flooded
+    text before training (natural language sits near slope −1 on
+    log-freq vs log-rank; spam and template floods flatten or kink the
+    curve). One explode → one (lang, token) count → per-lang top-N rank
+    window → closed-form OLS (covar_pop/var_pop) — all codegen
+    aggregates, shuffled state is one row per (lang, token) then N rows
+    per lang. At 100 TB run per shard and compare slopes across
+    sources; a source whose slope drifts is the contamination signal."""
+    d = _t(spark, sf, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("tok")
+    )
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP_N
+    )
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("n").cast("double"))
+    return (
+        top.select("lang", lr.alias("lr"), lf.alias("lf"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.covar_pop("lr", "lf") / F.var_pop("lr"), 6
+            ).alias("zipf_slope"),
+            F.round(F.corr("lr", "lf") * F.corr("lr", "lf"), 6).alias(
+                "r2"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_ZIPF_FIT = f"""
+WITH tok AS (
+  SELECT lang, unnest({O.sql_tokens('text')}) AS tok FROM documents
+),
+freq AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY lang, tok),
+top AS (
+  SELECT lang, ln(CAST(rank AS DOUBLE)) AS lr, ln(CAST(n AS DOUBLE)) AS lf
+  FROM (
+    SELECT lang, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rank
+    FROM freq
+  )
+  WHERE rank <= {ZIPF_TOP_N}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(covar_pop(lr, lf) / var_pop(lr), 6) AS zipf_slope,
+       round(corr(lr, lf) * corr(lr, lf), 6) AS r2
+FROM top
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_pipe_dedup_report(spark, sf):
+    """Pipeline observability: the per-stage survival funnel (ingested →
+    exact-dedup keepers → quality-filter keepers) as ONE query — the
+    report every curation run ships with so a stage that silently eats
+    the corpus is caught by a number, not a vibe. Reuses the exact
+    pins of `dedup_exact` (min-id per content fingerprint) and
+    `pipe_quality_filter` (pinned logistic weights, rounded score), so
+    the funnel is consistent with the standalone stages by
+    construction. One scan computes fingerprint + quality; counts fold
+    in a single plan (broadcast scalar carry)."""
+    from vector_lake_spark.functions.text import fingerprint64
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        d = d.repartition(spread)
+    scored = d.select(
+        "doc_id",
+        fingerprint64(F.col("text")).alias("fp"),
+        quality_prob_expr(F.col("text")).alias("q"),
+    )
+    w = Window.partitionBy("fp")
+    keep = scored.withColumn("min_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("min_id")
+    )
+    stats = keep.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(
+            (F.col("q") >= QUALITY_KEEP_THRESHOLD).cast("long")
+        ).alias("n_quality"),
+    )
+    total = scored.agg(F.count(F.lit(1)).alias("n_total"))
+    joined = total.join(F.broadcast(stats))
+    stage = lambda no, name, n, dropped: F.struct(  # noqa: E731
+        F.lit(no).cast("long").alias("stage_no"),
+        F.lit(name).alias("stage"),
+        n.cast("long").alias("n_docs"),
+        dropped.cast("long").alias("n_dropped"),
+    )
+    return joined.select(
+        F.explode(
+            F.array(
+                stage(0, "ingested", F.col("n_total"), F.lit(0)),
+                stage(
+                    1,
+                    "exact_dedup",
+                    F.col("n_exact"),
+                    F.col("n_total") - F.col("n_exact"),
+                ),
+                stage(
+                    2,
+                    "quality_filter",
+                    F.col("n_quality"),
+                    F.col("n_exact") - F.col("n_quality"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+SQL_PIPE_DEDUP_REPORT = f"""
+WITH s AS (
+  SELECT doc_id, {O.sql_fingerprint64('text')} AS fp,
+         {sql_quality_prob('text')} AS q
+  FROM documents
+),
+k AS (
+  SELECT * FROM s
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+),
+c AS (
+  SELECT (SELECT count(*) FROM s) AS n_total,
+         count(*) AS n_exact,
+         sum(CASE WHEN q >= {QUALITY_KEEP_THRESHOLD} THEN 1 ELSE 0 END)
+           AS n_quality
+  FROM k
+)
+SELECT CAST(0 AS BIGINT) AS stage_no, 'ingested' AS stage,
+       CAST(n_total AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_dropped
+FROM c
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'exact_dedup',
+       CAST(n_exact AS BIGINT), CAST(n_total - n_exact AS BIGINT)
+FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'quality_filter',
+       CAST(n_quality AS BIGINT), CAST(n_exact - n_quality AS BIGINT)
+FROM c
+"""
+
+
+def q_vec_ood_score(spark, sf):
+    """Embedding out-of-distribution audit: each vector's distance to
+    its OWN label centroid, z-scored within the label, top-20 most
+    anomalous. This is the embedding-space quality gate a training
+    pipeline runs after every encoder change — mislabeled rows, encoder
+    regressions, and corrupt vectors all surface as high z. Plan:
+    posexplode → per-(label, dim) mean (640 rows → broadcast) → one
+    re-join + per-vector sum of squares → two window aggregates per
+    label — no crossJoin, centroids never leave the driver-side
+    broadcast, shuffled state is one row per vector."""
+    emb = _t(spark, sf, "embeddings")
+    dims = emb.select(
+        "vec_id", "label",
+        F.posexplode(to_double_array(F.col("embedding"))),
+    )
+    cent = dims.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("col") - F.col("m")) * (F.col("col") - F.col("m")))
+            ).alias("dist")
+        )
+    )
+    wl = Window.partitionBy("label")
+    z = dist.select(
+        "vec_id",
+        "label",
+        F.round(
+            (F.col("dist") - F.avg("dist").over(wl))
+            / F.stddev_pop("dist").over(wl),
+            6,
+        ).alias("ood_z"),
+    )
+    return z.orderBy(F.col("ood_z").desc(), F.col("vec_id")).limit(20)
+
+
+SQL_VEC_OOD_SCORE = f"""
+WITH e AS (
+  SELECT vec_id, label, unnest({EMB}) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+m AS (SELECT label, pos, avg(val) AS m FROM e GROUP BY label, pos),
+d AS (
+  SELECT e.vec_id, e.label,
+         sqrt(sum((e.val - m.m) * (e.val - m.m))) AS dist
+  FROM e JOIN m ON e.label = m.label AND e.pos = m.pos
+  GROUP BY e.vec_id, e.label
+),
+z AS (
+  SELECT vec_id, label,
+         round((dist - avg(dist) OVER (PARTITION BY label))
+               / stddev_pop(dist) OVER (PARTITION BY label), 6) AS ood_z
+  FROM d
+)
+SELECT vec_id, label, ood_z FROM z
+ORDER BY ood_z DESC, vec_id
+LIMIT 20
+"""
+
+
+ROLLING_DAU_DAYS = 7
+
+
+def q_sketch_rolling_dau(spark, sf):
+    """Rolling 7-day distinct users per day served from MERGED per-day
+    HLL sketches — the sketch-rollup pattern that makes rolling
+    distincts affordable at 100 TB: each day's events are sketched
+    once (2^lgK bytes), and every rolling window is a UNION of 7
+    sketches instead of a re-scan of 7 days of raw events
+    (`hll_union_agg`, mergeability per `sketch_user_overlap`). The
+    exact rolling count rides along so the oracle verifies the
+    estimate's 5% claim inside the hash — same posture as
+    `sketch_distinct_users`. Day fan-out is an explode of 7 ints on
+    the per-day AGGREGATES (30 rows at any scale), never on events."""
+    ev = _events(spark, sf)
+    off = F.explode(
+        F.array(*[F.lit(i) for i in range(ROLLING_DAU_DAYS)])
+    ).alias("off")
+    days = ev.select(_epoch_day(F.col("ts")).alias("t_day")).distinct()
+    per_day = (
+        ev.select("user_id", _epoch_day(F.col("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(SKETCH_LG_K)).alias("sk"))
+    )
+    est = (
+        per_day.select("day", "sk", off)
+        .select((F.col("day") + F.col("off")).alias("t_day"), "sk")
+        .join(days, "t_day", "left_semi")
+        .groupBy("t_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    ud = ev.select(
+        "user_id", _epoch_day(F.col("ts")).alias("day")
+    ).distinct()
+    exact = (
+        ud.select("user_id", "day", off)
+        .select("user_id", (F.col("day") + F.col("off")).alias("t_day"))
+        .join(days, "t_day", "left_semi")
+        .groupBy("t_day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+    return exact.join(est, "t_day").select(
+        F.col("t_day").cast("long").alias("day"),
+        F.col("n_users_7d").cast("long").alias("n_users_7d"),
+        (
+            F.abs(F.col("est") - F.col("n_users_7d"))
+            <= 0.05 * F.col("n_users_7d")
+        ).alias("est_within_5pct"),
+    )
+
+
+SQL_SKETCH_ROLLING_DAU = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, {O.sql_epoch_day('ts')} AS day FROM events
+),
+days AS (SELECT DISTINCT day AS t_day FROM ud),
+t AS (
+  SELECT ud.user_id, ud.day + o.off AS t_day
+  FROM ud CROSS JOIN (
+    SELECT unnest([{", ".join(str(i) for i in range(ROLLING_DAU_DAYS))}]) AS off
+  ) o
+)
+SELECT CAST(t.t_day AS BIGINT) AS day,
+       CAST(count(DISTINCT t.user_id) AS BIGINT) AS n_users_7d,
+       TRUE AS est_within_5pct
+FROM t
+WHERE t.t_day IN (SELECT t_day FROM days)
+GROUP BY t.t_day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 #
@@ -6981,6 +7376,11 @@ _BASE_QUERIES = {
     "lsh_shard_hist": q_lsh_shard_hist,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "vec_pq_recall": q_vec_pq_recall,
+    "vec_ood_score": q_vec_ood_score,
+    "text_zipf_fit": q_text_zipf_fit,
+    "pipe_dedup_report": q_pipe_dedup_report,
+    "sketch_rolling_dau": q_sketch_rolling_dau,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -7206,6 +7606,11 @@ ORACLES = {
     "lsh_shard_hist": SQL_LSH_SHARD_HIST,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_lsh_recall": SQL_ANN_LSH_RECALL,
+    "vec_pq_recall": SQL_VEC_PQ_RECALL,
+    "vec_ood_score": SQL_VEC_OOD_SCORE,
+    "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
+    "pipe_dedup_report": SQL_PIPE_DEDUP_REPORT,
+    "sketch_rolling_dau": SQL_SKETCH_ROLLING_DAU,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,

@@ -71,28 +71,82 @@ class ProgressCapture(StreamingQueryListener):
           boundedness evidence (a watermark-evicted operator's rows
           plateau; an unbounded one's grow with every batch)
         """
-        out = []
-        for p in self.progress:
-            if not include_empty and not p.get("numInputRows"):
-                continue
-            state = p.get("stateOperators") or []
-            out.append(
-                {
-                    "name": p.get("name"),
-                    "batch": p.get("batchId"),
-                    "input_rows": p.get("numInputRows", 0),
-                    "rows_per_sec": round(
-                        p.get("processedRowsPerSecond") or 0.0, 1
-                    ),
-                    "batch_ms": (p.get("durationMs") or {}).get(
-                        "triggerExecution"
-                    ),
-                    "state_rows": sum(
-                        s.get("numRowsTotal", 0) for s in state
-                    ),
-                    "state_bytes": sum(
-                        s.get("memoryUsedBytes", 0) for s in state
-                    ),
-                }
+        return summarize(self.progress, include_empty)
+
+
+def summarize(progress: list[dict], include_empty: bool = False) -> list[dict]:
+    """Per-micro-batch summary rows from raw progress dicts — shared by
+    ``ProgressCapture.rows`` and callers that only have
+    ``query.recentProgress`` jsons."""
+    out = []
+    for p in progress:
+        if not include_empty and not p.get("numInputRows"):
+            continue
+        state = p.get("stateOperators") or []
+        out.append(
+            {
+                "name": p.get("name"),
+                "batch": p.get("batchId"),
+                "input_rows": p.get("numInputRows", 0),
+                "rows_per_sec": round(
+                    p.get("processedRowsPerSecond") or 0.0, 1
+                ),
+                "batch_ms": (p.get("durationMs") or {}).get(
+                    "triggerExecution"
+                ),
+                "state_rows": sum(
+                    s.get("numRowsTotal", 0) for s in state
+                ),
+                "state_bytes": sum(
+                    s.get("memoryUsedBytes", 0) for s in state
+                ),
+            }
+        )
+    return out
+
+
+def summarize_query(query, include_empty: bool = False) -> list[dict]:
+    """``summarize`` over a (finished) StreamingQuery's recentProgress."""
+    import json as _json
+
+    return summarize(
+        [_json.loads(p.json) for p in query.recentProgress], include_empty
+    )
+
+
+def assert_floors(
+    rows: list[dict],
+    min_rows_per_sec: float,
+    max_state_rows: int | None = None,
+    min_batches: int = 1,
+) -> None:
+    """Coarse throughput/state regression gate (r06 verdict #9): the
+    SCALE.md streaming tables are evidence, but nothing FAILED if a
+    change collapsed streaming throughput or unbounded the state store.
+    This turns the captured numbers into a test gate. Floors are set at
+    collapse level (an order of magnitude under healthy local-mode
+    throughput), not at regression level — CI boxes jitter 2-3×, a 10×+
+    drop is a plan defect (a new exchange, a per-row Python path, state
+    that stopped evicting)."""
+    if len(rows) < min_batches:
+        raise AssertionError(
+            f"streaming gate: only {len(rows)} progress rows captured, "
+            f"expected >= {min_batches}"
+        )
+    slow = [r for r in rows if r["rows_per_sec"] < min_rows_per_sec]
+    if slow:
+        raise AssertionError(
+            "streaming throughput floor violated "
+            f"(min {min_rows_per_sec} rows/s): "
+            + ", ".join(
+                f"batch {r['batch']}: {r['rows_per_sec']} rows/s"
+                for r in slow
             )
-        return out
+        )
+    if max_state_rows is not None:
+        worst = max(r["state_rows"] for r in rows)
+        if worst > max_state_rows:
+            raise AssertionError(
+                f"state-store bound violated: {worst} rows "
+                f"(max allowed {max_state_rows})"
+            )
