@@ -965,15 +965,18 @@ def test_real_wav_decode_through_spark(spark):
 
 def test_image_decode_gates_are_loud(spark):
     """r06: JPEG no longer environment-gates (jpeg.py decodes baseline
-    for real — test_jpeg.py); a malformed JPEG fails with a structural
-    error, and an unrecognized payload still raises the honest
-    NotImplementedError naming what decodes natively."""
+    for real — test_jpeg.py); r07: GIF dispatches for real too
+    (gif.py), so a malformed GIF now fails structurally like a
+    malformed JPEG, and only a genuinely unknown magic raises the
+    honest NotImplementedError naming what decodes natively."""
     from vector_lake_spark.multimodal import _decode_image
 
     with pytest.raises(ValueError):
         _decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # SOI but garbage
-    with pytest.raises(NotImplementedError, match="BMP, PNG and baseline"):
-        _decode_image(b"GIF89a notsupported")
+    with pytest.raises(ValueError):
+        _decode_image(b"GIF89a notsupported")  # GIF magic but garbage
+    with pytest.raises(NotImplementedError, match="BMP, PNG, baseline"):
+        _decode_image(b"RIFFxxxxWEBPnope")  # WebP: honestly unsupported
 
 
 def _make_png(pixels, color_type, filters):

@@ -16,9 +16,10 @@ A matching writer (``encode_avi_mjpeg``) exists for the same reason
 quality-100 constant-color frames round-trip EXACTLY through
 container + codec (tests/test_avi.py).
 
-Remaining video gates are named: other containers (MP4/Matroska) and
-interframe codecs raise ``NotImplementedError`` at the dispatch
-(``multimodal._decode_video``), not silent stubs.
+Remaining video gates are named: Matroska and interframe codecs raise
+``NotImplementedError`` at the dispatch, not silent stubs (the MP4
+container decodes for real since r07 — ``mp4.py``, photo-JPEG samples
+through the same JPEG codec).
 
 Layout written/parsed (all little-endian, sizes exclude the 8-byte
 chunk header; chunks pad to even length):

@@ -1,0 +1,424 @@
+"""GIF87a/89a codec — pure stdlib struct + numpy, no PIL.
+
+Continues the real-decode arc (BMP → WAV → PNG → JPEG → MJPEG-AVI):
+GIF is the last of the classic interchange image formats still common
+in crawled corpora, and its compression (LZW over palette indices) is
+spec-implementable with zero external dependencies, so decode is REAL
+here, not a stub. Scope, with every gate named:
+
+- **Decoder** (``decode_gif_pixels`` / ``decode_gif_frames``): GIF87a
+  and GIF89a; global + local color tables; variable-width LSB-first
+  LZW (code growth, deferred-clear tolerant, 12-bit cap); interlaced
+  images (4-pass row shuffle); GIF89a graphic-control extensions —
+  transparency index honored during frame composition, all four
+  disposal methods composed per spec (0/1 keep, 2 restore background,
+  3 restore previous via a pre-draw canvas snapshot). Animation frames
+  compose onto the logical-screen canvas (initialized to the
+  background color), exactly like a browser.
+- **Encoder** (``encode_gif``): static single-frame GIF89a writer for
+  provable exactness — palette built from the image's unique colors
+  (≤256 required, else ValueError), REAL greedy LZW with the
+  encoder-side width bookkeeping mirrored to the decoder's
+  (next_code == 2^size + 1 grows the emit width; a safety-margin
+  CLEAR resets the table before the 12-bit cap). GIF is lossless for
+  ≤256-color images, so round-trips must be byte-exact in pixel space
+  (tests/test_gif.py) — same correctness-over-ratio stance as the
+  JPEG encoder's simple Huffman tables.
+- ``probe_gif``: header + frame table WITHOUT LZW decompression (the
+  cheap metadata pass; sub-block walk only), mirroring ``probe_avi``.
+
+At 100 TB the decode runs inside the same Arrow ``mapInPandas``
+operator shape as the other codecs (``multimodal.extract_image_features``
+dispatches on the magic bytes): payloads are an opaque binary column,
+the scan projects (id, payload), decoder memory is bounded by the Arrow
+batch.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+_MAX_CODE = 1 << 12  # LZW codes are capped at 12 bits (GIF spec)
+
+
+# ---------------------------------------------------------------------------
+# LZW
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Variable-width LSB-first GIF-LZW decode of the concatenated
+    image sub-block bytes into ``n_pixels`` palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    # dictionary as parent-pointer table: seq(code) = seq(prefix) + [tail]
+    prefix = np.full(_MAX_CODE, -1, dtype=np.int32)
+    tail = np.zeros(_MAX_CODE, dtype=np.uint8)
+    first = np.zeros(_MAX_CODE, dtype=np.uint8)  # first index of seq
+    for i in range(clear):
+        tail[i] = i
+        first[i] = i
+
+    def reset():
+        return eoi + 1, min_code_size + 1
+
+    next_code, code_size = reset()
+    prev = -1
+
+    bitpos = 0
+    nbits = len(data) * 8
+    buf = int.from_bytes(data, "little")  # LSB-first bit stream
+
+    scratch = np.empty(_MAX_CODE, dtype=np.uint8)
+
+    while n_out < n_pixels:
+        if bitpos + code_size > nbits:
+            raise ValueError(
+                f"GIF LZW stream truncated: {n_out}/{n_pixels} pixels "
+                f"decoded"
+            )
+        code = (buf >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            next_code, code_size = reset()
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if code > next_code:
+            raise ValueError(f"corrupt GIF LZW stream: code {code}")
+        if code == next_code:
+            if prev < 0:
+                raise ValueError("corrupt GIF LZW stream: KwKwK at start")
+            # entry = seq(prev) + first(prev)
+            cur_first = first[prev]
+            seq_code, use_prev = prev, True
+        else:
+            cur_first = first[code]
+            seq_code, use_prev = code, False
+
+        # materialize seq(seq_code) backwards into scratch
+        n = 0
+        c = seq_code
+        while c >= 0:
+            scratch[n] = tail[c]
+            n += 1
+            c = prefix[c] if c >= clear else -1
+        seq = scratch[:n][::-1]
+        if use_prev:
+            emit_len = n + 1
+        else:
+            emit_len = n
+        if n_out + emit_len > n_pixels:
+            # tolerate trailing codes past the raster (some writers pad)
+            emit_len = n_pixels - n_out
+        out[n_out : n_out + min(n, emit_len)] = seq[: min(n, emit_len)]
+        if use_prev and emit_len == n + 1:
+            out[n_out + n] = cur_first
+        n_out += emit_len
+
+        if prev >= 0 and next_code < _MAX_CODE:
+            prefix[next_code] = prev
+            tail[next_code] = cur_first
+            first[next_code] = first[prev]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = seq_code if not use_prev else next_code - 1
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Greedy GIF-LZW encode. Width bookkeeping mirrors the decoder:
+    the encoder's table is one entry ahead, so the emit width grows at
+    ``next_code == 2^size + 1``; a CLEAR resets the table at a safety
+    margin before the 12-bit cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out_bits: list[tuple[int, int]] = []  # (value, width)
+
+    table: dict[tuple[int, ...], int] = {}
+
+    def reset():
+        table.clear()
+        for i in range(clear):
+            table[(i,)] = i
+        return eoi + 1, min_code_size + 1
+
+    next_code, code_size = reset()
+    out_bits.append((clear, code_size))
+
+    buf: tuple[int, ...] = ()
+    for raw in indices:
+        idx = int(raw)
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], code_size))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= _MAX_CODE - 2:  # margin: reset before the cap
+            out_bits.append((clear, code_size))
+            next_code, code_size = reset()
+        buf = (idx,)
+    if buf:
+        out_bits.append((table[buf], code_size))
+    out_bits.append((eoi, code_size))
+
+    # pack LSB-first
+    acc = 0
+    accbits = 0
+    data = bytearray()
+    for value, width in out_bits:
+        acc |= value << accbits
+        accbits += width
+        while accbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+    if accbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+# ---------------------------------------------------------------------------
+# Container
+# ---------------------------------------------------------------------------
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = [
+        y for start, step in _INTERLACE_PASSES for y in range(start, h, step)
+    ]
+    out = np.empty_like(rows)
+    out[np.asarray(order)] = rows
+    return out
+
+
+def probe_gif(payload: bytes) -> dict:
+    """Header + per-frame geometry WITHOUT LZW decompression: walks the
+    block structure (sub-block lengths only), returning screen size,
+    background index, and each frame's (left, top, w, h, interlace,
+    transparency, disposal, delay_ms) plus the offsets the decoder
+    needs. The cheap metadata pass a 100 TB pipeline runs first."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload (GIF87a/GIF89a header missing)")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    frames: list[dict] = []
+    gce: dict = {}
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                size = payload[pos]
+                gflags, delay_cs, trans_idx = struct.unpack_from(
+                    "<BHB", payload, pos + 1
+                )
+                gce = {
+                    "disposal": (gflags >> 2) & 0x7,
+                    "transparent_idx": trans_idx if gflags & 1 else None,
+                    "delay_ms": delay_cs * 10,
+                }
+                pos += 1 + size
+            # skip (remaining) sub-blocks of any extension
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            lct = None
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                lct = (pos, n)
+                pos += 3 * n
+            min_code_size = payload[pos]
+            pos += 1
+            data_start = pos
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            data_end = pos
+            pos += 1
+            frames.append(
+                {
+                    "left": left,
+                    "top": top,
+                    "width": fw,
+                    "height": fh,
+                    "interlaced": bool(iflags & 0x40),
+                    "lct": lct,
+                    "min_code_size": min_code_size,
+                    "data_span": (data_start, data_end),
+                    **gce,
+                }
+            )
+            gce = {}
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+    return {
+        "width": w,
+        "height": h,
+        "version": payload[3:6].decode("ascii"),
+        "background_idx": bg,
+        "gct": gct,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def _frame_subblocks(payload: bytes, span: tuple[int, int]) -> bytes:
+    pos, end = span
+    chunks = []
+    while pos < end:
+        n = payload[pos]
+        chunks.append(payload[pos + 1 : pos + 1 + n])
+        pos += 1 + n
+    return b"".join(chunks)
+
+
+def decode_gif_frames(
+    payload: bytes, frame_indices=None
+) -> tuple[dict, list[tuple[int, np.ndarray]]]:
+    """Decode frames to composed (h, w, 3) uint8 RGB canvases, honoring
+    transparency and all four disposal methods (0/1 keep, 2 restore
+    background, 3 restore previous — the canvas is snapshotted before a
+    disposal-3 frame draws and restored after). Unlike MJPEG-AVI, GIF
+    frames are DELTAS against the canvas, so decoding frame k requires
+    composing frames 0..k — selective decode still skips the OUTPUT of
+    unsampled frames but must walk priors (documented; an I-frame-like
+    format this is not)."""
+    info = probe_gif(payload)
+    frames = info["frames"]
+    want = set(range(len(frames))) if frame_indices is None else set(frame_indices)
+    for i in want:
+        if not 0 <= i < len(frames):
+            raise IndexError(f"frame {i} out of range 0..{len(frames)-1}")
+    h, w = info["height"], info["width"]
+    gct = info["gct"]
+    bg_rgb = (
+        gct[info["background_idx"]]
+        if gct is not None and info["background_idx"] < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    out = []
+    last_needed = max(want) if want else -1
+    for i, f in enumerate(frames):
+        if i > last_needed:
+            break
+        disposal = f.get("disposal", 0)
+        saved = canvas.copy() if disposal == 3 else None
+        if f["lct"] is not None:
+            off, n = f["lct"]
+            pal = np.frombuffer(
+                payload[off : off + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+        elif gct is not None:
+            pal = gct
+        else:
+            raise ValueError("GIF frame has neither local nor global palette")
+        idx = _lzw_decode(
+            _frame_subblocks(payload, f["data_span"]),
+            f["min_code_size"],
+            f["width"] * f["height"],
+        ).reshape(f["height"], f["width"])
+        if f["interlaced"]:
+            idx = _deinterlace(idx)
+        rgb = pal[idx]
+        t, l = f["top"], f["left"]
+        region = canvas[t : t + f["height"], l : l + f["width"]]
+        tr = f.get("transparent_idx")
+        if tr is not None:
+            mask = idx != tr
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        if i in want:
+            out.append((i, canvas.copy()))
+        if disposal == 2:  # restore background in the rect
+            canvas[t : t + f["height"], l : l + f["width"]] = bg_rgb
+        elif disposal == 3:  # restore the pre-draw canvas
+            canvas = saved
+    return info, out
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """First composed frame as (h, w, 3) uint8 RGB."""
+    _, frames = decode_gif_frames(payload, [0])
+    return frames[0][1]
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Stats-shaped decode (the ``multimodal._decode_image`` contract)."""
+    px = decode_gif_pixels(payload).astype(np.float64)
+    h, w = px.shape[:2]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_r": round(float(px[:, :, 0].mean()), 6),
+        "mean_g": round(float(px[:, :, 1].mean()), 6),
+        "mean_b": round(float(px[:, :, 2].mean()), 6),
+    }
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Static single-frame GIF89a from (h, w, 3) uint8 RGB with ≤256
+    unique colors (GIF's lossless domain — exact round-trip provable)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3) uint8 RGB")
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"encode_gif: {len(colors)} unique colors (> 256) — quantize "
+            f"first; GIF is exact only within a 256-color palette"
+        )
+    # palette size = power of two >= max(2, n_colors)
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n_pal = 1 << bits
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code_size = max(2, bits)
+
+    header = b"GIF89a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | (bits - 1), 0, 0
+    ) + pal.tobytes()
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_encode(inverse.astype(np.int64), min_code_size)
+    blocks = bytearray([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return header + img_desc + bytes(blocks) + b"\x3b"

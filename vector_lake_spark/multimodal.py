@@ -20,11 +20,16 @@ pass through Python row-at-a-time serde. Decode status (r06):
   with a matching writer; ``extract_video_frames`` probes the
   container, samples the timeline, and decodes ONLY the sampled
   frames).
+- r07 widens the real set again: GIF87a/89a (``gif.py`` — LZW,
+  interlace, animation composition; ``extract_gif_features``) and the
+  MP4/ISO-BMFF container (``mp4.py`` — full sample-table probe +
+  photo-JPEG sample decode behind the same ``extract_video_frames``
+  dispatch).
 - Remaining gates are named format subsets (progressive JPEG, 16-bit
-  PNG, MP4/Matroska containers, interframe video codecs) —
-  ``_decode_image`` / ``avi.probe_avi`` raise with the feature named,
-  and the deterministic byte-fold stand-in keeps the e2e pipeline
-  testable for payloads outside the decoded set.
+  PNG, Matroska, interframe video codecs) — ``_decode_image`` /
+  the container probes raise with the feature named, and the
+  deterministic byte-fold stand-in keeps the e2e pipeline testable for
+  payloads outside the decoded set.
 
 At 100 TB: binary payloads dominate row size, so every transform projects
 only the columns it needs (column pruning keeps untouched media out of the
@@ -83,9 +88,14 @@ def _decode_image(payload: bytes):
         from vector_lake_spark.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from vector_lake_spark.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "unrecognized image payload (BMP, PNG and baseline JPEG decode "
-        "natively — decode_bmp / decode_png / jpeg.decode_jpeg)"
+        "unrecognized image payload (BMP, PNG, baseline JPEG and GIF "
+        "decode natively — decode_bmp / decode_png / jpeg.decode_jpeg / "
+        "gif.decode_gif)"
     )
 
 
@@ -341,28 +351,45 @@ def extract_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     never touches its neighbors, so sampling cost is
     frames_sampled × decode, not duration × decode; the probe slices
     frame chunks by (offset, length) so unsampled frames are never even
-    copied out of the payload buffer. Other containers / interframe
-    codecs raise by name (``avi.probe_avi``)."""
+    copied out of the payload buffer. r07 adds the MP4 container
+    (photo-JPEG samples, ``mp4.py``) behind the same magic dispatch;
+    other containers / interframe codecs raise by name."""
     from vector_lake_spark.avi import decode_avi_frames, probe_avi
+    from vector_lake_spark.mp4 import decode_mp4_frames, is_mp4, probe_mp4
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                info = probe_avi(data)
-                fps = info.get("fps")
+                if is_mp4(data):
+                    info = probe_mp4(data)
+                    video = [
+                        t for t in info["tracks"] if t["handler"] == "vide"
+                    ]
+                    if not video:
+                        raise ValueError("MP4 has no video track")
+                    tr = video[0]
+                    fps = (
+                        tr["n_samples"] * 1000.0 / tr["duration_ms"]
+                        if tr["duration_ms"]
+                        else 0
+                    )
+                    n_frames, decode = tr["n_samples"], decode_mp4_frames
+                else:
+                    info = probe_avi(data)
+                    fps = info.get("fps")
+                    n_frames, decode = info["n_frames"], decode_avi_frames
                 if not fps:
                     # never fabricate timestamps from an invented rate —
                     # the module contract is raise-by-name
                     raise ValueError(
-                        "AVI without a usable frame rate (dwRate/dwScale "
-                        "and dwMicroSecPerFrame all zero) — cannot "
+                        "video without a usable frame rate — cannot "
                         "compute sample offsets"
                     )
                 stride = max(int(round(every_ms * fps / 1000.0)), 1)
-                wanted = list(range(0, info["n_frames"], stride))
-                _, frames = decode_avi_frames(data, wanted)
+                wanted = list(range(0, n_frames, stride))
+                _, frames = decode(data, wanted)
                 for fno, px in frames:
                     px3 = px if px.ndim == 3 else px[:, :, None].repeat(3, 2)
                     means = px3.reshape(-1, 3).mean(axis=0)
@@ -469,6 +496,16 @@ def extract_jpeg_features(df: DataFrame) -> DataFrame:
     from vector_lake_spark.jpeg import decode_jpeg
 
     return _extract_image_stats(df, decode_jpeg)
+
+
+def extract_gif_features(df: DataFrame) -> DataFrame:
+    """REAL LZW-codec decode over Arrow batches (r07): GIF87a/89a
+    payloads → first composed frame's dimensions + channel means via the
+    stdlib/numpy decoder (``gif.py``); animation frames compose per the
+    disposal spec before the stats are taken."""
+    from vector_lake_spark.gif import decode_gif
+
+    return _extract_image_stats(df, decode_gif)
 
 
 def extract_wav_features(df: DataFrame) -> DataFrame:

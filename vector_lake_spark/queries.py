@@ -7354,6 +7354,93 @@ GROUP BY t.t_day
 """
 
 
+def q_mm_gif_roundtrip(spark, sf):
+    """REAL-codec correctness as an oracle-checked query (r07): build a
+    deterministic 2-color striped image per document (geometry and
+    colors are closed-form integer arithmetic over doc_id / n_chars),
+    push it through the full GIF89a encoder AND decoder (`gif.py` —
+    real variable-width LZW, palette build, container walk) inside one
+    Arrow `mapInPandas`, and emit the DECODED integer channel sums.
+    The oracle recomputes the same sums arithmetically, so a green hash
+    proves the codec round-trips bit-exactly over the whole table — the
+    'decoder agrees with an independent derivation' stance of
+    tests/test_interop_fixtures.py, lifted to table scale. All-integer
+    outputs: no rounding semantics in play. Reference anchor: the
+    multimodal binary-column contract (SURVEY §2.B); payload bytes
+    never leave the executors, only (6 ints)/row comes back."""
+    from vector_lake_spark.gif import decode_gif_pixels, encode_gif
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 13 + 3).cast("int").alias("w"),
+        (F.col("doc_id") % 7 + 2).cast("int").alias("h"),
+        (F.col("doc_id") % 256).cast("int").alias("ar"),
+        ((F.col("doc_id") * 7 + 1) % 256).cast("int").alias("ag"),
+        ((F.col("doc_id") * 13 + 2) % 256).cast("int").alias("ab"),
+        (F.col("n_chars") % 256).cast("int").alias("br"),
+        ((F.col("n_chars") * 3 + 5) % 256).cast("int").alias("bg"),
+        ((F.col("n_chars") * 11 + 7) % 256).cast("int").alias("bb"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = np.empty((r.h, r.w, 3), dtype=np.uint8)
+                img[0::2] = (r.ar, r.ag, r.ab)  # even rows: color A
+                img[1::2] = (r.br, r.bg, r.bb)  # odd rows: color B
+                px = decode_gif_pixels(encode_gif(img)).astype(np.int64)
+                rows.append(
+                    (
+                        r.media_id,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, "
+            "sum_r long, sum_g long, sum_b long"
+        ),
+    )
+
+
+SQL_MM_GIF_ROUNDTRIP = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         3 + (n_chars % 13) AS w,
+         2 + (doc_id % 7) AS h,
+         doc_id % 256 AS ar, (doc_id * 7 + 1) % 256 AS ag,
+         (doc_id * 13 + 2) % 256 AS ab,
+         n_chars % 256 AS br, (n_chars * 3 + 5) % 256 AS bg,
+         (n_chars * 11 + 7) % 256 AS bb
+  FROM documents
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * (((h + 1) // 2) * ar + (h // 2) * br) AS BIGINT) AS sum_r,
+       CAST(w * (((h + 1) // 2) * ag + (h // 2) * bg) AS BIGINT) AS sum_g,
+       CAST(w * (((h + 1) // 2) * ab + (h // 2) * bb) AS BIGINT) AS sum_b
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7381,6 +7468,7 @@ _BASE_QUERIES = {
     "text_zipf_fit": q_text_zipf_fit,
     "pipe_dedup_report": q_pipe_dedup_report,
     "sketch_rolling_dau": q_sketch_rolling_dau,
+    "mm_gif_roundtrip": q_mm_gif_roundtrip,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -7611,6 +7699,7 @@ ORACLES = {
     "text_zipf_fit": SQL_TEXT_ZIPF_FIT,
     "pipe_dedup_report": SQL_PIPE_DEDUP_REPORT,
     "sketch_rolling_dau": SQL_SKETCH_ROLLING_DAU,
+    "mm_gif_roundtrip": SQL_MM_GIF_ROUNDTRIP,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
