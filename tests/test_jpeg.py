@@ -80,10 +80,11 @@ def test_stats_shape_matches_image_contract():
 def test_unsupported_features_raise_loudly():
     img = np.full((8, 8), 9, dtype=np.uint8)
     payload = bytearray(encode_jpeg(img, 100))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless — still honestly gated; SOF2 decodes
+    # for real since r07, see TestProgressive)
     i = payload.find(b"\xff\xc0")
-    payload[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    payload[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         decode_jpeg_pixels(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"nonsense")
@@ -190,3 +191,91 @@ def test_fill_bytes_and_tem_markers_are_skipped():
     # inject fill bytes + a TEM marker right after SOI
     patched = payload[:2] + b"\xff\xff\xff" + b"\xff\x01" + payload[2:]
     assert np.array_equal(decode_jpeg_pixels(patched), img)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — r07
+# ---------------------------------------------------------------------------
+
+
+class TestProgressive:
+    """Progressive decode correctness is anchored to baseline: both
+    encoders quantize identically, so at EVERY quality the progressive
+    decode must equal the baseline decode pixel-for-pixel — a stronger
+    claim than PSNR, and one that exercises all four Annex G scan
+    algorithms (the scan script uses spectral selection AND successive
+    approximation)."""
+
+    def _roundtrip_equal(self, img, quality, subsample=False):
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+
+        base = decode_jpeg_pixels(encode_jpeg(img, quality, subsample))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(img, quality, subsample)
+        )
+        assert np.array_equal(prog, base)
+
+    def test_constant_gray_exact_at_q100(self):
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+
+        img = np.full((16, 24), 77, dtype=np.uint8)
+        out = decode_jpeg_pixels(encode_jpeg_progressive(img, 100))
+        assert np.array_equal(out, img)
+
+    def test_random_rgb_matches_baseline_all_qualities(self):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+        for q in (10, 50, 90, 100):
+            self._roundtrip_equal(img, q)
+
+    def test_subsampled_420_matches_baseline(self):
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+        self._roundtrip_equal(img, 100, subsample=True)
+        self._roundtrip_equal(img, 60, subsample=True)
+
+    def test_sparse_blocks_exercise_zrl_and_eob(self):
+        # one hot pixel per 8x8 block: isolated high-frequency
+        # coefficients with >16 zero runs in both first and refine scans
+        img = np.full((40, 40), 128, dtype=np.uint8)
+        img[::8, ::8] = 255
+        self._roundtrip_equal(img, 100)
+        self._roundtrip_equal(img, 40)
+
+    def test_smooth_gradient_matches_baseline(self):
+        gy, gx = np.mgrid[0:64, 0:96]
+        grad = ((gy * 2 + gx) % 256).astype(np.uint8)
+        self._roundtrip_equal(grad, 75)
+
+    def test_odd_dimensions(self):
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+        self._roundtrip_equal(img, 100)
+
+    def test_negative_dc_refinement_bits(self):
+        # dark image → negative DC coefficients; the refinement bit is
+        # a two's-complement OR, which only round-trips if the decoder
+        # treats it that way (Annex G.1.2.1)
+        rng = np.random.default_rng(14)
+        img = rng.integers(0, 40, size=(24, 24), dtype=np.uint8)
+        self._roundtrip_equal(img, 100)
+        self._roundtrip_equal(img, 30)
+
+    def test_dispatch_reaches_progressive(self):
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+        from vector_lake_spark.multimodal import _decode_image
+
+        img = np.full((8, 16, 3), 200, dtype=np.uint8)
+        d = _decode_image(encode_jpeg_progressive(img, 100))
+        assert (d["width"], d["height"]) == (16, 8)
+        assert d["mean_r"] == 200.0
+
+    def test_truncated_progressive_raises(self):
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        p = encode_jpeg_progressive(img, 100)
+        # cut inside the last scan's entropy data: the bit reader runs
+        # off the payload — loud failure, never a silent partial image
+        with pytest.raises((ValueError, IndexError)):
+            decode_jpeg_pixels(p[: len(p) - 6])

@@ -4,25 +4,31 @@ Closes the last "DCT codecs are environment-gated" gap
 (`multimodal._decode_image`) the honest way PNG was closed in r06:
 implement the subset for real and gate the rest loudly. Scope:
 
-- **Decoder** (`decode_jpeg_pixels`): baseline sequential DCT (SOF0),
-  8-bit, 1 or 3 components, sampling factors 1..2 — 4:4:4, 4:2:2 and
-  4:2:0 (the camera default) all decode, with nearest-neighbor chroma
-  upsampling; DRI/RSTn restart intervals honored. Marker walk → DQT/DHT/SOF0/SOS parse → bit-unstuffed
-  Huffman decode (table-driven from the file's own DHT segments) →
-  dequant → 2-D IDCT (orthonormal DCT matrix — exactly JPEG's Annex A
-  definition) → level shift → YCbCr→RGB. Anything outside the subset
-  (progressive SOF2, 12-bit precision, arithmetic coding, sampling
-  factors above 2) raises NotImplementedError
+- **Decoder** (`decode_jpeg_pixels`): baseline sequential DCT (SOF0)
+  AND progressive DCT (SOF2, r07 — full spectral selection +
+  successive approximation per T.81 Annex G: DC first/refine, AC first
+  with EOB runs, AC refine with correction bits), 8-bit, 1 or 3
+  components, sampling factors 1..2 — 4:4:4, 4:2:2 and 4:2:0 (the
+  camera default) all decode, with nearest-neighbor chroma upsampling;
+  DRI/RSTn restart intervals honored. Marker walk → DQT/DHT/SOF/SOS
+  parse → bit-unstuffed Huffman decode (table-driven from the file's
+  own DHT segments) → dequant → 2-D IDCT (orthonormal DCT matrix —
+  exactly JPEG's Annex A definition) → level shift → YCbCr→RGB.
+  Anything outside the subset (12-bit precision, arithmetic coding,
+  lossless SOF3, sampling factors above 2) raises NotImplementedError
   naming the feature.
-- **Encoder** (`encode_jpeg`): the matching baseline writer, used by
-  the tests so exactness can be proven without a reference binary
-  (`subsample=True` writes 4:2:0 with 2×2-averaged chroma):
+- **Encoders** (`encode_jpeg` baseline, `encode_jpeg_progressive`
+  SOF2 with both spectral selection and successive approximation),
+  used by the tests so exactness can be proven without a reference
+  binary (`subsample=True` writes 4:2:0 with 2×2-averaged chroma):
   both ends are this module, so a constant-gray image at the all-ones
   quant table must round-trip EXACTLY (DC-only blocks are integer
-  arithmetic end-to-end), and smooth images must round-trip above a
-  PSNR floor. Huffman tables are written per-file as simple canonical
-  fixed-length codes (any prefix code is a valid DHT; optimal tables
-  buy compression, not correctness).
+  arithmetic end-to-end), smooth images must round-trip above a PSNR
+  floor, and — because both encoders quantize identically — the
+  progressive and baseline decodes of the same image must agree
+  pixel-for-pixel at every quality. Huffman tables are written
+  per-file as simple canonical fixed-length codes (any prefix code is
+  a valid DHT; optimal tables buy compression, not correctness).
 
 At 100 TB the decode runs inside the same Arrow `mapInPandas` operator
 shape as BMP/PNG (`multimodal.extract_jpeg_features`): payloads stay an
@@ -470,10 +476,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker == 0xC2:  # SOF2 progressive — own multi-scan walk
+            return _decode_progressive_pixels(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0} (progressive/extended) unsupported — "
-                f"baseline sequential (SOF0) only"
+                f"SOF{marker - 0xC0} (extended/lossless/arithmetic) "
+                f"unsupported — baseline (SOF0) and progressive (SOF2) "
+                f"decode"
             )
         elif marker == 0xDA:  # SOS
             ns = body[0]
@@ -577,3 +586,568 @@ def decode_jpeg(payload: bytes) -> dict:
         "mean_g": round(mg, 6),
         "mean_b": round(mb, 6),
     }
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — ITU-T T.81 Annex G.1.2/G.2
+# ---------------------------------------------------------------------------
+#
+# A progressive JPEG carries MULTIPLE scans, each delivering part of the
+# coefficient data: spectral selection (a band [Ss, Se] of the zigzag
+# spectrum per scan) and successive approximation (high bits first —
+# Ah/Al point transforms — refined one bit per later scan). The decoder
+# therefore accumulates integer coefficients per block across scans and
+# runs the IDCT exactly ONCE at the end; the entropy algorithms below
+# are the four of Annex G: DC first / DC refine / AC first (with EOB
+# runs) / AC refine (with correction bits). This is the format most web
+# JPEGs actually use, so the 100 TB decode operator cannot gate on it.
+
+_UNZIG = [0] * 64
+for _i, (_r, _c) in enumerate(ZIGZAG):
+    _UNZIG[_r * 8 + _c] = _i
+
+
+def _ac_first_block(br, actab, coef, Ss, Se, Al, eobrun):
+    """Annex G.1.2.2: first AC scan of a band. `coef` is the block's
+    64-slot zigzag-order coefficient array. Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = _huff_decode(br, actab)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block is done...
+            if r:
+                eobrun += br.read_bits(r)
+            break  # ...and eobrun MORE blocks are all-zero
+        k += r
+        if k > Se:
+            raise ValueError("AC run past end of progressive band")
+        coef[k] = _extend(br.read_bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, actab, coef, Ss, Se, Al, eobrun):
+    """Annex G.1.2.3: AC refinement. Every already-nonzero coefficient
+    visited costs one correction bit; newly-nonzero coefficients arrive
+    as ±2^Al. An EOBn here still refines the REST of the current block
+    before skipping whole blocks."""
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = _huff_decode(br, actab)
+            r, s = sym >> 4, sym & 0xF
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r  # includes the current block
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid AC refinement symbol (size must be 1)"
+                    )
+                newval = p1 if br.read_bit() else -p1
+            # advance past r zero-history slots, refining nonzeros
+            while k <= Se:
+                if coef[k] != 0:
+                    if br.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= Se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:  # refinement bits for the rest of this block
+            if coef[k] != 0:
+                if br.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Byte-align to the next marker after a scan's entropy data."""
+    while pos < len(payload) - 1:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,):
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated: no marker after scan data")
+
+
+def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
+    pos = 2
+    qtbls: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    coefs: list[np.ndarray] | None = None
+    geom = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = body[bpos + 1 + i]
+                qtbls[tq] = tbl
+                bpos += 65
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0xF
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + n])
+                htabs[(tc, th)] = _build_decode_table(bits, vals)
+                bpos += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} unsupported"
+                    )
+                comps.append((cid, tq, hi, vi))
+            sof = (h, w, comps)
+            hmax = max(hi for _, _, hi, _ in comps)
+            vmax = max(vi for _, _, _, vi in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            coefs = []
+            nb = []
+            for cid, _, hi, vi in comps:
+                # full MCU-padded grid for interleaved scans; the
+                # ceil(actual-size) grid for non-interleaved scans
+                coefs.append(
+                    np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+                )
+                cw = -(-w * hi // hmax)
+                ch = -(-h * vi // vmax)
+                nb.append((-(-ch // 8), -(-cw // 8)))
+            geom = (hmax, vmax, mcus_x, mcus_y, nb)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if sof is None or coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seglen, sof, geom, coefs, htabs,
+                scan_comps, ss, se, ah, al, restart_interval,
+            )
+            pos = _next_marker(payload, pos)
+            continue
+        pos = pos + 2 + seglen
+    if sof is None or coefs is None:
+        raise ValueError("progressive JPEG missing SOF2/SOS")
+    return _idct_assemble(sof, geom, coefs, qtbls)
+
+
+def _decode_progressive_scan(
+    payload, pos, sof, geom, coefs, htabs, scan_comps, ss, se, ah, al,
+    restart_interval,
+):
+    """Decode one scan's entropy data; returns the stream position after
+    the last consumed byte. Interleaved (multi-component, DC only per
+    G.1.1) scans walk the MCU grid; single-component scans walk that
+    component's own ceil-sized block grid in raster order."""
+    h, w, comps = sof
+    hmax, vmax, mcus_x, mcus_y, nb = geom
+    comp_idx = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+    br = _BitReader(payload, pos)
+    eobrun = 0
+    rst = 0
+    unit_no = 0
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+
+    def maybe_restart():
+        nonlocal eobrun, pred, rst
+        if restart_interval and unit_no and unit_no % restart_interval == 0:
+            br.sync_restart(rst)
+            rst = (rst + 1) % 8
+            eobrun = 0
+            pred = {cid: 0 for cid, _, _ in scan_comps}
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if len(scan_comps) > 1:
+            for by in range(mcus_y):
+                for bx in range(mcus_x):
+                    maybe_restart()
+                    unit_no += 1
+                    for cid, td, _ta in scan_comps:
+                        ci = comp_idx[cid]
+                        _, _, hi, vi = comps[ci]
+                        for vy in range(vi):
+                            for vx in range(hi):
+                                blk = coefs[ci][by * vi + vy, bx * hi + vx]
+                                _dc_unit(br, htabs, td, blk, ah, al, pred, cid)
+        else:
+            cid, td, _ta = scan_comps[0]
+            ci = comp_idx[cid]
+            nby, nbx = nb[ci]
+            for y in range(nby):
+                for x in range(nbx):
+                    maybe_restart()
+                    unit_no += 1
+                    _dc_unit(br, htabs, td, coefs[ci][y, x], ah, al, pred, cid)
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _td, ta = scan_comps[0]
+        ci = comp_idx[cid]
+        actab = htabs[(1, ta)]
+        nby, nbx = nb[ci]
+        fn = _ac_first_block if ah == 0 else _ac_refine_block
+        for y in range(nby):
+            for x in range(nbx):
+                maybe_restart()
+                unit_no += 1
+                eobrun = fn(br, actab, coefs[ci][y, x], ss, se, al, eobrun)
+    return br.pos
+
+
+def _dc_unit(br, htabs, td, blk, ah, al, pred, cid):
+    if ah == 0:  # first DC scan: Huffman diff, shifted up by Al
+        size = _huff_decode(br, htabs[(0, td)])
+        diff = _extend(br.read_bits(size), size) if size else 0
+        pred[cid] += diff
+        blk[0] = pred[cid] << al
+    else:  # refinement: one raw bit, OR'd into two's complement
+        if br.read_bit():
+            blk[0] |= 1 << al
+
+
+def _idct_assemble(sof, geom, coefs, qtbls):
+    """Shared progressive tail: de-zigzag, dequantize, batch IDCT, then
+    the same upsample + color conversion as baseline."""
+    h, w, comps = sof
+    hmax, vmax, mcus_x, mcus_y, _nb = geom
+    planes = []
+    order = np.empty(64, dtype=np.int64)  # raster slot -> zigzag index
+    for i, (r, c) in enumerate(ZIGZAG):
+        order[r * 8 + c] = i
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        zz = coefs[ci].astype(np.float64)  # (by, bx, 64) zigzag order
+        blocks = zz[:, :, order].reshape(zz.shape[0], zz.shape[1], 8, 8)
+        blocks *= qtbls[tq][None, None, :, :]
+        # batch IDCT: C.T @ B @ C over every block at once — stacked
+        # matmul, NOT einsum: matmul contracts pairwise exactly like the
+        # baseline per-block path, so baseline and progressive decodes
+        # of identically-quantized coefficients agree bit-for-bit
+        spatial = (_C.T @ blocks) @ _C + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            zz.shape[0] * 8, zz.shape[1] * 8
+        )
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder — exists so progressive exactness is provable
+# (the same reason the baseline encoder exists). Scan script: DC-first
+# (interleaved, Al=1) → per-component AC-first (1..63, Al=1) → DC
+# refinement → per-component AC refinement — every Annex G decode
+# algorithm above gets exercised by a round trip.
+# ---------------------------------------------------------------------------
+
+
+def _quantized_planes(px, quality, subsample):
+    """Shared FDCT front half: returns (h, w, samp, qtbls, coefs) where
+    coefs[ci] is an (by, bx, 64) int array in zigzag order over the
+    MCU-padded grid."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        subsample = False
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qlum = _quality_scale(LUM_Q, quality)
+    qchr = _quality_scale(CHR_Q, quality)
+    qtbls = [qlum] if gray else [qlum, qchr]
+    ncomp = len(planes)
+    samp = [(1, 1)] * ncomp
+    if subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zig = np.array([r * 8 + c for r, c in ZIGZAG])
+    coefs = []
+    for ci, p in enumerate(planes):
+        hi, vi = samp[ci]
+        if subsample and ci > 0:
+            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
+            p = _pad_replicate(p, ph2, pw2)
+            p = (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+        p = _pad_replicate(p, mcus_y * 8 * vi, mcus_x * 8 * hi)
+        by, bx = mcus_y * vi, mcus_x * hi
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        # stacked matmul (not einsum) for bit-identity with the baseline
+        # encoder's per-block FDCT — same pairwise contraction order
+        coef = np.round((_C @ blocks) @ _C.T)
+        q = np.round(coef / qtbls[0 if ci == 0 else 1]).astype(np.int64)
+        coefs.append(q.reshape(by, bx, 64)[:, :, zig])
+    return h, w, samp, qtbls, coefs
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Encode as a progressive (SOF2) JFIF JPEG using both spectral
+    selection and one level of successive approximation, so a round
+    trip through ``decode_jpeg_pixels`` exercises all four Annex G scan
+    decoders. Same quant/table conventions as ``encode_jpeg`` — at
+    quality 100 the two encoders produce IDENTICAL coefficients, so
+    progressive and baseline decodes of the same image must agree
+    pixel-for-pixel."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    if px.ndim not in (2, 3) or (px.ndim == 3 and px.shape[2] != 3):
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+    if px.shape[0] == 0 or px.shape[1] == 0:
+        raise ValueError("degenerate image")
+    h, w, samp, qtbls, coefs = _quantized_planes(px, quality, subsample)
+    ncomp = len(coefs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    nb = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        ch = -(-h * vi // vmax)  # ceil component height
+        cw = -(-w * hi // hmax)
+        nb.append((-(-ch // 8), -(-cw // 8)))
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tq, tbl in enumerate(qtbls):
+        zz = bytes(int(tbl[r, c]) for r, c in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, hi << 4 | vi, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0, 0, DC_SYMBOLS, 4)
+    out += _dht_segment(1, 0, AC_SYMBOLS, 8)
+    if ncomp > 1:
+        out += _dht_segment(0, 1, DC_SYMBOLS, 4)
+        out += _dht_segment(1, 1, AC_SYMBOLS, 8)
+
+    def sos_header(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            body += bytes([cid, td << 4 | ta])
+        body += bytes([ss, se, ah << 4 | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # ---- scan 1: DC first, interleaved, Al=1 -----------------------------
+    out += sos_header(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, 1
+    )
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(mcus_y):
+        for bx in range(mcus_x):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                dct = DC_CODES
+                for vy in range(vi):
+                    for vx in range(hi):
+                        dc = int(coefs[ci][by * vi + vy, bx * hi + vx, 0]) >> 1
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        size = _category(diff)
+                        code, length = dct[size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(_amplitude(diff, size), size)
+    out += bw.flush()
+
+    # ---- scans 2..: AC first per component, band 1..63, Al=1 -------------
+    for ci in range(ncomp):
+        out += sos_header([(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 0, 1)
+        bw = _BitWriter()
+        nby, nbx = nb[ci]
+        for y in range(nby):
+            for x in range(nbx):
+                _emit_ac_first(bw, coefs[ci][y, x], 1, 63, 1)
+        out += bw.flush()
+
+    # ---- DC refinement: raw bit per block, interleaved, Ah=1 Al=0 --------
+    out += sos_header(
+        [(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0
+    )
+    bw = _BitWriter()
+    for by in range(mcus_y):
+        for bx in range(mcus_x):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        dc = int(coefs[ci][by * vi + vy, bx * hi + vx, 0])
+                        bw.write(dc & 1, 1)
+    out += bw.flush()
+
+    # ---- AC refinement per component, Ah=1 Al=0 ---------------------------
+    for ci in range(ncomp):
+        out += sos_header([(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        nby, nbx = nb[ci]
+        for y in range(nby):
+            for x in range(nbx):
+                _emit_ac_refine(bw, coefs[ci][y, x], 1, 63, 0)
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_ac_first(bw, coef, ss, se, al):
+    """AC-first scan of one block: magnitudes shifted toward zero by Al
+    (T.81 point transform), run/size coding, per-block EOB0 (no
+    cross-block EOB runs — simplicity costs bits, not bugs)."""
+    run = 0
+    last = -1
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        az = (abs(v) >> al) * (1 if v >= 0 else -1)
+        vals.append(az)
+        if az:
+            last = k
+    for k in range(ss, se + 1):
+        az = vals[k - ss]
+        if k > last:
+            break
+        if az == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = AC_CODES[0xF0]
+            bw.write(code, length)
+            run -= 16
+        size = _category(az)
+        code, length = AC_CODES[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(_amplitude(az, size), size)
+        run = 0
+    if last < se:
+        code, length = AC_CODES[0x00]  # EOB0
+        bw.write(code, length)
+
+
+def _emit_ac_refine(bw, coef, ss, se, al):
+    """AC-refinement scan of one block — the jcphuff.c G.1.2.3 shape:
+    newly-nonzero coefficients emit (run, 1) + sign, already-nonzero
+    coefficients buffer one correction bit which flushes after the next
+    emitted symbol (ZRL / (r,1) / EOB)."""
+    absv = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        a = abs(v) >> al
+        absv.append(a)
+        if a == 1:
+            eob = k
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        a = absv[k - ss]
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            code, length = AC_CODES[0xF0]
+            bw.write(code, length)
+            run -= 16
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+        if a > 1:  # history coefficient: one correction bit, run intact
+            pending.append(a & 1)
+            continue
+        code, length = AC_CODES[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(coef[k]) > 0 else 0, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, length = AC_CODES[0x00]  # EOB0 + its buffered bits
+        bw.write(code, length)
+        for bit in pending:
+            bw.write(bit, 1)

@@ -25,11 +25,12 @@ pass through Python row-at-a-time serde. Decode status (r06):
   MP4/ISO-BMFF container (``mp4.py`` — full sample-table probe +
   photo-JPEG sample decode behind the same ``extract_video_frames``
   dispatch).
-- Remaining gates are named format subsets (progressive JPEG, 16-bit
-  PNG, Matroska, interframe video codecs) — ``_decode_image`` /
+- Remaining gates are named format subsets (12-bit/arithmetic JPEG,
+  16-bit PNG, Matroska, interframe video codecs) — ``_decode_image`` /
   the container probes raise with the feature named, and the
   deterministic byte-fold stand-in keeps the e2e pipeline testable for
-  payloads outside the decoded set.
+  payloads outside the decoded set. Progressive JPEG decodes for real
+  since r07 (``jpeg.py`` Annex G scans).
 
 At 100 TB: binary payloads dominate row size, so every transform projects
 only the columns it needs (column pruning keeps untouched media out of the
@@ -75,11 +76,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def _decode_image(payload: bytes):
     """Decode an image payload. Uncompressed 24-bit BMP (r05), 8-bit
-    PNG (r06 — DEFLATE is stdlib zlib, filters reconstructed here) and
-    baseline 4:4:4 JPEG (r06 — full Huffman + dequant + IDCT in
-    ``jpeg.py``, numpy only) decode for real (PNG incl. palette); the
-    remaining gates are format subsets (progressive JPEG, 16-bit PNG)
-    and video, each raising with the feature named."""
+    PNG (r06 — DEFLATE is stdlib zlib, filters reconstructed here),
+    baseline + progressive JPEG (r06/r07 — full Huffman + dequant +
+    IDCT + Annex G progressive scans in ``jpeg.py``, numpy only) and
+    GIF (r07 — LZW + frame composition in ``gif.py``) decode for real;
+    the remaining gates are format subsets (12-bit JPEG, 16-bit PNG),
+    each raising with the feature named."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload[:8] == PNG_SIGNATURE:
