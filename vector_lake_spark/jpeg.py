@@ -504,9 +504,15 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     vmax = max(vi for _, _, _, vi in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = []
-    for cid, _, hi, vi in comps:
-        planes.append(np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi)))
+    # entropy-decode into zigzag-order coefficient arrays; the IDCT runs
+    # ONCE over all blocks at the end, shared with the progressive path
+    # (batch stacked-matmul; on entropy-dense content the Huffman loop
+    # dominates either way — scripts/codec_stress.py — but the shared
+    # tail removes the duplicated upsample/color code)
+    coefs = [
+        np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+        for _, _, hi, vi in comps
+    ]
     br = _BitReader(payload, pos)
     pred = [0] * ncomp
     mcu_no = 0
@@ -522,13 +528,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 tq, hi, vi = comp_info[cid]
                 for vy in range(vi):
                     for vx in range(hi):
-                        q = np.zeros((8, 8), dtype=np.int64)
+                        q = coefs[ci][by * vi + vy, bx * hi + vx]
                         size = _huff_decode(br, htabs[(0, td)])
                         diff = (
                             _extend(br.read_bits(size), size) if size else 0
                         )
                         pred[ci] += diff
-                        q[0, 0] = pred[ci]
+                        q[0] = pred[ci]
                         k = 1
                         while k < 64:
                             sym = _huff_decode(br, htabs[(1, ta)])
@@ -541,32 +547,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                             k += run
                             if k >= 64:
                                 raise ValueError("AC run past end of block")
-                            r, c = ZIGZAG[k]
-                            q[r, c] = _extend(br.read_bits(size), size)
+                            q[k] = _extend(br.read_bits(size), size)
                             k += 1
-                        coef = q * qtbls[tq]
-                        block = _C.T @ coef.astype(np.float64) @ _C + 128.0
-                        r0 = (by * vi + vy) * 8
-                        c0 = (bx * hi + vx) * 8
-                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
-    # upsample subsampled components to full resolution, then crop
-    up = []
-    for ci, (cid, _, hi, vi) in enumerate(comps):
-        p = planes[ci]
-        if vi < vmax:
-            p = np.repeat(p, vmax // vi, axis=0)
-        if hi < hmax:
-            p = np.repeat(p, hmax // hi, axis=1)
-        up.append(p[:h, :w])
-    planes = up
-    if ncomp == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    geom = (hmax, vmax, mcus_x, mcus_y, None)
+    return _idct_assemble(sof, geom, coefs, qtbls)
 
 
 def decode_jpeg(payload: bytes) -> dict:
