@@ -772,3 +772,14 @@ def test_rolling_dau_explodes_aggregates_not_events(spark):
     # aggregate rows, never events)
     assert tree.count("Scan parquet") <= 4
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """pipe_decontaminate: the benchmark gram set (an eval suite — MBs
+    by construction) must broadcast onto the corpus gram stream; a
+    sort-merge join would shuffle every corpus shingle at 100 TB."""
+    df = Q.q_pipe_decontaminate(spark, SF)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -7442,6 +7442,64 @@ FROM p
 
 
 # ---------------------------------------------------------------------------
+# Wave 6 (r07): exact n-gram decontamination. (Sequence packing, LM
+# surprisal scoring and RAG chunking already exist — pipe_pack_sequences,
+# text_lm_surprisal, text_chunk_windows; this wave adds the one missing
+# table-stakes curation rule.)
+# ---------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 7  # doc_id % 7 == 0 stands in for the benchmark set
+DECON_NGRAM = 8  # 8-gram overlap, the classic decontamination window
+
+
+def q_pipe_decontaminate(spark, sf):
+    """Benchmark decontamination by the EXACT-overlap rule (the GPT-3
+    appendix-C pattern): flag corpus documents sharing ANY 8-gram with
+    the evaluation set — complements `pipe_contamination`, which flags
+    by 3-gram Jaccard THRESHOLD (similarity); real pipelines run both
+    (hit rule for eval leakage, similarity for paraphrase leakage). The
+    'benchmark' is the deterministic doc_id%7 slice standing in for an
+    eval suite; grams reuse the dedup family's exact shingle definition
+    so Spark and DuckDB agree string-for-string. Scale shape: benchmark
+    gram sets are small by construction (eval suites are ~MBs), so the
+    gram join BROADCASTS — the 100 TB corpus is scanned once, no
+    shuffle of corpus rows; output is only the contaminated doc ids.
+    Reference anchor: text-curation capability class (SURVEY §2.B)."""
+    from vector_lake_spark.operators.dedup import shingles
+
+    d = _t(spark, sf, "documents")
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_grams = (
+        d.filter(is_bench)
+        .select(F.explode(shingles(F.col("text"), DECON_NGRAM)).alias("gram"))
+        .distinct()
+    )
+    corpus = d.filter(~is_bench).select(
+        "doc_id", F.explode(shingles(F.col("text"), DECON_NGRAM)).alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+SQL_PIPE_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({O.sql_shingles('text', DECON_NGRAM)}) AS gram
+  FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+corp AS (
+  SELECT doc_id, unnest({O.sql_shingles('text', DECON_NGRAM)}) AS gram
+  FROM documents WHERE doc_id % {DECON_BENCH_MOD} <> 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM corp JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 #
@@ -7469,6 +7527,7 @@ _BASE_QUERIES = {
     "pipe_dedup_report": q_pipe_dedup_report,
     "sketch_rolling_dau": q_sketch_rolling_dau,
     "mm_gif_roundtrip": q_mm_gif_roundtrip,
+    "pipe_decontaminate": q_pipe_decontaminate,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -7700,6 +7759,7 @@ ORACLES = {
     "pipe_dedup_report": SQL_PIPE_DEDUP_REPORT,
     "sketch_rolling_dau": SQL_SKETCH_ROLLING_DAU,
     "mm_gif_roundtrip": SQL_MM_GIF_ROUNDTRIP,
+    "pipe_decontaminate": SQL_PIPE_DECONTAMINATE,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
