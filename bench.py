@@ -118,6 +118,11 @@ HEADLINE = [
     "text_zipf_fit",
     "pipe_dedup_report",
     "sketch_rolling_dau",
+    # r07: CMS heavy hitters, exact-overlap decontamination, GIF codec
+    # round trip at table scale
+    "sketch_heavy_hitters",
+    "pipe_decontaminate",
+    "mm_gif_roundtrip",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

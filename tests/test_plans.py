@@ -783,3 +783,22 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_fans_out_aggregates_not_events(spark):
+    """sketch_heavy_hitters: the CMS ×depth fan-out must explode the
+    per-user AGGREGATE, never raw events (Generate sits above the
+    user-count aggregate); the 40-row probe set broadcasts onto the
+    sketch table; bounded top-10 via TakeOrdered, no cartesian."""
+    df = Q.q_sketch_heavy_hitters(spark, SF)
+    plan = plan_string(df)
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the explode must NOT read the scan directly: the per-user count
+    # aggregate is Generate's child (tree prints parent-first, so the
+    # aggregate must appear BETWEEN the first Generate and the scan)
+    g = tree.index("Generate")
+    assert "HashAggregate" in tree[g : tree.index("Scan parquet", g)]

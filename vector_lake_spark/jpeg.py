@@ -343,6 +343,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # truncate consumed history FIRST: without the mask, acc grows
+        # into a bigint spanning the whole scan and every shift becomes
+        # O(stream) — quadratic decode (caught in r07 profiling)
+        self.acc &= (1 << self.nbits) - 1
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -368,10 +372,11 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if self.nbits < n:  # bulk fill, then slice once
+            while self.nbits < n:
+                self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def sync_restart(self, n: int) -> None:
         """Consume the byte-aligned RSTn marker between restart
@@ -386,27 +391,39 @@ class _BitReader:
         self.pos += 2
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical JPEG Huffman: (length, code) -> symbol."""
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[int, int]:
+    """Canonical JPEG Huffman, keyed by the sentinel-prefixed code
+    (1 << length) | code — unique across lengths, so the decode loop
+    probes one small-int key per bit instead of building a tuple."""
     table = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            table[(1 << length) | code] = vals[k]
             code += 1
             k += 1
         code <<= 1
     return table
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+def _huff_decode(br: _BitReader, table: dict[int, int]) -> int:
+    # hot path: walk the accumulator bits inline — a read_bit() call per
+    # bit costs more than the table probe itself
+    code = 1
+    acc, nbits = br.acc, br.nbits
+    for _ in range(16):
+        if nbits == 0:
+            br.nbits = 0
+            br._fill()
+            acc, nbits = br.acc, br.nbits
+        nbits -= 1
+        code = (code << 1) | ((acc >> nbits) & 1)
+        sym = table.get(code)
         if sym is not None:
+            br.acc, br.nbits = acc, nbits
             return sym
+    br.acc, br.nbits = acc, nbits
     raise ValueError("invalid Huffman code in entropy stream")
 
 

@@ -7499,6 +7499,95 @@ GROUP BY doc_id
 """
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def q_sketch_heavy_hitters(spark, sf):
+    """Count-min-sketch heavy hitters — completes the mergeable-sketch
+    family (HLL distinct, KLL percentiles, CMS frequency). The CMS is
+    built RELATIONALLY: a (depth, bucket) -> count table of
+    depth×width = {CMS_DEPTH}×{CMS_WIDTH} rows, so it merges across
+    partitions/days by plain addition (the same property the HLL
+    entries exploit) and needs no binary sketch format. Hashes are the
+    registry's portable md5-prefix `token_hash60`, so Spark and DuckDB
+    build the identical table. Scale shape, same as
+    `sketch_rolling_dau`: events aggregate to (user, cnt) first (ONE
+    exchange over events), the ×{CMS_DEPTH} fan-out explodes on that
+    AGGREGATE, and the sketch table is tiny at any corpus size. The
+    top-10 exact counts ride along; the hash check verifies both CMS
+    arithmetic (est values) and the one-sided guarantee est >= exact on
+    every returned row."""
+    from vector_lake_spark.functions.text import token_hash60
+
+    e = _events(spark, sf)
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("depth")
+    bucket = (
+        token_hash60(
+            F.concat(
+                F.col("depth").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        )
+        % CMS_WIDTH
+    ).alias("bucket")
+    table = (
+        per_user.select("user_id", "cnt", rows)
+        .select("depth", bucket, "cnt")
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("bucket_cnt"))
+    )
+    top = per_user.orderBy(F.desc("cnt"), "user_id").limit(10)
+    probes = top.select("user_id", "cnt", rows).select(
+        "user_id", "cnt", "depth", bucket
+    )
+    est = (
+        probes.join(table, ["depth", "bucket"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("bucket_cnt").alias("est"))
+    )
+    return est.select(
+        "user_id",
+        F.col("cnt").cast("long").alias("n_events"),
+        F.col("est").cast("long").alias("cms_estimate"),
+        (F.col("est") >= F.col("cnt")).alias("one_sided_ok"),
+    )
+
+
+SQL_SKETCH_HEAVY_HITTERS = f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+),
+fan AS (
+  SELECT user_id, cnt, i AS depth,
+         {O.sql_token_hash60("concat(i, ':', user_id)")} % {CMS_WIDTH} AS bucket
+  FROM per_user, unnest([0, 1, 2, 3]) AS t(i)
+),
+tab AS (
+  SELECT depth, bucket, sum(cnt) AS bucket_cnt
+  FROM fan GROUP BY depth, bucket
+),
+top AS (
+  SELECT user_id, cnt FROM per_user ORDER BY cnt DESC, user_id LIMIT 10
+),
+probes AS (
+  SELECT t.user_id, t.cnt, i AS depth,
+         {O.sql_token_hash60("concat(i, ':', t.user_id)")} % {CMS_WIDTH} AS bucket
+  FROM top t, unnest([0, 1, 2, 3]) AS u(i)
+)
+SELECT p.user_id,
+       CAST(p.cnt AS BIGINT) AS n_events,
+       CAST(min(tab.bucket_cnt) AS BIGINT) AS cms_estimate,
+       min(tab.bucket_cnt) >= p.cnt AS one_sided_ok
+FROM probes p JOIN tab USING (depth, bucket)
+GROUP BY p.user_id, p.cnt
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7528,6 +7617,7 @@ _BASE_QUERIES = {
     "sketch_rolling_dau": q_sketch_rolling_dau,
     "mm_gif_roundtrip": q_mm_gif_roundtrip,
     "pipe_decontaminate": q_pipe_decontaminate,
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -7760,6 +7850,7 @@ ORACLES = {
     "sketch_rolling_dau": SQL_SKETCH_ROLLING_DAU,
     "mm_gif_roundtrip": SQL_MM_GIF_ROUNDTRIP,
     "pipe_decontaminate": SQL_PIPE_DECONTAMINATE,
+    "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
