@@ -7449,6 +7449,12 @@ FROM p
 # ---------------------------------------------------------------------------
 
 DECON_BENCH_MOD = 7  # doc_id % 7 == 0 stands in for the benchmark set
+DECON_BENCH_CAP = 70_000  # eval suites are FIXED-size: cap the slice so
+# the benchmark never grows with the corpus (at most 10k docs) — the
+# property that makes the gram-set broadcast legitimate at 100 TB. The
+# first mult100 measurement (r07) ran WITHOUT the cap: 71k bench docs /
+# ~3.5M grams forced into a broadcast hung the run — the exact failure
+# the lm_surprisal docstring warns about (corpus-sized broadcast).
 DECON_NGRAM = 8  # 8-gram overlap, the classic decontamination window
 
 
@@ -7468,7 +7474,15 @@ def q_pipe_decontaminate(spark, sf):
     from vector_lake_spark.operators.dedup import shingles
 
     d = _t(spark, sf, "documents")
-    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    # spread before the shingle explode (local-mode single-file artifact,
+    # same as pipe_contamination / dedup_ngram_jaccard — SCALE.md); no-op
+    # on many-file cluster inputs
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        d = d.repartition(spread)
+    is_bench = (F.col("doc_id") % DECON_BENCH_MOD == 0) & (
+        F.col("doc_id") < DECON_BENCH_CAP
+    )
     bench_grams = (
         d.filter(is_bench)
         .select(F.explode(shingles(F.col("text"), DECON_NGRAM)).alias("gram"))
@@ -7487,11 +7501,13 @@ def q_pipe_decontaminate(spark, sf):
 SQL_PIPE_DECONTAMINATE = f"""
 WITH bench AS (
   SELECT DISTINCT unnest({O.sql_shingles('text', DECON_NGRAM)}) AS gram
-  FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0
+  FROM documents
+  WHERE doc_id % {DECON_BENCH_MOD} = 0 AND doc_id < {DECON_BENCH_CAP}
 ),
 corp AS (
   SELECT doc_id, unnest({O.sql_shingles('text', DECON_NGRAM)}) AS gram
-  FROM documents WHERE doc_id % {DECON_BENCH_MOD} <> 0
+  FROM documents
+  WHERE NOT (doc_id % {DECON_BENCH_MOD} = 0 AND doc_id < {DECON_BENCH_CAP})
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
 FROM corp JOIN bench USING (gram)
