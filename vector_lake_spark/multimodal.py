@@ -25,11 +25,11 @@ pass through Python row-at-a-time serde. Decode status (r06):
   MP4/ISO-BMFF container (``mp4.py`` — full sample-table probe +
   photo-JPEG sample decode behind the same ``extract_video_frames``
   dispatch).
-- Remaining gates are named format subsets (12-bit/arithmetic JPEG,
-  16-bit PNG, Matroska, interframe video codecs) — ``_decode_image`` /
-  the container probes raise with the feature named, and the
-  deterministic byte-fold stand-in keeps the e2e pipeline testable for
-  payloads outside the decoded set. Progressive JPEG decodes for real
+- All three video containers PROBE for real (RIFF/AVI, ISO-BMFF/MP4,
+  EBML/Matroska — ``probe_media`` is the unified metadata pass);
+  remaining gates are named codec subsets (12-bit/arithmetic JPEG,
+  16-bit PNG, interframe video codecs — Matroska block decode raises
+  listing the codecs it found). Progressive JPEG decodes for real
   since r07 (``jpeg.py`` Annex G scans).
 
 At 100 TB: binary payloads dominate row size, so every transform projects
@@ -340,6 +340,94 @@ VIDEO_FRAME_SCHEMA = T.StructType(
         T.StructField("mean_b", T.DoubleType(), True),
     ]
 )
+
+
+MEDIA_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("decodable", T.BooleanType(), True),
+    ]
+)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Unified container-metadata pass over a binary payload column —
+    the FIRST operator a 100 TB media pipeline runs: route, filter and
+    budget by (container, codec, dims, duration, frame count) WITHOUT
+    entropy-decoding anything. All three container probes are real
+    header walks (RIFF/AVI, ISO-BMFF/MP4, EBML/Matroska); `decodable`
+    reports whether this repo's native decoders can open the video
+    stream (MJPEG in AVI, photo-JPEG in MP4 — interframe codecs are
+    honest NotImplementedError gates at decode time)."""
+    from vector_lake_spark.avi import probe_avi
+    from vector_lake_spark.mkv import is_mkv, probe_mkv
+    from vector_lake_spark.mp4 import is_mp4, probe_mp4
+
+    def one(mid, payload):
+        data = bytes(payload)
+        if is_mp4(data):
+            info = probe_mp4(data)
+            video = [t for t in info["tracks"] if t["handler"] == "vide"]
+            t = video[0] if video else None
+            return {
+                "media_id": mid,
+                "container": "mp4",
+                "codec": t["codec"] if t else None,
+                "width": t["width"] if t else None,
+                "height": t["height"] if t else None,
+                "duration_ms": info["duration_ms"],
+                "n_frames": t["n_samples"] if t else 0,
+                "decodable": bool(t and t["codec"] in ("jpeg", "mjpa")),
+            }
+        if is_mkv(data):
+            info = probe_mkv(data)
+            video = [t for t in info["tracks"] if t["track_type"] == 1]
+            t = video[0] if video else None
+            return {
+                "media_id": mid,
+                "container": info["doc_type"],
+                "codec": t["codec"] if t else None,
+                "width": t["width"] if t else None,
+                "height": t["height"] if t else None,
+                "duration_ms": info["duration_ms"],
+                "n_frames": info["n_blocks"],
+                "decodable": False,  # interframe codecs gate by name
+            }
+        info = probe_avi(data)  # raises its own named error on non-AVI
+        return {
+            "media_id": mid,
+            "container": "avi",
+            "codec": info.get("codec", "MJPG"),
+            "width": info.get("width"),
+            "height": info.get("height"),
+            "duration_ms": (
+                int(info["n_frames"] * 1000 / info["fps"])
+                if info.get("fps")
+                else None
+            ),
+            "n_frames": info["n_frames"],
+            "decodable": True,
+        }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                one(mid, payload)
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_PROBE_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=MEDIA_PROBE_SCHEMA
+    )
 
 
 def extract_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
