@@ -7604,6 +7604,97 @@ GROUP BY p.user_id, p.cnt
 """
 
 
+def q_mm_media_probe(spark, sf):
+    """Container-math correctness at table scale (the `mm_gif_roundtrip`
+    stance applied to video): per document, mux a real photo-JPEG MP4
+    with doc-derived geometry (n_frames = n_chars%7+2 tiny constant
+    frames at fps = doc_id%3+2) inside one Arrow `mapInPandas`, run the
+    REAL box-walk probe (`mp4.py` — ftyp/moov/stbl sample-table
+    resolution) over the bytes, and emit the PROBED integers. The
+    oracle recomputes them arithmetically (duration_ms =
+    n*1000//fps...), so a green hash proves mux + probe agree with an
+    independent derivation over every document — all-integer outputs,
+    no rounding semantics. The per-doc JPEG frame is a fixed 8x8
+    constant tile (DC-only, quality 100), so the encode cost is
+    bounded and the probe, not the codec, is what's under test."""
+    from vector_lake_spark.jpeg import encode_jpeg
+    from vector_lake_spark.mp4 import encode_mp4_mjpeg, probe_mp4
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 7 + 2).cast("int").alias("n_frames"),
+        (F.col("doc_id") % 3 + 2).cast("int").alias("fps"),
+        (F.col("doc_id") % 200).cast("int").alias("shade"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        tile_cache: dict = {}
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.shade not in tile_cache:
+                    tile_cache[r.shade] = encode_jpeg(
+                        np.full((8, 8), r.shade, dtype=np.uint8), 100
+                    )
+                frame = tile_cache[r.shade]
+                payload = encode_mp4_mjpeg([frame] * r.n_frames, r.fps, 8, 8)
+                info = probe_mp4(payload)
+                t = info["tracks"][0]
+                # the probe's resolved per-sample sizes must re-add to
+                # exactly n_frames x the encoder's frame length — the
+                # stsz/stsc/stco round trip, asserted inside the hash
+                sizes_match = (
+                    sum(s for _, s in t["samples"])
+                    == len(frame) * r.n_frames
+                )
+                rows.append(
+                    (
+                        r.media_id,
+                        t["n_samples"],
+                        info["duration_ms"],
+                        t["width"],
+                        t["height"],
+                        bool(sizes_match),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "duration_ms", "width",
+                    "height", "sizes_match",
+                ],
+            )
+
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, n_frames long, duration_ms long, width int, "
+            "height int, sizes_match boolean"
+        ),
+    )
+
+
+SQL_MM_MEDIA_PROBE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (n_chars % 7) + 2 AS n_frames,
+         (doc_id % 3) + 2 AS fps
+  FROM documents
+)
+SELECT media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1000 // fps AS BIGINT) AS duration_ms,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       TRUE AS sizes_match
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7634,6 +7725,7 @@ _BASE_QUERIES = {
     "mm_gif_roundtrip": q_mm_gif_roundtrip,
     "pipe_decontaminate": q_pipe_decontaminate,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
+    "mm_media_probe": q_mm_media_probe,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -7867,6 +7959,7 @@ ORACLES = {
     "mm_gif_roundtrip": SQL_MM_GIF_ROUNDTRIP,
     "pipe_decontaminate": SQL_PIPE_DECONTAMINATE,
     "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
+    "mm_media_probe": SQL_MM_MEDIA_PROBE,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
