@@ -84,7 +84,32 @@ def main():
     mp4_s = time.time() - t0
     print(f"MP4 frame-sample: {N_CLIPS} clips -> {n} frames decoded in "
           f"{mp4_s:.2f}s = {N_CLIPS/mp4_s:.0f} clips/s, {n/mp4_s:.0f} frames/s")
+    probe_vs_decode()
     spark.stop()
+
+
+def probe_vs_decode():
+    """The metadata-pass-vs-entropy-decode contrast: probe_media over
+    the same clips that extract_video_frames decodes."""
+    spark = SparkSession.getActiveSession()
+    rng = np.random.default_rng(7)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, size=(48, 64), dtype=np.uint8), 85)
+        for _ in range(20)
+    ]
+    clip = encode_mp4_mjpeg(frames, 4, 64, 48)
+    for (_, t) in spark.sparkContext._jsc.getPersistentRDDs().items():
+        t.unpersist()  # free the earlier cached frames before the big set
+    rows = [(i, bytearray(clip)) for i in range(N_CLIPS * 5)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary").repartition(32).cache()
+    df.count()
+    from vector_lake_spark.multimodal import probe_media
+
+    t0 = time.time()
+    n = probe_media(df).count()
+    dt = time.time() - t0
+    print(f"probe_media: {n} clips metadata-only in {dt:.2f}s = "
+          f"{n/dt:.0f} clips/s")
 
 
 if __name__ == "__main__":
