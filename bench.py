@@ -123,6 +123,7 @@ HEADLINE = [
     "sketch_heavy_hitters",
     "pipe_decontaminate",
     "mm_gif_roundtrip",
+    "mm_media_probe",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",
