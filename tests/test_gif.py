@@ -351,3 +351,34 @@ def test_extract_gif_features_arrow_end_to_end(spark):
         r = got[i]
         assert (r["width"], r["height"]) == (im.shape[1], im.shape[0])
         assert abs(r["mean_r"] - im[:, :, 0].mean()) < 1e-6
+
+
+def test_early_eoi_raises_never_returns_garbage():
+    """A stream that EOIs before the raster is full must raise, not
+    return the uninitialized tail of the output buffer (r07 review)."""
+    # reuse the spec fixture's container but replace the LZW data with
+    # CLEAR + EOI only: codes (4, 5) at width 3, LSB-first -> 0b101100
+    bad = bytearray(SPEC_GIF)
+    s, e = probe_gif(SPEC_GIF)["frames"][0]["data_span"]
+    assert e - s == 4  # 1 length byte + 3 data bytes
+    bad[s : e] = bytes([2, 0b00101100, 0x00])  # 2-byte sub-block
+    bad[e] = 0  # block terminator shifts left by one
+    with pytest.raises(ValueError, match="ended early"):
+        decode_gif_pixels(bytes(bad[:-1]))
+
+
+def test_large_image_decodes_in_linear_time():
+    """The LZW bit reader must be windowed, not one whole-stream bigint
+    (the quadratic jpeg._BitReader pathology, r07 review): a 512x512
+    noise image (~200k codes) decodes in well under a second."""
+    import time
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, size=(512, 512))]
+    payload = encode_gif(img)
+    t0 = time.time()
+    out = decode_gif_pixels(payload)
+    dt = time.time() - t0
+    assert np.array_equal(out, img)
+    assert dt < 5.0, f"LZW decode took {dt:.1f}s — bigint quadratic is back"

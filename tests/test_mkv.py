@@ -139,3 +139,32 @@ def test_probe_media_unified_operator(spark):
     assert not got[3]["decodable"]
     assert (got[3]["width"], got[3]["height"]) == (640, 360)
     assert got[3]["duration_ms"] == 4500 and got[3]["n_frames"] == 3
+
+
+def test_unknown_cluster_sizes_do_not_swallow_siblings():
+    """Streamed muxers (ffmpeg live) write unknown-size CLUSTERS too:
+    per RFC 8794 §6.2 each ends at the first non-child id, so a
+    following sibling Cluster must still be counted (r07 review — the
+    first implementation extended unknown-size elements to the
+    enclosing end and reported n_clusters=1)."""
+    ebml = _el(0x1A45DFA3, _el(0x4282, b"webm"))
+    info = _el(
+        0x1549A966,
+        _uint_el(0x2AD7B1, 1_000_000)
+        + _el(0x4489, struct.pack(">d", 2000.0)),
+    )
+    track = _el(
+        0xAE,
+        _uint_el(0xD7, 1) + _uint_el(0x83, 1) + _el(0x86, b"V_VP8")
+        + _el(0xE0, _uint_el(0xB0, 320) + _uint_el(0xBA, 240)),
+    )
+    tracks = _el(0x1654AE6B, track)
+    blk = _el(0xA3, b"\x81\x00\x00\x80" + b"\x00\x01\x02")
+    def unknown_cluster(body):
+        return (0x1F43B675).to_bytes(4, "big") + b"\xff" + body
+    c1 = unknown_cluster(_uint_el(0xE7, 0) + blk + blk)
+    c2 = unknown_cluster(_uint_el(0xE7, 1000) + blk)
+    seg = (0x18538067).to_bytes(4, "big") + b"\xff" + info + tracks + c1 + c2
+    out = probe_mkv(ebml + seg)
+    assert out["n_clusters"] == 2
+    assert out["n_blocks"] == 3

@@ -205,3 +205,55 @@ def test_extract_video_frames_mp4_end_to_end(spark, mp4_payload):
     assert r["mean_r"] == 10.0
     # the AVI rows decode through the same operator
     assert (2, 0) in got and got[(2, 0)]["mean_r"] == 10.0
+
+
+def test_audio_sample_entry_reports_no_dimensions():
+    """An AudioSampleEntry's bytes at the visual w/h offsets are the
+    samplerate halves — an audio track must report width=height=0, not
+    width=48000 (r07 review)."""
+    sounds = _fb(
+        b"stsd", 0,
+        struct.pack(">I", 1)
+        + struct.pack(">I4s", 36, b"mp4a")
+        + b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HHHH", 0, 0, 2, 16)  # version, rev, channels, bits
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">I", 48000 << 16),  # 16.16 samplerate
+    )
+    stsz = _fb(b"stsz", 0, struct.pack(">II", 5, 3))
+    stsc = _fb(
+        b"stsc", 0, struct.pack(">I", 1) + struct.pack(">III", 1, 3, 1)
+    )
+    stco = _fb(b"stco", 0, struct.pack(">II", 1, 64))
+    stts = _fb(b"stts", 0, struct.pack(">III", 1, 3, 1))
+    stbl = _b(b"stbl", sounds + stts + stsc + stsz + stco)
+    minf = _b(b"minf", stbl)
+    hdlr = _fb(b"hdlr", 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00")
+    mdhd = _fb(
+        b"mdhd", 0,
+        struct.pack(">IIII", 0, 0, 48000, 144000)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _b(b"mdia", mdhd + hdlr + minf)
+    tkhd = _fb(
+        b"tkhd", 0,
+        struct.pack(">IIIII", 0, 0, 1, 0, 3)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    trak = _b(b"trak", tkhd + mdia)
+    mvhd = _fb(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, 48000, 144000)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _b(b"moov", mvhd + trak)
+    ftyp = _b(b"ftyp", b"M4A " + struct.pack(">I", 0) + b"isom")
+    info = probe_mp4(ftyp + moov)
+    t = info["tracks"][0]
+    assert t["handler"] == "soun" and t["codec"] == "mp4a"
+    assert t["width"] == 0 and t["height"] == 0
+    assert t["n_samples"] == 3

@@ -71,26 +71,42 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     next_code, code_size = reset()
     prev = -1
 
-    bitpos = 0
-    nbits = len(data) * 8
-    buf = int.from_bytes(data, "little")  # LSB-first bit stream
+    # windowed LSB-first accumulator: consumed bits are shifted out each
+    # code, so acc stays <= ~20 bits — NOT one bigint over the whole
+    # stream, whose per-code shift would be O(stream) and make decode
+    # quadratic (the exact pathology fixed in jpeg._BitReader, r07)
+    acc = 0
+    nbits = 0
+    pos = 0
+    n_data = len(data)
 
     scratch = np.empty(_MAX_CODE, dtype=np.uint8)
 
     while n_out < n_pixels:
-        if bitpos + code_size > nbits:
-            raise ValueError(
-                f"GIF LZW stream truncated: {n_out}/{n_pixels} pixels "
-                f"decoded"
-            )
-        code = (buf >> bitpos) & ((1 << code_size) - 1)
-        bitpos += code_size
+        while nbits < code_size:
+            if pos >= n_data:
+                raise ValueError(
+                    f"GIF LZW stream truncated: {n_out}/{n_pixels} pixels "
+                    f"decoded"
+                )
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
         if code == clear:
             next_code, code_size = reset()
             prev = -1
             continue
         if code == eoi:
-            break
+            # the loop runs only while pixels are missing, so an EOI here
+            # is ALWAYS premature — returning would hand back the
+            # uninitialized tail of `out` (raise-by-name, never garbage)
+            raise ValueError(
+                f"GIF LZW stream ended early (EOI): {n_out}/{n_pixels} "
+                f"pixels decoded"
+            )
         if code > next_code:
             raise ValueError(f"corrupt GIF LZW stream: code {code}")
         if code == next_code:

@@ -603,7 +603,8 @@ def decode_jpeg(payload: bytes) -> dict:
 # runs) / AC refine (with correction bits). This is the format most web
 # JPEGs actually use, so the 100 TB decode operator cannot gate on it.
 
-_UNZIG = [0] * 64
+# raster slot -> zigzag index, used by the shared IDCT tail
+_UNZIG = np.empty(64, dtype=np.int64)
 for _i, (_r, _c) in enumerate(ZIGZAG):
     _UNZIG[_r * 8 + _c] = _i
 
@@ -869,12 +870,9 @@ def _idct_assemble(sof, geom, coefs, qtbls):
     h, w, comps = sof
     hmax, vmax, mcus_x, mcus_y, _nb = geom
     planes = []
-    order = np.empty(64, dtype=np.int64)  # raster slot -> zigzag index
-    for i, (r, c) in enumerate(ZIGZAG):
-        order[r * 8 + c] = i
     for ci, (cid, tq, hi, vi) in enumerate(comps):
         zz = coefs[ci].astype(np.float64)  # (by, bx, 64) zigzag order
-        blocks = zz[:, :, order].reshape(zz.shape[0], zz.shape[1], 8, 8)
+        blocks = zz[:, :, _UNZIG].reshape(zz.shape[0], zz.shape[1], 8, 8)
         blocks *= qtbls[tq][None, None, :, :]
         # batch IDCT: C.T @ B @ C over every block at once — stacked
         # matmul, NOT einsum: matmul contracts pairwise exactly like the

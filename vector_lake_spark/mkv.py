@@ -65,15 +65,51 @@ def _read_vint(
     return value, pos + length, length
 
 
+# children of the two master elements that streamed files commonly write
+# with unknown size (RFC 8794 §6.2: an unknown-size element ends when an
+# element NOT a valid child appears at its level). Segment children per
+# the Matroska registry; Cluster children are Timestamp/SimpleBlock/
+# BlockGroup/Position/PrevSize/SilentTracks.
+_CHILD_IDS = {
+    0x18538067: {  # Segment
+        0x114D9B74, 0x1549A966, 0x1654AE6B, 0x1F43B675,
+        0x1C53BB6B, 0x1941A469, 0x1043A770, 0x1254C367, 0xEC,
+    },
+    0x1F43B675: {  # Cluster
+        0xE7, 0xA3, 0xA0, 0xA7, 0xAB, 0x5854, 0xEC,
+    },
+}
+
+
+def _unknown_end(payload: bytes, eid: int, pos: int, end: int) -> int:
+    """End of an unknown-size master element: scan sibling-level element
+    headers until an id that is not a valid child of ``eid`` (RFC 8794
+    §6.2); unknown ids terminate too, which is the conservative choice
+    for a probe."""
+    children = _CHILD_IDS.get(eid)
+    if children is None:
+        return end  # only Segment/Cluster stream with unknown size
+    while pos < end:
+        cid, p, _ = _read_vint(payload, pos, keep_marker=True)
+        if cid not in children:
+            return pos
+        size, p, slen = _read_vint(payload, p, keep_marker=False)
+        if size == (1 << (7 * slen)) - 1:
+            pos = _unknown_end(payload, cid, p, end)
+        else:
+            pos = p + size
+    return end
+
+
 def _elements(payload: bytes, pos: int, end: int):
     """Yield (id, body_start, body_end) for EBML elements in [pos, end).
     Unknown-size elements (all data bits ones — RFC 8794 §6, streamed
-    Segments/Clusters) extend to the enclosing end."""
+    Segments/Clusters) end at the first non-child id at their level."""
     while pos < end:
         eid, p, _ = _read_vint(payload, pos, keep_marker=True)
         size, p, slen = _read_vint(payload, p, keep_marker=False)
         if size == (1 << (7 * slen)) - 1:  # unknown size
-            body_end = end
+            body_end = _unknown_end(payload, eid, p, end)
         else:
             body_end = p + size
         if body_end > end:

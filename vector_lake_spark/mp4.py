@@ -169,9 +169,12 @@ def _parse_stco(payload: bytes, s: int, wide: bool) -> list[int]:
     return list(struct.unpack_from(fmt, payload, s + 8))
 
 
-def _parse_stsd(payload: bytes, s: int) -> tuple[str, int, int]:
+def _parse_stsd(payload: bytes, s: int, visual: bool) -> tuple[str, int, int]:
     """First sample entry: (codec fourcc, width, height) — width/height
-    are 0 for non-visual entries."""
+    are 0 for non-visual entries. The w/h offsets are only meaningful
+    for a VisualSampleEntry, so the handler gate is explicit: an
+    AudioSampleEntry is exactly 36 bytes and its bytes at the visual
+    w/h offsets are the 16.16 samplerate halves (r07 review)."""
     (n,) = struct.unpack_from(">I", payload, s + 4)
     if n < 1:
         raise ValueError("corrupt MP4: empty stsd")
@@ -179,7 +182,7 @@ def _parse_stsd(payload: bytes, s: int) -> tuple[str, int, int]:
     size, fourcc = struct.unpack_from(">I4s", payload, entry)
     codec = fourcc.decode("latin-1")
     w = h = 0
-    if size >= 8 + 8 + 16 + 4:  # VisualSampleEntry is 86 bytes minimum
+    if visual and size >= 86:  # VisualSampleEntry minimum
         w, h = struct.unpack_from(">HH", payload, entry + 8 + 8 + 16)
     return codec, w, h
 
@@ -249,7 +252,7 @@ def probe_mp4(payload: bytes) -> dict:
         minf = _find(payload, mdia[0], mdia[1], b"minf")
         stbl = _find(payload, minf[0], minf[1], b"stbl")
         stsd = _find(payload, stbl[0], stbl[1], b"stsd")
-        codec, cw, ch = _parse_stsd(payload, stsd[0])
+        codec, cw, ch = _parse_stsd(payload, stsd[0], handler == "vide")
         stsz = _find(payload, stbl[0], stbl[1], b"stsz")
         sizes = _parse_stsz(payload, stsz[0])
         stco = _find(payload, stbl[0], stbl[1], b"stco")

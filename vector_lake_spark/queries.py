@@ -284,27 +284,42 @@ def q_ann_lsh_recall(spark, sf):
     sharded = emb.select(
         "vec_id", lsh_mod.shard_id_expr(v, H4).alias("shard")
     )
-    rows = []
-    for n_probes in (1, 2, 4):
-        probes = [
-            int(s) for s in multiprobe_shards(QUERY_VEC, H4, n_probes)
+    # ONE exact top-k and ONE shard-assignment pass: each top-k row
+    # carries its shard through a single k-row join, and the three
+    # probe-set memberships fold in one aggregate — the q_vec_pq_recall
+    # single-pool lesson applied here (the first version unioned three
+    # arms that each re-instantiated the exact-top-k and shard scans,
+    # tripling the corpus work; r07 review)
+    probe_sets = {
+        n: [int(s) for s in multiprobe_shards(QUERY_VEC, H4, n)]
+        for n in (1, 2, 4)
+    }
+    joined = exact.join(sharded, "vec_id")
+    agg = joined.agg(
+        *[
+            F.sum(
+                F.when(F.col("shard").isin(probe_sets[n]), 1).otherwise(0)
+            ).alias(f"h{n}")
+            for n in (1, 2, 4)
         ]
-        hit = exact.join(
-            sharded.filter(F.col("shard").isin(probes)).select("vec_id"),
-            "vec_id",
-            "left_semi",
+    )
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).cast("long").alias("n_probes"),
+                    F.col(f"h{n}").cast("long").alias("n_hits"),
+                )
+                for n in (1, 2, 4)
+            ]
         )
-        rows.append(
-            hit.agg(F.count(F.lit(1)).alias("n_hits")).select(
-                F.lit(n_probes).cast("long").alias("n_probes"),
-                F.lit(K).cast("long").alias("k"),
-                F.col("n_hits").cast("long").alias("n_hits"),
-                F.round(F.col("n_hits") / F.lit(K), 6).alias(
-                    "recall_at_k"
-                ),
-            )
-        )
-    return reduce(DataFrame.unionByName, rows)
+    ).alias("r")
+    return agg.select(fan).select(
+        F.col("r.n_probes").alias("n_probes"),
+        F.lit(K).cast("long").alias("k"),
+        F.col("r.n_hits").alias("n_hits"),
+        F.round(F.col("r.n_hits") / F.lit(K), 6).alias("recall_at_k"),
+    )
 
 
 def _sql_ann_lsh_recall() -> str:

@@ -542,7 +542,16 @@ class SparkVectorLake:
         fs, p = self._fs_path(lock)
         try:
             out = fs.create(p, False)
-        except Exception:
+        except Exception as exc:
+            # only diagnose "another writer" when the lock file actually
+            # exists — a permissions/path/transient-FS failure must stay
+            # loud with its real cause, not send the operator hunting a
+            # nonexistent concurrent job (r07 review)
+            exists = False
+            with contextlib.suppress(Exception):
+                exists = bool(fs.exists(p))
+            if not exists:
+                raise
             held_since = "unknown"
             with contextlib.suppress(Exception):
                 mtime = fs.getFileStatus(p).getModificationTime()
@@ -555,7 +564,7 @@ class SparkVectorLake:
                 f"for upsert/compact/retention/delete. If the holder "
                 f"crashed, verify no maintenance job is running, then "
                 f"delete the lock file and retry."
-            ) from None
+            ) from exc
         try:
             holder = json.dumps(
                 {"pid": os.getpid(), "acquired_unix": int(time.time())}
