@@ -445,3 +445,70 @@ def test_weighted_sample_is_global_topn_and_monotone_in_weight(spark):
     cutoff = full["priority"].sort_values(ascending=False)
     if len(cutoff) > len(sample):
         assert min(ps) >= cutoff.iloc[len(sample)]
+
+
+# --- r07 codec invariants ---------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=2, max_value=17),
+    st.integers(min_value=42, max_value=45),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(h, w, n_colors, seed):
+    """GIF is lossless within a <=256-color palette: encode->decode is
+    the identity for ANY palette image geometry (the unit tests pin
+    hand-picked shapes; this sweeps the space)."""
+    from vector_lake_spark.gif import decode_gif_pixels, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, n_colors, size=(h, w))]
+    assert np.array_equal(decode_gif_pixels(encode_gif(img)), img)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_sample_table_partition_property(sizes_pattern, fps):
+    """The muxer->probe round trip preserves the sample partition: the
+    probe's resolved (offset, size) table must tile the mdat body
+    contiguously in order, for any frame-count/fps combination."""
+    from vector_lake_spark.mp4 import encode_mp4_mjpeg, probe_mp4
+
+    frames = [bytes([i]) * (s * 7) for i, s in enumerate(sizes_pattern)]
+    payload = encode_mp4_mjpeg(frames, fps, 8, 8)
+    t = probe_mp4(payload)["tracks"][0]
+    assert t["n_samples"] == len(frames)
+    offs = t["samples"]
+    for i in range(1, len(offs)):
+        assert offs[i][0] == offs[i - 1][0] + offs[i - 1][1]
+    for (off, size), f in zip(offs, frames):
+        assert payload[off : off + size] == f
+
+
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=1, max_value=100),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=25, deadline=None)
+def test_progressive_equals_baseline_property(h, w, quality, seed):
+    """Both encoders quantize identically, so progressive and baseline
+    decodes must agree pixel-for-pixel at ANY geometry and quality."""
+    from vector_lake_spark.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    base = decode_jpeg_pixels(encode_jpeg(img, quality))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality))
+    assert np.array_equal(prog, base)
