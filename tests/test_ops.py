@@ -975,8 +975,8 @@ def test_image_decode_gates_are_loud(spark):
         _decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # SOI but garbage
     with pytest.raises(ValueError):
         _decode_image(b"GIF89a notsupported")  # GIF magic but garbage
-    with pytest.raises(NotImplementedError, match="BMP, PNG, baseline"):
-        _decode_image(b"RIFFxxxxWEBPnope")  # WebP: honestly unsupported
+    with pytest.raises(NotImplementedError, match="decode natively"):
+        _decode_image(b"II*\x00unknown-tiff-ish")  # honestly unsupported
 
 
 def _make_png(pixels, color_type, filters):

@@ -1,0 +1,78 @@
+"""WebP probe (`vector_lake_spark.webp`): header parsing against
+hand-assembled RIFF/VP8/VP8L/VP8X fixtures built from the public spec
+(this repo has no WebP encoder to be circular with), plus the loud
+decode gate."""
+
+import struct
+
+import pytest
+
+from vector_lake_spark.webp import decode_webp, is_webp, probe_webp
+
+
+def _riff(fourcc: bytes, body: bytes) -> bytes:
+    chunk = fourcc + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _vp8(w: int, h: int) -> bytes:
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    return _riff(b"VP8 ", body + b"\x00" * 8)
+
+
+def _vp8l(w: int, h: int, alpha: bool) -> bytes:
+    bits = (w - 1) | ((h - 1) << 14) | (int(alpha) << 28)
+    return _riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 4)
+
+
+def _vp8x(w: int, h: int, alpha: bool, anim: bool) -> bytes:
+    flags = (0x10 if alpha else 0) | (0x02 if anim else 0)
+    body = (
+        bytes([flags]) + b"\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    )
+    return _riff(b"VP8X", body)
+
+
+def test_vp8_lossy_dims():
+    info = probe_webp(_vp8(640, 480))
+    assert info == {
+        "format": "vp8", "width": 640, "height": 480,
+        "has_alpha": False, "animated": False,
+    }
+
+
+def test_vp8l_lossless_dims_and_alpha():
+    info = probe_webp(_vp8l(16383, 1, True))
+    assert (info["format"], info["width"], info["height"]) == (
+        "vp8l", 16383, 1,
+    )
+    assert info["has_alpha"]
+
+
+def test_vp8x_extended_flags():
+    info = probe_webp(_vp8x(1920, 1080, alpha=True, anim=True))
+    assert (info["width"], info["height"]) == (1920, 1080)
+    assert info["has_alpha"] and info["animated"]
+
+
+def test_not_webp_and_corrupt():
+    assert not is_webp(b"RIFF\x00\x00\x00\x00AVI LIST")
+    with pytest.raises(ValueError, match="WEBP header"):
+        probe_webp(b"\x00" * 32)
+    bad = bytearray(_vp8(8, 8))
+    bad[23] = 0x00  # break the VP8 start code
+    with pytest.raises(ValueError, match="start code"):
+        probe_webp(bytes(bad))
+
+
+def test_decode_gates_naming_variant_and_dims():
+    with pytest.raises(NotImplementedError, match="vp8l.*33x9"):
+        decode_webp(_vp8l(33, 9, False))
+
+
+def test_image_dispatch_names_webp():
+    from vector_lake_spark.multimodal import _decode_image
+
+    with pytest.raises(NotImplementedError, match="vp8"):
+        _decode_image(_vp8(10, 10))

@@ -94,10 +94,14 @@ def _decode_image(payload: bytes):
         from vector_lake_spark.gif import decode_gif
 
         return decode_gif(payload)
+    if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from vector_lake_spark.webp import decode_webp
+
+        decode_webp(payload)  # raises naming the variant + dims
     raise NotImplementedError(
-        "unrecognized image payload (BMP, PNG, baseline JPEG and GIF "
-        "decode natively — decode_bmp / decode_png / jpeg.decode_jpeg / "
-        "gif.decode_gif)"
+        "unrecognized image payload (BMP, PNG, JPEG and GIF decode "
+        "natively — decode_bmp / decode_png / jpeg.decode_jpeg / "
+        "gif.decode_gif; WebP probes via webp.probe_webp)"
     )
 
 

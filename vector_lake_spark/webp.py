@@ -1,0 +1,98 @@
+"""WebP metadata probe — pure stdlib parsing of the public RIFF/WebP
+container and the VP8 / VP8L / VP8X header layouts.
+
+WebP is the most common image format this repo does not decode (its
+payloads are VP8 intra frames / VP8L entropy streams — real codec work,
+gated by name like the other interframe formats). What a 100 TB crawl
+pipeline needs FIRST is the metadata pass, and that is fully
+spec-implementable in a few header reads:
+
+- ``VP8 `` (lossy): 3-byte frame tag, 0x9D012A start code, then two
+  little-endian 14-bit dimensions.
+- ``VP8L`` (lossless): 0x2F signature byte, then 14-bit width-1 and
+  14-bit height-1 packed LSB-first, 1 alpha bit, 3 version bits.
+- ``VP8X`` (extended): feature flags byte + 24-bit canvas width-1 /
+  height-1 (animation/EXIF/alpha flags reported).
+
+``probe_webp`` reports (format, width, height, has_alpha, animated)
+without touching entropy data; ``decode_webp`` raises by name. The
+probe also rides ``multimodal._decode_image``'s gate so an unrecognized
+WebP fails with its REAL identity named instead of "unrecognized".
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def is_webp(payload: bytes) -> bool:
+    return (
+        len(payload) >= 16
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    )
+
+
+def probe_webp(payload: bytes) -> dict:
+    """Header-only metadata: variant, canvas dimensions, alpha/animation
+    flags. No entropy data is read."""
+    if not is_webp(payload):
+        raise ValueError("not a WebP payload (RIFF....WEBP header missing)")
+    fourcc = payload[12:16]
+    body = 20
+    if fourcc == b"VP8 ":  # lossy: frame tag + start code + 14-bit dims
+        if len(payload) < body + 10:
+            raise ValueError("corrupt WebP: truncated VP8 header")
+        if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+            raise ValueError("corrupt WebP: VP8 start code missing")
+        w_raw, h_raw = struct.unpack_from("<HH", payload, body + 6)
+        return {
+            "format": "vp8",
+            "width": w_raw & 0x3FFF,
+            "height": h_raw & 0x3FFF,
+            "has_alpha": False,
+            "animated": False,
+        }
+    if fourcc == b"VP8L":  # lossless: sig + packed 14-bit dims
+        if len(payload) < body + 5:
+            raise ValueError("corrupt WebP: truncated VP8L header")
+        if payload[body] != 0x2F:
+            raise ValueError("corrupt WebP: VP8L signature missing")
+        bits = int.from_bytes(payload[body + 1 : body + 5], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        alpha = bool((bits >> 28) & 1)
+        return {
+            "format": "vp8l",
+            "width": w,
+            "height": h,
+            "has_alpha": alpha,
+            "animated": False,
+        }
+    if fourcc == b"VP8X":  # extended: flags + 24-bit canvas dims
+        if len(payload) < body + 10:
+            raise ValueError("corrupt WebP: truncated VP8X header")
+        flags = payload[body]
+        w = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+        h = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+        return {
+            "format": "vp8x",
+            "width": w,
+            "height": h,
+            "has_alpha": bool(flags & 0x10),
+            "animated": bool(flags & 0x02),
+        }
+    raise ValueError(f"corrupt WebP: unknown first chunk {fourcc!r}")
+
+
+def decode_webp(payload: bytes) -> dict:
+    """WebP pixel decode is gated by name: VP8 is an intra-frame video
+    codec (boolean-coder entropy decode + loop filter) and VP8L a
+    Huffman/LZ77 entropy format — outside this repo's native-decode
+    set. The probe above reads all metadata."""
+    info = probe_webp(payload)
+    raise NotImplementedError(
+        f"WebP pixel decode unsupported ({info['format']}, "
+        f"{info['width']}x{info['height']}) — only the metadata probe "
+        f"(probe_webp) is implemented; BMP/PNG/JPEG/GIF decode natively"
+    )
