@@ -62,7 +62,9 @@ def keyed_stream(src):
 
 
 def run_stateful(src):
-    cands = stream_neardup_candidates(keyed_stream(src), Q.NEARDUP_N_BANDS)
+    cands = stream_neardup_candidates(
+        keyed_stream(src), Q.NEARDUP_N_BANDS, state_ttl_ms=None  # bounded bench
+    )
     name = f"sb_{int(time.time() * 1000)}"
     q = (
         cands.writeStream.format("memory")

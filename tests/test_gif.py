@@ -319,6 +319,30 @@ def test_frame_index_out_of_range():
         decode_gif_frames(SPEC_GIF, [5])
 
 
+def test_probe_truncated_payloads_raise_by_name():
+    """probe_gif's block walk must turn ANY truncation into the named
+    ValueError contract, never IndexError/struct.error (r07 advice).
+    Sweep every prefix of a multi-frame GIF with extensions."""
+    pal = _anim_palette()
+    base = np.full((4, 4), 1, dtype=np.uint8)
+    patch = np.full((2, 2), 2, dtype=np.uint8)
+    full = _build_gif(
+        [
+            {"indices": base, "gce": (1, None)},
+            {"indices": patch, "left": 1, "top": 1, "gce": (2, 0)},
+        ],
+        4, 4, pal,
+    )
+    probe_gif(full)  # sanity: the untruncated payload parses
+    for cut in range(6, len(full)):
+        try:
+            probe_gif(full[:cut])
+        except ValueError:
+            pass  # named contract — acceptable at any truncation point
+        # any other exception type (IndexError, struct.error) fails the
+        # test by propagating
+
+
 # ---------------------------------------------------------------------------
 # Arrow operator path + dispatch
 # ---------------------------------------------------------------------------

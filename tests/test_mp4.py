@@ -164,6 +164,142 @@ def test_stsc_multi_sample_chunks_and_co64():
     ]
 
 
+def test_interleaved_two_track_multi_run_layout():
+    """A realistic muxer layout the in-repo muxer never writes (r07
+    verdict #4): video and audio INTERLEAVED in mdat order
+    V1 A1 V2 A2 V3, so video chunk offsets are non-contiguous (audio
+    chunks sit in the gaps), the video stsc has THREE runs (2, 3, 1
+    samples per chunk), the audio stsc has two (3, 2), video uses co64
+    and per-sample stsz, audio uses stco and uniform stsz. Pins the
+    resolved per-sample (offset, size) of BOTH tracks exactly —
+    the sample-table contract of mp4.py:33-48."""
+    # mdat plan: Vc1@50 holds v0,v1 (10,11); Ac1@71 holds a0..a2 (4 ea);
+    # Vc2@83 holds v2..v4 (12,13,14); Ac2@122 holds a3,a4; Vc3@130 v5 (15)
+    v_sizes = [10, 11, 12, 13, 14, 15]
+    v_stsz = _fb(
+        b"stsz", 0,
+        struct.pack(">II", 0, 6) + struct.pack(">6I", *v_sizes),
+    )
+    v_stsc = _fb(
+        b"stsc", 0,
+        struct.pack(">I", 3)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 3, 1)
+        + struct.pack(">III", 3, 1, 1),
+    )
+    v_co64 = _fb(
+        b"co64", 0,
+        struct.pack(">I", 3) + struct.pack(">QQQ", 50, 83, 130),
+    )
+    v_stts = _fb(b"stts", 0, struct.pack(">III", 1, 6, 1))
+    v_entry = struct.pack(">I4s", 86, b"jpeg") + (
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", 32, 24)
+        + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
+        + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    v_stsd = _fb(b"stsd", 0, struct.pack(">I", 1) + v_entry)
+    v_stbl = _b(b"stbl", v_stsd + v_stts + v_stsc + v_stsz + v_co64)
+    v_hdlr = _fb(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    v_mdhd = _fb(
+        b"mdhd", 0,
+        struct.pack(">IIII", 0, 0, 6, 6) + struct.pack(">HH", 0x55C4, 0),
+    )
+    v_mdia = _b(b"mdia", v_mdhd + v_hdlr + _b(b"minf", v_stbl))
+    v_tkhd = _fb(
+        b"tkhd", 0,
+        struct.pack(">IIIII", 0, 0, 1, 0, 6)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 32 << 16, 24 << 16),
+    )
+    v_trak = _b(b"trak", v_tkhd + v_mdia)
+
+    a_stsz = _fb(b"stsz", 0, struct.pack(">II", 4, 5))  # uniform 4 bytes
+    a_stsc = _fb(
+        b"stsc", 0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 3, 1)
+        + struct.pack(">III", 2, 2, 1),
+    )
+    a_stco = _fb(b"stco", 0, struct.pack(">I", 2) + struct.pack(">II", 71, 122))
+    a_stts = _fb(b"stts", 0, struct.pack(">III", 1, 5, 1))
+    a_entry = struct.pack(">I4s", 36, b"mp4a") + (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HHHH", 0, 0, 2, 16)
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">I", 8000 << 16)
+    )
+    a_stsd = _fb(b"stsd", 0, struct.pack(">I", 1) + a_entry)
+    a_stbl = _b(b"stbl", a_stsd + a_stts + a_stsc + a_stsz + a_stco)
+    a_hdlr = _fb(b"hdlr", 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00")
+    a_mdhd = _fb(
+        b"mdhd", 0,
+        struct.pack(">IIII", 0, 0, 8000, 40000)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    a_mdia = _b(b"mdia", a_mdhd + a_hdlr + _b(b"minf", a_stbl))
+    a_tkhd = _fb(
+        b"tkhd", 0,
+        struct.pack(">IIIII", 0, 0, 2, 0, 6)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    a_trak = _b(b"trak", a_tkhd + a_mdia)
+
+    mvhd = _fb(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, 6, 6)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 3),
+    )
+    moov = _b(b"moov", mvhd + v_trak + a_trak)
+    ftyp = _b(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    info = probe_mp4(ftyp + moov)
+    assert info["n_tracks"] == 2
+    vt, at = info["tracks"]
+    assert vt["handler"] == "vide" and at["handler"] == "soun"
+    # video: 3 chunks at non-contiguous offsets (audio occupies the gaps)
+    assert vt["samples"] == [
+        (50, 10), (60, 11), (83, 12), (95, 13), (108, 14), (130, 15),
+    ]
+    # audio: uniform-size samples packed within its own two chunks
+    assert at["samples"] == [
+        (71, 4), (75, 4), (79, 4), (122, 4), (126, 4),
+    ]
+
+
+def test_probe_missing_box_raises_by_name():
+    """A structurally-valid walk that lacks a required box must raise
+    the module's named ValueError, not a TypeError from subscripting a
+    None _find() result (r07 advice)."""
+    # moov with mvhd but a trak missing its mdia
+    tkhd = _fb(
+        b"tkhd", 0,
+        struct.pack(">IIIII", 0, 0, 1, 0, 1)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 8 << 16, 8 << 16),
+    )
+    trak = _b(b"trak", tkhd)
+    mvhd = _fb(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, 1, 1)
+        + struct.pack(">IHH", 0x10000, 0x100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _b(b"moov", mvhd + trak)
+    ftyp = _b(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    with pytest.raises(ValueError, match="no mdia box"):
+        probe_mp4(ftyp + moov)
+    # and a file with no moov at all
+    with pytest.raises(ValueError, match="no moov box"):
+        probe_mp4(ftyp)
+
+
 def test_sample_table_run_math_directly():
     # 2 runs over 4 chunks: chunks 1-2 hold 2 samples, chunks 3-4 hold 1
     samples = _sample_table(

@@ -701,7 +701,9 @@ def test_stream_neardup_incremental_equals_batch(spark, tmp_path):
     v = to_double_array(F.col("embedding"))
     shard, bkeys = banded_keys(v, Q.H4, Q.NEARDUP_BANDS)
     keyed = stream.select("vec_id", shard.alias("shard"), bkeys.alias("bkeys"))
-    cands = stream_neardup_candidates(keyed, Q.NEARDUP_N_BANDS)
+    cands = stream_neardup_candidates(
+        keyed, Q.NEARDUP_N_BANDS, state_ttl_ms=None  # bounded test stream
+    )
     name = Q._run_stream_to_memory(cands, "append")
     got = {
         (r["id_a"], r["id_b"]) for r in spark.table(name).collect()

@@ -233,15 +233,31 @@ def probe_gif(payload: bytes) -> dict:
     needs. The cheap metadata pass a 100 TB pipeline runs first."""
     if payload[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF payload (GIF87a/GIF89a header missing)")
+    if len(payload) < 13:
+        raise ValueError("corrupt GIF: truncated logical screen descriptor")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("corrupt GIF: truncated global color table")
         gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
             n, 3
         )
         pos += 3 * n
+
+    def _skip_subblocks(pos: int, what: str) -> int:
+        # every data stream is length-prefixed sub-blocks ending in a 0
+        # terminator; a truncated stream is a named error, not IndexError
+        while True:
+            if pos >= len(payload):
+                raise ValueError(f"corrupt GIF: truncated {what} sub-blocks")
+            n = payload[pos]
+            if n == 0:
+                return pos
+            pos += 1 + n
+
     frames: list[dict] = []
     gce: dict = {}
     while pos < len(payload):
@@ -249,9 +265,15 @@ def probe_gif(payload: bytes) -> dict:
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("corrupt GIF: truncated extension header")
             label = payload[pos + 1]
             pos += 2
             if label == 0xF9:  # graphic control
+                if pos + 5 > len(payload):
+                    raise ValueError(
+                        "corrupt GIF: truncated graphic control extension"
+                    )
                 size = payload[pos]
                 gflags, delay_cs, trans_idx = struct.unpack_from(
                     "<BHB", payload, pos + 1
@@ -263,10 +285,10 @@ def probe_gif(payload: bytes) -> dict:
                 }
                 pos += 1 + size
             # skip (remaining) sub-blocks of any extension
-            while payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
+            pos = _skip_subblocks(pos, "extension") + 1
         elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("corrupt GIF: truncated image descriptor")
             left, top, fw, fh, iflags = struct.unpack_from(
                 "<HHHHB", payload, pos + 1
             )
@@ -274,15 +296,17 @@ def probe_gif(payload: bytes) -> dict:
             lct = None
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("corrupt GIF: truncated local color table")
                 lct = (pos, n)
                 pos += 3 * n
+            if pos >= len(payload):
+                raise ValueError("corrupt GIF: truncated image data")
             min_code_size = payload[pos]
             pos += 1
             data_start = pos
-            while payload[pos] != 0:
-                pos += 1 + payload[pos]
-            data_end = pos
-            pos += 1
+            data_end = _skip_subblocks(pos, "image data")
+            pos = data_end + 1
             frames.append(
                 {
                     "left": left,

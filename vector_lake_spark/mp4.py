@@ -98,6 +98,17 @@ def _find(payload: bytes, pos: int, end: int, fourcc: bytes):
     return None
 
 
+def _require(payload: bytes, pos: int, end: int, fourcc: bytes):
+    """_find, but a missing box is a named ValueError — the module's
+    corrupt-input contract — instead of a TypeError at the call site."""
+    found = _find(payload, pos, end, fourcc)
+    if found is None:
+        raise ValueError(
+            f"corrupt MP4: no {fourcc.decode('latin-1')} box"
+        )
+    return found
+
+
 def _full_box(payload: bytes, pos: int) -> tuple[int, int]:
     """(version, flags) of a full box; body fields start at pos+4."""
     v = payload[pos]
@@ -224,36 +235,30 @@ def probe_mp4(payload: bytes) -> dict:
     if not is_mp4(payload):
         raise ValueError("not an MP4 payload ('ftyp' box missing)")
     end = len(payload)
-    ftyp = _find(payload, 0, end, b"ftyp")
-    fs, fe = ftyp
+    fs, fe = _require(payload, 0, end, b"ftyp")
     brand = payload[fs : fs + 4].decode("latin-1")
     compat = [
         payload[i : i + 4].decode("latin-1") for i in range(fs + 8, fe, 4)
     ]
-    moov = _find(payload, 0, end, b"moov")
-    if moov is None:
-        raise ValueError("corrupt MP4: no moov box")
-    ms, me = moov
-    mvhd = _find(payload, ms, me, b"mvhd")
-    if mvhd is None:
-        raise ValueError("corrupt MP4: no mvhd box")
+    ms, me = _require(payload, 0, end, b"moov")
+    mvhd = _require(payload, ms, me, b"mvhd")
     timescale, duration = _parse_mvhd(payload, mvhd[0])
     tracks = []
     for fc, ts_, te_ in _boxes(payload, ms, me):
         if fc != b"trak":
             continue
-        tkhd = _find(payload, ts_, te_, b"tkhd")
+        tkhd = _require(payload, ts_, te_, b"tkhd")
         track_id, tw, th = _parse_tkhd(payload, tkhd[0])
-        mdia = _find(payload, ts_, te_, b"mdia")
-        mdhd = _find(payload, mdia[0], mdia[1], b"mdhd")
+        mdia = _require(payload, ts_, te_, b"mdia")
+        mdhd = _require(payload, mdia[0], mdia[1], b"mdhd")
         m_timescale, m_duration, lang = _parse_mdhd(payload, mdhd[0])
-        hdlr = _find(payload, mdia[0], mdia[1], b"hdlr")
+        hdlr = _require(payload, mdia[0], mdia[1], b"hdlr")
         handler = payload[hdlr[0] + 8 : hdlr[0] + 12].decode("latin-1")
-        minf = _find(payload, mdia[0], mdia[1], b"minf")
-        stbl = _find(payload, minf[0], minf[1], b"stbl")
-        stsd = _find(payload, stbl[0], stbl[1], b"stsd")
+        minf = _require(payload, mdia[0], mdia[1], b"minf")
+        stbl = _require(payload, minf[0], minf[1], b"stbl")
+        stsd = _require(payload, stbl[0], stbl[1], b"stsd")
         codec, cw, ch = _parse_stsd(payload, stsd[0], handler == "vide")
-        stsz = _find(payload, stbl[0], stbl[1], b"stsz")
+        stsz = _require(payload, stbl[0], stbl[1], b"stsz")
         sizes = _parse_stsz(payload, stsz[0])
         stco = _find(payload, stbl[0], stbl[1], b"stco")
         wide = False

@@ -464,11 +464,17 @@ def extract_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     if not video:
                         raise ValueError("MP4 has no video track")
                     tr = video[0]
-                    fps = (
-                        tr["n_samples"] * 1000.0 / tr["duration_ms"]
-                        if tr["duration_ms"]
-                        else 0
-                    )
+                    # rate from the track's own timescale and raw stts
+                    # tick duration — the floor-rounded duration_ms
+                    # drifts the stride for real-world timescales
+                    # (r07 advice)
+                    ticks = sum(c * d for c, d in tr["timing"])
+                    if ticks:
+                        fps = tr["n_samples"] * tr["timescale"] / ticks
+                    elif tr["duration_ms"]:
+                        fps = tr["n_samples"] * 1000.0 / tr["duration_ms"]
+                    else:
+                        fps = 0
                     n_frames, decode = tr["n_samples"], decode_mp4_frames
                 else:
                     info = probe_avi(data)

@@ -573,7 +573,7 @@ def _emit_candidates_ttl(n_bands: int, ttl_ms: int):
 
 
 def stream_neardup_candidates(
-    keyed: DataFrame, n_bands: int, state_ttl_ms: int | None = None
+    keyed: DataFrame, n_bands: int, *, state_ttl_ms: int | None
 ) -> DataFrame:
     """Incremental candidate-pair emission over a stream of
     (vec_id long, shard long, bkeys array<long>) — the LOW-LATENCY
@@ -584,11 +584,13 @@ def stream_neardup_candidates(
     candidate pair exactly once across the whole stream. The kernel is
     numpy-vectorized integer comparison (no per-pair Python loop).
 
-    ``state_ttl_ms`` is the eviction knob (r06 verdict #3). ``None``
-    keeps every bucket hot forever — state grows with corpus size
-    (ids + band keys, ~72 B/row, never vectors), which is right ONLY
-    for bounded or windowed streams; this mode exists for those and for
-    tests. With a TTL, buckets idle longer than ``state_ttl_ms``
+    ``state_ttl_ms`` is the eviction knob (r06 verdict #3) and is a
+    REQUIRED keyword (r07 verdict #3): passing ``None`` keeps every
+    bucket hot forever — state grows with corpus size (ids + band
+    keys, ~72 B/row, never vectors), which is right ONLY for bounded
+    or windowed streams, so the unbounded mode must be opted into
+    explicitly rather than arrived at by default. With a TTL, buckets
+    idle longer than ``state_ttl_ms``
     processing-time evict their members as KIND_EVICT rows
     (HYBRID_SCHEMA) and the state store stays bounded by the hot
     working set; use ``HybridNearDup`` to land those evictions in a
@@ -788,6 +790,16 @@ class HybridNearDup:
         q = self.start(keyed_stream, checkpoint)
         deadline = time.time() + timeout_s
         while time.time() < deadline:
+            if not q.isActive:
+                # surface the real failure instead of masking it as a
+                # drain timeout (r07 advice)
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                raise RuntimeError(
+                    "hybrid near-dup query terminated before the drain "
+                    "went idle"
+                )
             progs = [json.loads(p.json) for p in q.recentProgress]
             # count batches, newest first, since the last one with data
             idle = 0
