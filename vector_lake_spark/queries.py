@@ -7710,6 +7710,181 @@ FROM p
 """
 
 
+def q_mm_container_probe(spark, sf):
+    """All three container probes under ONE oracle gate (r07 verdict #2
+    — `mm_media_probe` hash-checked MP4 only; `probe_avi` and the EBML
+    walk were unit-tested but never driver-checked at table scale). Per
+    document, doc_id%3 picks the container (AVI / MP4 / Matroska), a
+    real muxer assembles doc-derived geometry around one cached 8x8
+    JPEG tile, and the UNIFIED `probe_media` operator — the actual
+    route/filter/budget pass of the media pipeline — walks the bytes.
+    The oracle recomputes every probed integer arithmetically, so a
+    green hash proves RIFF, ISO-BMFF and EBML mux+probe each agree
+    with an independent derivation, plus `probe_media`'s container
+    naming, codec naming and decodability routing."""
+    from vector_lake_spark.avi import encode_avi_mjpeg
+    from vector_lake_spark.jpeg import encode_jpeg
+    from vector_lake_spark.mkv import encode_mkv_mjpeg
+    from vector_lake_spark.mp4 import encode_mp4_mjpeg
+    from vector_lake_spark.multimodal import probe_media
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 6 + 2).cast("int").alias("n_frames"),
+        (F.col("doc_id") % 3 + 2).cast("int").alias("fps"),
+        (F.col("doc_id") % 200).cast("int").alias("shade"),
+        (F.col("doc_id") % 3).cast("int").alias("kind"),
+    )
+
+    def mux(it):
+        import numpy as np
+        import pandas as pd
+
+        muxers = [encode_avi_mjpeg, encode_mp4_mjpeg, encode_mkv_mjpeg]
+        tile_cache: dict = {}
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.shade not in tile_cache:
+                    tile_cache[r.shade] = encode_jpeg(
+                        np.full((8, 8), r.shade, dtype=np.uint8), 100
+                    )
+                frame = tile_cache[r.shade]
+                payload = muxers[r.kind]([frame] * r.n_frames, r.fps, 8, 8)
+                rows.append((r.media_id, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = params.mapInPandas(mux, schema="media_id long, payload binary")
+    return probe_media(media)
+
+
+SQL_MM_CONTAINER_PROBE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (n_chars % 6) + 2 AS n_frames,
+         (doc_id % 3) + 2 AS fps,
+         doc_id % 3 AS kind
+  FROM documents
+)
+SELECT media_id,
+       CASE kind WHEN 0 THEN 'avi' WHEN 1 THEN 'mp4'
+                 ELSE 'matroska' END AS container,
+       CASE kind WHEN 0 THEN 'MJPG' WHEN 1 THEN 'jpeg'
+                 ELSE 'V_MJPEG' END AS codec,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(n_frames * 1000 // fps AS BIGINT) AS duration_ms,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       kind <> 2 AS decodable
+FROM p
+"""
+
+
+def q_mm_webp_probe(spark, sf):
+    """WebP header math under the oracle gate (r07 verdict #5): per
+    document, doc_id%3 picks the variant (lossy VP8 / lossless VP8L /
+    extended VP8X), the RIFF container and variant header bytes are
+    assembled per the public spec layouts with doc-derived dimensions
+    and flags, and the REAL `probe_webp` walks them back out. A green
+    hash proves the 14-bit packed VP8L fields, the VP8 start-code +
+    uint16 dims, and the VP8X 24-bit canvas fields each invert exactly
+    — and pins the image gate's WebP naming behavior at table scale."""
+    from vector_lake_spark.webp import probe_webp
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        ((F.col("doc_id") % 300) + 17).cast("int").alias("w"),
+        ((F.col("n_chars") % 200) + 9).cast("int").alias("h"),
+        (F.col("doc_id") % 2 == 0).alias("alpha"),
+        (F.col("n_chars") % 2 == 0).alias("anim"),
+        (F.col("doc_id") % 3).cast("int").alias("kind"),
+    )
+
+    def batches(it):
+        import struct
+
+        import pandas as pd
+
+        def riff(fourcc: bytes, chunk: bytes) -> bytes:
+            if len(chunk) % 2:
+                chunk += b"\x00"
+            body = b"WEBP" + fourcc + struct.pack("<I", len(chunk)) + chunk
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind == 0:  # VP8: frame tag, start code, 14-bit dims
+                    chunk = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack(
+                        "<HH", r.w, r.h
+                    )
+                elif r.kind == 1:  # VP8L: sig + packed LSB-first fields
+                    bits = (
+                        (r.w - 1)
+                        | ((r.h - 1) << 14)
+                        | (int(r.alpha) << 28)
+                    )
+                    chunk = b"\x2f" + struct.pack("<I", bits)
+                else:  # VP8X: flags byte + 24-bit canvas dims
+                    flags = (0x10 if r.alpha else 0) | (0x02 if r.anim else 0)
+                    chunk = (
+                        bytes([flags])
+                        + b"\x00\x00\x00"
+                        + (r.w - 1).to_bytes(3, "little")
+                        + (r.h - 1).to_bytes(3, "little")
+                    )
+                    # 10-byte body; probe requires >= 10 after the header
+                info = probe_webp(riff([b"VP8 ", b"VP8L", b"VP8X"][r.kind], chunk))
+                rows.append(
+                    (
+                        r.media_id,
+                        info["format"],
+                        info["width"],
+                        info["height"],
+                        info["has_alpha"],
+                        info["animated"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "has_alpha", "animated",
+                ],
+            )
+
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, format string, width int, height int, "
+            "has_alpha boolean, animated boolean"
+        ),
+    )
+
+
+SQL_MM_WEBP_PROBE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CAST((doc_id % 300) + 17 AS INT) AS w,
+         CAST((n_chars % 200) + 9 AS INT) AS h,
+         doc_id % 2 = 0 AS alpha,
+         n_chars % 2 = 0 AS anim,
+         doc_id % 3 AS kind
+  FROM documents
+)
+SELECT media_id,
+       CASE kind WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+                 ELSE 'vp8x' END AS format,
+       w AS width,
+       h AS height,
+       CASE kind WHEN 0 THEN FALSE ELSE alpha END AS has_alpha,
+       CASE kind WHEN 2 THEN anim ELSE FALSE END AS animated
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7741,6 +7916,8 @@ _BASE_QUERIES = {
     "pipe_decontaminate": q_pipe_decontaminate,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "mm_media_probe": q_mm_media_probe,
+    "mm_container_probe": q_mm_container_probe,
+    "mm_webp_probe": q_mm_webp_probe,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -7941,10 +8118,16 @@ _LAST_DRIVER_ROUND = _last_driver_rounds()
 # _FRONTLOAD pins names to the very front of the window, AHEAD of
 # never-checked entries — used when the implementation neighborhood of an
 # already-checked entry was rewritten and the evidence must be refreshed
-# this round regardless of age (r06 verdict #1: the two mm_* entries'
-# newest green row predates the real PNG/JPEG/AVI decoders that landed
-# around them in multimodal.py). See docs/ROTATION.md for the policy.
-_FRONTLOAD: tuple[str, ...] = ("mm_binary_stats", "mm_frame_sample")
+# this round regardless of age. r08 pins the three entries whose probe /
+# frame-sampling neighborhoods were rewritten this round (gif.py/mp4.py
+# truncation+missing-box hardening; extract_video_frames' fps now derives
+# from the track timescale + raw stts ticks) even though all three were
+# green in r07. See docs/ROTATION.md for the policy.
+_FRONTLOAD: tuple[str, ...] = (
+    "mm_media_probe",
+    "mm_gif_roundtrip",
+    "mm_frame_sample",
+)
 
 QUERIES = dict(
     sorted(
@@ -7975,6 +8158,8 @@ ORACLES = {
     "pipe_decontaminate": SQL_PIPE_DECONTAMINATE,
     "sketch_heavy_hitters": SQL_SKETCH_HEAVY_HITTERS,
     "mm_media_probe": SQL_MM_MEDIA_PROBE,
+    "mm_container_probe": SQL_MM_CONTAINER_PROBE,
+    "mm_webp_probe": SQL_MM_WEBP_PROBE,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
