@@ -1,10 +1,15 @@
-"""Throughput probe for the two streaming near-dup ingest variants
-(SCALE.md "Events / streaming" evidence, r05 verdict #1):
+"""Throughput probe for the three streaming near-dup ingest variants
+(SCALE.md "Events / streaming" evidence, r05 verdict #1; hybrid ladder
+r07 verdict #6):
 
   - stateful  : stream_neardup_candidates (applyInPandasWithState,
                 numpy-vectorized kernel, state grows with corpus)
   - bounded   : NearDupIngest (foreachBatch + parquet band-key history,
                 zero streaming state)
+  - hybrid    : HybridNearDup with a TTL SHORTER than the stream so
+                evictions fire mid-run (hot stateful kernel + parquet
+                eviction history + new-vs-evicted recovery join); the
+                emitted pair set must still equal the other two
 
 Corpus: the statistically-matched generated embeddings from
 ``scripts/gen_testdata.py`` — ``localdata/sf0.1gen`` (2k rows, dim 64)
@@ -29,6 +34,7 @@ from vector_lake_spark import queries as Q
 from vector_lake_spark.functions.vectors import to_double_array
 from vector_lake_spark.session import get_spark
 from vector_lake_spark.streaming.neardup import (
+    HybridNearDup,
     NearDupIngest,
     banded_keys,
     stream_neardup_candidates,
@@ -85,6 +91,22 @@ def run_bounded(src, tmp):
     return ingest.pairs()
 
 
+def run_hybrid(src, tmp):
+    """TTL 1s vs a multi-second 4-micro-batch run: buckets untouched for
+    one batch interval evict mid-stream, so the recovery join is load-
+    bearing, not idle. Returns (pairs_df, n_evicted_rows)."""
+    hybrid = HybridNearDup(
+        spark,
+        f"{tmp}/h_history",
+        f"{tmp}/h_pairs",
+        Q.NEARDUP_N_BANDS,
+        state_ttl_ms=1_000,
+    )
+    hybrid.run(keyed_stream(src), checkpoint=f"{tmp}/h_ckpt")
+    hist = spark.read.parquet(f"{tmp}/h_history")
+    return hybrid.pairs(), hist.count()
+
+
 def summarize(pairs_df):
     """(count, order-insensitive checksum) computed DISTRIBUTED — the
     equality evidence without collecting millions of pairs to the
@@ -112,14 +134,29 @@ for label, df in [("2k", corpus("sf0.1gen")), ("20k", corpus("sf1"))]:
     n_bound, ck_bound = summarize(run_bounded(src, tmp))
     t_bound = time.time() - t0
 
+    t0 = time.time()
+    hybrid_pairs, n_evicted = run_hybrid(src, tmp)
+    n_hyb, ck_hyb = summarize(hybrid_pairs)
+    t_hyb = time.time() - t0
+
     assert (n_state, ck_state) == (n_bound, ck_bound), (
         f"variant disagreement at {label}: "
         f"{(n_state, ck_state)} vs {(n_bound, ck_bound)}"
     )
+    assert (n_state, ck_state) == (n_hyb, ck_hyb), (
+        f"hybrid disagreement at {label}: "
+        f"{(n_state, ck_state)} vs {(n_hyb, ck_hyb)}"
+    )
+    assert n_evicted > 0, (
+        f"hybrid ladder at {label} measured nothing: no evictions fired "
+        f"(TTL not shorter than the stream?)"
+    )
     print(
         f"{label}: {n} rows, {n_state} pairs | "
         f"stateful {t_state:.1f}s ({n / t_state:.0f} rows/s) | "
-        f"bounded {t_bound:.1f}s ({n / t_bound:.0f} rows/s)",
+        f"bounded {t_bound:.1f}s ({n / t_bound:.0f} rows/s) | "
+        f"hybrid {t_hyb:.1f}s ({n / t_hyb:.0f} rows/s, "
+        f"{n_evicted} evicted bucket rows)",
         flush=True,
     )
     shutil.rmtree(tmp, ignore_errors=True)
