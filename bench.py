@@ -124,9 +124,10 @@ HEADLINE = [
     "pipe_decontaminate",
     "mm_gif_roundtrip",
     "mm_media_probe",
-    # r08: all-three-container mux+probe, WebP header math
+    # r08: all-three-container mux+probe, WebP header math, VP8L codec
     "mm_container_probe",
     "mm_webp_probe",
+    "mm_webp_roundtrip",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

@@ -1,0 +1,356 @@
+"""VP8L codec (`vector_lake_spark.vp8l`).
+
+Round-trip sweeps prove the encoder/decoder pair; the hand-assembled
+fixtures prove the DECODER against RFC 9649 directly — each bitstream
+below is written bit-by-bit in this file from the spec's layout
+(LSB-first bit packing, canonical prefix codes read MSB-of-code-first,
+the kCodeLengthCodeOrder permutation, the LZ77 length/distance prefix
+scheme, the 120-entry 2D distance map, the 0x1E35A7BD color-cache
+hash, predictor/cross-color semantics), NOT via the module's encoder,
+which never emits these paths (it is literals-only by design)."""
+
+import numpy as np
+import pytest
+
+from vector_lake_spark.vp8l import (
+    decode_vp8l,
+    decode_webp_pixels,
+    encode_vp8l,
+    encode_webp_lossless,
+)
+
+
+class W:
+    """Test-side LSB-first bit writer (independent of the module's)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, n, v):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def code(self, n, v):
+        # canonical prefix codes go MSB-of-code-first
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _header(w_, width, height, alpha=0):
+    w_.w(8, 0x2F).w(14, width - 1).w(14, height - 1).w(1, alpha).w(3, 0)
+    return w_
+
+
+def _single_symbol_code(w_, sym):
+    """Simple prefix code holding exactly one symbol (0-bit reads)."""
+    w_.w(1, 1).w(1, 0)  # simple, 1 symbol
+    first_8bit = 1 if sym > 1 else 0
+    w_.w(1, first_8bit).w(8 if first_8bit else 1, sym)
+    return w_
+
+
+def _two_symbol_green_code(w_, sym_a, sym_b):
+    """NORMAL-path green code with two length-1 symbols, needed when a
+    symbol exceeds 255 (length/cache codes) — the simple path can't
+    express those. Emitted with code-length code {1:len1, 17:len2,
+    18:len2} and an explicit max_symbol read budget."""
+    lo, hi = sorted((sym_a, sym_b))
+    w_.w(1, 0)  # normal code
+    # ORDER = [17, 18, 0, 1, ...] -> 4 entries cover cl symbols 17,18,0,1
+    w_.w(4, 0)  # num_code_lengths = 4
+    for ln in (3, 3, 2, 1):  # cl lengths for 17, 18, 0, 1 (Kraft = 1)
+        w_.w(3, ln)
+    # canonical cl codes: 1 -> 0; 0 -> 10; 17 -> 110; 18 -> 111
+    cl_codes = {1: (1, 0b0), 0: (2, 0b10), 17: (3, 0b110), 18: (3, 0b111)}
+    reads = []
+    pos = 0
+    for target in (lo, hi):
+        gap = target - pos
+        while gap > 0:  # zeros via repeat codes, singles via symbol 0
+            if gap >= 11:
+                n = min(gap, 11 + 127)
+                reads.append((18, 7, n - 11))
+                gap -= n
+            elif gap >= 3:
+                n = min(gap, 3 + 7)
+                reads.append((17, 3, n - 3))
+                gap -= n
+            else:
+                reads.append((0, None, None))
+                gap -= 1
+        reads.append((1, None, None))
+        pos = target + 1
+    max_symbol = len(reads)
+    w_.w(1, 1)  # use explicit budget
+    nbits_code = 0
+    while (max_symbol - 2) >> (2 + 2 * nbits_code):
+        nbits_code += 1
+    w_.w(3, nbits_code).w(2 + 2 * nbits_code, max_symbol - 2)
+    for sym, extra_bits, extra in reads:
+        ln, code = cl_codes[sym]
+        w_.code(ln, code)
+        if extra_bits is not None:
+            w_.w(extra_bits, extra)
+    # canonical over {lo, hi}: lo -> 0, hi -> 1 (both length 1)
+    return {lo: (1, 0), hi: (1, 1)}
+
+
+def _literal_codes(w_, g, r, b, a):
+    """One group of five codes, each locked to a single symbol."""
+    _single_symbol_code(w_, g)
+    _single_symbol_code(w_, r)
+    _single_symbol_code(w_, b)
+    _single_symbol_code(w_, a)
+    _single_symbol_code(w_, 0)  # distance (unused)
+    return w_
+
+
+# ---------------------------------------------------------------------------
+# Hand-assembled decoder fixtures
+# ---------------------------------------------------------------------------
+
+
+def test_fixture_lz77_backref_and_distance_map():
+    """4x1: one literal then a length-3 backref at 2D distance code 2
+    (the (1, 0) neighborhood entry -> linear distance 1) must copy the
+    literal across the row. Exercises the normal-path green code with
+    a >255 symbol, the LZ77 length prefix (code 2 -> length 3, no
+    extra bits) and the distance mapping table."""
+    g_lit, r_lit, b_lit, a_lit = 5, 20, 30, 255
+    w_ = _header(W(), 4, 1)
+    w_.w(1, 0)  # no transforms
+    w_.w(1, 0)  # no color cache
+    w_.w(1, 0)  # no meta prefix
+    # green code: {5 (literal), 258 (length code 2 -> length 3)}
+    gcodes = _two_symbol_green_code(w_, g_lit, 256 + 2)
+    _single_symbol_code(w_, r_lit)
+    _single_symbol_code(w_, b_lit)
+    _single_symbol_code(w_, a_lit)
+    # distance code: single symbol 1 -> lz77 value code 1 -> dcode 2
+    _single_symbol_code(w_, 1)
+    ln, code = gcodes[g_lit]
+    w_.code(ln, code)  # literal (r/b/a cost 0 bits)
+    ln, code = gcodes[258]
+    w_.code(ln, code)  # backref: length code 2, distance sym 1 (0 bits)
+    out = decode_vp8l(w_.bytes())
+    expect = np.tile(
+        np.array([r_lit, g_lit, b_lit, a_lit], dtype=np.uint8), (1, 4, 1)
+    )
+    assert np.array_equal(out["pixels"], expect)
+
+
+def test_fixture_color_cache_hit():
+    """2x1 with a 1-bit color cache: literal inserts at its hash key,
+    then green symbol 280+key replays it from the cache."""
+    a, r, g, b = 255, 1, 2, 3
+    argb = (a << 24) | (r << 16) | (g << 8) | b
+    key = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> 31
+    w_ = _header(W(), 2, 1)
+    w_.w(1, 0)  # no transforms
+    w_.w(1, 1).w(4, 1)  # color cache, 1 bit
+    w_.w(1, 0)  # no meta prefix
+    gcodes = _two_symbol_green_code(w_, g, 280 + key)
+    _single_symbol_code(w_, r)
+    _single_symbol_code(w_, b)
+    _single_symbol_code(w_, a)
+    _single_symbol_code(w_, 0)
+    ln, code = gcodes[g]
+    w_.code(ln, code)  # literal
+    ln, code = gcodes[280 + key]
+    w_.code(ln, code)  # cache hit
+    out = decode_vp8l(w_.bytes())
+    expect = np.tile(np.array([r, g, b, a], dtype=np.uint8), (1, 2, 1))
+    assert np.array_equal(out["pixels"], expect)
+
+
+def test_fixture_predictor_transform():
+    """2x2, predictor mode 3 (top-right) in one 4x4 tile, constant
+    residual (2,2,2,2). Spec edge rules dominate: (0,0) predicts
+    opaque black, row 0 predicts LEFT, column 0 predicts TOP — only
+    (1,1) uses mode 3, whose top-right neighbor wraps to the CURRENT
+    row's leftmost pixel (flat addressing)."""
+    w_ = _header(W(), 2, 2)
+    w_.w(1, 1).w(2, 0)  # predictor transform
+    w_.w(3, 0)  # size_bits = 2 -> one 4x4 tile
+    # 1x1 prediction subimage: green = mode 3; no cache (subimages
+    # have no meta bit)
+    w_.w(1, 0)
+    _literal_codes(w_, 3, 0, 0, 0)
+    # end of transforms; main image: constant ARGB (2,2,2,2) residuals
+    w_.w(1, 0).w(1, 0).w(1, 0)
+    _literal_codes(w_, 2, 2, 2, 2)
+    out = decode_vp8l(w_.bytes())
+    px = out["pixels"].astype(int)
+    # (0,0): res + ff000000 -> rgba (2,2,2, 255+2 mod 256 = 1)
+    assert px[0, 0].tolist() == [2, 2, 2, 1]
+    # (0,1): left + res
+    assert px[0, 1].tolist() == [4, 4, 4, 3]
+    # (1,0): top + res
+    assert px[1, 0].tolist() == [4, 4, 4, 3]
+    # (1,1): mode 3 top-right wraps to (1,0) -> + res
+    assert px[1, 1].tolist() == [6, 6, 6, 5]
+
+
+def test_fixture_cross_color_transform():
+    """1x1 cross-color: green_to_red in the element's BLUE channel,
+    green_to_blue in GREEN, red_to_blue in RED, each a signed 3.5
+    fixed-point multiplier: delta(t, c) = (int8(t) * int8(c)) >> 5."""
+    g2r, g2b, r2b = 64, 32, 16  # +2.0, +1.0, +0.5 in 3.5 fixed point
+    g_res, r_res, b_res, a_res = 10, 100, 50, 255
+    w_ = _header(W(), 1, 1)
+    w_.w(1, 1).w(2, 1)  # color transform
+    w_.w(3, 0)  # size_bits = 2 -> one tile
+    w_.w(1, 0)
+    _literal_codes(w_, g2b, r2b, g2r, 0)  # element: g=g2b, r=r2b, b=g2r
+    w_.w(1, 0).w(1, 0).w(1, 0)  # end of transforms, no cache, no meta
+    _literal_codes(w_, g_res, r_res, b_res, a_res)
+    out = decode_vp8l(w_.bytes())
+    new_r = (r_res + ((g2r * g_res) >> 5)) & 0xFF  # 100 + 20 = 120
+    new_b = (
+        b_res + ((g2b * g_res) >> 5) + ((r2b * np.int8(new_r)) >> 5)
+    ) & 0xFF
+    assert out["pixels"][0, 0].tolist() == [
+        int(new_r), g_res, int(new_b), a_res,
+    ]
+
+
+def test_fixture_meta_prefix_groups():
+    """8x1 with 4-pixel meta tiles: the entropy image holds meta
+    indices 0 and 1 ((red<<8)|green), so the two tile halves decode
+    through DIFFERENT code groups — each locked to its own constant
+    color here, making the group switch observable."""
+    w_ = _header(W(), 8, 1)
+    w_.w(1, 0)  # no transforms
+    w_.w(1, 0)  # no color cache
+    w_.w(1, 1).w(3, 0)  # meta prefix, bits = 2 -> 2x1 entropy image
+    # entropy image (a subimage: cache bit, then codes): pixels with
+    # green 0 and 1 -> meta indices 0, 1
+    w_.w(1, 0)
+    gcodes = _two_symbol_green_code(w_, 0, 1)
+    _single_symbol_code(w_, 0)
+    _single_symbol_code(w_, 0)
+    _single_symbol_code(w_, 0)
+    _single_symbol_code(w_, 0)
+    ln, code = gcodes[0]
+    w_.code(ln, code)
+    ln, code = gcodes[1]
+    w_.code(ln, code)
+    # two groups, each all-single-symbol (pixels cost 0 bits)
+    _literal_codes(w_, 11, 12, 13, 255)  # group 0
+    _literal_codes(w_, 21, 22, 23, 255)  # group 1
+    out = decode_vp8l(w_.bytes())
+    px = out["pixels"]
+    assert (px[0, :4] == np.array([12, 11, 13, 255], dtype=np.uint8)).all()
+    assert (px[0, 4:] == np.array([22, 21, 23, 255], dtype=np.uint8)).all()
+
+
+def test_fixture_corrupt_streams_raise_by_name():
+    with pytest.raises(ValueError, match="signature"):
+        decode_vp8l(b"\x00\x00\x00\x00")
+    # truncated mid-header
+    w_ = _header(W(), 4, 4)
+    with pytest.raises(ValueError, match="exhausted"):
+        decode_vp8l(w_.bytes()[:2])
+    # cache bits out of range
+    w_ = _header(W(), 1, 1)
+    w_.w(1, 0).w(1, 1).w(4, 12)
+    with pytest.raises(ValueError, match="cache bits"):
+        decode_vp8l(w_.bytes())
+    # incomplete prefix code (Kraft < 1): two symbols, lengths 2 and 2
+    # declared via the simple path is impossible, so use normal path
+    # with lengths [2, 2] only
+    w_ = _header(W(), 1, 1)
+    w_.w(1, 0).w(1, 0).w(1, 0)
+    w_.w(1, 0)  # normal green code
+    w_.w(4, 0)
+    for ln in (0, 0, 2, 2):  # cl: 17->0, 18->0, 0->2, 1->2  (Kraft 1/2)
+        w_.w(3, ln)
+    with pytest.raises(ValueError, match="not complete"):
+        decode_vp8l(w_.bytes())
+
+
+# ---------------------------------------------------------------------------
+# Encoder round trips
+# ---------------------------------------------------------------------------
+
+
+def test_round_trip_full_color_sweep():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (1, 17), (9, 1), (13, 7), (32, 32)]:
+        px = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        out = decode_vp8l(encode_vp8l(px, use_palette=False))
+        assert np.array_equal(out["pixels"], px), (h, w)
+
+
+def test_round_trip_palette_bundling_all_widths():
+    rng = np.random.default_rng(11)
+    # palette sizes straddling every bundling width: 8/4/2/1 px per byte
+    for n_colors in (2, 3, 4, 5, 16, 17, 256):
+        colors = rng.integers(0, 256, (n_colors, 4), dtype=np.uint8)
+        # ensure distinct colors so the palette has exactly n entries
+        colors[:, 3] = 255
+        colors[:, 0] = np.arange(n_colors) % 256
+        colors[:, 1] = np.arange(n_colors) // 256
+        idx = rng.integers(0, n_colors, (5, 11))
+        idx.flat[: n_colors] = np.arange(n_colors)  # use every color
+        px = colors[idx]
+        out = decode_vp8l(encode_vp8l(px))
+        assert np.array_equal(out["pixels"], px), n_colors
+
+
+def test_round_trip_rgb_and_alpha_flag():
+    rng = np.random.default_rng(3)
+    px3 = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    out = decode_vp8l(encode_vp8l(px3, use_palette=False))
+    assert not out["has_alpha"]
+    assert np.array_equal(out["pixels"][:, :, :3], px3)
+    px4 = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    px4[0, 0, 3] = 7
+    assert decode_vp8l(encode_vp8l(px4, use_palette=False))["has_alpha"]
+
+
+def test_container_round_trip_and_probe_agreement():
+    from vector_lake_spark.webp import probe_webp
+
+    rng = np.random.default_rng(19)
+    px = rng.integers(0, 256, (21, 34, 4), dtype=np.uint8)
+    f = encode_webp_lossless(px, use_palette=False)
+    info = probe_webp(f)
+    assert (info["format"], info["width"], info["height"]) == ("vp8l", 34, 21)
+    assert info["has_alpha"] == bool((px[:, :, 3] != 255).any())
+    out = decode_webp_pixels(f)
+    assert np.array_equal(out["pixels"], px)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="expects"):
+        encode_vp8l(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="1..16384"):
+        encode_vp8l(np.zeros((1, 1 << 15, 4), dtype=np.uint8))
+    many = np.zeros((1, 300, 4), dtype=np.uint8)
+    many[0, :, 0] = np.arange(300) % 256
+    many[0, :, 1] = np.arange(300) // 256
+    with pytest.raises(ValueError, match="palette"):
+        encode_vp8l(many, use_palette=True)
+
+
+def test_compression_is_real():
+    """Constant and paletted images must land far below 4 B/px — the
+    single-symbol 0-bit channels and sub-byte bundling doing real
+    work, not a stored-literal format."""
+    const = np.full((64, 64, 4), 123, dtype=np.uint8)
+    assert len(encode_vp8l(const)) < 64  # 16384 px in < 64 bytes
+    two = np.zeros((64, 64, 4), dtype=np.uint8)
+    two[::2, :, :] = 255
+    assert len(encode_vp8l(two)) < 768  # 1 bpp + palette + headers

@@ -67,8 +67,30 @@ def test_not_webp_and_corrupt():
 
 
 def test_decode_gates_naming_variant_and_dims():
-    with pytest.raises(NotImplementedError, match="vp8l.*33x9"):
+    """VP8L decodes for real since r08; VP8 and VP8X stay named gates."""
+    with pytest.raises(NotImplementedError, match="vp8,.*10x10"):
+        decode_webp(_vp8(10, 10))
+    with pytest.raises(NotImplementedError, match="vp8x.*12x7"):
+        decode_webp(_vp8x(12, 7, True, False))
+    # a header-only VP8L body is now CORRUPT, not unimplemented
+    with pytest.raises(ValueError, match="corrupt VP8L"):
         decode_webp(_vp8l(33, 9, False))
+
+
+def test_decode_webp_lossless_stats_contract():
+    import numpy as np
+
+    from vector_lake_spark.vp8l import encode_webp_lossless
+
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 10
+    px[:, :, 1] = 20
+    px[:, :, 2] = 30
+    out = decode_webp(encode_webp_lossless(px))
+    assert out == {
+        "width": 8, "height": 4,
+        "mean_r": 10.0, "mean_g": 20.0, "mean_b": 30.0,
+    }
 
 
 def test_image_dispatch_names_webp():
@@ -76,3 +98,16 @@ def test_image_dispatch_names_webp():
 
     with pytest.raises(NotImplementedError, match="vp8"):
         _decode_image(_vp8(10, 10))
+
+
+def test_image_dispatch_decodes_lossless_webp():
+    import numpy as np
+
+    from vector_lake_spark.multimodal import _decode_image
+    from vector_lake_spark.vp8l import encode_webp_lossless
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    out = _decode_image(encode_webp_lossless(px))
+    assert (out["width"], out["height"]) == (9, 6)
+    assert out["mean_r"] == round(float(px[:, :, 0].mean()), 6)

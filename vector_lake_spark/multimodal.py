@@ -97,11 +97,13 @@ def _decode_image(payload: bytes):
     if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from vector_lake_spark.webp import decode_webp
 
-        decode_webp(payload)  # raises naming the variant + dims
+        # lossless (VP8L) decodes for real; VP8/VP8X raise named gates
+        return decode_webp(payload)
     raise NotImplementedError(
-        "unrecognized image payload (BMP, PNG, JPEG and GIF decode "
-        "natively — decode_bmp / decode_png / jpeg.decode_jpeg / "
-        "gif.decode_gif; WebP probes via webp.probe_webp)"
+        "unrecognized image payload (BMP, PNG, JPEG, GIF and lossless "
+        "WebP decode natively — decode_bmp / decode_png / "
+        "jpeg.decode_jpeg / gif.decode_gif / webp.decode_webp; lossy "
+        "WebP probes via webp.probe_webp)"
     )
 
 

@@ -7885,6 +7885,92 @@ FROM p
 """
 
 
+def q_mm_webp_roundtrip(spark, sf):
+    """Lossless-WebP codec correctness at table scale (the
+    `mm_gif_roundtrip` stance applied to the r08 VP8L codec): per
+    document, build a doc-derived gradient pixel[y,x,c] = a + y + x + c
+    (all values < 256 by construction, so its total has a CLOSED FORM),
+    encode it as a real VP8L WebP — even docs take the color-indexing
+    path (the gradient has h+w-1 <= 256 colors), odd docs are forced
+    down the subtract-green literal path, so BOTH encoder pipelines and
+    their decoder inverses are under the hash — decode the file back,
+    and emit the decoded dimensions and pixel sum. The oracle
+    recomputes sum = 3wh*a + 3w*h(h-1)/2 + 3h*w(w-1)/2 + 3wh
+    arithmetically, so a green hash proves encode+decode invert exactly
+    over every document with an independent derivation of the result."""
+    from vector_lake_spark.vp8l import decode_webp_pixels, encode_webp_lossless
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 13 + 4).cast("int").alias("w"),
+        (F.col("n_chars") % 11 + 3).cast("int").alias("h"),
+        (F.col("doc_id") % 180).cast("int").alias("base"),
+        (F.col("doc_id") % 2 == 0).alias("palette"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                y = np.arange(r.h)[:, None, None]
+                x = np.arange(r.w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                px = (r.base + y + x + c).astype(np.uint8)
+                f = encode_webp_lossless(
+                    px, use_palette=(True if r.palette else False)
+                )
+                out = decode_webp_pixels(f)
+                dec = out["pixels"]
+                rows.append(
+                    (
+                        r.media_id,
+                        out["width"],
+                        out["height"],
+                        int(dec[:, :, :3].astype(np.int64).sum()),
+                        bool(
+                            not out["has_alpha"]
+                            and (dec[:, :, 3] == 255).all()
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "pix_sum", "alpha_ok"],
+            )
+
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, pix_sum long, "
+            "alpha_ok boolean"
+        ),
+    )
+
+
+SQL_MM_WEBP_ROUNDTRIP = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 13) + 4 AS w,
+         (n_chars % 11) + 3 AS h,
+         doc_id % 180 AS base
+  FROM documents
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 * w * h * base
+            + 3 * w * (h * (h - 1) // 2)
+            + 3 * h * (w * (w - 1) // 2)
+            + 3 * w * h AS BIGINT) AS pix_sum,
+       TRUE AS alpha_ok
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7918,6 +8004,7 @@ _BASE_QUERIES = {
     "mm_media_probe": q_mm_media_probe,
     "mm_container_probe": q_mm_container_probe,
     "mm_webp_probe": q_mm_webp_probe,
+    "mm_webp_roundtrip": q_mm_webp_roundtrip,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -8160,6 +8247,7 @@ ORACLES = {
     "mm_media_probe": SQL_MM_MEDIA_PROBE,
     "mm_container_probe": SQL_MM_CONTAINER_PROBE,
     "mm_webp_probe": SQL_MM_WEBP_PROBE,
+    "mm_webp_roundtrip": SQL_MM_WEBP_ROUNDTRIP,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 
 def is_webp(payload: bytes) -> bool:
     return (
@@ -86,13 +88,29 @@ def probe_webp(payload: bytes) -> dict:
 
 
 def decode_webp(payload: bytes) -> dict:
-    """WebP pixel decode is gated by name: VP8 is an intra-frame video
-    codec (boolean-coder entropy decode + loop filter) and VP8L a
-    Huffman/LZ77 entropy format — outside this repo's native-decode
-    set. The probe above reads all metadata."""
+    """Stats-shaped decode (the ``multimodal._decode_image`` contract).
+
+    LOSSLESS WebP (VP8L) decodes for real — full prefix-code + LZ77 +
+    transform inversion in ``vp8l.py`` (r08). Lossy VP8 (a boolean-
+    coder intra video frame + loop filter) and extended VP8X files
+    stay gated by name."""
     info = probe_webp(payload)
+    if info["format"] == "vp8l":
+        from vector_lake_spark.vp8l import decode_webp_pixels
+
+        px = decode_webp_pixels(payload)["pixels"].astype(np.float64)
+        h, w = px.shape[:2]
+        return {
+            "width": int(w),
+            "height": int(h),
+            "mean_r": round(float(px[:, :, 0].mean()), 6),
+            "mean_g": round(float(px[:, :, 1].mean()), 6),
+            "mean_b": round(float(px[:, :, 2].mean()), 6),
+        }
     raise NotImplementedError(
         f"WebP pixel decode unsupported ({info['format']}, "
-        f"{info['width']}x{info['height']}) — only the metadata probe "
-        f"(probe_webp) is implemented; BMP/PNG/JPEG/GIF decode natively"
+        f"{info['width']}x{info['height']}) — lossless VP8L decodes "
+        f"natively (vp8l.py); VP8 needs a boolean-coder intra decoder "
+        f"and VP8X an extended-chunk walk; the metadata probe "
+        f"(probe_webp) reads all three"
     )
