@@ -84,6 +84,40 @@ def main():
     mp4_s = time.time() - t0
     print(f"MP4 frame-sample: {N_CLIPS} clips -> {n} frames decoded in "
           f"{mp4_s:.2f}s = {N_CLIPS/mp4_s:.0f} clips/s, {n/mp4_s:.0f} frames/s")
+
+    # --- WebP (VP8L, r08): 64x48 — palette path and literal path ----------
+    from vector_lake_spark.multimodal import extract_webp_features
+    from vector_lake_spark.vp8l import encode_webp_lossless
+
+    pal_imgs = [
+        (i, bytearray(encode_webp_lossless(pal[rng.integers(0, 32, (48, 64))])))
+        for i in range(N_IMG)
+    ]
+    dfw = spark.createDataFrame(pal_imgs, "media_id long, payload binary").repartition(32).cache()
+    dfw.count()
+    t0 = time.time()
+    n = extract_webp_features(dfw).count()
+    palw_s = time.time() - t0
+    full_imgs = [
+        (
+            i,
+            bytearray(
+                encode_webp_lossless(
+                    rng.integers(0, 256, (48, 64, 3), dtype=np.uint8),
+                    use_palette=False,
+                )
+            ),
+        )
+        for i in range(N_IMG // 4)
+    ]
+    dff = spark.createDataFrame(full_imgs, "media_id long, payload binary").repartition(32).cache()
+    dff.count()
+    t0 = time.time()
+    n2 = extract_webp_features(dff).count()
+    fullw_s = time.time() - t0
+    print(f"WebP VP8L decode: {n} palette images in {palw_s:.2f}s = "
+          f"{n/palw_s:.0f} img/s; {n2} full-color in {fullw_s:.2f}s = "
+          f"{n2/fullw_s:.0f} img/s")
     probe_vs_decode()
     spark.stop()
 

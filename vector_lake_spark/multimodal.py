@@ -610,6 +610,16 @@ def extract_gif_features(df: DataFrame) -> DataFrame:
     return _extract_image_stats(df, decode_gif)
 
 
+def extract_webp_features(df: DataFrame) -> DataFrame:
+    """REAL prefix-code/LZ77 decode over Arrow batches (r08): lossless
+    WebP (VP8L) payloads → dimensions + channel means via the
+    numpy-only decoder (``vp8l.py``); lossy VP8 / extended VP8X
+    payloads raise their named gates."""
+    from vector_lake_spark.webp import decode_webp
+
+    return _extract_image_stats(df, decode_webp)
+
+
 def extract_wav_features(df: DataFrame) -> DataFrame:
     """REAL audio decode over Arrow batches (r05): PCM-16 WAV payloads →
     rate/channels/duration/RMS via the stdlib ``wave`` module."""

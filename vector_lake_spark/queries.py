@@ -7426,6 +7426,11 @@ def q_mm_gif_roundtrip(spark, sf):
                 ],
             )
 
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        # per-row codec work in ONE task is the narrow-local-source
+        # artifact _auto_spread_n exists for; no-op on real tables
+        params = params.repartition(spread)
     return params.mapInPandas(
         batches,
         schema=(
@@ -7684,6 +7689,11 @@ def q_mm_media_probe(spark, sf):
                 ],
             )
 
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        # per-row codec work in ONE task is the narrow-local-source
+        # artifact _auto_spread_n exists for; no-op on real tables
+        params = params.repartition(spread)
     return params.mapInPandas(
         batches,
         schema=(
@@ -7755,6 +7765,11 @@ def q_mm_container_probe(spark, sf):
                 rows.append((r.media_id, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        # per-row codec work in ONE task is the narrow-local-source
+        # artifact _auto_spread_n exists for; no-op on real tables
+        params = params.repartition(spread)
     media = params.mapInPandas(mux, schema="media_id long, payload binary")
     return probe_media(media)
 
@@ -7855,6 +7870,11 @@ def q_mm_webp_probe(spark, sf):
                 ],
             )
 
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        # per-row codec work in ONE task is the narrow-local-source
+        # artifact _auto_spread_n exists for; no-op on real tables
+        params = params.repartition(spread)
     return params.mapInPandas(
         batches,
         schema=(
@@ -7942,6 +7962,11 @@ def q_mm_webp_roundtrip(spark, sf):
                 columns=["media_id", "width", "height", "pix_sum", "alpha_ok"],
             )
 
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        # per-row codec work in ONE task is the narrow-local-source
+        # artifact _auto_spread_n exists for; no-op on real tables
+        params = params.repartition(spread)
     return params.mapInPandas(
         batches,
         schema=(
