@@ -128,6 +128,7 @@ HEADLINE = [
     "mm_container_probe",
     "mm_webp_probe",
     "mm_webp_roundtrip",
+    "mm_wav_depths",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

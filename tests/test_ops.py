@@ -916,17 +916,22 @@ def _make_bmp(width, height, rgb):
     )
 
 
-def _make_wav(rate, samples):
+def _make_wav(rate, samples, width=2):
     import io
-    import struct
     import wave
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setsampwidth(width)
         w.setframerate(rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        frames = bytearray()
+        for s in samples:
+            if width == 1:
+                frames += bytes([(s + 128) & 0xFF])  # unsigned + bias
+            else:
+                frames += int(s).to_bytes(width, "little", signed=True)
+        w.writeframes(bytes(frames))
     return buf.getvalue()
 
 
@@ -963,6 +968,37 @@ def test_real_wav_decode_through_spark(spark):
     assert r["n_samples"] == 1600
     assert r["duration_ms"] == 100
     assert r["rms"] == pytest.approx(10000.0, abs=0.01)
+
+
+def test_wav_all_pcm_widths_decode():
+    """r08: the sub-16-bit gate is closed — 8-bit (unsigned + 128 bias),
+    24-bit (sign-extended byte composition) and 32-bit PCM all decode;
+    a known square wave's RMS is exact at every width, including
+    amplitudes that only exist beyond 16 bits."""
+    from vector_lake_spark.multimodal import decode_wav
+
+    for width, amp in [(1, 100), (2, 30000), (3, 5_000_000), (4, 2_000_000_000)]:
+        square = [amp, -amp] * 100
+        out = decode_wav(_make_wav(8000, square, width=width))
+        assert out["n_samples"] == 200
+        assert out["duration_ms"] == 25
+        assert out["rms"] == pytest.approx(float(amp), rel=1e-9), width
+    # negative edge: 24-bit most-negative value sign-extends correctly
+    out = decode_wav(_make_wav(8000, [-(1 << 23), -(1 << 23)], width=3))
+    assert out["rms"] == pytest.approx(float(1 << 23))
+    # unsupported widths still gate loudly by name (stdlib wave refuses
+    # to WRITE width 5, so hand-assemble the RIFF header)
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 5, 5, 40)
+    data = b"\x00" * 10
+    wav40 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with pytest.raises(NotImplementedError, match="40 bits"):
+        decode_wav(wav40)
 
 
 def test_image_decode_gates_are_loud(spark):
@@ -1075,11 +1111,14 @@ def test_png_decode_inverts_every_filter():
         )
         return b"\x89PNG\r\n\x1a\n" + body
 
-    # palette (8, 3, 0) moved out of the gate list in r06 — it decodes
-    # for real via PLTE (test_palette_png_decodes_via_plte)
-    for depth, color, il in [(16, 2, 0), (8, 2, 1)]:
-        with pytest.raises(NotImplementedError):
-            decode_png(bad_header(depth, color, il))
+    # r08: depth-16 and interlaced PNGs decode for real now (see
+    # test_png_depth_and_interlace_variants); a header whose depth/color
+    # combo the SPEC disallows is corrupt, not unimplemented
+    for depth, color in [(16, 3), (4, 2), (2, 6), (3, 0)]:
+        with pytest.raises(ValueError, match="illegal depth/color"):
+            decode_png(bad_header(depth, color, 0))
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(bad_header(8, 2, 2))
 
     # degenerate dimensions raise instead of emitting NaN means
     zero_ihdr = struct.pack(">IIBBBBB", 0, 1, 8, 2, 0, 0, 0)
@@ -1909,3 +1948,153 @@ def test_wave5_invariants(spark):
     assert all(r["est_within_5pct"] for r in dau)
     # rolling 7-day distinct >= any single day's contribution
     assert max(r["n_users_7d"] for r in dau) > 0
+
+
+def test_png_depth_and_interlace_variants():
+    """r08: every legal IHDR combination decodes — 16-bit (big-endian
+    pairs, byte-level filtering with bpp offset), sub-byte grays and
+    palettes (MSB-first unpacking), and Adam7 interlace (seven
+    independently filtered passes). Fixtures are built by a test-side
+    writer that packs + filters at the BYTE level per the spec, so the
+    decoder must invert real filter arithmetic in every domain."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vector_lake_spark.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def pack_row(vals, depth):
+        # vals: flat sample list for one row -> packed bytes
+        if depth == 8:
+            return bytes(int(v) & 0xFF for v in vals)
+        if depth == 16:
+            out = bytearray()
+            for v in vals:
+                out += struct.pack(">H", int(v))
+            return bytes(out)
+        out = bytearray()
+        per = 8 // depth
+        for j in range(0, len(vals), per):
+            b = 0
+            for k, v in enumerate(vals[j : j + per]):
+                b |= (int(v) & ((1 << depth) - 1)) << (8 - depth * (k + 1))
+            out.append(b)
+        return bytes(out)
+
+    def filter_rows(packed_rows, bpp, filters):
+        raw = bytearray()
+        prev = bytes(len(packed_rows[0])) if packed_rows else b""
+        for row, f in zip(packed_rows, filters):
+            raw.append(f)
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                raw.append((row[i] - pred) & 0xFF)
+            prev = row
+        return bytes(raw)
+
+    def png(samples, depth, color, interlace=0, plte=None, filters=None):
+        # samples: (h, w, ch) int array in the native domain
+        h, w, ch = samples.shape
+        bpp = max(1, ch * depth // 8)
+        if interlace == 0:
+            packed = [
+                pack_row(samples[y].reshape(-1).tolist(), depth)
+                for y in range(h)
+            ]
+            raw = filter_rows(packed, bpp, filters or [0] * h)
+        else:
+            passes = [
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ]
+            raw = bytearray()
+            for x0, y0, dx, dy in passes:
+                sub = samples[y0::dy, x0::dx, :]
+                if sub.size == 0:
+                    continue
+                packed = [
+                    pack_row(sub[y].reshape(-1).tolist(), depth)
+                    for y in range(sub.shape[0])
+                ]
+                raw += filter_rows(
+                    packed, bpp, (filters or [0, 1, 2, 3, 4] * 999)[: sub.shape[0]]
+                )
+            raw = bytes(raw)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        body = chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", bytes(plte))
+        body += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        return b"\x89PNG\r\n\x1a\n" + body
+
+    rng = np.random.RandomState(31)
+
+    # 16-bit RGB with every filter type (byte-level inversion at bpp=6)
+    px16 = rng.randint(0, 65536, size=(5, 4, 3))
+    d = decode_png(png(px16, 16, 2, filters=[0, 1, 2, 3, 4]))
+    assert (d["width"], d["height"]) == (4, 5)
+    assert d["mean_r"] == round(float(px16[:, :, 0].mean()), 6)
+    assert d["mean_b"] == round(float(px16[:, :, 2].mean()), 6)
+
+    # 16-bit grayscale + 16-bit RGBA (alpha excluded)
+    g16 = rng.randint(0, 65536, size=(3, 7, 1))
+    assert decode_png(png(g16, 16, 0, filters=[4, 3, 1]))["mean_g"] == round(
+        float(g16.mean()), 6
+    )
+    a16 = rng.randint(0, 65536, size=(2, 3, 4))
+    assert decode_png(png(a16, 16, 6, filters=[1, 2]))["mean_g"] == round(
+        float(a16[:, :, 1].mean()), 6
+    )
+
+    # sub-byte grayscale: native-domain means at depths 1/2/4
+    for depth in (1, 2, 4):
+        gs = rng.randint(0, 1 << depth, size=(6, 11, 1))
+        out = decode_png(png(gs, depth, 0, filters=[0, 1, 2, 3, 4, 0]))
+        assert out["mean_r"] == round(float(gs.mean()), 6), depth
+
+    # 2-bit palette: indices pack 4/byte, colors via PLTE
+    plte = [10, 20, 30, 200, 100, 50, 0, 255, 8, 7, 6, 5]
+    idx = rng.randint(0, 4, size=(5, 9, 1))
+    out = decode_png(png(idx, 2, 3, plte=plte))
+    pal = np.array(plte).reshape(4, 3)
+    assert out["mean_r"] == round(float(pal[idx[:, :, 0]][:, :, 0].mean()), 6)
+
+    # Adam7 interlaced 8-bit RGB — odd dims so pass widths vary
+    px = rng.randint(0, 256, size=(11, 13, 3))
+    out = decode_png(png(px, 8, 2, interlace=1))
+    assert (out["width"], out["height"]) == (13, 11)
+    assert out["mean_r"] == round(float(px[:, :, 0].mean()), 6)
+    assert out["mean_g"] == round(float(px[:, :, 1].mean()), 6)
+
+    # Adam7 at 16-bit, tiny canvas (some passes empty)
+    px = rng.randint(0, 65536, size=(2, 2, 3))
+    out = decode_png(png(px, 16, 2, interlace=1))
+    assert out["mean_b"] == round(float(px[:, :, 2].mean()), 6)
+
+    # Adam7 1-bit grayscale — bit packing inside each pass
+    bits = rng.randint(0, 2, size=(9, 10, 1))
+    out = decode_png(png(bits, 1, 0, interlace=1))
+    assert out["mean_r"] == round(float(bits.mean()), 6)

@@ -111,3 +111,48 @@ def test_image_dispatch_decodes_lossless_webp():
     out = _decode_image(encode_webp_lossless(px))
     assert (out["width"], out["height"]) == (9, 6)
     assert out["mean_r"] == round(float(px[:, :, 0].mean()), 6)
+
+
+def test_vp8x_wrapped_lossless_decodes():
+    """Extended-format container holding a VP8L still: the chunk walk
+    finds the VP8L payload behind the VP8X header (+ an EXIF chunk to
+    prove non-image chunks are skipped, with odd-size padding)."""
+    import numpy as np
+
+    from vector_lake_spark.vp8l import encode_vp8l
+    from vector_lake_spark.webp import walk_webp_chunks
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    vp8l_chunk = encode_vp8l(px, use_palette=False)
+    vp8x_body = (
+        b"\x00" + b"\x00\x00\x00"
+        + (7 - 1).to_bytes(3, "little") + (5 - 1).to_bytes(3, "little")
+    )
+    exif = b"odd-length-exif-body!"  # 21 bytes -> exercises pad byte
+
+    def chunk(fourcc, body):
+        out = fourcc + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) % 2 else b"")
+
+    body = (
+        b"WEBP"
+        + chunk(b"VP8X", vp8x_body)
+        + chunk(b"EXIF", exif)
+        + chunk(b"VP8L", vp8l_chunk)
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert [f for f, _, _ in walk_webp_chunks(payload)] == [
+        b"VP8X", b"EXIF", b"VP8L",
+    ]
+    out = decode_webp(payload)
+    assert (out["width"], out["height"]) == (7, 5)
+    assert out["mean_g"] == round(float(px[:, :, 1].mean()), 6)
+
+
+def test_vp8x_animation_still_gates_by_name():
+    with pytest.raises(NotImplementedError, match="ANIM"):
+        decode_webp(_vp8x(8, 8, False, True))
+    # VP8X without any VP8L still (e.g. lossy-only) keeps the plain gate
+    with pytest.raises(NotImplementedError, match="vp8x"):
+        decode_webp(_vp8x(8, 8, False, False))

@@ -110,18 +110,88 @@ def _decode_image(payload: bytes):
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(payload: bytes) -> dict:
-    """REAL decode of an 8-bit non-interlaced PNG (grayscale / RGB /
-    RGBA) with pure stdlib ``zlib`` + numpy: chunk walk, DEFLATE
-    inflate, full scanline filter reconstruction (None/Sub/Up/Average/
-    Paeth per the PNG spec), then dimensions + per-channel means.
+# Adam7 interlace pass geometry: (x_origin, y_origin, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    PNG is a *compressed* codec whose compression is stdlib-available —
-    so unlike JPEG it needs no external library, just the filter
-    arithmetic. Limits are explicit: bit depth 8, color types 0/2/3/6
-    (palette via PLTE lookup — r06), no interlacing; anything else
-    raises NotImplementedError (16-bit and sub-byte-depth variants are
-    format work, not environment gates)."""
+
+def _png_unfilter(raw, pos, n_rows, row_bytes, bpp):
+    """Reconstruct one filtered scanline block (None/Sub/Up/Average/
+    Paeth); ``bpp`` is the filter's byte distance to the left neighbor
+    (max(1, channels*depth//8) per the spec). Returns (rows, new_pos)."""
+    import numpy as np
+
+    out = np.zeros((n_rows, row_bytes), dtype=np.int32)
+    prev = np.zeros(row_bytes, dtype=np.int32)
+    for r in range(n_rows):
+        if pos + 1 + row_bytes > len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
+        f = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=row_bytes, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + row_bytes
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up — vectorizable (no intra-row dependency)
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry an intra-row dependency
+            cur = np.zeros(row_bytes, dtype=np.int32)
+            for i in range(row_bytes):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + b) // 2
+                elif f == 4:  # Paeth
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        out[r] = cur
+        prev = cur
+    return out, pos
+
+
+def _png_samples(rows, w, ch, depth):
+    """Packed reconstructed bytes -> (n_rows, w*ch) sample values in the
+    file's native domain (0..2^depth-1): big-endian pairs at 16 bits,
+    MSB-first bit unpacking below 8."""
+    import numpy as np
+
+    if depth == 8:
+        return rows[:, : w * ch]
+    if depth == 16:
+        used = rows[:, : w * ch * 2]
+        return (used[:, 0::2] << 8) | used[:, 1::2]
+    per = 8 // depth  # sub-byte: spec only allows these for 1 channel
+    vals = np.zeros((rows.shape[0], rows.shape[1] * per), dtype=np.int32)
+    for k in range(per):
+        shift = 8 - depth * (k + 1)
+        vals[:, k::per] = (rows >> shift) & ((1 << depth) - 1)
+    return vals[:, : w * ch]
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL decode of a PNG (grayscale / RGB / palette / RGBA) with
+    pure stdlib ``zlib`` + numpy: chunk walk, DEFLATE inflate, full
+    scanline filter reconstruction (None/Sub/Up/Average/Paeth), then
+    dimensions + per-channel means.
+
+    r08 closed the format gates: EVERY legal IHDR combination decodes —
+    bit depths 1/2/4 (gray + palette, MSB-first unpacking), 8, and 16
+    (big-endian pairs), plus Adam7 interlacing (seven independently
+    filtered passes scattered into the canvas). Channel means are
+    reported in the file's native sample domain (0..65535 for 16-bit,
+    0..2^d-1 for shallow grays) — the same raw-domain stance as
+    ``decode_wav``'s width-dependent RMS. Illegal depth/color combos
+    are corrupt input (ValueError), no longer NotImplementedError."""
     import struct
     import zlib
 
@@ -146,62 +216,49 @@ def decode_png(payload: bytes) -> dict:
     if header is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, color, _comp, _filt, interlace = header
-    if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit gray/RGB/palette/RGBA non-interlaced PNG "
-            f"supported (depth={depth}, color_type={color}, "
-            f"interlace={interlace})"
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 6: (8, 16)}
+    if color not in legal or depth not in legal[color]:
+        raise ValueError(
+            f"corrupt PNG: illegal depth/color combination "
+            f"(depth={depth}, color_type={color})"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"corrupt PNG: interlace method {interlace}")
     if color == 3 and (plte is None or len(plte) % 3 or not plte):
         raise ValueError("palette PNG without a valid PLTE chunk")
     if w == 0 or h == 0:
         raise ValueError(f"degenerate PNG dimensions {w}x{h}")
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    bpp = max(1, ch * depth // 8)
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if interlace == 0:
+        row_bytes = (w * ch * depth + 7) // 8
+        rows, pos = _png_unfilter(raw, 0, h, row_bytes, bpp)
+        samp = _png_samples(rows, w, ch, depth)
+    else:  # Adam7: seven sub-images, each filtered independently
+        samp = np.zeros((h, w * ch), dtype=np.int32)
+        samp3 = samp.reshape(h, w, ch)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            row_bytes = (wp * ch * depth + 7) // 8
+            rows, pos = _png_unfilter(raw, pos, hp, row_bytes, bpp)
+            sub = _png_samples(rows, wp, ch, depth).reshape(hp, wp, ch)
+            samp3[y0::dy, x0::dx, :] = sub
+    if pos != len(raw):
         raise ValueError("PNG pixel stream length mismatch")
-    out = np.zeros((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    pos = 0
-    for r in range(h):
-        f = raw[pos]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=pos + 1
-        ).astype(np.int32)
-        pos += 1 + stride
-        if f == 0:  # None
-            cur = line
-        elif f == 2:  # Up — vectorizable (no intra-row dependency)
-            cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth carry an intra-row dependency
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                if f == 1:  # Sub
-                    pred = a
-                elif f == 3:  # Average
-                    pred = (a + b) // 2
-                elif f == 4:  # Paeth
-                    c = int(prev[i - ch]) if i >= ch else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                else:
-                    raise ValueError(f"bad PNG filter byte {f}")
-                cur[i] = (int(line[i]) + pred) & 0xFF
-        out[r] = cur
-        prev = cur
     if color == 3:  # palette indices -> RGB via PLTE lookup
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = out.reshape(h, w)
+        idx = samp.reshape(h, w)
         if int(idx.max()) >= len(pal):
             raise ValueError("palette index out of range")
         px = pal[idx].astype(np.float64)
         ch = 3
     else:
-        px = out.reshape(h, w, ch).astype(np.float64)
+        px = samp.reshape(h, w, ch).astype(np.float64)
     if ch == 1:
         mr = mg = mb = float(px.mean())
     else:  # RGB / RGBA (alpha excluded from the channel means)
@@ -253,11 +310,21 @@ def decode_bmp(payload: bytes) -> dict:
 
 def decode_wav(payload: bytes) -> dict:
     """Real decode of a PCM WAV payload via the stdlib ``wave`` module:
-    sample rate, channel count, duration, and RMS amplitude (16-bit)."""
+    sample rate, channel count, duration, and RMS amplitude.
+
+    All integer PCM widths decode (r08 — the sub-16-bit gate is
+    closed): 8-bit is UNSIGNED with a 128 bias per the RIFF spec,
+    16/24/32-bit are signed little-endian (24-bit unpacked by byte
+    composition — no stdlib struct code exists for it). RMS is
+    computed on the raw integer samples of whatever width the file
+    carries (bias-corrected for 8-bit), so the value is
+    width-dependent by design — it reports THIS file's amplitude, not
+    a normalized loudness."""
     import io
     import math
-    import struct
     import wave
+
+    import numpy as np
 
     with wave.open(io.BytesIO(payload), "rb") as w:
         n_channels = w.getnchannels()
@@ -265,14 +332,28 @@ def decode_wav(payload: bytes) -> dict:
         n_frames = w.getnframes()
         width = w.getsampwidth()
         frames = w.readframes(n_frames)
-    if width != 2:
-        raise NotImplementedError("only 16-bit PCM supported")
-    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
-    rms = (
-        math.sqrt(sum(s * s for s in samples) / len(samples))
-        if samples
-        else 0.0
-    )
+    if width == 1:  # unsigned with a 128 bias, per the RIFF spec
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    elif width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif width == 3:  # no struct code for 24-bit: compose bytes
+        raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        u = (
+            raw[:, 0].astype(np.int64)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | (raw[:, 2].astype(np.int64) << 16)
+        )
+        samples = u - ((u >> 23) << 24)  # sign-extend bit 23
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.int64)
+    else:
+        raise NotImplementedError(
+            f"unsupported PCM sample width {width * 8} bits (8/16/24/32 "
+            f"integer PCM decode natively)"
+        )
+    # square-sum in float64: int64 would overflow past ~2^31.5 amplitude
+    sf = samples.astype(np.float64)
+    rms = math.sqrt(float((sf * sf).sum()) / len(sf)) if len(sf) else 0.0
     return {
         "sample_rate": rate,
         "n_channels": n_channels,

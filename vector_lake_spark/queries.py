@@ -7996,6 +7996,96 @@ FROM p
 """
 
 
+def q_mm_wav_depths(spark, sf):
+    """All four integer PCM widths under the oracle gate (r08 closed the
+    sub-16-bit WAV gate): per document, doc_id%4 picks the sample width
+    (8/16/24/32 bits), a ±amp square wave is written through the stdlib
+    `wave` muxer at a width-scaled amplitude (24-bit amplitudes exceed
+    the 16-bit range, so the wide paths are genuinely exercised), and
+    the REAL `decode_wav` reads it back. A square wave's RMS is exactly
+    its amplitude, so every output — including the float RMS — has a
+    closed form; a green hash proves the 8-bit bias, the 24-bit
+    sign-extending byte composition and the 32-bit float64-accumulated
+    RMS all invert the writer exactly at table scale."""
+    from vector_lake_spark.multimodal import decode_wav
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 4 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 100 + 1).cast("int").alias("base_amp"),
+        ((F.col("n_chars") % 50 + 10) * 2).cast("int").alias("n_samples"),
+    )
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+
+    def batches(it):
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                amp = r.base_amp << (8 * (r.width - 1))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(r.width)
+                    w.setframerate(8000)
+                    frames = bytearray()
+                    for i in range(r.n_samples):
+                        s = amp if i % 2 == 0 else -amp
+                        if r.width == 1:
+                            frames += bytes([(s + 128) & 0xFF])
+                        else:
+                            frames += int(s).to_bytes(
+                                r.width, "little", signed=True
+                            )
+                    w.writeframes(bytes(frames))
+                out = decode_wav(buf.getvalue())
+                rows.append(
+                    (
+                        r.media_id,
+                        r.width * 8,
+                        out["n_samples"],
+                        out["duration_ms"],
+                        out["rms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "bits", "n_samples", "duration_ms", "rms"],
+            )
+
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, bits int, n_samples long, duration_ms long, "
+            "rms double"
+        ),
+    )
+
+
+SQL_MM_WAV_DEPTHS = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 4) + 1 AS width,
+         (doc_id % 100) + 1 AS base_amp,
+         ((n_chars % 50) + 10) * 2 AS n
+  FROM documents
+)
+SELECT media_id,
+       CAST(width * 8 AS INT) AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(base_amp * (2 ** (8 * (width - 1))) AS DOUBLE) AS rms
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8030,6 +8120,7 @@ _BASE_QUERIES = {
     "mm_container_probe": q_mm_container_probe,
     "mm_webp_probe": q_mm_webp_probe,
     "mm_webp_roundtrip": q_mm_webp_roundtrip,
+    "mm_wav_depths": q_mm_wav_depths,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -8273,6 +8364,7 @@ ORACLES = {
     "mm_container_probe": SQL_MM_CONTAINER_PROBE,
     "mm_webp_probe": SQL_MM_WEBP_PROBE,
     "mm_webp_roundtrip": SQL_MM_WEBP_ROUNDTRIP,
+    "mm_wav_depths": SQL_MM_WAV_DEPTHS,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,

@@ -87,18 +87,58 @@ def probe_webp(payload: bytes) -> dict:
     raise ValueError(f"corrupt WebP: unknown first chunk {fourcc!r}")
 
 
+def walk_webp_chunks(payload: bytes):
+    """Yield (fourcc, body_start, body_end) for every RIFF chunk after
+    the WEBP form type — the extended-format (VP8X) chunk sequence
+    walk: ICCP/ANIM/ANMF/ALPH/VP8 /VP8L/EXIF/XMP in file order."""
+    if not is_webp(payload):
+        raise ValueError("not a WebP payload (RIFF....WEBP header missing)")
+    pos = 12
+    end = len(payload)
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"corrupt WebP: chunk {fourcc!r} overruns the container"
+            )
+        yield fourcc, body, body + size
+        pos = body + size + (size & 1)  # chunks pad to even offsets
+
+
 def decode_webp(payload: bytes) -> dict:
     """Stats-shaped decode (the ``multimodal._decode_image`` contract).
 
     LOSSLESS WebP (VP8L) decodes for real — full prefix-code + LZ77 +
-    transform inversion in ``vp8l.py`` (r08). Lossy VP8 (a boolean-
-    coder intra video frame + loop filter) and extended VP8X files
-    stay gated by name."""
-    info = probe_webp(payload)
-    if info["format"] == "vp8l":
-        from vector_lake_spark.vp8l import decode_webp_pixels
+    transform inversion in ``vp8l.py`` (r08) — both as a simple-format
+    file and wrapped in an extended (VP8X) container (the chunk walk
+    finds the VP8L still). Lossy VP8 (a boolean-coder intra video
+    frame + loop filter) and VP8X animations (ANIM/ANMF frame
+    composition) stay gated by name."""
+    from vector_lake_spark.vp8l import decode_vp8l
 
-        px = decode_webp_pixels(payload)["pixels"].astype(np.float64)
+    info = probe_webp(payload)
+    chunk = None
+    if info["format"] == "vp8l":
+        for fourcc, s, e in walk_webp_chunks(payload):
+            if fourcc == b"VP8L":
+                chunk = payload[s:e]
+                break
+    elif info["format"] == "vp8x":
+        if info["animated"]:
+            raise NotImplementedError(
+                f"WebP animation decode unsupported (vp8x/ANIM, "
+                f"{info['width']}x{info['height']}) — ANMF frame "
+                f"composition is gated; the probe reads the canvas "
+                f"metadata"
+            )
+        for fourcc, s, e in walk_webp_chunks(payload):
+            if fourcc == b"VP8L":
+                chunk = payload[s:e]
+                break
+    if chunk is not None:
+        px = decode_vp8l(chunk)["pixels"].astype(np.float64)
         h, w = px.shape[:2]
         return {
             "width": int(w),
@@ -110,7 +150,7 @@ def decode_webp(payload: bytes) -> dict:
     raise NotImplementedError(
         f"WebP pixel decode unsupported ({info['format']}, "
         f"{info['width']}x{info['height']}) — lossless VP8L decodes "
-        f"natively (vp8l.py); VP8 needs a boolean-coder intra decoder "
-        f"and VP8X an extended-chunk walk; the metadata probe "
-        f"(probe_webp) reads all three"
+        f"natively (vp8l.py), simple or VP8X-wrapped; VP8 needs a "
+        f"boolean-coder intra decoder; the metadata probe (probe_webp) "
+        f"reads all three"
     )
