@@ -129,6 +129,7 @@ HEADLINE = [
     "mm_webp_probe",
     "mm_webp_roundtrip",
     "mm_wav_depths",
+    "mm_webp_anim",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

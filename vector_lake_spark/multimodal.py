@@ -5,32 +5,29 @@ as Arrow-batched ``mapInPandas`` over the binary payloads so the bytes never
 pass through Python row-at-a-time serde. Decode status (r06):
 
 - REAL, stdlib-only: uncompressed 24-bit BMP (``decode_bmp`` — struct
-  parsing → dims + channel means), **8-bit PNG** (``decode_png`` —
-  stdlib zlib inflate + full None/Sub/Up/Average/Paeth filter
-  reconstruction; a genuinely compressed codec decoded without any
-  external library), and PCM-16 WAV (``decode_wav`` — the stdlib
-  ``wave`` module → rate/duration/RMS), each with a Spark operator
-  (``extract_bmp_features`` / ``extract_png_features`` /
-  ``extract_wav_features``) and exact-pixel/exact-sample tests through
-  the Arrow boundary.
-- REAL, numpy-only: baseline JPEG (``jpeg.py`` — Huffman + dequant +
-  IDCT + YCbCr, with a matching encoder so exactness is provable;
-  ``extract_jpeg_features``) and **video**: MJPEG-in-AVI (``avi.py`` —
-  stdlib RIFF container walk + frames through the native JPEG codec,
-  with a matching writer; ``extract_video_frames`` probes the
-  container, samples the timeline, and decodes ONLY the sampled
-  frames).
-- r07 widens the real set again: GIF87a/89a (``gif.py`` — LZW,
-  interlace, animation composition; ``extract_gif_features``) and the
-  MP4/ISO-BMFF container (``mp4.py`` — full sample-table probe +
-  photo-JPEG sample decode behind the same ``extract_video_frames``
-  dispatch).
+  parsing → dims + channel means), PNG at **every legal IHDR
+  combination** (``decode_png`` — stdlib zlib inflate + full
+  None/Sub/Up/Average/Paeth filter reconstruction; depths 1/2/4/8/16
+  and Adam7 interlace since r08), and integer PCM WAV at **all four
+  widths** (``decode_wav`` — 8-bit biased / 16 / sign-extended 24 /
+  32; r08), each with a Spark operator (``extract_bmp_features`` /
+  ``extract_png_features`` / ``extract_wav_features``) and
+  exact-pixel/exact-sample tests through the Arrow boundary.
+- REAL, numpy-only: baseline + progressive JPEG (``jpeg.py`` — Huffman
+  + dequant + IDCT + YCbCr + Annex G scans, with matching encoders so
+  exactness is provable; ``extract_jpeg_features``), GIF87a/89a
+  (``gif.py`` — LZW, interlace, animation composition;
+  ``extract_gif_features``), **lossless WebP** (``vp8l.py`` — the
+  complete VP8L bitstream, simple / VP8X-wrapped / animated with
+  composition in ``webp.py``; ``extract_webp_features``; r08), and
+  **video**: MJPEG-in-AVI (``avi.py``) + photo-JPEG-in-MP4
+  (``mp4.py`` — full sample-table probe) behind the shared
+  ``extract_video_frames`` dispatch, decoding ONLY sampled frames.
 - All three video containers PROBE for real (RIFF/AVI, ISO-BMFF/MP4,
   EBML/Matroska — ``probe_media`` is the unified metadata pass);
   remaining gates are named codec subsets (12-bit/arithmetic JPEG,
-  16-bit PNG, interframe video codecs — Matroska block decode raises
-  listing the codecs it found). Progressive JPEG decodes for real
-  since r07 (``jpeg.py`` Annex G scans).
+  lossy VP8, interframe video codecs — Matroska block decode raises
+  listing the codecs it found).
 
 At 100 TB: binary payloads dominate row size, so every transform projects
 only the columns it needs (column pruning keeps untouched media out of the

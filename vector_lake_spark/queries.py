@@ -8086,6 +8086,97 @@ FROM p
 """
 
 
+def q_mm_webp_anim(spark, sf):
+    """Animated-WebP composition under the oracle gate (r08): per
+    document, mux a real 2-frame VP8X/ANIM/ANMF animation — a solid
+    8x8 base frame, then a doc-derived 4x4 patch at (2, 4) with
+    OVERWRITE blending — through the real VP8L encoder, compose it
+    back with `decode_webp_frames`, and emit the final canvas's exact
+    per-channel sums plus the probed frame count and loop count. The
+    oracle recomputes the sums arithmetically (48 base + 16 patch
+    pixels), so a green hash proves mux, per-frame VP8L decode, ANMF
+    placement and canvas composition all agree with an independent
+    derivation over every document. Overwrite blending keeps the
+    arithmetic integer-exact; fractional alpha blending is pinned by
+    unit tests (tests/test_webp.py)."""
+    from vector_lake_spark.webp import decode_webp_frames, encode_webp_animation
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 200).cast("int").alias("base"),
+        ((F.col("doc_id") * 7 + 3) % 200).cast("int").alias("patch"),
+        (F.col("n_chars") % 5).cast("int").alias("loop"),
+    )
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                f0 = np.zeros((8, 8, 4), dtype=np.uint8)
+                f0[:, :, :3] = r.base
+                f0[:, :, 3] = 255
+                f1 = np.zeros((4, 4, 4), dtype=np.uint8)
+                f1[:, :, :3] = r.patch
+                f1[:, :, 3] = 255
+                payload = encode_webp_animation(
+                    [f0, f1],
+                    [40, 60],
+                    offsets=[(0, 0), (2, 4)],
+                    blends=[False, False],
+                    loop=int(r.loop),
+                )
+                meta, frames = decode_webp_frames(payload, [1])
+                canvas = frames[0][1].astype(np.int64)
+                rows.append(
+                    (
+                        r.media_id,
+                        meta["n_frames"],
+                        meta["loop_count"],
+                        int(canvas[:, :, :3].sum()),
+                        int(canvas[:, :, 3].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "loop_count", "rgb_sum",
+                    "alpha_sum",
+                ],
+            )
+
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, n_frames int, loop_count int, rgb_sum long, "
+            "alpha_sum long"
+        ),
+    )
+
+
+SQL_MM_WEBP_ANIM = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 200 AS base,
+         (doc_id * 7 + 3) % 200 AS patch,
+         n_chars % 5 AS lp
+  FROM documents
+)
+SELECT media_id,
+       CAST(2 AS INT) AS n_frames,
+       CAST(lp AS INT) AS loop_count,
+       CAST(3 * (48 * base + 16 * patch) AS BIGINT) AS rgb_sum,
+       CAST(64 * 255 AS BIGINT) AS alpha_sum
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8121,6 +8212,7 @@ _BASE_QUERIES = {
     "mm_webp_probe": q_mm_webp_probe,
     "mm_webp_roundtrip": q_mm_webp_roundtrip,
     "mm_wav_depths": q_mm_wav_depths,
+    "mm_webp_anim": q_mm_webp_anim,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -8365,6 +8457,7 @@ ORACLES = {
     "mm_webp_probe": SQL_MM_WEBP_PROBE,
     "mm_webp_roundtrip": SQL_MM_WEBP_ROUNDTRIP,
     "mm_wav_depths": SQL_MM_WAV_DEPTHS,
+    "mm_webp_anim": SQL_MM_WEBP_ANIM,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
