@@ -130,6 +130,7 @@ HEADLINE = [
     "mm_webp_roundtrip",
     "mm_wav_depths",
     "mm_webp_anim",
+    "mm_flac_roundtrip",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

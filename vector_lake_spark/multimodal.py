@@ -698,15 +698,32 @@ def extract_webp_features(df: DataFrame) -> DataFrame:
     return _extract_image_stats(df, decode_webp)
 
 
-def extract_wav_features(df: DataFrame) -> DataFrame:
-    """REAL audio decode over Arrow batches (r05): PCM-16 WAV payloads →
-    rate/channels/duration/RMS via the stdlib ``wave`` module."""
+def _decode_audio(payload: bytes) -> dict:
+    """Magic-dispatched audio decode: integer-PCM WAV (all four widths)
+    and FLAC (``flac.py`` — full Rice/LPC lossless decode, r08) both
+    return the same rate/channels/duration/RMS stats shape."""
+    if payload is not None and payload[:4] == b"fLaC":
+        from vector_lake_spark.flac import decode_flac
 
+        return decode_flac(bytes(payload))
+    if (
+        payload is not None
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        return decode_wav(bytes(payload))
+    raise NotImplementedError(
+        "unrecognized audio payload (integer-PCM WAV and FLAC decode "
+        "natively — decode_wav / flac.decode_flac)"
+    )
+
+
+def _audio_stats_operator(df: DataFrame, decode_fn) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                d = decode_wav(bytes(payload))
+                d = decode_fn(bytes(payload))
                 d["media_id"] = mid
                 rows.append(d)
             yield pd.DataFrame(
@@ -720,3 +737,25 @@ def extract_wav_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=WAV_FEATURES_SCHEMA
     )
+
+
+def extract_wav_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode over Arrow batches (r05; all integer PCM
+    widths since r08): WAV payloads → rate/channels/duration/RMS via
+    the stdlib ``wave`` module."""
+    return _audio_stats_operator(df, decode_wav)
+
+
+def extract_flac_features(df: DataFrame) -> DataFrame:
+    """REAL lossless-audio decode over Arrow batches (r08): FLAC
+    payloads → rate/channels/duration/RMS via the full Rice/LPC
+    decoder (``flac.py``)."""
+    from vector_lake_spark.flac import decode_flac
+
+    return _audio_stats_operator(df, decode_flac)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Magic-dispatched audio stats over a mixed WAV/FLAC column — the
+    audio counterpart of ``probe_media``'s route-by-container stance."""
+    return _audio_stats_operator(df, _decode_audio)

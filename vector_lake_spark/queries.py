@@ -8177,6 +8177,87 @@ FROM p
 """
 
 
+def q_mm_flac_roundtrip(spark, sf):
+    """FLAC codec correctness at table scale (r08 — the audio leg of
+    the `mm_gif_roundtrip` stance): per document, a ±amp square wave
+    with doc-derived amplitude, length and channel count (mono or
+    stereo) goes through the REAL FLAC encoder (FIXED predictors +
+    Rice residuals, `flac.py`) and back through the full frame/CRC/
+    residual decoder via the magic-dispatched audio operator shape.
+    A square wave's RMS is exactly its amplitude, so every output has
+    a closed form; a green hash proves encode+decode invert exactly —
+    predictors, Rice coding, frame CRCs and STREAMINFO — over every
+    document with an independent derivation of the result."""
+    from vector_lake_spark.flac import decode_flac, encode_flac
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 30000 + 1).cast("int").alias("amp"),
+        ((F.col("n_chars") % 50 + 10) * 2).cast("int").alias("n"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("ch"),
+    )
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                wave = np.where(
+                    np.arange(r.n) % 2 == 0, r.amp, -r.amp
+                ).astype(np.int64)
+                s = np.repeat(wave[:, None], r.ch, axis=1)
+                out = decode_flac(encode_flac(s, 8000, 16))
+                rows.append(
+                    (
+                        r.media_id,
+                        out["sample_rate"],
+                        out["n_channels"],
+                        out["n_samples"],
+                        out["duration_ms"],
+                        out["rms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms",
+                ],
+            )
+
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, sample_rate int, n_channels int, "
+            "n_samples long, duration_ms long, rms double"
+        ),
+    )
+
+
+SQL_MM_FLAC_ROUNDTRIP = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 30000) + 1 AS amp,
+         ((n_chars % 50) + 10) * 2 AS n,
+         (doc_id % 2) + 1 AS ch
+  FROM documents
+)
+SELECT media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(ch AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(amp AS DOUBLE) AS rms
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8213,6 +8294,7 @@ _BASE_QUERIES = {
     "mm_webp_roundtrip": q_mm_webp_roundtrip,
     "mm_wav_depths": q_mm_wav_depths,
     "mm_webp_anim": q_mm_webp_anim,
+    "mm_flac_roundtrip": q_mm_flac_roundtrip,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -8458,6 +8540,7 @@ ORACLES = {
     "mm_webp_roundtrip": SQL_MM_WEBP_ROUNDTRIP,
     "mm_wav_depths": SQL_MM_WAV_DEPTHS,
     "mm_webp_anim": SQL_MM_WEBP_ANIM,
+    "mm_flac_roundtrip": SQL_MM_FLAC_ROUNDTRIP,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
