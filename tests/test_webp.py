@@ -1,7 +1,8 @@
-"""WebP probe (`vector_lake_spark.webp`): header parsing against
+"""WebP container (`vector_lake_spark.webp`): header probes against
 hand-assembled RIFF/VP8/VP8L/VP8X fixtures built from the public spec
-(this repo has no WebP encoder to be circular with), plus the loud
-decode gate."""
+(independent of the repo's own r08 encoders), the VP8X chunk walk,
+lossless decode dispatch, animation mux + composition, and the loud
+lossy-decode gate."""
 
 import struct
 
@@ -276,4 +277,44 @@ def test_animation_lossy_frames_gate_by_name():
     )
     bad = good.replace(b"VP8L", b"VP8 ", 1)
     with pytest.raises(NotImplementedError, match="lossy VP8"):
+        decode_webp_frames(bad)
+
+
+def test_animation_encoder_validation_and_alpha_flag():
+    """r08 review fixes: mismatched per-frame lists raise instead of
+    zip-truncating; the VP8X alpha flag is set when any frame carries
+    transparency (probe-based routing depends on it)."""
+    np = _np()
+    from vector_lake_spark.webp import encode_webp_animation
+
+    frames = [np.zeros((4, 4, 4), np.uint8)] * 3
+    with pytest.raises(ValueError, match="durations has 1"):
+        encode_webp_animation(frames, [40])
+    with pytest.raises(ValueError, match="blends has 2"):
+        encode_webp_animation(frames, [40] * 3, blends=[True, False])
+    translucent = np.zeros((4, 4, 4), np.uint8)
+    translucent[:, :, 3] = 100
+    from vector_lake_spark.webp import probe_webp
+
+    assert probe_webp(encode_webp_animation([translucent], [10]))["has_alpha"]
+    opaque = np.full((4, 4, 4), 255, np.uint8)
+    assert not probe_webp(encode_webp_animation([opaque], [10]))["has_alpha"]
+
+
+def test_animation_selective_decode_stops_early():
+    """r08 review fix: requesting only early frames must not entropy-
+    decode the rest of the animation (later frames cannot affect
+    earlier canvases)."""
+    np = _np()
+    from vector_lake_spark.webp import decode_webp_frames, encode_webp_animation
+
+    frames = [np.full((4, 4, 4), i * 10 + 5, np.uint8) for i in range(3)]
+    payload = encode_webp_animation(frames, [10] * 3, blends=[False] * 3)
+    # corrupt the LAST frame's VP8L stream: a frame-0 request must
+    # succeed anyway, proving the loop stopped before touching it
+    idx = payload.rfind(b"VP8L")
+    bad = payload[: idx + 12] + b"\xff\xff" + payload[idx + 14 :]
+    meta, out = decode_webp_frames(bad, [0])
+    assert (out[0][1] == frames[0]).all()
+    with pytest.raises(ValueError):  # sanity: the corruption is real
         decode_webp_frames(bad)

@@ -421,6 +421,24 @@ def decode_flac(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _write_utf8_number(bw: _BitWriter, v: int) -> None:
+    """UTF-8-style frame-number coding, full range (up to the 6
+    continuation bytes / 36 bits the spec allows) — a 16-bit-only
+    writer broke streams past frame 65535 (~1.7h of stereo 44.1 kHz;
+    r08 review)."""
+    if v < 0x80:
+        bw.write(8, v)
+        return
+    n = 1
+    while n < 6 and v >= (1 << (5 * n + 6)):  # capacity = (6-n) + 6n
+        n += 1
+    if v >= (1 << (5 * n + 6)):
+        raise ValueError("frame number exceeds the UTF-8 coding range")
+    bw.write(8, ((0xFF << (7 - n)) & 0xFF) | (v >> (6 * n)))
+    for i in range(n - 1, -1, -1):
+        bw.write(8, 0x80 | ((v >> (6 * i)) & 0x3F))
+
+
 def _rice_cost(resid, param: int) -> int:
     u = np.abs(np.asarray(resid, dtype=np.int64)) * 2
     u -= (np.asarray(resid, dtype=np.int64) < 0).astype(np.int64)
@@ -484,17 +502,7 @@ def encode_flac(samples, sample_rate: int, bits_per_sample: int = 16) -> bytes:
         bw.write(4, n_ch - 1)  # independent channels
         bw.write(3, 0)  # sample size: from STREAMINFO
         bw.write(1, 0)
-        # UTF-8 frame number (same coding as code points)
-        fn = frame_no
-        if fn < 0x80:
-            bw.write(8, fn)
-        elif fn < 0x800:
-            bw.write(8, 0xC0 | (fn >> 6))
-            bw.write(8, 0x80 | (fn & 0x3F))
-        else:
-            bw.write(8, 0xE0 | (fn >> 12))
-            bw.write(8, 0x80 | ((fn >> 6) & 0x3F))
-            bw.write(8, 0x80 | (fn & 0x3F))
+        _write_utf8_number(bw, frame_no)
         bw.write(16, bsz - 1)
         # the header fields above are whole bytes (32 + 8k + 16 bits),
         # so the writer is aligned here; CRC-8 covers them all

@@ -200,6 +200,14 @@ def encode_webp_animation(
     offsets = offsets or [(0, 0)] * n
     blends = [True] * n if blends is None else blends
     disposals = [False] * n if disposals is None else disposals
+    for name, seq in [
+        ("durations", durations), ("offsets", offsets),
+        ("blends", blends), ("disposals", disposals),
+    ]:
+        if len(seq) != n:  # zip() would silently drop frames
+            raise ValueError(
+                f"{name} has {len(seq)} entries for {n} frames"
+            )
     if canvas_size is None:
         cw = max(x + np.asarray(f).shape[1] for (x, _), f in zip(offsets, frames))
         ch_ = max(y + np.asarray(f).shape[0] for (_, y), f in zip(offsets, frames))
@@ -211,11 +219,14 @@ def encode_webp_animation(
         return out + (b"\x00" if len(body) % 2 else b"")
 
     anmf = b""
+    any_alpha = False
     for f, d, (x, y), blend, disp in zip(
         frames, durations, offsets, blends, disposals
     ):
         f = np.asarray(f, dtype=np.uint8)
         fh, fw = f.shape[:2]
+        if f.ndim == 3 and f.shape[2] == 4 and bool((f[:, :, 3] != 255).any()):
+            any_alpha = True
         if x % 2 or y % 2:
             raise ValueError("ANMF frame offsets must be even (stored /2)")
         if x + fw > cw or y + fh > ch_:
@@ -227,7 +238,9 @@ def encode_webp_animation(
             + chunk(b"VP8L", encode_vp8l(f))
         )
         anmf += chunk(b"ANMF", body)
-    vp8x = bytes([0x02]) + b"\x00\x00\x00" + _u24(cw - 1) + _u24(ch_ - 1)
+    vp8x_flags = 0x02 | (0x10 if any_alpha else 0)  # spec: set when any
+    # frame carries transparency, so probe-based routing sees it
+    vp8x = bytes([vp8x_flags]) + b"\x00\x00\x00" + _u24(cw - 1) + _u24(ch_ - 1)
     r, g, b, a = bg
     anim = bytes([b, g, r, a]) + struct.pack("<H", loop)
     body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim) + anmf
@@ -250,21 +263,20 @@ def decode_webp_frames(payload: bytes, frame_indices=None):
 
     info = probe_webp(payload)
     if info["format"] != "vp8x" or not info["animated"]:
-        still = decode_webp(payload)  # stats dict (raises for lossy)
-        from vector_lake_spark.vp8l import decode_webp_pixels
-
-        if info["format"] == "vp8l":
-            px = decode_webp_pixels(payload)["pixels"]
-        else:  # vp8x still: reuse the chunk walk
-            px = None
-            for fourcc, s, e in walk_webp_chunks(payload):
-                if fourcc == b"VP8L":
-                    px = decode_vp8l(payload[s:e])["pixels"]
-                    break
-            if px is None:  # pragma: no cover - decode_webp raised already
-                raise NotImplementedError("no decodable still frame")
+        # one decode, not decode_webp-for-stats plus a second for pixels
+        px = None
+        for fourcc, s, e in walk_webp_chunks(payload):
+            if fourcc == b"VP8L":
+                px = decode_vp8l(payload[s:e])["pixels"]
+                break
+        if px is None:
+            raise NotImplementedError(
+                f"WebP still frame undecodable ({info['format']}, "
+                f"{info['width']}x{info['height']}) — only VP8L stills "
+                f"decode natively"
+            )
         meta = {
-            "width": still["width"], "height": still["height"],
+            "width": int(px.shape[1]), "height": int(px.shape[0]),
             "n_frames": 1, "loop_count": 0,
         }
         want = {0} if frame_indices is None else set(frame_indices)
@@ -289,7 +301,12 @@ def decode_webp_frames(payload: bytes, frame_indices=None):
             raise IndexError(f"frame {i} out of range 0..{n - 1}")
     canvas = np.zeros((ch_, cw, 4), dtype=np.uint8)
     out = []
+    last_wanted = max(want) if want else -1
     for i, (s, e) in enumerate(anmf):
+        if i > last_wanted:
+            break  # later frames can never affect earlier canvases
+        if e - s < 16:
+            raise ValueError("corrupt WebP: truncated ANMF header")
         x = int.from_bytes(payload[s : s + 3], "little") * 2
         y = int.from_bytes(payload[s + 3 : s + 6], "little") * 2
         fw = int.from_bytes(payload[s + 6 : s + 9], "little") + 1
