@@ -131,6 +131,8 @@ HEADLINE = [
     "mm_wav_depths",
     "mm_webp_anim",
     "mm_flac_roundtrip",
+    "pipe_warc_extract",
+    "text_html_extract",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

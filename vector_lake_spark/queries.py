@@ -8258,6 +8258,159 @@ FROM p
 """
 
 
+def q_pipe_warc_extract(spark, sf):
+    """WARC ingestion under the oracle gate (r08): per document, write
+    a REAL member-gzipped WARC (the Common Crawl layout — one gzip
+    member per record, `sources/warc.py`) holding an HTTP response
+    record plus a warcinfo record with doc-derived contents, then
+    explode it back through `extract_warc_records` — gzip member walk,
+    record grammar, Content-Length framing, HTTP status/header/body
+    split, charset decode. The oracle recomputes every extracted field
+    from the documents table, so a green hash proves the writer and
+    the ingestion path agree with an independent derivation — the
+    crawl-front-door equivalent of the codec round-trip entries."""
+    from vector_lake_spark.sources.warc import encode_warc, extract_warc_records
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text"),
+        (F.col("doc_id") % 3).cast("int").alias("k"),
+        (F.col("doc_id") % 7).cast("int").alias("crawler"),
+    )
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+
+    statuses = [200, 301, 404]
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                blob = encode_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "url": f"http://example.com/doc/{r.media_id}",
+                            "http_status": statuses[r.k],
+                            "http_headers": {
+                                "content-type": "text/plain; charset=utf-8"
+                            },
+                            "body": r.text,
+                            "mime": "application/http; msgtype=response",
+                        },
+                        {
+                            "warc_type": "warcinfo",
+                            "mime": "application/warc-fields",
+                            "body": f"software: crawler-{r.crawler}",
+                        },
+                    ]
+                )
+                rows.append((r.media_id, blob))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    blobs = params.mapInPandas(mux, schema="media_id long, payload binary")
+    recs = extract_warc_records(blobs)
+    return recs.select(
+        "media_id", "record_index", "warc_type", "url", "http_status",
+        "mime", "body",
+    )
+
+
+SQL_PIPE_WARC_EXTRACT = """
+SELECT doc_id AS media_id,
+       CAST(0 AS INT) AS record_index,
+       'response' AS warc_type,
+       'http://example.com/doc/' || doc_id AS url,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+            ELSE 404 END AS INT) AS http_status,
+       'text/plain; charset=utf-8' AS mime,
+       text AS body
+FROM documents
+UNION ALL
+SELECT doc_id AS media_id,
+       CAST(1 AS INT) AS record_index,
+       'warcinfo' AS warc_type,
+       NULL AS url,
+       CAST(NULL AS INT) AS http_status,
+       'application/warc-fields' AS mime,
+       'software: crawler-' || (doc_id % 7) AS body
+FROM documents
+"""
+
+
+def q_text_html_extract(spark, sf):
+    """HTML boilerplate removal under the oracle gate (r08): per
+    document, wrap the text in a realistic page — title, <style> and
+    <script> subtrees that MUST be dropped (the script even contains a
+    '<' to exercise CDATA handling), an HTML entity that must
+    unescape, a <noscript> block that must vanish — then run the real
+    `htmltext.html_to_text` extraction. The oracle recomputes title
+    and flattened text from the raw columns, so a green hash proves
+    skip-subtree handling, entity decoding, block-tag line breaks and
+    whitespace normalization all invert the page construction exactly
+    over every document."""
+    from vector_lake_spark.htmltext import html_title, html_to_text
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text"),
+        F.col("n_chars"),
+    )
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                page = (
+                    f"<html><head><title>Doc  {r.media_id}</title>"
+                    f"<style>p {{ color: red }}</style></head><body>"
+                    f"<script>if (1<2) {{ trackPage({r.media_id}); }}"
+                    f"</script><h1>Doc &amp; {r.media_id}</h1>"
+                    f"<p>{r.text}</p>"
+                    f"<noscript>enable javascript</noscript>"
+                    f"<div>chars: {r.n_chars}</div></body></html>"
+                )
+                flat = html_to_text(page).replace("\n", " ")
+                rows.append(
+                    (r.media_id, html_title(page), flat, len(flat))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "title", "flat_text", "n_clean"]
+            )
+
+    return params.mapInPandas(
+        batches,
+        schema="media_id long, title string, flat_text string, n_clean long",
+    )
+
+
+SQL_TEXT_HTML_EXTRACT = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+         n_chars
+  FROM documents
+)
+SELECT media_id,
+       'Doc ' || media_id AS title,
+       'Doc ' || media_id || ' Doc & ' || media_id || ' ' || t
+           || ' chars: ' || n_chars AS flat_text,
+       CAST(length('Doc ' || media_id || ' Doc & ' || media_id || ' ' || t
+           || ' chars: ' || n_chars) AS BIGINT) AS n_clean
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8295,6 +8448,8 @@ _BASE_QUERIES = {
     "mm_wav_depths": q_mm_wav_depths,
     "mm_webp_anim": q_mm_webp_anim,
     "mm_flac_roundtrip": q_mm_flac_roundtrip,
+    "pipe_warc_extract": q_pipe_warc_extract,
+    "text_html_extract": q_text_html_extract,
     "vec_neardup_pairs": q_vec_neardup_pairs,
     "vec_neardup_lsh": q_vec_neardup_lsh,
     "vec_centroid_by_label": q_vec_centroid_by_label,
@@ -8541,6 +8696,8 @@ ORACLES = {
     "mm_wav_depths": SQL_MM_WAV_DEPTHS,
     "mm_webp_anim": SQL_MM_WEBP_ANIM,
     "mm_flac_roundtrip": SQL_MM_FLAC_ROUNDTRIP,
+    "pipe_warc_extract": SQL_PIPE_WARC_EXTRACT,
+    "text_html_extract": SQL_TEXT_HTML_EXTRACT,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
     "vec_neardup_lsh": SQL_VEC_NEARDUP_LSH,
     "vec_centroid_by_label": SQL_VEC_CENTROID_BY_LABEL,
