@@ -144,6 +144,7 @@ def test_html_extraction_contract():
 
 def test_html_nested_skip_and_void_tags():
     # a void tag inside <script> must not unbalance the skip depth
+    # (html.parser treats script/style content as CDATA)
     h = "<script>a<br>b</script><p>kept</p>"
     assert html_to_text(h) == "kept"
     # nested skip subtrees
@@ -151,6 +152,71 @@ def test_html_nested_skip_and_void_tags():
     assert html_to_text(h) == "ok"
     # self-closing block tag still breaks lines
     assert html_to_text("a<br/>b") == "a\nb"
+    # r08 review fix: block tags INSIDE skipped subtrees contribute
+    # nothing — not even their line breaks (the 'dropped entirely'
+    # contract); noscript/template are not CDATA, so this is the
+    # load-bearing case
+    assert html_to_text("a<template><p>x</p></template>b") == "ab"
+    assert html_to_text("a<noscript>x<br>y</noscript>b") == "ab"
+    # a <title> inside a skipped subtree is not THE title
+    assert html_title("<noscript><title>no</title></noscript>") is None
+
+
+def test_html_extract_single_pass():
+    from vector_lake_spark.htmltext import html_extract
+
+    text, title = html_extract("<title>T</title><p>body</p>")
+    assert (text, title) == ("T\nbody", "T")
+
+
+def test_warc_review_fixes():
+    """r08 review: negative Content-Length, bad deflate bytes, NUL in
+    a declared charset, duplicate headers, non-UTF-8 round trips and
+    statusless response re-encoding."""
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        parse_warc(b"WARC/1.0\r\nContent-Length: -33\r\n\r\n")
+    blob = bytearray(encode_warc([{"warc_type": "resource", "body": "x" * 50}]))
+    blob[len(blob) // 2] ^= 0xFF  # corrupt deflate data mid-member
+    with pytest.raises(ValueError, match="corrupt WARC"):
+        parse_warc(bytes(blob))
+    # NUL inside the declared charset falls back instead of throwing
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf\x00-8"
+        b"\r\n\r\nabc"
+    )
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    assert parse_warc(raw)[0]["body"] == "abc"
+    # duplicate headers join instead of clobbering
+    http = (
+        b"HTTP/1.1 200 OK\r\nSet-Cookie: a\r\nSet-Cookie: b\r\n\r\nz"
+    )
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    assert parse_warc(raw)[0]["http_headers"]["set-cookie"] == "a, b"
+    # declared latin-1 round-trips exactly (writer encodes per charset)
+    recs = [{
+        "warc_type": "response", "http_status": 200,
+        "http_headers": {"content-type": "text/plain; charset=latin-1"},
+        "body": "café",
+    }]
+    assert parse_warc(encode_warc(recs))[0]["body"] == "café"
+    # a response whose block was not HTTP (status None) re-encodes as a
+    # raw block; parse -> encode -> parse is stable
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nxyz"
+        b"\r\n\r\n"
+    )
+    first = parse_warc(raw)
+    assert first[0]["http_status"] is None
+    again = parse_warc(encode_warc(first))
+    assert again[0]["http_status"] is None and again[0]["body"] == "xyz"
 
 
 def test_html_malformed_and_empty():

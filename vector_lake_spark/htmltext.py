@@ -36,10 +36,6 @@ _BLOCK_TAGS = {
     "h6", "tr", "table", "td", "th", "blockquote", "pre", "section",
     "article", "header", "footer", "title", "hr",
 }
-# void elements never take closing tags, so they must not bump the
-# skip depth even if malformed markup writes e.g. <br> inside <script>
-_VOID_TAGS = {"br", "hr", "img", "input", "meta", "link", "source", "wbr"}
-
 _WS_RUN = re.compile(r"[^\S\n]+")
 
 
@@ -55,6 +51,8 @@ class _Extractor(HTMLParser):
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self.skip_depth += 1
+        if self.skip_depth:  # dropped subtrees contribute NOTHING —
+            return  # not even the line breaks of block tags inside them
         if tag in _BLOCK_TAGS:
             self.parts.append("\n")
         if tag == "title" and not self.title_done:
@@ -63,6 +61,9 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self.skip_depth:
             self.skip_depth -= 1
+            return
+        if self.skip_depth:
+            return
         if tag in _BLOCK_TAGS:
             self.parts.append("\n")
         if tag == "title" and self.in_title:
@@ -71,7 +72,7 @@ class _Extractor(HTMLParser):
                 self.title_done = True
 
     def handle_startendtag(self, tag, attrs):
-        if tag in _BLOCK_TAGS:
+        if self.skip_depth == 0 and tag in _BLOCK_TAGS:
             self.parts.append("\n")
 
     def handle_data(self, data):
@@ -86,19 +87,26 @@ def _normalize(raw: str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
-def html_to_text(html: str) -> str:
-    """Extract visible text per the module contract."""
+def html_extract(html: str) -> tuple[str, str | None]:
+    """(visible text, first title or None) from ONE parser pass — use
+    this when both are needed; html_to_text + html_title would parse
+    the document twice."""
     ex = _Extractor()
     ex.feed(html or "")
     ex.close()
-    return _normalize("".join(ex.parts))
+    title = (
+        _WS_RUN.sub(" ", "".join(ex.title_parts)).strip()
+        if ex.title_parts
+        else None
+    )
+    return _normalize("".join(ex.parts)), title
+
+
+def html_to_text(html: str) -> str:
+    """Extract visible text per the module contract."""
+    return html_extract(html)[0]
 
 
 def html_title(html: str) -> str | None:
     """Collapsed text of the first <title>, or None."""
-    ex = _Extractor()
-    ex.feed(html or "")
-    ex.close()
-    if not ex.title_parts:
-        return None
-    return _WS_RUN.sub(" ", "".join(ex.title_parts)).strip()
+    return html_extract(html)[1]

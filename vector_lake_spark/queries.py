@@ -8353,7 +8353,7 @@ def q_text_html_extract(spark, sf):
     skip-subtree handling, entity decoding, block-tag line breaks and
     whitespace normalization all invert the page construction exactly
     over every document."""
-    from vector_lake_spark.htmltext import html_title, html_to_text
+    from vector_lake_spark.htmltext import html_extract
 
     d = _t(spark, sf, "documents")
     params = d.select(
@@ -8380,10 +8380,9 @@ def q_text_html_extract(spark, sf):
                     f"<noscript>enable javascript</noscript>"
                     f"<div>chars: {r.n_chars}</div></body></html>"
                 )
-                flat = html_to_text(page).replace("\n", " ")
-                rows.append(
-                    (r.media_id, html_title(page), flat, len(flat))
-                )
+                text, title = html_extract(page)  # ONE parser pass
+                flat = text.replace("\n", " ")
+                rows.append((r.media_id, title, flat, len(flat)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "title", "flat_text", "n_clean"]
             )

@@ -51,7 +51,10 @@ def _split_gzip_members(payload: bytes):
                 f"offset {pos}"
             )
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out = d.decompress(payload[pos:])
+        try:
+            out = d.decompress(payload[pos:])
+        except zlib.error as exc:  # keep the module's ValueError contract
+            raise ValueError(f"corrupt WARC: bad gzip member ({exc})") from None
         if not d.eof:
             raise ValueError("corrupt WARC: truncated gzip member")
         yield out
@@ -70,21 +73,30 @@ def _parse_headers(block: bytes) -> dict:
             )
             continue
         name, _, value = line.partition(b":")
-        headers[name.decode("latin-1").strip().lower()] = value.decode(
-            "latin-1"
-        ).strip()
+        key = name.decode("latin-1").strip().lower()
+        val = value.decode("latin-1").strip()
+        if key in headers:  # RFC semantics: repeated fields join (crawl
+            headers[key] += ", " + val  # data repeats Set-Cookie a lot)
+        else:
+            headers[key] = val
     return headers
 
 
-def _decode_body(body: bytes, content_type: str) -> str:
+def _charset_of(content_type: str) -> str:
     charset = "utf-8"
     for part in (content_type or "").split(";"):
         part = part.strip()
         if part.lower().startswith("charset="):
             charset = part[8:].strip().strip('"').strip("'") or "utf-8"
+    return charset
+
+
+def _decode_body(body: bytes, content_type: str) -> str:
     try:
-        return body.decode(charset)
-    except (UnicodeDecodeError, LookupError):
+        return body.decode(_charset_of(content_type))
+    except (UnicodeDecodeError, LookupError, ValueError):
+        # ValueError: codec lookup rejects e.g. NUL bytes in the declared
+        # charset — reachable from arbitrary crawl header bytes
         return body.decode("latin-1")
 
 
@@ -119,6 +131,8 @@ def parse_warc(payload: bytes) -> list[dict]:
                 raise ValueError(
                     "corrupt WARC: record without a numeric Content-Length"
                 ) from None
+            if length < 0:  # a negative length would walk pos BACKWARDS
+                raise ValueError("corrupt WARC: negative Content-Length")
             block_start = hdr_end + 4
             block = member[block_start : block_start + length]
             if len(block) < length:
@@ -169,10 +183,23 @@ def encode_warc(records: list[dict], member_gzip: bool = True) -> bytes:
     Common Crawl layout (one gzip member per record — splittable)."""
     out = bytearray()
     for rec in records:
-        if rec.get("warc_type") == "response":
+        # a response with an HTTP status gets HTTP framing; a response
+        # whose status is None (as parse_warc reports for non-HTTP
+        # response blocks) round-trips as a raw block — never fabricate
+        # an "HTTP/1.1 None OK" status line
+        if rec.get("warc_type") == "response" and rec.get("http_status") is not None:
             http_headers = rec.get("http_headers") or {}
-            body = rec.get("body", "").encode("utf-8")
-            lines = [f"HTTP/1.1 {rec.get('http_status', 200)} OK"]
+            # encode the body in the charset the headers DECLARE, so
+            # the reader's charset-honoring decode round-trips exactly
+            charset = _charset_of(http_headers.get("content-type", ""))
+            try:
+                body = rec.get("body", "").encode(charset)
+            except (UnicodeEncodeError, LookupError, ValueError) as exc:
+                raise ValueError(
+                    f"record body not encodable as declared charset "
+                    f"{charset!r}: {exc}"
+                ) from None
+            lines = [f"HTTP/1.1 {rec['http_status']} OK"]
             lines += [f"{k}: {v}" for k, v in http_headers.items()]
             block = (
                 "\r\n".join(lines).encode("latin-1") + CRLF + CRLF + body
