@@ -512,3 +512,115 @@ def test_progressive_equals_baseline_property(h, w, quality, seed):
     base = decode_jpeg_pixels(encode_jpeg(img, quality))
     prog = decode_jpeg_pixels(encode_jpeg_progressive(img, quality))
     assert np.array_equal(prog, base)
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    n_colors=st.integers(min_value=0, max_value=300),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_vp8l_roundtrip_property(h, w, n_colors, seed):
+    """r08 codec: VP8L round-trips BIT-EXACTLY for arbitrary geometry
+    on both encoder paths — color indexing (any palette size incl. the
+    sub-byte bundling widths) when n_colors > 0, subtract-green literal
+    Huffman when n_colors == 0 (full random RGBA)."""
+    from vector_lake_spark.vp8l import decode_vp8l, encode_vp8l
+
+    rng = np.random.default_rng(seed)
+    if n_colors:
+        colors = rng.integers(0, 256, (max(1, min(n_colors, 256)), 4),
+                              dtype=np.uint8)
+        px = colors[rng.integers(0, len(colors), (h, w))]
+        out = decode_vp8l(encode_vp8l(px))
+    else:
+        px = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        out = decode_vp8l(encode_vp8l(px, use_palette=False))
+    assert out["width"] == w and out["height"] == h
+    assert np.array_equal(out["pixels"], px)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=5000),
+    n_ch=st.integers(min_value=1, max_value=3),
+    bps=st.sampled_from([8, 16, 24]),
+    shape=st.sampled_from(["noise", "ramp", "constant", "sine"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_roundtrip_property(n, n_ch, bps, shape, seed):
+    """r08 codec: FLAC round-trips bit-exactly for arbitrary lengths
+    (incl. multi-frame > 4096 and the empty stream), channel counts,
+    bit depths and signal shapes (each favoring a different FIXED
+    predictor order / the raw-escape path)."""
+    from vector_lake_spark.flac import decode_flac_samples, encode_flac
+
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bps - 1)
+    if shape == "noise":
+        s = rng.integers(-lim, lim, (n, n_ch))
+    elif shape == "ramp":
+        base = (np.arange(n) % (2 * lim)) - lim
+        s = np.repeat(base[:, None], n_ch, axis=1)
+    elif shape == "constant":
+        s = np.full((n, n_ch), int(rng.integers(-lim, lim)), dtype=np.int64)
+    else:
+        s = (np.sin(np.arange(n) * 0.05)[:, None] * (lim - 1)).astype(
+            np.int64
+        ).repeat(n_ch, axis=1)
+    out = decode_flac_samples(encode_flac(s, 44100, bps))
+    assert out["n_channels"] == n_ch and out["n_samples"] == n
+    assert np.array_equal(out["samples"], np.asarray(s, dtype=np.int64))
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8",
+                                   blacklist_categories=("Cs",)),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    statuses=st.lists(
+        st.integers(min_value=100, max_value=599), min_size=4, max_size=4
+    ),
+    gz=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_roundtrip_property(texts, statuses, gz):
+    """r08 ingestion: arbitrary UTF-8 response bodies round-trip
+    through encode_warc -> parse_warc in both layouts (plain and
+    member-gzipped), preserving order, statuses and bodies."""
+    from vector_lake_spark.sources.warc import encode_warc, parse_warc
+
+    recs = [
+        {
+            "warc_type": "response",
+            "url": f"http://x/{i}",
+            "http_status": statuses[i % 4],
+            "http_headers": {"content-type": "text/plain; charset=utf-8"},
+            "body": t,
+        }
+        for i, t in enumerate(texts)
+    ]
+    out = parse_warc(encode_warc(recs, member_gzip=gz))
+    assert [r["body"] for r in out] == texts
+    assert [r["http_status"] for r in out] == [
+        statuses[i % 4] for i in range(len(texts))
+    ]
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_html_to_text_idempotent_and_total(text):
+    """html_to_text never throws on arbitrary input and its output is
+    a fixed point (already-extracted text re-extracts unchanged) when
+    it contains no markup-significant characters."""
+    from vector_lake_spark.htmltext import html_to_text
+
+    out = html_to_text(text)  # totality: no exception on any input
+    if not any(c in out for c in "<>&"):
+        assert html_to_text(out) == out
