@@ -1013,8 +1013,12 @@ def test_image_decode_gates_are_loud(spark):
         _decode_image(b"\xff\xd8\xff\xe0fakejpeg")  # SOI but garbage
     with pytest.raises(ValueError):
         _decode_image(b"GIF89a notsupported")  # GIF magic but garbage
+    with pytest.raises(ValueError):
+        # r08: TIFF dispatches for real, so a malformed TIFF fails
+        # structurally like the others
+        _decode_image(b"II*\x00unknown-tiff-ish")
     with pytest.raises(NotImplementedError, match="decode natively"):
-        _decode_image(b"II*\x00unknown-tiff-ish")  # honestly unsupported
+        _decode_image(b"ICO?unknown-magic")  # honestly unsupported
 
 
 def _make_png(pixels, color_type, filters):

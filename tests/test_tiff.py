@@ -1,0 +1,181 @@
+"""TIFF codec (`vector_lake_spark.tiff`).
+
+Round-trip sweeps prove the encoder/decoder pair; the hand-assembled
+fixtures prove the DECODER against the public TIFF 6.0 spec directly —
+a big-endian uncompressed file the little-endian-only writer never
+emits, the PackBits worked example from the spec's own appendix, and
+MinIsWhite inversion."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vector_lake_spark.tiff import (
+    _unpackbits,
+    decode_tiff,
+    decode_tiff_pixels,
+    encode_tiff,
+    is_tiff,
+    probe_tiff,
+)
+
+
+def _be_tiff(w, h, pixels, photometric=1):
+    """Hand-assembled BIG-ENDIAN uncompressed grayscale TIFF (the
+    writer only emits little-endian, so this is writer-independent)."""
+    data = bytes(pixels)
+    n = 8  # entries
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+
+    def entry(tag, typ, count, value):
+        if typ == 3:
+            packed = struct.pack(">HH", value, 0)
+        else:
+            packed = struct.pack(">I", value)
+        return struct.pack(">HHI", tag, typ, count) + packed
+
+    ifd = struct.pack(">H", n)
+    ifd += entry(256, 3, 1, w)
+    ifd += entry(257, 3, 1, h)
+    ifd += entry(258, 3, 1, 8)
+    ifd += entry(259, 3, 1, 1)  # uncompressed
+    ifd += entry(262, 3, 1, photometric)
+    ifd += entry(273, 4, 1, data_off)
+    ifd += entry(278, 3, 1, h)
+    ifd += entry(279, 4, 1, len(data))
+    ifd += struct.pack(">I", 0)
+    return b"MM\x00*" + struct.pack(">I", ifd_off) + ifd + data
+
+
+def test_big_endian_hand_fixture():
+    px = list(range(12))
+    out = decode_tiff_pixels(_be_tiff(4, 3, px))
+    assert out.shape == (3, 4, 1)
+    assert out.reshape(-1).tolist() == px
+    info = probe_tiff(_be_tiff(4, 3, px))
+    assert info["pages"][0]["compression"] == "none"
+    assert (info["pages"][0]["width"], info["pages"][0]["height"]) == (4, 3)
+
+
+def test_min_is_white_inverts():
+    out = decode_tiff_pixels(_be_tiff(2, 1, [0, 255], photometric=0))
+    assert out.reshape(-1).tolist() == [255, 0]
+
+
+def test_packbits_spec_appendix_example():
+    """The worked example from the TIFF 6.0 spec's PackBits appendix."""
+    compressed = bytes(
+        [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+         0x00, 0x2A, 0x22, 0xF7, 0xAA]
+    )
+    expected = bytes(
+        [0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+        + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10
+    )
+    assert _unpackbits(compressed, len(expected)) == expected
+
+
+def test_round_trip_sweep():
+    rng = np.random.default_rng(7)
+    cases = [
+        (rng.integers(0, 256, (13, 9), dtype=np.uint8), "none", False, None),
+        (rng.integers(0, 256, (7, 5, 3), dtype=np.uint8), "none", False, None),
+        (np.repeat(rng.integers(0, 4, (20, 1), dtype=np.uint8) * 60, 17,
+                   axis=1), "packbits", False, None),
+        (rng.integers(0, 256, (31, 23), dtype=np.uint8), "lzw", False, None),
+        ((np.arange(40 * 30 * 3) % 251).astype(np.uint8).reshape(40, 30, 3),
+         "lzw", True, None),
+        (rng.integers(0, 16, (200, 150, 3), dtype=np.uint8) * 16, "lzw",
+         False, 37),
+        # random 400x400 forces LZW table clears mid-stream
+        (rng.integers(0, 256, (150, 400), dtype=np.uint8), "lzw", False, None),
+    ]
+    for px, comp, pred, rps in cases:
+        f = encode_tiff(px, compression=comp, predictor=pred,
+                        rows_per_strip=rps)
+        assert is_tiff(f)
+        got = decode_tiff_pixels(f)
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(got, want), (comp, pred)
+
+
+def test_lzw_early_change_boundary():
+    """A strip long enough to cross the 9->10 and 10->11 bit widths:
+    the decoder must widen ONE entry before its table fills (the
+    encoder adds entries one step ahead — the spec's early change)."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (60, 60), dtype=np.uint8)  # 3600 codes-ish
+    f = encode_tiff(px, compression="lzw")
+    assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], px)
+
+
+def test_compression_is_real():
+    smooth = np.clip(
+        np.arange(300)[:, None] + np.arange(200)[None, :], 0, 255
+    ).astype(np.uint8)
+    f = encode_tiff(smooth, compression="lzw", predictor=True)
+    assert len(f) < 0.1 * smooth.size
+
+
+def test_gates_and_corruption():
+    f = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    with pytest.raises(ValueError, match="magic"):
+        probe_tiff(b"ABCD" + bytes(f[4:]))
+    # unsupported compression id gates by name
+    g = bytearray(f)
+    idx = bytes(g).find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", g, idx + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_tiff_pixels(bytes(g))
+    # strip offset out of range is corrupt, not a crash
+    g = bytearray(f)
+    idx = bytes(g).find(struct.pack("<HHI", 273, 4, 1))
+    struct.pack_into("<I", g, idx + 8, len(g) + 999)
+    with pytest.raises(ValueError, match="tag 273|strip"):
+        decode_tiff_pixels(bytes(g))
+
+
+def test_stats_contract_and_dispatch(spark):
+    from vector_lake_spark.multimodal import (
+        _decode_image,
+        extract_tiff_features,
+    )
+
+    px = np.zeros((5, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 40
+    px[:, :, 1] = 50
+    px[:, :, 2] = 60
+    f = encode_tiff(px, compression="packbits")
+    assert _decode_image(f) == {
+        "width": 8, "height": 5,
+        "mean_r": 40.0, "mean_g": 50.0, "mean_b": 60.0,
+    }
+    df = spark.createDataFrame(
+        [(3, bytearray(f))], "media_id long, payload binary"
+    )
+    r = extract_tiff_features(df).collect()[0]
+    assert (r["width"], r["height"], r["mean_g"]) == (8, 5, 50.0)
+
+
+def test_multipage_probe():
+    """Two chained IFDs: probe reports both pages."""
+    one = _be_tiff(2, 2, [1, 2, 3, 4])
+    # append a second IFD by patching the first's next-IFD pointer
+    page2 = _be_tiff(3, 1, [9, 9, 9])
+    blob = bytearray(one)
+    second_off = len(blob)  # page2's IFD (its offset-8 content) lands here
+    # first IFD's next pointer sits right before its data block
+    next_ptr_off = 8 + 2 + 12 * 8
+    struct.pack_into(">I", blob, next_ptr_off, second_off)
+    # re-rebase page2: offsets were relative to its own file start,
+    # and we drop its 8-byte header, so shift by second_off - 8
+    p2 = bytearray(page2)
+    idx = bytes(p2).find(struct.pack(">HHI", 273, 4, 1))
+    (old_off,) = struct.unpack_from(">I", p2, idx + 8)
+    struct.pack_into(">I", p2, idx + 8, old_off - 8 + second_off)
+    blob += p2[8:]  # drop page2's file header, keep IFD + data
+    info = probe_tiff(bytes(blob))
+    assert info["n_pages"] == 2
+    assert info["pages"][1]["width"] == 3

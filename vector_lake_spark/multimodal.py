@@ -96,11 +96,17 @@ def _decode_image(payload: bytes):
 
         # lossless (VP8L) decodes for real; VP8/VP8X raise named gates
         return decode_webp(payload)
+    if payload is not None and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from vector_lake_spark.tiff import decode_tiff
+
+        # baseline none/LZW/PackBits strips decode for real (r08);
+        # tiles/16-bit/fax/JPEG-in-TIFF raise named gates
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "unrecognized image payload (BMP, PNG, JPEG, GIF and lossless "
-        "WebP decode natively — decode_bmp / decode_png / "
-        "jpeg.decode_jpeg / gif.decode_gif / webp.decode_webp; lossy "
-        "WebP probes via webp.probe_webp)"
+        "unrecognized image payload (BMP, PNG, JPEG, GIF, lossless WebP "
+        "and baseline TIFF decode natively — decode_bmp / decode_png / "
+        "jpeg.decode_jpeg / gif.decode_gif / webp.decode_webp / "
+        "tiff.decode_tiff; lossy WebP probes via webp.probe_webp)"
     )
 
 
@@ -686,6 +692,15 @@ def extract_gif_features(df: DataFrame) -> DataFrame:
     from vector_lake_spark.gif import decode_gif
 
     return _extract_image_stats(df, decode_gif)
+
+
+def extract_tiff_features(df: DataFrame) -> DataFrame:
+    """REAL scanned-document decode over Arrow batches (r08): baseline
+    TIFF payloads (none/LZW/PackBits strips, horizontal-differencing
+    predictor, gray/RGB) → dimensions + channel means (``tiff.py``)."""
+    from vector_lake_spark.tiff import decode_tiff
+
+    return _extract_image_stats(df, decode_tiff)
 
 
 def extract_webp_features(df: DataFrame) -> DataFrame:

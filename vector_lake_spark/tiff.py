@@ -1,0 +1,459 @@
+"""TIFF codec — pure stdlib/numpy implementation of the public TIFF 6.0
+baseline (Adobe spec): IFD walk, both byte orders, striped images,
+uncompressed / PackBits / LZW compression, horizontal-differencing
+predictor, MinIsWhite/MinIsBlack/RGB photometrics.
+
+TIFF is the scanned-document format of crawl corpora (patents, books,
+archives). The metadata pass (`probe_tiff`) walks IFDs only; decode
+covers the baseline subset real scanners emit:
+
+- Compression 1 (none), 32773 (PackBits — the run-length scheme from
+  the spec's appendix), 5 (LZW — MSB-first variable-width codes with
+  the spec's EARLY-CHANGE width bump, the detail that distinguishes
+  TIFF-LZW from GIF's LSB-first late-change variant).
+- Predictor 2 (horizontal differencing) undone after decompression.
+- 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, strip layout.
+
+Named gates: tiles, 16-bit, palette TIFF, JPEG-in-TIFF, CCITT fax.
+The matching writer (`encode_tiff`, all three compressions) exists for
+provable round trips; `tests/test_tiff.py` also pins the decoder
+against hand-assembled spec fixtures the writer never emits.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def is_tiff(payload: bytes) -> bool:
+    return payload[:4] in (b"II*\x00", b"MM\x00*")
+
+
+def _read_ifd(payload: bytes, pos: int, lt: str) -> tuple[dict, int]:
+    """One IFD: {tag: [values]} plus the next-IFD offset."""
+    if pos + 2 > len(payload):
+        raise ValueError("corrupt TIFF: truncated IFD")
+    (n_entries,) = struct.unpack_from(lt + "H", payload, pos)
+    pos += 2
+    tags: dict = {}
+    for _ in range(n_entries):
+        if pos + 12 > len(payload):
+            raise ValueError("corrupt TIFF: truncated IFD entry")
+        tag, typ, count = struct.unpack_from(lt + "HHI", payload, pos)
+        size = _TYPE_SIZES.get(typ)
+        if size is None:  # unknown types are skippable per spec
+            pos += 12
+            continue
+        total = size * count
+        if total <= 4:
+            off = pos + 8
+        else:
+            (off,) = struct.unpack_from(lt + "I", payload, pos + 8)
+        if off + total > len(payload):
+            raise ValueError(f"corrupt TIFF: tag {tag} values out of range")
+        if typ == 3:
+            vals = list(struct.unpack_from(f"{lt}{count}H", payload, off))
+        elif typ == 4:
+            vals = list(struct.unpack_from(f"{lt}{count}I", payload, off))
+        elif typ == 5:  # RATIONAL
+            raw = struct.unpack_from(f"{lt}{2 * count}I", payload, off)
+            vals = [raw[i] / raw[i + 1] if raw[i + 1] else 0.0
+                    for i in range(0, len(raw), 2)]
+        else:  # BYTE / ASCII
+            vals = list(payload[off : off + count])
+        tags[tag] = vals
+        pos += 12
+    (next_ifd,) = struct.unpack_from(lt + "I", payload, pos)
+    return tags, next_ifd
+
+
+def _walk_ifds(payload: bytes):
+    if not is_tiff(payload):
+        raise ValueError("not a TIFF payload (II*/MM* magic missing)")
+    lt = "<" if payload[:2] == b"II" else ">"
+    (off,) = struct.unpack_from(lt + "I", payload, 4)
+    seen = set()
+    while off:
+        if off in seen:
+            raise ValueError("corrupt TIFF: IFD cycle")
+        seen.add(off)
+        tags, off = _read_ifd(payload, off, lt)
+        yield tags, lt
+
+
+_COMPRESSION_NAMES = {
+    1: "none", 2: "ccitt-rle", 3: "ccitt-g3", 4: "ccitt-g4", 5: "lzw",
+    6: "jpeg-old", 7: "jpeg", 8: "deflate", 32773: "packbits",
+}
+
+
+def probe_tiff(payload: bytes) -> dict:
+    """IFD metadata only: per-page dims, bits/sample, compression name,
+    photometric, strip layout. No pixel data is read."""
+    pages = []
+    for tags, _lt in _walk_ifds(payload):
+        comp = tags.get(259, [1])[0]
+        pages.append(
+            {
+                "width": tags.get(256, [None])[0],
+                "height": tags.get(257, [None])[0],
+                "bits_per_sample": tags.get(258, [1]),
+                "samples_per_pixel": tags.get(277, [1])[0],
+                "compression": _COMPRESSION_NAMES.get(comp, str(comp)),
+                "photometric": tags.get(262, [None])[0],
+                "n_strips": len(tags.get(273, [])),
+                "rows_per_strip": tags.get(278, [None])[0],
+                "predictor": tags.get(317, [1])[0],
+            }
+        )
+    if not pages:
+        raise ValueError("corrupt TIFF: no IFDs")
+    return {"n_pages": len(pages), "pages": pages}
+
+
+# ---------------------------------------------------------------------------
+# Strip codecs
+# ---------------------------------------------------------------------------
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1 bytes
+            if pos + n + 1 > len(data):
+                raise ValueError("corrupt TIFF: truncated PackBits literal")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("corrupt TIFF: truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op per spec
+    if len(out) < expected:
+        raise ValueError("corrupt TIFF: PackBits strip too short")
+    return bytes(out[:expected])
+
+
+def _packbits(data: bytes) -> bytes:
+    """Spec-appendix PackBits: runs >= 3 encode as repeats, the rest as
+    literals (max 128 per op)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        chunk = data[lit_start:i]
+        out += bytes([len(chunk) - 1]) + chunk
+    return bytes(out)
+
+
+_CLEAR, _EOI = 256, 257
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-LZW: MSB-first codes, 9->12 bit widths with the spec's
+    EARLY CHANGE (the width bumps one code earlier than GIF's)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == _CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == _EOI:
+                if len(out) < expected:
+                    raise ValueError("corrupt TIFF: LZW strip too short")
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt TIFF: bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF: LZW code out of range")
+            out += entry
+            prev = entry
+            # EARLY CHANGE: the decoder's table trails the encoder's by
+            # ONE entry (the encoder adds per emission, the decoder per
+            # received code starting at the second), so it must widen
+            # at (1<<width)-2 where the encoder widens at (1<<width)-1
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    raise ValueError("corrupt TIFF: LZW strip ended without EOI")
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Greedy TIFF-LZW writer mirroring the decoder's width bookkeeping."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_CLEAR, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # encoder bumps when the decoder will: early change
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: clear (spec practice)
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decode / encode
+# ---------------------------------------------------------------------------
+
+
+def decode_tiff_pixels(payload: bytes) -> np.ndarray:
+    """First page to an (h, w, ch) uint8 array (ch 1 or 3)."""
+    tags, lt = next(iter(_walk_ifds(payload)))
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    if not w or not h:
+        raise ValueError("corrupt TIFF: missing dimensions")
+    bits = tags.get(258, [1])
+    spp = tags.get(277, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB TIFF decodes (bits={bits}, "
+            f"samples={spp}); 16-bit/palette are format gates"
+        )
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {_COMPRESSION_NAMES.get(comp, comp)} is a "
+            f"named gate (none/LZW/PackBits decode natively)"
+        )
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo} unsupported")
+    if predictor not in (1, 2):
+        raise ValueError(f"corrupt TIFF: predictor {predictor}")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF is a named gate (strips decode)")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("corrupt TIFF: missing/mismatched strip tables")
+    rps = tags.get(278, [h])[0] or h
+    row_bytes = w * spp
+    raw = bytearray()
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - i * rps)
+        if rows <= 0:
+            raise ValueError("corrupt TIFF: more strips than rows")
+        expected = rows * row_bytes
+        strip = payload[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("corrupt TIFF: strip data out of range")
+        if comp == 1:
+            if len(strip) < expected:
+                raise ValueError("corrupt TIFF: short uncompressed strip")
+            raw += strip[:expected]
+        elif comp == 32773:
+            raw += _unpackbits(strip, expected)
+        else:
+            raw += _lzw_decode(strip, expected)
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: per-row cumsum mod 256
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    if photo == 0:  # MinIsWhite: invert
+        px = 255 - px
+    return px
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Stats-shaped decode (the ``multimodal._decode_image`` contract)."""
+    px = decode_tiff_pixels(payload).astype(np.float64)
+    h, w = px.shape[:2]
+    if px.shape[2] == 1:
+        mr = mg = mb = float(px.mean())
+    else:
+        mr, mg, mb = (float(px[:, :, i].mean()) for i in range(3))
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_r": round(mr, 6),
+        "mean_g": round(mg, 6),
+        "mean_b": round(mb, 6),
+    }
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    compression: str = "lzw",
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Little-endian striped baseline TIFF from (h, w) or (h, w, 1|3)
+    uint8 pixels; compression in {none, packbits, lzw}. The writer side
+    for provable round trips, not a general archiver."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("encode_tiff expects (h, w[, 1|3]) uint8 pixels")
+    h, w, spp = px.shape
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
+    if comp_id is None:
+        raise ValueError(f"unsupported compression {compression!r}")
+    rps = rows_per_strip or max(1, min(h, 8192 // max(1, w * spp)))
+    data = px
+    if predictor:
+        d = px.astype(np.int64)
+        d[:, 1:, :] = d[:, 1:, :] - px[:, :-1, :].astype(np.int64)
+        data = (d & 0xFF).astype(np.uint8)
+    strips = []
+    for r0 in range(0, h, rps):
+        block = data[r0 : r0 + rps].tobytes()
+        if comp_id == 1:
+            strips.append(block)
+        elif comp_id == 32773:
+            strips.append(_packbits(block))
+        else:
+            strips.append(_lzw_encode(block))
+    # layout: header(8) + IFD + values + strips
+    entries = []  # (tag, type, count, packed_value_or_None, values)
+
+    def short(tag, v):
+        entries.append((tag, 3, 1, struct.pack("<HH", v, 0), None))
+
+    def long_(tag, v):
+        entries.append((tag, 4, 1, struct.pack("<I", v), None))
+
+    short(256, w)
+    short(257, h)
+    if spp == 3:
+        entries.append((258, 3, 3, None, [8, 8, 8]))
+    else:
+        short(258, 8)
+    short(259, comp_id)
+    short(262, 2 if spp == 3 else 1)  # RGB / MinIsBlack
+    entries.append((273, 4, len(strips), None, []))  # patched below
+    short(277, spp)
+    short(278, rps)
+    entries.append((279, 4, len(strips), None, [len(s) for s in strips]))
+    if predictor:
+        short(317, 2)
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_off = 8
+    values_off = ifd_off + 2 + 12 * n + 4
+    # first pass: lay out out-of-line values
+    blobs = []
+    value_offsets = {}
+    cur = values_off
+    for tag, typ, count, packed, vals in entries:
+        if packed is not None:
+            continue
+        size = _TYPE_SIZES[typ] * count
+        if size <= 4:
+            continue
+        value_offsets[tag] = cur
+        cur += size + (size % 2)
+    strips_off = cur
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(strips_off)
+        strips_off += len(s) + (len(s) % 2)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n)
+    for tag, typ, count, packed, vals in entries:
+        if tag == 273:
+            vals = strip_offsets
+        out += struct.pack("<HHI", tag, typ, count)
+        size = _TYPE_SIZES[typ] * count
+        if packed is not None:
+            out += packed
+        elif size <= 4:
+            fmt = "H" if typ == 3 else "I"
+            field = struct.pack(f"<{count}{fmt}", *vals)
+            out += field + b"\x00" * (4 - len(field))
+        else:
+            out += struct.pack("<I", value_offsets[tag])
+    out += struct.pack("<I", 0)  # no next IFD
+    for tag, typ, count, packed, vals in entries:
+        if tag == 273:
+            vals = strip_offsets
+        if packed is not None or _TYPE_SIZES[typ] * count <= 4:
+            continue
+        fmt = "H" if typ == 3 else "I"
+        blob = struct.pack(f"<{count}{fmt}", *vals)
+        out += blob + b"\x00" * (len(blob) % 2)
+    for s in strips:
+        out += s + b"\x00" * (len(s) % 2)
+    return bytes(out)
