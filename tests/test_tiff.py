@@ -179,3 +179,49 @@ def test_multipage_probe():
     info = probe_tiff(bytes(blob))
     assert info["n_pages"] == 2
     assert info["pages"][1]["width"] == 3
+
+
+def test_review_fixes():
+    """r08 review: the 129-byte-literal PackBits trap (header byte 128
+    is the spec no-op), planar-configuration named gate, and the
+    short-strip-table labeled error."""
+    # 127 non-repeating bytes then an isolated pair: the buggy encoder
+    # emitted a 129-byte literal that _unpackbits skips as a no-op
+    row = np.array([[i % 2 for i in range(127)] + [7, 7]], dtype=np.uint8)
+    f = encode_tiff(row, compression="packbits")
+    assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], row)
+    # fuzz the boundary region for good measure
+    rng = np.random.default_rng(11)
+    for w in (126, 127, 128, 129, 130, 255, 256, 257):
+        r = rng.integers(0, 2, (1, w), dtype=np.uint8) * 200
+        f = encode_tiff(r, compression="packbits")
+        assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], r), w
+    # planar configuration gates by name instead of "corrupt"
+    f = bytearray(encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8)))
+    # splice a PlanarConfiguration=2 entry by rewriting SamplesPerPixel's
+    # neighbor: simplest is to patch tag 284 in place of 278 is wrong —
+    # instead rebuild via the private writer path: decode the IFD, bump
+    # the entry count is complex; easier: craft a minimal BE fixture
+    def be_entry(tag, typ, count, value):
+        packed = struct.pack(">HH", value, 0) if typ == 3 else struct.pack(">I", value)
+        return struct.pack(">HHI", tag, typ, count) + packed
+
+    n = 9
+    data_off = 8 + 2 + 12 * n + 4
+    ifd = struct.pack(">H", n)
+    ifd += be_entry(256, 3, 1, 2) + be_entry(257, 3, 1, 1)
+    ifd += be_entry(258, 3, 1, 8) + be_entry(259, 3, 1, 1)
+    ifd += be_entry(262, 3, 1, 2) + be_entry(273, 4, 1, data_off)
+    ifd += be_entry(277, 3, 1, 3) + be_entry(279, 4, 1, 6)
+    ifd += be_entry(284, 3, 1, 2)  # planar
+    ifd += struct.pack(">I", 0)
+    planar = b"MM\x00*" + struct.pack(">I", 8) + ifd + b"\x00" * 6
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff_pixels(planar)
+    # strip table covering fewer rows than the image: labeled error
+    short = _be_tiff(4, 3, list(range(12)))
+    b = bytearray(short)
+    idx = bytes(b).find(struct.pack(">HHI", 257, 3, 1))
+    struct.pack_into(">H", b, idx + 8, 6)  # claim 6 rows, data holds 3
+    with pytest.raises(ValueError, match="fewer rows"):
+        decode_tiff_pixels(bytes(b))

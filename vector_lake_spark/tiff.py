@@ -164,6 +164,8 @@ def _packbits(data: bytes) -> bytes:
                 run += 1
             if run >= 3:
                 break
+            if i - lit_start + run > 128:  # a 129-byte literal would
+                break  # emit header byte 128 — the spec NO-OP (r08 review)
             i += run
         chunk = data[lit_start:i]
         out += bytes([len(chunk) - 1]) + chunk
@@ -305,6 +307,11 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt TIFF: predictor {predictor}")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF is a named gate (strips decode)")
+    if spp > 1 and tags.get(284, [1])[0] == 2:
+        raise NotImplementedError(
+            "planar-configuration TIFF (separate sample planes) is a "
+            "named gate (chunky strips decode)"
+        )
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -328,6 +335,10 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             raw += _unpackbits(strip, expected)
         else:
             raw += _lzw_decode(strip, expected)
+    if len(raw) != h * row_bytes:
+        raise ValueError(
+            "corrupt TIFF: strip table covers fewer rows than the image"
+        )
     px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
     if predictor == 2:  # horizontal differencing: per-row cumsum mod 256
         px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
@@ -337,8 +348,10 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
 
 
 def decode_tiff(payload: bytes) -> dict:
-    """Stats-shaped decode (the ``multimodal._decode_image`` contract)."""
-    px = decode_tiff_pixels(payload).astype(np.float64)
+    """Stats-shaped decode (the ``multimodal._decode_image`` contract).
+    Means come straight off the uint8 array (np.mean accumulates in
+    float64 anyway) — no full float64 copy of a scanned page."""
+    px = decode_tiff_pixels(payload)
     h, w = px.shape[:2]
     if px.shape[2] == 1:
         mr = mg = mb = float(px.mean())
