@@ -271,6 +271,13 @@ def test_encoder_input_validation():
         encode_flac(np.array([[40000]]), 8000, 16)
     with pytest.raises(ValueError, match="channels"):
         encode_flac(np.zeros((4, 9), dtype=np.int64), 8000, 16)
+    # STREAMINFO holds the rate in 20 bits — wider must raise, not wrap
+    with pytest.raises(ValueError, match="20-bit"):
+        encode_flac(np.zeros((4, 1), dtype=np.int64), 1 << 20, 16)
+    with pytest.raises(ValueError, match="20-bit"):
+        encode_flac(np.zeros((4, 1), dtype=np.int64), 0, 16)
+    f = encode_flac(np.zeros((4, 1), dtype=np.int64), (1 << 20) - 1, 16)
+    assert decode_flac(f)["sample_rate"] == (1 << 20) - 1
 
 
 def test_audio_dispatch_through_spark(spark):

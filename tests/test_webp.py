@@ -318,3 +318,16 @@ def test_animation_selective_decode_stops_early():
     assert (out[0][1] == frames[0]).all()
     with pytest.raises(ValueError):  # sanity: the corruption is real
         decode_webp_frames(bad)
+
+
+def test_animated_file_with_no_frames_raises_by_name():
+    """r08 advice fix: a VP8X payload flagged animated but holding zero
+    ANMF chunks must raise the module's named corrupt-input ValueError,
+    not leak an IndexError out of decode_webp's frames[0]."""
+    from vector_lake_spark.webp import decode_webp, decode_webp_frames
+
+    payload = _vp8x(8, 8, False, True)  # animated flag, no ANIM/ANMF
+    with pytest.raises(ValueError, match="no ANMF frames"):
+        decode_webp_frames(payload)
+    with pytest.raises(ValueError, match="no ANMF frames"):
+        decode_webp(payload)

@@ -472,6 +472,14 @@ def encode_flac(samples, sample_rate: int, bits_per_sample: int = 16) -> bytes:
         raise ValueError(
             f"samples exceed the signed {bits_per_sample}-bit range"
         )
+    # STREAMINFO stores the rate in 20 bits; the masking BitWriter would
+    # silently wrap anything wider and the stream would decode with a
+    # wrong rate (and wrong duration/RMS scale) instead of failing loudly
+    if not 1 <= sample_rate <= (1 << 20) - 1:
+        raise ValueError(
+            f"sample_rate {sample_rate} outside FLAC's 20-bit STREAMINFO "
+            f"range 1..{(1 << 20) - 1}"
+        )
     block = 4096
     # STREAMINFO (min=max=block per the fixed-blocksize convention; the
     # final short frame is the spec's explicit last-frame exception)

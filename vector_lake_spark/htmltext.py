@@ -11,9 +11,9 @@ recompute it:
 
 1. content of <script>/<style>/<noscript>/<template> is dropped
    entirely (nesting-aware);
-2. block-level tags (p, div, br, li, h1-h6, tr, table, blockquote,
-   pre, section, article, header, footer, title, ul, ol) contribute a
-   line break; all other tags contribute nothing;
+2. block-level tags (p, div, br, li, h1-h6, tr, table, td, th, hr,
+   blockquote, pre, section, article, header, footer, title, ul, ol)
+   contribute a line break; all other tags contribute nothing;
 3. HTML entities are unescaped (``html.parser`` charref conversion);
 4. each line's internal whitespace collapses to single spaces and is
    stripped; empty lines are dropped; lines join with "\\n".

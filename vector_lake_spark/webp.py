@@ -295,6 +295,11 @@ def decode_webp_frames(payload: bytes, frame_indices=None):
         elif fourcc == b"ANMF":
             anmf.append((s, e))
     n = len(anmf)
+    if n == 0:
+        # keeps the module's corrupt-input contract: _decode_image
+        # dispatch expects ValueError/NotImplementedError, never a bare
+        # IndexError from frames[0] downstream (r08 advice)
+        raise ValueError("corrupt WebP: animated file with no ANMF frames")
     want = set(range(n)) if frame_indices is None else set(frame_indices)
     for i in want:
         if not 0 <= i < n:
