@@ -374,7 +374,8 @@ def test_ngram_cap_neutralizes_universal_shingle(spark):
              (101, f"{common} alpha beta gamma delta zeta")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
 
-    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.3)
+    # r09: the cap defaults ON — None is the explicit exact-join knob
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.3, max_shingle_freq=None)
     capped = ngram_jaccard_pairs(df, n=3, threshold=0.3, max_shingle_freq=5)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     # the near-dup pair survives the cap (their overlap is not only the
@@ -2102,3 +2103,25 @@ def test_png_depth_and_interlace_variants():
     bits = rng.randint(0, 2, size=(9, 10, 1))
     out = decode_png(png(bits, 1, 0, interlace=1))
     assert out["mean_r"] == round(float(bits.mean()), 6)
+
+
+def test_ngram_cap_defaults_on(spark):
+    """r09: the document-frequency ceiling is the DEFAULT path — a
+    shingle present in more than DEFAULT_MAX_SHINGLE_FREQ documents
+    produces zero candidate pairs without any explicit knob."""
+    from vector_lake_spark.operators.dedup import (
+        DEFAULT_MAX_SHINGLE_FREQ,
+        ngram_jaccard_pairs,
+    )
+
+    n_docs = DEFAULT_MAX_SHINGLE_FREQ + 10
+    common = "shared boilerplate banner text"
+    docs = [(i, f"{common} unique{i} filler{i} words{i}") for i in range(n_docs)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # every pair overlaps ONLY via the universal shingles; with the
+    # default cap those are dropped, so no pair can reach any threshold
+    assert ngram_jaccard_pairs(df, n=3, threshold=0.01).count() == 0
+    # the explicit None knob restores the exact (quadratic) join
+    assert ngram_jaccard_pairs(
+        df, n=3, threshold=0.01, max_shingle_freq=None
+    ).count() > 0

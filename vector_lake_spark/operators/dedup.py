@@ -32,6 +32,18 @@ from vector_lake_spark.functions.vectors import cosine_similarity, to_double_arr
 
 SIMHASH_BITS = 60
 
+# Default document-frequency ceiling for shingle-join candidates: shingles
+# present in more documents than this are dropped before the self-join.
+# This is the standard crawl-dedup posture (C4/Gopher-style boilerplate
+# suppression): a shingle shared by >64 documents is boilerplate, not
+# near-duplication evidence, and at scale it is a quadratic hot key —
+# candidate pairs per shingle grow as df², so the ceiling bounds them at
+# 64² per shingle regardless of corpus size. Measured on the fixed-vocab
+# stress corpus (BASELINE.md "sf1 scaling"): the uncapped 3-gram join grew
+# candidates 102× for 10× docs; with this default the growth is bounded.
+# Pass ``max_shingle_freq=None`` for the exact uncapped join.
+DEFAULT_MAX_SHINGLE_FREQ = 64
+
 
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -87,7 +99,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     repartition_input: int | None = None,
     metric: str = "jaccard",
 ) -> DataFrame:
@@ -103,7 +115,11 @@ def ngram_jaccard_pairs(
     shuffles) → self-join on shingle hash → count per pair → Jaccard.
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs (stopword-shingle skew cap — at 100 TB a universal shingle would
-    otherwise produce a quadratic hot key).
+    otherwise produce a quadratic hot key). The cap is ON by default
+    (``DEFAULT_MAX_SHINGLE_FREQ``) — pass ``None`` for the exact
+    uncapped join; note the intersection AND the per-doc sizes are both
+    computed post-cap, so scores stay a consistent Jaccard over the
+    capped shingle sets.
 
     ``repartition_input`` spreads the shingle computation when the source
     has fewer partitions than cores (a single parquet file at test scale

@@ -32,6 +32,7 @@ from vector_lake_spark.functions.vectors import dot, norm, to_double_array
 from vector_lake_spark.operators import lsh as lsh_mod
 from vector_lake_spark.operators.ann import lsh_topk, multiprobe_shards
 from vector_lake_spark.operators.dedup import (
+    DEFAULT_MAX_SHINGLE_FREQ,
     embedding_neardup_pairs,
     exact_dedup_groups,
     minhash_neardup_pairs,
@@ -74,7 +75,12 @@ JACCARD_THRESHOLD = 0.5
 # Skew cap: shingles appearing in more docs than this are dropped before
 # the self-join — a universal (stopword) shingle is otherwise a quadratic
 # hot key at scale (SCALE.md, dedup family). Mirrored in the oracle.
-NGRAM_MAX_SHINGLE_FREQ = 1000
+# r09: dropped 1000 → the operator default (64). At the driver's sf0.01
+# the corpus-wide max 3-gram document frequency is 7 (sf0.1: 25), so the
+# tighter cap changes nothing the oracle hashes; on the mult10 stress
+# ladder it is what bounds the fixed-vocab candidate quadratic
+# (BASELINE.md "sf1 scaling").
+NGRAM_MAX_SHINGLE_FREQ = DEFAULT_MAX_SHINGLE_FREQ
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -8410,6 +8416,301 @@ FROM p
 """
 
 
+def q_mm_tiff_roundtrip(spark, sf):
+    """TIFF codec correctness at table scale (the `mm_webp_roundtrip`
+    stance applied to the r08 codec + the r09 tiled layout): per
+    document, build a doc-derived gradient pixel[y,x,c] = base + y + x
+    + c (all < 256 by construction → the total has a CLOSED FORM),
+    encode it as a real baseline TIFF sweeping the codec matrix —
+    doc_id%3 picks none/PackBits/LZW, doc_id%2 picks striped vs 16×16
+    TILED layout (w∈[20,42], h∈[18,34]: nearly every tiled doc has a
+    ragged edge exercising pad-then-crop, and the few exact-grid sizes
+    cover the unpadded cell), doc_id%5==0 goes gray(1ch) vs
+    RGB, n_chars%2 toggles the horizontal-differencing predictor
+    (which restarts per tile row on the tiled path) — probe it
+    (compression name, predictor tag, tile count come from the IFD
+    walk, no pixels read), decode it back, and emit dims + pixel sum.
+    The oracle recomputes everything arithmetically, so a green hash
+    proves encode → probe → decode invert exactly over every document
+    and every cell of the matrix. Matches reference coverage the way
+    the other mm_* entries do (the reference has no codecs; SURVEY §2.B
+    multimodal rows)."""
+    from vector_lake_spark.tiff import (
+        decode_tiff_pixels,
+        encode_tiff,
+        probe_tiff,
+    )
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 23 + 20).cast("int").alias("w"),
+        (F.col("n_chars") % 17 + 18).cast("int").alias("h"),
+        (F.col("doc_id") % 170).cast("int").alias("base"),
+        (F.col("doc_id") % 5 == 0).alias("gray"),
+        (F.col("doc_id") % 3).cast("int").alias("k"),
+        (F.col("doc_id") % 2 == 0).alias("tiled"),
+        (F.col("n_chars") % 2 == 0).alias("pred"),
+    )
+    comps = ["none", "packbits", "lzw"]
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                spp = 1 if r.gray else 3
+                y = np.arange(r.h)[:, None, None]
+                x = np.arange(r.w)[None, :, None]
+                c = np.arange(spp)[None, None, :]
+                px = (r.base + y + x + c).astype(np.uint8)
+                f = encode_tiff(
+                    px,
+                    compression=comps[r.k],
+                    predictor=bool(r.pred),
+                    tile_size=16 if r.tiled else None,
+                )
+                info = probe_tiff(f)["pages"][0]
+                dec = decode_tiff_pixels(f)
+                rows.append(
+                    (
+                        r.media_id,
+                        dec.shape[1],
+                        dec.shape[0],
+                        dec.shape[2],
+                        info["compression"],
+                        info["predictor"] == 2,
+                        info["n_tiles"],
+                        int(dec.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "compression", "predictor", "n_tiles", "pix_sum",
+                ],
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "compression string, predictor boolean, n_tiles int, "
+            "pix_sum long"
+        ),
+    )
+
+
+SQL_MM_TIFF_ROUNDTRIP = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 23) + 20 AS w,
+         (n_chars % 17) + 18 AS h,
+         doc_id % 170 AS base,
+         doc_id % 5 = 0 AS gray,
+         doc_id % 3 AS k,
+         doc_id % 2 = 0 AS tiled,
+         n_chars % 2 = 0 AS pred
+  FROM documents
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT) AS channels,
+       CASE k WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
+              ELSE 'lzw' END AS compression,
+       pred AS predictor,
+       CAST(CASE WHEN tiled
+                 THEN ((w + 15) // 16) * ((h + 15) // 16)
+                 ELSE 0 END AS INT) AS n_tiles,
+       CAST(CASE WHEN gray THEN 1 ELSE 3 END
+            * (w * h * base
+               + w * (h * (h - 1) // 2)
+               + h * (w * (w - 1) // 2))
+            + CASE WHEN gray THEN 0 ELSE 3 * w * h END
+            AS BIGINT) AS pix_sum
+FROM p
+"""
+
+
+# A boilerplate page body served identically from many hosts — the thing
+# crawl dedup exists to collapse. No SQL-escaping hazards (no quotes/&).
+CRAWL_MIRROR_TEXT = (
+    "this mirror of the landing page is served the same from every host "
+    "and the pipeline keeps only one copy of it for the training corpus "
+    "because repeated boilerplate would bias the model toward navigation "
+    "chrome instead of prose"
+)
+
+
+def q_pipe_crawl_e2e(spark, sf):
+    """The composed crawl front door as ONE plan (VERDICT r08 #4): WARC
+    records → HTTP-status gate → HTML boilerplate removal → language ID
+    → quality floor → exact dedup. Per document, a REAL member-gzipped
+    WARC is written (response + warcinfo records; doc_id%3 picks status
+    200/301/404) whose response body is an HTML page — doc_id%7==0 docs
+    all serve the same 'Mirror' boilerplate page (the dedup target),
+    the rest wrap their own text. The pipeline then runs the real
+    operators in sequence: `extract_warc_records` (gzip-member walk +
+    record grammar), keep only 200-status responses, `html_extract`
+    (skip-subtree, entities, block breaks), `lang_id` + the pinned
+    logistic quality score as pure column expressions, floor at
+    QUALITY_KEEP_THRESHOLD, then keep the min-id row per content
+    fingerprint with its duplicate count. The oracle recomputes every
+    stage arithmetically from the documents table, so a green hash
+    certifies the five operators COMPOSE correctly — same pins as their
+    standalone entries, no materialization barrier between stages."""
+    from vector_lake_spark.functions.text import fingerprint64, lang_id
+    from vector_lake_spark.htmltext import html_extract
+    from vector_lake_spark.sources.warc import encode_warc, extract_warc_records
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text"),
+        (F.col("doc_id") % 3).cast("int").alias("k"),
+        (F.col("doc_id") % 7 == 0).alias("dup"),
+    )
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    statuses = [200, 301, 404]
+
+    def mux(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                title = "Mirror" if r.dup else f"Doc {r.media_id}"
+                body = CRAWL_MIRROR_TEXT if r.dup else r.text
+                page = (
+                    f"<html><head><title>{title}</title>"
+                    f"<style>nav {{ display: none }}</style></head>"
+                    f"<body><script>track({r.media_id});</script>"
+                    f"<h1>{title}</h1><p>{body}</p>"
+                    f"<noscript>enable javascript</noscript></body></html>"
+                )
+                url = (
+                    "http://mirror.example/landing"
+                    if r.dup
+                    else f"http://example.com/page/{r.media_id}"
+                )
+                blob = encode_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "url": url,
+                            "http_status": statuses[r.k],
+                            "http_headers": {
+                                "content-type": "text/html; charset=utf-8"
+                            },
+                            "body": page,
+                            "mime": "application/http; msgtype=response",
+                        },
+                        {
+                            "warc_type": "warcinfo",
+                            "mime": "application/warc-fields",
+                            "body": "software: crawler-e2e",
+                        },
+                    ]
+                )
+                rows.append((r.media_id, blob))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    blobs = params.mapInPandas(mux, schema="media_id long, payload binary")
+    resp = extract_warc_records(blobs).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+
+    def clean(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, body in zip(pdf["media_id"], pdf["body"]):
+                text, title = html_extract(body)
+                flat = text.replace("\n", " ")
+                rows.append((mid, title, flat, len(flat)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "title", "flat", "n_clean"]
+            )
+
+    cleaned = resp.select("media_id", "body").mapInPandas(
+        clean, schema="media_id long, title string, flat string, n_clean long"
+    )
+    scored = cleaned.select(
+        "media_id",
+        "title",
+        "flat",
+        "n_clean",
+        lang_id(F.col("flat")).alias("lang"),
+        quality_prob_expr(F.col("flat")).alias("quality"),
+    ).filter(F.col("quality") >= QUALITY_KEEP_THRESHOLD)
+    wfp = Window.partitionBy("fp")
+    return (
+        scored.withColumn("fp", fingerprint64(F.col("flat")))
+        .withColumn("keep_id", F.min("media_id").over(wfp))
+        .withColumn("dup_cnt", F.count(F.lit(1)).over(wfp))
+        .filter(F.col("media_id") == F.col("keep_id"))
+        .select(
+            "media_id", "title", "lang", "quality",
+            F.col("n_clean").cast("long").alias("n_clean"),
+            F.col("dup_cnt").cast("long").alias("dup_cnt"),
+        )
+    )
+
+
+def _sql_pipe_crawl_e2e() -> str:
+    scores = O.sql_lang_scores("flat")
+    cols = [(lang, f"s_{lang}") for lang, _ in scores]
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores)
+    return f"""
+WITH resp AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'Mirror'
+              ELSE 'Doc ' || doc_id END AS title,
+         CASE WHEN doc_id % 7 = 0 THEN '{CRAWL_MIRROR_TEXT}'
+              ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS body
+  FROM documents
+  WHERE doc_id % 3 = 0
+),
+f AS (
+  SELECT media_id, title, title || ' ' || title || ' ' || body AS flat
+  FROM resp
+),
+s AS (SELECT media_id, title, flat, {inner} FROM f),
+q AS (
+  SELECT media_id, title, flat,
+         {O.sql_lang_id(cols)} AS lang,
+         {sql_quality_prob('flat')} AS quality
+  FROM s
+),
+dd AS (
+  SELECT media_id, title, lang, quality,
+         CAST(length(flat) AS BIGINT) AS n_clean,
+         {O.sql_fingerprint64('flat')} AS fp
+  FROM q WHERE quality >= {QUALITY_KEEP_THRESHOLD}
+)
+SELECT media_id, title, lang, quality, n_clean,
+       CAST(dup_cnt AS BIGINT) AS dup_cnt
+FROM (
+  SELECT *, min(media_id) OVER (PARTITION BY fp) AS keep_id,
+         count(*) OVER (PARTITION BY fp) AS dup_cnt
+  FROM dd
+) WHERE media_id = keep_id
+"""
+
+
+SQL_PIPE_CRAWL_E2E = _sql_pipe_crawl_e2e()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8447,6 +8748,8 @@ _BASE_QUERIES = {
     "mm_wav_depths": q_mm_wav_depths,
     "mm_webp_anim": q_mm_webp_anim,
     "mm_flac_roundtrip": q_mm_flac_roundtrip,
+    "mm_tiff_roundtrip": q_mm_tiff_roundtrip,
+    "pipe_crawl_e2e": q_pipe_crawl_e2e,
     "pipe_warc_extract": q_pipe_warc_extract,
     "text_html_extract": q_text_html_extract,
     "vec_neardup_pairs": q_vec_neardup_pairs,
@@ -8649,15 +8952,21 @@ _LAST_DRIVER_ROUND = _last_driver_rounds()
 # _FRONTLOAD pins names to the very front of the window, AHEAD of
 # never-checked entries — used when the implementation neighborhood of an
 # already-checked entry was rewritten and the evidence must be refreshed
-# this round regardless of age. r08 pins the three entries whose probe /
-# frame-sampling neighborhoods were rewritten this round (gif.py/mp4.py
-# truncation+missing-box hardening; extract_video_frames' fps now derives
-# from the track timescale + raw stts ticks) even though all three were
-# green in r07. See docs/ROTATION.md for the policy.
+# this round regardless of age. r09 pins the six entries over the shingle
+# join whose default df-cap changed (NGRAM_MAX_SHINGLE_FREQ 1000 → the
+# operator default 64 — a no-op at sf0.01 where max df is 7, but the
+# evidence must re-attach to the new code), plus the two codec entries
+# whose modules took r08-advice hardening (flac.py rate validation,
+# webp.py empty-ANMF guard). See docs/ROTATION.md for the policy.
 _FRONTLOAD: tuple[str, ...] = (
-    "mm_media_probe",
-    "mm_gif_roundtrip",
-    "mm_frame_sample",
+    "dedup_ngram_jaccard",
+    "dedup_jaccard_deep",
+    "dedup_containment",
+    "dedup_clusters",
+    "pipe_contamination",
+    "pipe_dedup_report",
+    "mm_flac_roundtrip",
+    "mm_webp_anim",
 )
 
 QUERIES = dict(
@@ -8695,6 +9004,8 @@ ORACLES = {
     "mm_wav_depths": SQL_MM_WAV_DEPTHS,
     "mm_webp_anim": SQL_MM_WEBP_ANIM,
     "mm_flac_roundtrip": SQL_MM_FLAC_ROUNDTRIP,
+    "mm_tiff_roundtrip": SQL_MM_TIFF_ROUNDTRIP,
+    "pipe_crawl_e2e": SQL_PIPE_CRAWL_E2E,
     "pipe_warc_extract": SQL_PIPE_WARC_EXTRACT,
     "text_html_extract": SQL_TEXT_HTML_EXTRACT,
     "vec_neardup_pairs": SQL_VEC_NEARDUP_PAIRS,
