@@ -225,3 +225,72 @@ def test_review_fixes():
     struct.pack_into(">H", b, idx + 8, 6)  # claim 6 rows, data holds 3
     with pytest.raises(ValueError, match="fewer rows"):
         decode_tiff_pixels(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# Tiled layout (r09 — the §15 gate the verdict flagged as the one format
+# variant real crawl corpora hit early)
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_round_trip_sweep():
+    rng = np.random.default_rng(21)
+    cases = [
+        # exact multiple of the tile grid
+        (rng.integers(0, 256, (32, 48), dtype=np.uint8), "none", False, 16),
+        # ragged edges on both axes: padding must decode then crop
+        (rng.integers(0, 256, (33, 49, 3), dtype=np.uint8), "lzw", False, 16),
+        (rng.integers(0, 256, (20, 20), dtype=np.uint8), "packbits", False, 32),
+        # predictor restarts per tile row, not per image row
+        ((np.arange(45 * 70 * 3) % 253).astype(np.uint8).reshape(45, 70, 3),
+         "lzw", True, 16),
+        (rng.integers(0, 256, (100, 90, 3), dtype=np.uint8), "packbits",
+         True, (32, 16)),
+        # single padded tile larger than the whole image
+        (rng.integers(0, 256, (5, 7), dtype=np.uint8), "lzw", True, 16),
+    ]
+    for px, comp, pred, ts in cases:
+        f = encode_tiff(px, compression=comp, predictor=pred, tile_size=ts)
+        got = decode_tiff_pixels(f)
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(got, want), (comp, pred, ts)
+
+
+def test_tiled_probe_and_layout():
+    img = (np.arange(33 * 49) % 251).astype(np.uint8).reshape(33, 49)
+    f = encode_tiff(img, compression="lzw", tile_size=16)
+    info = probe_tiff(f)["pages"][0]
+    assert (info["tile_width"], info["tile_length"]) == (16, 16)
+    assert info["n_tiles"] == 3 * 4  # ceil(33/16) x ceil(49/16)
+    assert info["n_strips"] == 0 and info["rows_per_strip"] is None
+    # striped files report no tiles
+    s = probe_tiff(encode_tiff(img))["pages"][0]
+    assert s["n_tiles"] == 0 and s["tile_width"] is None
+
+
+def test_tiled_predictor_restarts_per_tile():
+    """A horizontal gradient differenced per IMAGE row would produce
+    all-1s after the first pixel; per TILE row each tile's first column
+    must re-anchor. A decoder that cumsums across tile boundaries gets
+    every tile after the first wrong."""
+    img = np.tile(np.arange(64, dtype=np.uint8), (16, 1))  # 16x64 gradient
+    f = encode_tiff(img, compression="none", predictor=True, tile_size=16)
+    assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], img)
+
+
+def test_tiled_validation():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tile_size=8)
+    f = bytearray(encode_tiff(img, tile_size=16))
+    # tile grid arity mismatch is corrupt, not a crash: claim 64px width
+    idx = bytes(f).find(struct.pack("<HHI", 256, 3, 1))
+    struct.pack_into("<H", f, idx + 8, 64)
+    with pytest.raises(ValueError, match="tiles for a"):
+        decode_tiff_pixels(bytes(f))
+    # tile offset out of range
+    g = bytearray(encode_tiff(img, tile_size=16))
+    idx = bytes(g).find(struct.pack("<HHI", 324, 4, 1))
+    struct.pack_into("<I", g, idx + 8, len(g) + 999)
+    with pytest.raises(ValueError, match="tag 324|tile"):
+        decode_tiff_pixels(bytes(g))

@@ -11,13 +11,18 @@ covers the baseline subset real scanners emit:
   the spec's appendix), 5 (LZW — MSB-first variable-width codes with
   the spec's EARLY-CHANGE width bump, the detail that distinguishes
   TIFF-LZW from GIF's LSB-first late-change variant).
-- Predictor 2 (horizontal differencing) undone after decompression.
-- 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, strip layout.
+- Predictor 2 (horizontal differencing) undone after decompression
+  (per image row for strips, per tile row for tiles — tiles compress
+  independently).
+- 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, strip OR tile
+  layout (§15: fixed-size tiles, multiples of 16, left-to-right
+  top-to-bottom, padded edge tiles cropped on decode — r09).
 
-Named gates: tiles, 16-bit, palette TIFF, JPEG-in-TIFF, CCITT fax.
-The matching writer (`encode_tiff`, all three compressions) exists for
-provable round trips; `tests/test_tiff.py` also pins the decoder
-against hand-assembled spec fixtures the writer never emits.
+Named gates: 16-bit, palette TIFF, JPEG-in-TIFF, CCITT fax, planar
+configuration. The matching writer (`encode_tiff`, all three
+compressions, striped or tiled) exists for provable round trips;
+`tests/test_tiff.py` also pins the decoder against hand-assembled spec
+fixtures the writer never emits.
 """
 
 from __future__ import annotations
@@ -93,7 +98,7 @@ _COMPRESSION_NAMES = {
 
 def probe_tiff(payload: bytes) -> dict:
     """IFD metadata only: per-page dims, bits/sample, compression name,
-    photometric, strip layout. No pixel data is read."""
+    photometric, strip/tile layout. No pixel data is read."""
     pages = []
     for tags, _lt in _walk_ifds(payload):
         comp = tags.get(259, [1])[0]
@@ -107,6 +112,9 @@ def probe_tiff(payload: bytes) -> dict:
                 "photometric": tags.get(262, [None])[0],
                 "n_strips": len(tags.get(273, [])),
                 "rows_per_strip": tags.get(278, [None])[0],
+                "n_tiles": len(tags.get(324, [])),
+                "tile_width": tags.get(322, [None])[0],
+                "tile_length": tags.get(323, [None])[0],
                 "predictor": tags.get(317, [1])[0],
             }
         )
@@ -279,8 +287,29 @@ def _lzw_encode(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _decode_block(block: bytes, comp: int, expected: int, kind: str) -> bytes:
+    """One strip/tile through the page's codec to exactly ``expected``
+    bytes (``kind`` labels errors as strip vs tile)."""
+    if comp == 1:
+        if len(block) < expected:
+            raise ValueError(f"corrupt TIFF: short uncompressed {kind}")
+        return block[:expected]
+    if comp == 32773:
+        try:
+            return _unpackbits(block, expected)
+        except ValueError as e:
+            raise ValueError(str(e).replace("strip", kind)) from None
+    try:
+        return _lzw_decode(block, expected)
+    except ValueError as e:
+        raise ValueError(str(e).replace("strip", kind)) from None
+
+
 def decode_tiff_pixels(payload: bytes) -> np.ndarray:
-    """First page to an (h, w, ch) uint8 array (ch 1 or 3)."""
+    """First page to an (h, w, ch) uint8 array (ch 1 or 3); striped or
+    tiled layout (TIFF 6.0 §15: fixed-size tiles left-to-right
+    top-to-bottom, right/bottom edge tiles padded to full size — the
+    padding decodes and is cropped)."""
     tags, lt = next(iter(_walk_ifds(payload)))
     w = tags.get(256, [0])[0]
     h = tags.get(257, [0])[0]
@@ -305,13 +334,24 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
     if predictor not in (1, 2):
         raise ValueError(f"corrupt TIFF: predictor {predictor}")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF is a named gate (strips decode)")
     if spp > 1 and tags.get(284, [1])[0] == 2:
         raise NotImplementedError(
             "planar-configuration TIFF (separate sample planes) is a "
-            "named gate (chunky strips decode)"
+            "named gate (chunky strips/tiles decode)"
         )
+    if 322 in tags or 323 in tags or 324 in tags:
+        px = _decode_tiled(payload, tags, w, h, spp, comp, predictor)
+    else:
+        px = _decode_striped(payload, tags, w, h, spp, comp, predictor)
+    if photo == 0:  # MinIsWhite: invert
+        px = 255 - px
+    return px
+
+
+def _decode_striped(
+    payload: bytes, tags: dict, w: int, h: int, spp: int, comp: int,
+    predictor: int,
+) -> np.ndarray:
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -323,27 +363,57 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
         rows = min(rps, h - i * rps)
         if rows <= 0:
             raise ValueError("corrupt TIFF: more strips than rows")
-        expected = rows * row_bytes
         strip = payload[off : off + cnt]
         if len(strip) < cnt:
             raise ValueError("corrupt TIFF: strip data out of range")
-        if comp == 1:
-            if len(strip) < expected:
-                raise ValueError("corrupt TIFF: short uncompressed strip")
-            raw += strip[:expected]
-        elif comp == 32773:
-            raw += _unpackbits(strip, expected)
-        else:
-            raw += _lzw_decode(strip, expected)
+        raw += _decode_block(strip, comp, rows * row_bytes, "strip")
     if len(raw) != h * row_bytes:
         raise ValueError(
             "corrupt TIFF: strip table covers fewer rows than the image"
         )
     px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing: per-row cumsum mod 256
+    if predictor == 2:
+        # horizontal differencing restarts at every row; strips hold
+        # whole rows, so one image-level per-row cumsum undoes it
         px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
-    if photo == 0:  # MinIsWhite: invert
-        px = 255 - px
+    return px
+
+
+def _decode_tiled(
+    payload: bytes, tags: dict, w: int, h: int, spp: int, comp: int,
+    predictor: int,
+) -> np.ndarray:
+    tw = tags.get(322, [0])[0]
+    th = tags.get(323, [0])[0]
+    if not tw or not th:
+        raise ValueError("corrupt TIFF: missing tile dimensions")
+    offsets = tags.get(324)
+    counts = tags.get(325)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("corrupt TIFF: missing/mismatched tile tables")
+    across = -(-w // tw)
+    down = -(-h // th)
+    if len(offsets) != across * down:
+        raise ValueError(
+            f"corrupt TIFF: {len(offsets)} tiles for a {across}x{down} grid"
+        )
+    px = np.empty((h, w, spp), dtype=np.uint8)
+    expected = th * tw * spp  # every tile is full-size; edges are padded
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        block = payload[off : off + cnt]
+        if len(block) < cnt:
+            raise ValueError("corrupt TIFF: tile data out of range")
+        raw = _decode_block(block, comp, expected, "tile")
+        tile = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, spp)
+        if predictor == 2:
+            # differencing restarts at every TILE row (tiles compress
+            # independently), so the cumsum runs per tile, pre-crop
+            tile = np.cumsum(tile.astype(np.int64), axis=1).astype(np.uint8)
+        y0 = (i // across) * th
+        x0 = (i % across) * tw
+        px[y0 : y0 + th, x0 : x0 + tw] = tile[
+            : min(th, h - y0), : min(tw, w - x0)
+        ]
     return px
 
 
@@ -366,15 +436,26 @@ def decode_tiff(payload: bytes) -> dict:
     }
 
 
+def _diff_rows(px: np.ndarray) -> np.ndarray:
+    """Predictor-2 forward pass: per-row horizontal differencing."""
+    d = px.astype(np.int64)
+    d[:, 1:, :] = d[:, 1:, :] - px[:, :-1, :].astype(np.int64)
+    return (d & 0xFF).astype(np.uint8)
+
+
 def encode_tiff(
     pixels: np.ndarray,
     compression: str = "lzw",
     predictor: bool = False,
     rows_per_strip: int | None = None,
+    tile_size: int | tuple[int, int] | None = None,
 ) -> bytes:
-    """Little-endian striped baseline TIFF from (h, w) or (h, w, 1|3)
-    uint8 pixels; compression in {none, packbits, lzw}. The writer side
-    for provable round trips, not a general archiver."""
+    """Little-endian baseline TIFF from (h, w) or (h, w, 1|3) uint8
+    pixels; compression in {none, packbits, lzw}. ``tile_size`` switches
+    to the §15 tiled layout ((tw, th) or one square edge, both multiples
+    of 16 per spec; edge tiles zero-padded to full size) — otherwise
+    strips. The writer side for provable round trips, not a general
+    archiver."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -384,21 +465,42 @@ def encode_tiff(
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
-    rps = rows_per_strip or max(1, min(h, 8192 // max(1, w * spp)))
-    data = px
-    if predictor:
-        d = px.astype(np.int64)
-        d[:, 1:, :] = d[:, 1:, :] - px[:, :-1, :].astype(np.int64)
-        data = (d & 0xFF).astype(np.uint8)
-    strips = []
-    for r0 in range(0, h, rps):
-        block = data[r0 : r0 + rps].tobytes()
+
+    def pack_block(block: bytes) -> bytes:
         if comp_id == 1:
-            strips.append(block)
-        elif comp_id == 32773:
-            strips.append(_packbits(block))
-        else:
-            strips.append(_lzw_encode(block))
+            return block
+        if comp_id == 32773:
+            return _packbits(block)
+        return _lzw_encode(block)
+
+    tiled = tile_size is not None
+    if tiled:
+        tw, th = (
+            (tile_size, tile_size) if isinstance(tile_size, int) else tile_size
+        )
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        across = -(-w // tw)
+        down = -(-h // th)
+        padded = np.zeros((down * th, across * tw, spp), dtype=np.uint8)
+        padded[:h, :w] = px
+        strips = []
+        for ty in range(down):
+            for tx in range(across):
+                tile = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                if predictor:
+                    # differencing restarts per tile: each tile
+                    # compresses (and decodes) independently
+                    tile = _diff_rows(tile)
+                strips.append(pack_block(tile.tobytes()))
+        rps = None
+    else:
+        rps = rows_per_strip or max(1, min(h, 8192 // max(1, w * spp)))
+        data = _diff_rows(px) if predictor else px
+        strips = [
+            pack_block(data[r0 : r0 + rps].tobytes())
+            for r0 in range(0, h, rps)
+        ]
     # layout: header(8) + IFD + values + strips
     entries = []  # (tag, type, count, packed_value_or_None, values)
 
@@ -408,6 +510,7 @@ def encode_tiff(
     def long_(tag, v):
         entries.append((tag, 4, 1, struct.pack("<I", v), None))
 
+    offsets_tag = 324 if tiled else 273
     short(256, w)
     short(257, h)
     if spp == 3:
@@ -416,10 +519,15 @@ def encode_tiff(
         short(258, 8)
     short(259, comp_id)
     short(262, 2 if spp == 3 else 1)  # RGB / MinIsBlack
-    entries.append((273, 4, len(strips), None, []))  # patched below
+    entries.append((offsets_tag, 4, len(strips), None, []))  # patched below
     short(277, spp)
-    short(278, rps)
-    entries.append((279, 4, len(strips), None, [len(s) for s in strips]))
+    if tiled:
+        short(322, tw)
+        short(323, th)
+        entries.append((325, 4, len(strips), None, [len(s) for s in strips]))
+    else:
+        short(278, rps)
+        entries.append((279, 4, len(strips), None, [len(s) for s in strips]))
     if predictor:
         short(317, 2)
     entries.sort(key=lambda e: e[0])
@@ -446,7 +554,7 @@ def encode_tiff(
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
     out += struct.pack("<H", n)
     for tag, typ, count, packed, vals in entries:
-        if tag == 273:
+        if tag == offsets_tag:
             vals = strip_offsets
         out += struct.pack("<HHI", tag, typ, count)
         size = _TYPE_SIZES[typ] * count
@@ -460,7 +568,7 @@ def encode_tiff(
             out += struct.pack("<I", value_offsets[tag])
     out += struct.pack("<I", 0)  # no next IFD
     for tag, typ, count, packed, vals in entries:
-        if tag == 273:
+        if tag == offsets_tag:
             vals = strip_offsets
         if packed is not None or _TYPE_SIZES[typ] * count <= 4:
             continue
