@@ -133,6 +133,9 @@ HEADLINE = [
     "mm_flac_roundtrip",
     "pipe_warc_extract",
     "text_html_extract",
+    # r09: tiled/striped TIFF codec matrix, composed crawl front door
+    "mm_tiff_roundtrip",
+    "pipe_crawl_e2e",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

@@ -802,3 +802,34 @@ def test_heavy_hitters_fans_out_aggregates_not_events(spark):
     # aggregate must appear BETWEEN the first Generate and the scan)
     g = tree.index("Generate")
     assert "HashAggregate" in tree[g : tree.index("Scan parquet", g)]
+
+
+def test_crawl_e2e_one_exchange_after_extraction(spark):
+    """pipe_crawl_e2e composes WARC mux → record explode → HTML clean →
+    langid + quality scoring → fingerprint dedup in ONE plan: after the
+    three Arrow stages, the ONLY exchange is the fingerprint window's
+    hash partitioning (the scoring expressions must stay codegen on the
+    same pass as the clean text, and the HTML never shuffles past it)."""
+    import re
+
+    df = Q.q_pipe_crawl_e2e(spark, SF)
+    plan = plan_string(df)
+    # mux + WARC record explode + HTML clean are the three (and only
+    # three) Python sites — langid/quality/fingerprint must all stay
+    # codegen (formatted mode repeats each node in the detail section,
+    # so count distinct node headers)
+    nodes = set(re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", plan))
+    assert len(nodes) == 3, plan
+    # exchanges: the local-source spread plus exactly ONE hash exchange
+    # (window on fp); nothing else may shuffle
+    simple = plan_string(df, "simple")
+    hash_ex = [
+        s.split("\n")[0]
+        for s in simple.split("Exchange ")[1:]
+        if s.startswith("hashpartitioning")
+    ]
+    assert len(hash_ex) == 1, simple
+    assert "fp" in hash_ex[0]
+    # the page HTML (body) must not ride the fp shuffle — only the
+    # cleaned flat text and its scalar features do
+    assert "body" not in hash_ex[0]
