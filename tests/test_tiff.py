@@ -294,3 +294,83 @@ def test_tiled_validation():
     struct.pack_into("<I", g, idx + 8, len(g) + 999)
     with pytest.raises(ValueError, match="tag 324|tile"):
         decode_tiff_pixels(bytes(g))
+
+
+# ---------------------------------------------------------------------------
+# 16-bit and palette pages (r09 — the depth gates scanned archives hit)
+# ---------------------------------------------------------------------------
+
+
+def test_16bit_round_trip_sweep():
+    rng = np.random.default_rng(33)
+    cases = [
+        (rng.integers(0, 1 << 16, (9, 13), dtype=np.uint16), "none", False, None),
+        (rng.integers(0, 1 << 16, (21, 17, 3), dtype=np.uint16), "lzw", False, None),
+        # predictor differencing must wrap mod 65536, not 256
+        ((np.arange(40 * 30 * 3, dtype=np.uint16) * 523 % 65521)
+         .reshape(40, 30, 3), "lzw", True, None),
+        (rng.integers(0, 1 << 16, (33, 20), dtype=np.uint16), "packbits",
+         True, 16),  # tiled 16-bit, ragged edge
+    ]
+    for px, comp, pred, ts in cases:
+        f = encode_tiff(px, compression=comp, predictor=pred, tile_size=ts)
+        got = decode_tiff_pixels(f)
+        assert got.dtype == np.uint16
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(got, want), (comp, pred, ts)
+    info = probe_tiff(encode_tiff(cases[1][0]))["pages"][0]
+    assert info["bits_per_sample"] == [16, 16, 16]
+
+
+def test_16bit_big_endian_fixture():
+    """Hand-assembled BE 16-bit gray 2x1: samples must read MSB-first."""
+    def be_entry(tag, typ, count, value):
+        packed = struct.pack(">HH", value, 0) if typ == 3 else struct.pack(">I", value)
+        return struct.pack(">HHI", tag, typ, count) + packed
+
+    n = 8
+    data_off = 8 + 2 + 12 * n + 4
+    ifd = struct.pack(">H", n)
+    ifd += be_entry(256, 3, 1, 2) + be_entry(257, 3, 1, 1)
+    ifd += be_entry(258, 3, 1, 16) + be_entry(259, 3, 1, 1)
+    ifd += be_entry(262, 3, 1, 1) + be_entry(273, 4, 1, data_off)
+    ifd += be_entry(277, 3, 1, 1) + be_entry(279, 4, 1, 4)
+    ifd += struct.pack(">I", 0)
+    samples = struct.pack(">HH", 0x1234, 0xFFFE)
+    blob = b"MM\x00*" + struct.pack(">I", 8) + ifd + samples
+    got = decode_tiff_pixels(blob)
+    assert got.dtype == np.uint16
+    assert got[0, 0, 0] == 0x1234 and got[0, 1, 0] == 0xFFFE
+
+
+def test_palette_round_trip():
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 7, (19, 23), dtype=np.uint8)
+    cmap = (np.stack([np.arange(7) * 257, (6 - np.arange(7)) * 400,
+                      np.arange(7) * 13], axis=1).astype(np.uint16))
+    for comp in ("none", "packbits", "lzw"):
+        for ts in (None, 16):
+            f = encode_tiff(idx, compression=comp, tile_size=ts, colormap=cmap)
+            info = probe_tiff(f)["pages"][0]
+            assert info["photometric"] == 3
+            got = decode_tiff_pixels(f)
+            assert got.dtype == np.uint16 and got.shape == (19, 23, 3)
+            assert np.array_equal(got, cmap[idx])
+    # predictor applies to the INDEX plane (spec) and must invert
+    f = encode_tiff(idx, compression="lzw", predictor=True, colormap=cmap)
+    assert np.array_equal(decode_tiff_pixels(f), cmap[idx])
+
+
+def test_palette_validation():
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    cmap = np.zeros((4, 3), dtype=np.uint16)
+    with pytest.raises(ValueError, match="index exceeds"):
+        encode_tiff(idx + 9, colormap=cmap)
+    with pytest.raises(ValueError, match="uint8 indices"):
+        encode_tiff(np.zeros((4, 4), dtype=np.uint16), colormap=cmap)
+    # palette page missing its ColorMap is corrupt, not a crash
+    f = bytearray(encode_tiff(idx, colormap=cmap))
+    i = bytes(f).find(struct.pack("<HHI", 320, 3, 768))
+    struct.pack_into("<H", f, i, 3200)  # rename the ColorMap tag away
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff_pixels(bytes(f))

@@ -124,6 +124,13 @@ def lsh_neardup_pairs(
     default registry config trades a smaller split for ~94% recall.
     ``n_bands=0`` disables banding (exact within-shard semantics).
 
+    Measured cliff (r09, SCALE.md "Semantic dedup mult100 rung"): on a
+    200k-row corpus that is DENSE at the threshold (17 clusters total),
+    band_bits=2 leaves only 4 keys per band and the bucket cliques go
+    quadratic — 2037.6 s end-to-end vs 216.1 s at band_bits=6 on the
+    same corpus. Size ``2^band_bits`` to at least the expected bucket
+    density (≥6 for low thresholds at scale).
+
     ``carry_vectors`` picks the shuffle strategy for the exact kernel
     (r04, from the 200k-row stress — SCALE.md "Near-dup at 200k rows"):
 

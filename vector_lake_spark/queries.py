@@ -8418,22 +8418,23 @@ FROM p
 
 def q_mm_tiff_roundtrip(spark, sf):
     """TIFF codec correctness at table scale (the `mm_webp_roundtrip`
-    stance applied to the r08 codec + the r09 tiled layout): per
-    document, build a doc-derived gradient pixel[y,x,c] = base + y + x
-    + c (all < 256 by construction → the total has a CLOSED FORM),
-    encode it as a real baseline TIFF sweeping the codec matrix —
-    doc_id%3 picks none/PackBits/LZW, doc_id%2 picks striped vs 16×16
-    TILED layout (w∈[20,42], h∈[18,34]: nearly every tiled doc has a
-    ragged edge exercising pad-then-crop, and the few exact-grid sizes
-    cover the unpadded cell), doc_id%5==0 goes gray(1ch) vs
-    RGB, n_chars%2 toggles the horizontal-differencing predictor
-    (which restarts per tile row on the tiled path) — probe it
-    (compression name, predictor tag, tile count come from the IFD
-    walk, no pixels read), decode it back, and emit dims + pixel sum.
-    The oracle recomputes everything arithmetically, so a green hash
-    proves encode → probe → decode invert exactly over every document
-    and every cell of the matrix. Matches reference coverage the way
-    the other mm_* entries do (the reference has no codecs; SURVEY §2.B
+    stance applied to the codec + the r09 tiled/16-bit/palette
+    surface): per document, build a doc-derived gradient whose total
+    has a CLOSED FORM, encode it as a real TIFF sweeping the codec
+    matrix — doc_id%3 picks none/PackBits/LZW, doc_id%2 picks striped
+    vs 16×16 TILED layout (w∈[20,42], h∈[18,34]: nearly every tiled doc
+    has a ragged edge exercising pad-then-crop), n_chars%2 toggles the
+    horizontal-differencing predictor (restarting per tile row on the
+    tiled path; mod-65536 on the 16-bit paths), and doc_id%5 picks the
+    pixel mode: gray8 / RGB8 / gray16 / RGB16 / PALETTE (8-bit indices
+    through a doc-derived 16-bit ColorMap whose channels are LINEAR in
+    the index, so the looked-up sum stays closed-form) — probe it
+    (compression name, predictor tag, tile count, bits/sample,
+    photometric come from the IFD walk, no pixels read), decode it
+    back, and emit dims + channel count + pixel sum. The oracle
+    recomputes everything arithmetically, so a green hash proves
+    encode → probe → decode invert exactly over every document and
+    every cell of the matrix (the reference has no codecs; SURVEY §2.B
     multimodal rows)."""
     from vector_lake_spark.tiff import (
         decode_tiff_pixels,
@@ -8447,7 +8448,7 @@ def q_mm_tiff_roundtrip(spark, sf):
         (F.col("doc_id") % 23 + 20).cast("int").alias("w"),
         (F.col("n_chars") % 17 + 18).cast("int").alias("h"),
         (F.col("doc_id") % 170).cast("int").alias("base"),
-        (F.col("doc_id") % 5 == 0).alias("gray"),
+        (F.col("doc_id") % 5).cast("int").alias("m"),
         (F.col("doc_id") % 3).cast("int").alias("k"),
         (F.col("doc_id") % 2 == 0).alias("tiled"),
         (F.col("n_chars") % 2 == 0).alias("pred"),
@@ -8461,16 +8462,39 @@ def q_mm_tiff_roundtrip(spark, sf):
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                spp = 1 if r.gray else 3
                 y = np.arange(r.h)[:, None, None]
                 x = np.arange(r.w)[None, :, None]
-                c = np.arange(spp)[None, None, :]
-                px = (r.base + y + x + c).astype(np.uint8)
+                c3 = np.arange(3)[None, None, :]
+                cmap = None
+                if r.m == 0:  # gray8: base + y + x < 256
+                    px = (r.base + y + x)[:, :, 0].astype(np.uint8)
+                elif r.m == 1:  # rgb8
+                    px = (r.base + y + x + c3).astype(np.uint8)
+                elif r.m == 2:  # gray16: 251*base + 7y + 3x < 65536
+                    px = (251 * r.base + 7 * y + 3 * x)[:, :, 0].astype(
+                        np.uint16
+                    )
+                elif r.m == 3:  # rgb16
+                    px = (251 * r.base + 7 * y + 3 * x + 5 * c3).astype(
+                        np.uint16
+                    )
+                else:  # palette: idx = y + x (< 256), linear ColorMap
+                    px = (y + x)[:, :, 0].astype(np.uint8)
+                    i = np.arange(r.h + r.w - 1)
+                    cmap = np.stack(
+                        [
+                            100 * r.base + 257 * i,
+                            50000 - 123 * i,
+                            13 * i + 999,
+                        ],
+                        axis=1,
+                    ).astype(np.uint16)
                 f = encode_tiff(
                     px,
                     compression=comps[r.k],
                     predictor=bool(r.pred),
                     tile_size=16 if r.tiled else None,
+                    colormap=cmap,
                 )
                 info = probe_tiff(f)["pages"][0]
                 dec = decode_tiff_pixels(f)
@@ -8480,6 +8504,8 @@ def q_mm_tiff_roundtrip(spark, sf):
                         dec.shape[1],
                         dec.shape[0],
                         dec.shape[2],
+                        int(info["bits_per_sample"][0]),
+                        int(info["photometric"]),
                         info["compression"],
                         info["predictor"] == 2,
                         info["n_tiles"],
@@ -8489,8 +8515,9 @@ def q_mm_tiff_roundtrip(spark, sf):
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "width", "height", "channels",
-                    "compression", "predictor", "n_tiles", "pix_sum",
+                    "media_id", "width", "height", "channels", "bits",
+                    "photometric", "compression", "predictor", "n_tiles",
+                    "pix_sum",
                 ],
             )
 
@@ -8501,8 +8528,8 @@ def q_mm_tiff_roundtrip(spark, sf):
         batches,
         schema=(
             "media_id long, width int, height int, channels int, "
-            "compression string, predictor boolean, n_tiles int, "
-            "pix_sum long"
+            "bits int, photometric int, compression string, "
+            "predictor boolean, n_tiles int, pix_sum long"
         ),
     )
 
@@ -8513,29 +8540,40 @@ WITH p AS (
          (doc_id % 23) + 20 AS w,
          (n_chars % 17) + 18 AS h,
          doc_id % 170 AS base,
-         doc_id % 5 = 0 AS gray,
+         doc_id % 5 AS m,
          doc_id % 3 AS k,
          doc_id % 2 = 0 AS tiled,
          n_chars % 2 = 0 AS pred
   FROM documents
+),
+s AS (
+  SELECT *,
+         h * (h - 1) // 2 AS sy,
+         w * (w - 1) // 2 AS sx
+  FROM p
 )
 SELECT media_id,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
-       CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT) AS channels,
+       CAST(CASE WHEN m IN (0, 2) THEN 1 ELSE 3 END AS INT) AS channels,
+       CAST(CASE WHEN m IN (2, 3) THEN 16 ELSE 8 END AS INT) AS bits,
+       CAST(CASE WHEN m IN (0, 2) THEN 1
+                 WHEN m = 4 THEN 3 ELSE 2 END AS INT) AS photometric,
        CASE k WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
               ELSE 'lzw' END AS compression,
        pred AS predictor,
        CAST(CASE WHEN tiled
                  THEN ((w + 15) // 16) * ((h + 15) // 16)
                  ELSE 0 END AS INT) AS n_tiles,
-       CAST(CASE WHEN gray THEN 1 ELSE 3 END
-            * (w * h * base
-               + w * (h * (h - 1) // 2)
-               + h * (w * (w - 1) // 2))
-            + CASE WHEN gray THEN 0 ELSE 3 * w * h END
-            AS BIGINT) AS pix_sum
-FROM p
+       CAST(CASE m
+            WHEN 0 THEN w * h * base + w * sy + h * sx
+            WHEN 1 THEN 3 * (w * h * base + w * sy + h * sx) + 3 * w * h
+            WHEN 2 THEN 251 * w * h * base + 7 * w * sy + 3 * h * sx
+            WHEN 3 THEN 3 * (251 * w * h * base + 7 * w * sy + 3 * h * sx)
+                        + 15 * w * h
+            ELSE w * h * (100 * base + 50999) + 147 * (w * sy + h * sx)
+            END AS BIGINT) AS pix_sum
+FROM s
 """
 
 

@@ -13,16 +13,18 @@ covers the baseline subset real scanners emit:
   TIFF-LZW from GIF's LSB-first late-change variant).
 - Predictor 2 (horizontal differencing) undone after decompression
   (per image row for strips, per tile row for tiles — tiles compress
-  independently).
-- 8-bit samples, 1 (gray) or 3 (RGB) samples/pixel, strip OR tile
-  layout (§15: fixed-size tiles, multiples of 16, left-to-right
-  top-to-bottom, padded edge tiles cropped on decode — r09).
+  independently; mod 2^depth of the sample width).
+- 8- or 16-bit samples (both byte orders), 1 (gray) or 3 (RGB)
+  samples/pixel, PALETTE pages (photometric 3: 8-bit indices through
+  the spec's 3×256 16-bit ColorMap — r09), strip OR tile layout (§15:
+  fixed-size tiles, multiples of 16, left-to-right top-to-bottom,
+  padded edge tiles cropped on decode — r09).
 
-Named gates: 16-bit, palette TIFF, JPEG-in-TIFF, CCITT fax, planar
+Named gates: 1/2/4-bit samples, JPEG-in-TIFF, CCITT fax, planar
 configuration. The matching writer (`encode_tiff`, all three
-compressions, striped or tiled) exists for provable round trips;
-`tests/test_tiff.py` also pins the decoder against hand-assembled spec
-fixtures the writer never emits.
+compressions, striped or tiled, 8/16-bit, palette) exists for provable
+round trips; `tests/test_tiff.py` also pins the decoder against
+hand-assembled spec fixtures the writer never emits.
 """
 
 from __future__ import annotations
@@ -306,8 +308,10 @@ def _decode_block(block: bytes, comp: int, expected: int, kind: str) -> bytes:
 
 
 def decode_tiff_pixels(payload: bytes) -> np.ndarray:
-    """First page to an (h, w, ch) uint8 array (ch 1 or 3); striped or
-    tiled layout (TIFF 6.0 §15: fixed-size tiles left-to-right
+    """First page to an (h, w, ch) array — uint8 for 8-bit pages, uint16
+    for 16-bit and palette pages (a TIFF ColorMap stores 16-bit RGB per
+    the spec, so palette lookups return the map's native range). Striped
+    or tiled layout (TIFF 6.0 §15: fixed-size tiles left-to-right
     top-to-bottom, right/bottom edge tiles padded to full size — the
     padding decodes and is cropped)."""
     tags, lt = next(iter(_walk_ifds(payload)))
@@ -320,18 +324,23 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
     predictor = tags.get(317, [1])[0]
-    if any(b != 8 for b in bits) or spp not in (1, 3):
+    depth = bits[0]
+    if depth not in (8, 16) or any(b != depth for b in bits) or spp not in (1, 3):
         raise NotImplementedError(
-            f"only 8-bit gray/RGB TIFF decodes (bits={bits}, "
-            f"samples={spp}); 16-bit/palette are format gates"
+            f"only uniform 8/16-bit gray/RGB/palette TIFF decodes "
+            f"(bits={bits}, samples={spp}); 1/2/4-bit are format gates"
         )
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {_COMPRESSION_NAMES.get(comp, comp)} is a "
             f"named gate (none/LZW/PackBits decode natively)"
         )
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
+    if photo == 3 and (spp != 1 or depth != 8):
+        raise NotImplementedError(
+            "palette TIFF decodes for 8-bit single-sample indices only"
+        )
     if predictor not in (1, 2):
         raise ValueError(f"corrupt TIFF: predictor {predictor}")
     if spp > 1 and tags.get(284, [1])[0] == 2:
@@ -339,25 +348,34 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             "planar-configuration TIFF (separate sample planes) is a "
             "named gate (chunky strips/tiles decode)"
         )
+    dtype = np.dtype((lt if depth == 16 else "|") + ("u2" if depth == 16 else "u1"))
     if 322 in tags or 323 in tags or 324 in tags:
-        px = _decode_tiled(payload, tags, w, h, spp, comp, predictor)
+        px = _decode_tiled(payload, tags, w, h, spp, comp, predictor, dtype)
     else:
-        px = _decode_striped(payload, tags, w, h, spp, comp, predictor)
-    if photo == 0:  # MinIsWhite: invert
-        px = 255 - px
+        px = _decode_striped(payload, tags, w, h, spp, comp, predictor, dtype)
+    if photo == 0:  # MinIsWhite: invert over the full sample range
+        px = (((1 << depth) - 1) - px).astype(px.dtype)
+    elif photo == 3:  # palette: indices → the ColorMap's 16-bit RGB
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError(
+                "corrupt TIFF: palette page without a 3x256 ColorMap"
+            )
+        lut = np.asarray(cmap, dtype=np.uint16).reshape(3, 256)
+        px = lut.T[px[:, :, 0]]  # (h, w, 3) uint16
     return px
 
 
 def _decode_striped(
     payload: bytes, tags: dict, w: int, h: int, spp: int, comp: int,
-    predictor: int,
+    predictor: int, dtype: np.dtype,
 ) -> np.ndarray:
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("corrupt TIFF: missing/mismatched strip tables")
     rps = tags.get(278, [h])[0] or h
-    row_bytes = w * spp
+    row_bytes = w * spp * dtype.itemsize
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         rows = min(rps, h - i * rps)
@@ -371,17 +389,23 @@ def _decode_striped(
         raise ValueError(
             "corrupt TIFF: strip table covers fewer rows than the image"
         )
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    base = np.dtype(dtype.str[-2:])  # native-order view of the samples
+    px = (
+        np.frombuffer(bytes(raw), dtype=dtype)
+        .reshape(h, w, spp)
+        .astype(base)
+    )
     if predictor == 2:
         # horizontal differencing restarts at every row; strips hold
         # whole rows, so one image-level per-row cumsum undoes it
-        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+        # (int64 accumulate, cast wraps mod 2^depth)
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(base)
     return px
 
 
 def _decode_tiled(
     payload: bytes, tags: dict, w: int, h: int, spp: int, comp: int,
-    predictor: int,
+    predictor: int, dtype: np.dtype,
 ) -> np.ndarray:
     tw = tags.get(322, [0])[0]
     th = tags.get(323, [0])[0]
@@ -397,18 +421,20 @@ def _decode_tiled(
         raise ValueError(
             f"corrupt TIFF: {len(offsets)} tiles for a {across}x{down} grid"
         )
-    px = np.empty((h, w, spp), dtype=np.uint8)
-    expected = th * tw * spp  # every tile is full-size; edges are padded
+    base = np.dtype(dtype.str[-2:])
+    px = np.empty((h, w, spp), dtype=base)
+    # every tile is full-size; edges are padded
+    expected = th * tw * spp * dtype.itemsize
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         block = payload[off : off + cnt]
         if len(block) < cnt:
             raise ValueError("corrupt TIFF: tile data out of range")
         raw = _decode_block(block, comp, expected, "tile")
-        tile = np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, spp)
+        tile = np.frombuffer(raw, dtype=dtype).reshape(th, tw, spp).astype(base)
         if predictor == 2:
             # differencing restarts at every TILE row (tiles compress
             # independently), so the cumsum runs per tile, pre-crop
-            tile = np.cumsum(tile.astype(np.int64), axis=1).astype(np.uint8)
+            tile = np.cumsum(tile.astype(np.int64), axis=1).astype(base)
         y0 = (i // across) * th
         x0 = (i % across) * tw
         px[y0 : y0 + th, x0 : x0 + tw] = tile[
@@ -437,10 +463,11 @@ def decode_tiff(payload: bytes) -> dict:
 
 
 def _diff_rows(px: np.ndarray) -> np.ndarray:
-    """Predictor-2 forward pass: per-row horizontal differencing."""
+    """Predictor-2 forward pass: per-row horizontal differencing, mod
+    2^depth of the sample dtype."""
     d = px.astype(np.int64)
     d[:, 1:, :] = d[:, 1:, :] - px[:, :-1, :].astype(np.int64)
-    return (d & 0xFF).astype(np.uint8)
+    return (d & ((1 << (8 * px.dtype.itemsize)) - 1)).astype(px.dtype)
 
 
 def encode_tiff(
@@ -449,18 +476,33 @@ def encode_tiff(
     predictor: bool = False,
     rows_per_strip: int | None = None,
     tile_size: int | tuple[int, int] | None = None,
+    colormap: np.ndarray | None = None,
 ) -> bytes:
-    """Little-endian baseline TIFF from (h, w) or (h, w, 1|3) uint8
-    pixels; compression in {none, packbits, lzw}. ``tile_size`` switches
-    to the §15 tiled layout ((tw, th) or one square edge, both multiples
-    of 16 per spec; edge tiles zero-padded to full size) — otherwise
-    strips. The writer side for provable round trips, not a general
-    archiver."""
-    px = np.asarray(pixels, dtype=np.uint8)
+    """Little-endian baseline TIFF from (h, w) or (h, w, 1|3) pixels —
+    uint8 or uint16 (16-bit pages write BitsPerSample 16, little-endian
+    samples); compression in {none, packbits, lzw}. ``tile_size``
+    switches to the §15 tiled layout ((tw, th) or one square edge, both
+    multiples of 16 per spec; edge tiles zero-padded to full size) —
+    otherwise strips. ``colormap`` ((n≤256, 3) uint16) writes a palette
+    page (photometric 3): pixels are then (h, w) uint8 indices and the
+    map pads to the spec's 3×256 SHORT ColorMap. The writer side for
+    provable round trips, not a general archiver."""
+    px = np.asarray(pixels)
+    if px.dtype not in (np.uint8, np.uint16):
+        raise ValueError("encode_tiff expects uint8 or uint16 pixels")
     if px.ndim == 2:
         px = px[:, :, None]
     if px.ndim != 3 or px.shape[2] not in (1, 3):
-        raise ValueError("encode_tiff expects (h, w[, 1|3]) uint8 pixels")
+        raise ValueError("encode_tiff expects (h, w[, 1|3]) pixels")
+    if colormap is not None:
+        cm = np.asarray(colormap, dtype=np.uint16)
+        if cm.ndim != 2 or cm.shape[1] != 3 or cm.shape[0] > 256:
+            raise ValueError("colormap must be (n<=256, 3) uint16")
+        if px.dtype != np.uint8 or px.shape[2] != 1:
+            raise ValueError("palette pixels must be (h, w[, 1]) uint8 indices")
+        if px.max(initial=0) >= cm.shape[0]:
+            raise ValueError("palette index exceeds colormap length")
+    depth = 16 if px.dtype == np.uint16 else 8
     h, w, spp = px.shape
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
     if comp_id is None:
@@ -473,6 +515,11 @@ def encode_tiff(
             return _packbits(block)
         return _lzw_encode(block)
 
+    le = np.dtype("<u2") if depth == 16 else np.dtype("u1")
+
+    def block_bytes(a: np.ndarray) -> bytes:
+        return a.astype(le).tobytes()  # samples little-endian on disk
+
     tiled = tile_size is not None
     if tiled:
         tw, th = (
@@ -482,7 +529,7 @@ def encode_tiff(
             raise ValueError("TIFF tile dimensions must be multiples of 16")
         across = -(-w // tw)
         down = -(-h // th)
-        padded = np.zeros((down * th, across * tw, spp), dtype=np.uint8)
+        padded = np.zeros((down * th, across * tw, spp), dtype=px.dtype)
         padded[:h, :w] = px
         strips = []
         for ty in range(down):
@@ -492,13 +539,15 @@ def encode_tiff(
                     # differencing restarts per tile: each tile
                     # compresses (and decodes) independently
                     tile = _diff_rows(tile)
-                strips.append(pack_block(tile.tobytes()))
+                strips.append(pack_block(block_bytes(tile)))
         rps = None
     else:
-        rps = rows_per_strip or max(1, min(h, 8192 // max(1, w * spp)))
+        rps = rows_per_strip or max(
+            1, min(h, 8192 // max(1, w * spp * (depth // 8)))
+        )
         data = _diff_rows(px) if predictor else px
         strips = [
-            pack_block(data[r0 : r0 + rps].tobytes())
+            pack_block(block_bytes(data[r0 : r0 + rps]))
             for r0 in range(0, h, rps)
         ]
     # layout: header(8) + IFD + values + strips
@@ -514,11 +563,18 @@ def encode_tiff(
     short(256, w)
     short(257, h)
     if spp == 3:
-        entries.append((258, 3, 3, None, [8, 8, 8]))
+        entries.append((258, 3, 3, None, [depth] * 3))
     else:
-        short(258, 8)
+        short(258, depth)
     short(259, comp_id)
-    short(262, 2 if spp == 3 else 1)  # RGB / MinIsBlack
+    if colormap is not None:
+        short(262, 3)  # palette
+        lut = np.zeros((3, 256), dtype=np.uint16)
+        cm = np.asarray(colormap, dtype=np.uint16)
+        lut[:, : cm.shape[0]] = cm.T
+        entries.append((320, 3, 768, None, [int(v) for v in lut.ravel()]))
+    else:
+        short(262, 2 if spp == 3 else 1)  # RGB / MinIsBlack
     entries.append((offsets_tag, 4, len(strips), None, []))  # patched below
     short(277, spp)
     if tiled:
