@@ -99,8 +99,10 @@ def _decode_image(payload: bytes):
     if payload is not None and payload[:4] in (b"II*\x00", b"MM\x00*"):
         from vector_lake_spark.tiff import decode_tiff
 
-        # baseline none/LZW/PackBits strips decode for real (r08);
-        # tiles/16-bit/fax/JPEG-in-TIFF raise named gates
+        # none/LZW/PackBits, striped or tiled, 8/16-bit and palette
+        # pages decode for real (r08/r09 — 16-bit/palette means are in
+        # the 16-bit range); 1/2/4-bit, fax, JPEG-in-TIFF and planar
+        # raise named gates
         return decode_tiff(payload)
     raise NotImplementedError(
         "unrecognized image payload (BMP, PNG, JPEG, GIF, lossless WebP "

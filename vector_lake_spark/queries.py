@@ -8720,7 +8720,13 @@ WITH resp AS (
   WHERE doc_id % 3 = 0
 ),
 f AS (
-  SELECT media_id, title, title || ' ' || title || ' ' || body AS flat
+  -- an empty/whitespace-only body yields an empty <p> line that
+  -- html_extract DROPS, so the flat text must not keep a trailing
+  -- space for it (r09 review finding; unreachable on gen_testdata's
+  -- 10-100-word docs but the contract must match for any corpus)
+  SELECT media_id, title,
+         CASE WHEN body = '' THEN title || ' ' || title
+              ELSE title || ' ' || title || ' ' || body END AS flat
   FROM resp
 ),
 s AS (SELECT media_id, title, flat, {inner} FROM f),

@@ -445,8 +445,10 @@ def _decode_tiled(
 
 def decode_tiff(payload: bytes) -> dict:
     """Stats-shaped decode (the ``multimodal._decode_image`` contract).
-    Means come straight off the uint8 array (np.mean accumulates in
-    float64 anyway) — no full float64 copy of a scanned page."""
+    Means come straight off the integer array (np.mean accumulates in
+    float64 anyway) — no full float64 copy of a scanned page. Means are
+    RAW-domain: 0..255 for 8-bit pages, 0..65535 for 16-bit and palette
+    pages (``decode_tiff_pixels`` returns uint16 there)."""
     px = decode_tiff_pixels(payload)
     h, w = px.shape[:2]
     if px.shape[2] == 1:
