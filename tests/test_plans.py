@@ -833,3 +833,21 @@ def test_crawl_e2e_one_exchange_after_extraction(spark):
     # the page HTML (body) must not ride the fp shuffle — only the
     # cleaned flat text and its scalar features do
     assert "body" not in hash_ex[0]
+
+
+def test_tiff_roundtrip_single_arrow_stage_no_shuffle(spark):
+    """mm_tiff_roundtrip is pure per-row codec work: ONE Arrow stage
+    over the parameter projection and no hash exchange anywhere — at
+    cluster scale the only data movement is the scan itself (the
+    round-robin spread is the local single-file artifact)."""
+    import re
+
+    df = Q.q_mm_tiff_roundtrip(spark, SF)
+    plan = plan_string(df)
+    nodes = set(re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", plan))
+    assert len(nodes) == 1, plan
+    simple = plan_string(df, "simple")
+    assert "hashpartitioning" not in simple, simple
+    # only the doc_id/n_chars parameter columns reach the scan — the
+    # document text is pruned entirely
+    assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]

@@ -624,3 +624,59 @@ def test_html_to_text_idempotent_and_total(text):
     out = html_to_text(text)  # totality: no exception on any input
     if not any(c in out for c in "<>&"):
         assert html_to_text(out) == out
+
+
+# ---------------------------------------------------------------------------
+# TIFF matrix round trip (r09): any (dims, depth, channels, compression,
+# layout, predictor, photometric) cell must invert exactly
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 70),
+    h=st.integers(1, 50),
+    depth=st.sampled_from([8, 16]),
+    spp=st.sampled_from([1, 3]),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    tiled=st.booleans(),
+    pred=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_matrix_round_trip_property(w, h, depth, spp, comp, tiled, pred, seed):
+    import numpy as np
+
+    from vector_lake_spark.tiff import decode_tiff_pixels, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    dt = np.uint16 if depth == 16 else np.uint8
+    px = rng.integers(0, 1 << depth, (h, w, spp)).astype(dt)
+    f = encode_tiff(
+        px, compression=comp, predictor=pred,
+        tile_size=16 if tiled else None,
+    )
+    assert np.array_equal(decode_tiff_pixels(f), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    n_colors=st.integers(1, 256),
+    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    tiled=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_palette_round_trip_property(w, h, n_colors, comp, tiled, seed):
+    import numpy as np
+
+    from vector_lake_spark.tiff import decode_tiff_pixels, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n_colors, (h, w)).astype(np.uint8)
+    cmap = rng.integers(0, 1 << 16, (n_colors, 3)).astype(np.uint16)
+    f = encode_tiff(
+        idx, compression=comp, colormap=cmap,
+        tile_size=16 if tiled else None,
+    )
+    assert np.array_equal(decode_tiff_pixels(f), cmap[idx])
