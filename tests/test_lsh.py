@@ -153,3 +153,64 @@ def test_banded_neardup_strategies_agree(spark):
     )
     assert narrow == dense
     assert narrow  # non-empty at this threshold
+
+
+def test_banded_neardup_bucket_cap(spark):
+    """r09 bucket-size guard (the embedding twin of the shingle df-cap):
+
+    1. a cap no bucket reaches is a semantic no-op (both strategies);
+    2. a binding cap returns a SUBSET of the uncapped pairs, and a pair
+       sharing any surviving bucket survives — only pairs whose every
+       shared bucket is degenerate are lost (the first-matching-band
+       residual would instead wrongly drop survivors, which this test
+       would catch as a missing pair);
+    3. a degenerate all-duplicates blob is suppressed while an
+       unrelated small near-dup pair keeps matching.
+    """
+    import numpy as np
+
+    from vector_lake_spark import queries as Q
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(
+        threshold=Q.NEARDUP_COS_THRESHOLD,
+        n_bands=Q.NEARDUP_N_BANDS,
+        band_bits=Q.NEARDUP_BAND_BITS,
+    )
+    uncapped = sorted(map(tuple, lsh_neardup_pairs(emb, Q.H4, **kw).collect()))
+    n_rows = emb.count()
+    for carry in (False, True):
+        noop = sorted(
+            map(
+                tuple,
+                lsh_neardup_pairs(
+                    emb, Q.H4, carry_vectors=carry,
+                    max_bucket_size=n_rows, **kw
+                ).collect(),
+            )
+        )
+        assert noop == uncapped, f"carry_vectors={carry}"
+
+    # binding cap: subset, and the blob is the only casualty
+    rng = np.random.default_rng(7)
+    dim = Q.H4.shape[1]
+    u = rng.normal(size=dim)
+    v = rng.normal(size=dim)
+    rows = [(i, (u * (1 + 1e-4 * i)).tolist()) for i in range(40)]  # blob
+    rows += [(100, v.tolist()), (101, (v * 1.0001).tolist())]  # true pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(df, Q.H4, threshold=0.9,
+                                   n_bands=4, band_bits=2).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in lsh_neardup_pairs(df, Q.H4, threshold=0.9, n_bands=4,
+                                   band_bits=2, max_bucket_size=8).collect()
+    }
+    assert (100, 101) in full and (100, 101) in capped
+    assert capped <= full
+    # every blob-internal pair sits only in 40-row buckets -> suppressed
+    assert not any(a < 100 and b < 100 for a, b in capped)

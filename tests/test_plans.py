@@ -851,3 +851,44 @@ def test_tiff_roundtrip_single_arrow_stage_no_shuffle(spark):
     # only the doc_id/n_chars parameter columns reach the scan — the
     # document text is pruned entirely
     assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_neardup_bucket_cap_exchange_economy(spark):
+    """The r09 bucket-size guard's shuffle contract, per strategy:
+
+    - narrow path: the counting window hash-partitions on the same
+      (shard, band, bkey) the bucket join needs, so the cap adds NO
+      exchange on those keys — one per join side, window included (the
+      shingle df-cap contract, operators/dedup.py).
+    - carry path: the cap deliberately runs BEFORE vectors attach, so
+      when it binds only SURVIVOR vectors shuffle into the bucket join;
+      the price is one extra narrow key-row exchange per side (~40 B
+      rows), never a second vector shuffle.
+    """
+    from vector_lake_spark import queries as Q
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    kw = dict(
+        threshold=Q.NEARDUP_COS_THRESHOLD, n_bands=Q.NEARDUP_N_BANDS,
+        band_bits=Q.NEARDUP_BAND_BITS, max_bucket_size=64,
+    )
+
+    def bucket_exchanges(df):
+        simple = plan_string(df, "simple")
+        return [
+            s.split("\n")[0]
+            for s in simple.split("Exchange ")[1:]
+            if s.startswith("hashpartitioning") and "bkey" in s.split("\n")[0]
+        ]
+
+    narrow = lsh_neardup_pairs(emb, Q.H4, **kw)
+    assert len(bucket_exchanges(narrow)) <= 2  # one per side, reused
+
+    carry = lsh_neardup_pairs(emb, Q.H4, carry_vectors=True, **kw)
+    ex = bucket_exchanges(carry)
+    assert len(ex) <= 4
+    # the vector column must ride only the POST-cap exchanges: the
+    # window-side (pre-id-join) exchanges shuffle narrow key rows
+    narrow_key_ex = [e for e in ex if " v#" not in e and "va" not in e and "vb" not in e]
+    assert len(narrow_key_ex) >= 2, ex

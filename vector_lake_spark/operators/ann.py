@@ -98,6 +98,7 @@ def lsh_neardup_pairs(
     band_bits: int = 0,
     band_seed: int = 137,
     carry_vectors: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH shard-bucketed near-duplicate pairs — the 100 TB scale path for
     ``dedup.embedding_neardup_pairs``: candidates are restricted to pairs
@@ -130,6 +131,30 @@ def lsh_neardup_pairs(
     quadratic — 2037.6 s end-to-end vs 216.1 s at band_bits=6 on the
     same corpus. Size ``2^band_bits`` to at least the expected bucket
     density (≥6 for low thresholds at scale).
+
+    ``max_bucket_size`` (r09) is the per-bucket twin of the shingle
+    df-cap: a (shard, band, key) bucket larger than the cap is dropped
+    before the join, bounding candidates per bucket at cap² by
+    construction. Degradation is graceful for SKEW: a pair survives if
+    it shares ANY surviving bucket (the cap switches pair-dedup from
+    the first-matching-band residual — which would wrongly suppress a
+    pair whose first match was in a dropped bucket — to an explicit
+    per-pair aggregate), so only pairs whose EVERY shared bucket is
+    degenerate are lost. Shuffle economy (plan-pinned,
+    test_neardup_bucket_cap_exchange_economy): on the narrow path the
+    counting window hash-partitions on the same (shard, band, bkey) the
+    join needs and the cap adds NO exchange; on the carry path the cap
+    runs BEFORE vectors attach — one extra narrow key-row exchange
+    buys a survivor-only vector shuffle when the cap binds. Know which
+    failure you have: on the cliff corpus
+    above the density is CORPUS-WIDE (64 buckets per band, all
+    1.8k-5.2k rows), so a 512 cap suppresses everything — 13.5 s,
+    0 pairs: a loud refusal valve against quadratic work, not a fix —
+    while re-banding (band_bits=6) is the correct tool (216.1 s, full
+    pair set). The cap is for isolated hot buckets in an otherwise
+    healthy corpus (tests/test_lsh.py::test_banded_neardup_bucket_cap:
+    a 40-row duplicate blob is suppressed, unrelated near-dup pairs
+    keep matching).
 
     ``carry_vectors`` picks the shuffle strategy for the exact kernel
     (r04, from the 200k-row stress — SCALE.md "Near-dup at 200k rows"):
@@ -217,15 +242,34 @@ def lsh_neardup_pairs(
         F.element_at("bkeys", F.col("band") + 1).alias("bkey"),
         "bkeys",
     )
-    first_match = reduce(
-        lambda acc, j: acc
-        & (
-            (F.col("band") <= F.lit(j))
-            | (F.element_at("bka", j + 1) != F.element_at("bkb", j + 1))
-        ),
-        range(n_bands - 1),
-        F.col("id_a") < F.col("id_b"),
-    )
+    if max_bucket_size is not None:
+        # bucket-size guard: count per join key with a window that
+        # hash-partitions exactly like the join below — the filter
+        # reuses one exchange (the shingle df-cap pattern, dedup.py)
+        from pyspark.sql import Window
+
+        w_bucket = Window.partitionBy("shard", "band", "bkey")
+        keys = (
+            keys.withColumn("bsz", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .drop("bsz")
+        )
+        # the first-matching-band residual is UNSOUND under the cap (it
+        # assumes every earlier matching band's bucket rows exist, and a
+        # dropped bucket would suppress the pair at its later matches),
+        # so pair-dedup becomes an explicit aggregate; candidates are
+        # bounded by the cap, which is what pays for the extra exchange
+        first_match = F.col("id_a") < F.col("id_b")
+    else:
+        first_match = reduce(
+            lambda acc, j: acc
+            & (
+                (F.col("band") <= F.lit(j))
+                | (F.element_at("bka", j + 1) != F.element_at("bkb", j + 1))
+            ),
+            range(n_bands - 1),
+            F.col("id_a") < F.col("id_b"),
+        )
     if carry_vectors:
         # dense-candidate strategy: vectors ride the bucket join, pairs
         # are scored as the join streams — no pair-keyed vector shuffle
@@ -240,13 +284,20 @@ def lsh_neardup_pairs(
             F.col("bkeys").alias("bkb"),
             F.col("v").alias("vb"), F.col("nv").alias("nb"),
         )
-        return (
+        scored = (
             ka.join(kb, ["shard", "band", "bkey"])
             .filter(first_match)
             .withColumn("sim", sim)
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim")
         )
+        if max_bucket_size is not None:
+            # a pair may now match in several surviving buckets; sim is
+            # band-independent, so max == the single exact value
+            scored = scored.groupBy("id_a", "id_b").agg(
+                F.max("sim").alias("sim")
+            )
+        return scored
     ka = keys.select(
         F.col("id").alias("id_a"), "shard", "band", "bkey",
         F.col("bkeys").alias("bka"),
@@ -260,6 +311,9 @@ def lsh_neardup_pairs(
         .filter(first_match)
         .select("id_a", "id_b")
     )
+    if max_bucket_size is not None:
+        # dedup BEFORE the vector join: each pair's vectors move once
+        cand_ids = cand_ids.distinct()
     return (
         cand_ids.join(va, "id_a")
         .join(vb, "id_b")
