@@ -266,6 +266,12 @@ def test_many_file_input_skips_local_spread_barriers(spark, tmp_path):
     assert_not_in_plan(e2e, "RoundRobinPartitioning")
     assert_not_in_plan(e2e, "ExistingRDD")
 
+    # r09 entries: same contract — the spread is a local artifact only
+    for q in (Q.q_pipe_crawl_e2e, Q.q_mm_tiff_roundtrip):
+        df = q(spark, sf)
+        assert_not_in_plan(df, "RoundRobinPartitioning")
+        assert_not_in_plan(df, "ExistingRDD")
+
     # and the single-file path still spreads (the local-mode fix stays)
     small = Q.q_pipe_quality_filter(spark, SF)
     assert_in_plan(small, "RoundRobinPartitioning")
