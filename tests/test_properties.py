@@ -638,12 +638,16 @@ def test_html_to_text_idempotent_and_total(text):
     h=st.integers(1, 50),
     depth=st.sampled_from([8, 16]),
     spp=st.sampled_from([1, 3]),
-    comp=st.sampled_from(["none", "packbits", "lzw"]),
+    comp=st.sampled_from(["none", "packbits", "lzw", "deflate"]),
     tiled=st.booleans(),
     pred=st.booleans(),
+    planar=st.booleans(),
+    miw=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
-def test_tiff_matrix_round_trip_property(w, h, depth, spp, comp, tiled, pred, seed):
+def test_tiff_matrix_round_trip_property(
+    w, h, depth, spp, comp, tiled, pred, planar, miw, seed
+):
     import numpy as np
 
     from vector_lake_spark.tiff import decode_tiff_pixels, encode_tiff
@@ -654,8 +658,36 @@ def test_tiff_matrix_round_trip_property(w, h, depth, spp, comp, tiled, pred, se
     f = encode_tiff(
         px, compression=comp, predictor=pred,
         tile_size=16 if tiled else None,
+        planar=planar and spp == 3,
+        min_is_white=miw and spp == 1,
     )
     assert np.array_equal(decode_tiff_pixels(f), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 70),
+    h=st.integers(1, 50),
+    depth=st.sampled_from([1, 2, 4]),
+    comp=st.sampled_from(["none", "packbits", "lzw", "deflate"]),
+    tiled=st.booleans(),
+    miw=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_tiff_subbyte_round_trip_property(w, h, depth, comp, tiled, miw, seed):
+    """Sub-byte pages (r09 wave 2): MSB-first packing, per-row byte
+    padding, MinIsWhite inversion — every cell must invert exactly."""
+    import numpy as np
+
+    from vector_lake_spark.tiff import decode_tiff_pixels, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+    f = encode_tiff(
+        px, compression=comp, bit_depth=depth, min_is_white=miw,
+        tile_size=16 if tiled else None,
+    )
+    assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], px)
 
 
 @settings(max_examples=15, deadline=None)

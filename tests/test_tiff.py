@@ -196,28 +196,31 @@ def test_review_fixes():
         r = rng.integers(0, 2, (1, w), dtype=np.uint8) * 200
         f = encode_tiff(r, compression="packbits")
         assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], r), w
-    # planar configuration gates by name instead of "corrupt"
-    f = bytearray(encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8)))
-    # splice a PlanarConfiguration=2 entry by rewriting SamplesPerPixel's
-    # neighbor: simplest is to patch tag 284 in place of 278 is wrong —
-    # instead rebuild via the private writer path: decode the IFD, bump
-    # the entry count is complex; easier: craft a minimal BE fixture
+    # planar configuration decodes since the r09 wave-2 gate close: a
+    # hand-assembled BE plane-major fixture (one strip per plane) the
+    # little-endian writer never emits
     def be_entry(tag, typ, count, value):
         packed = struct.pack(">HH", value, 0) if typ == 3 else struct.pack(">I", value)
         return struct.pack(">HHI", tag, typ, count) + packed
 
     n = 9
-    data_off = 8 + 2 + 12 * n + 4
+    arrays_off = 8 + 2 + 12 * n + 4
+    data_off = arrays_off + 24  # two 3-long arrays, then the planes
     ifd = struct.pack(">H", n)
     ifd += be_entry(256, 3, 1, 2) + be_entry(257, 3, 1, 1)
     ifd += be_entry(258, 3, 1, 8) + be_entry(259, 3, 1, 1)
-    ifd += be_entry(262, 3, 1, 2) + be_entry(273, 4, 1, data_off)
-    ifd += be_entry(277, 3, 1, 3) + be_entry(279, 4, 1, 6)
+    ifd += be_entry(262, 3, 1, 2) + be_entry(273, 4, 3, arrays_off)
+    ifd += be_entry(277, 3, 1, 3) + be_entry(279, 4, 3, arrays_off + 12)
     ifd += be_entry(284, 3, 1, 2)  # planar
     ifd += struct.pack(">I", 0)
-    planar = b"MM\x00*" + struct.pack(">I", 8) + ifd + b"\x00" * 6
-    with pytest.raises(NotImplementedError, match="planar"):
-        decode_tiff_pixels(planar)
+    planar = (
+        b"MM\x00*" + struct.pack(">I", 8) + ifd
+        + struct.pack(">3I", data_off, data_off + 2, data_off + 4)
+        + struct.pack(">3I", 2, 2, 2)
+        + bytes([10, 11, 20, 21, 30, 31])  # R plane, G plane, B plane
+    )
+    got = decode_tiff_pixels(planar)
+    assert got.tolist() == [[[10, 20, 30], [11, 21, 31]]]
     # strip table covering fewer rows than the image: labeled error
     short = _be_tiff(4, 3, list(range(12)))
     b = bytearray(short)
@@ -374,3 +377,181 @@ def test_palette_validation():
     struct.pack_into("<H", f, i, 3200)  # rename the ColorMap tag away
     with pytest.raises(ValueError, match="ColorMap"):
         decode_tiff_pixels(bytes(f))
+
+
+# ---------------------------------------------------------------------------
+# Deflate, sub-byte depths, MinIsWhite writer, planar (r09 wave 2)
+# ---------------------------------------------------------------------------
+
+
+def test_deflate_round_trip_sweep():
+    rng = np.random.default_rng(41)
+    cases = [
+        (rng.integers(0, 256, (13, 9), dtype=np.uint8), False, None),
+        (rng.integers(0, 256, (21, 17, 3), dtype=np.uint8), True, None),
+        (rng.integers(0, 1 << 16, (33, 20), dtype=np.uint16), True, 16),
+    ]
+    for px, pred, ts in cases:
+        f = encode_tiff(px, compression="deflate", predictor=pred, tile_size=ts)
+        info = probe_tiff(f)["pages"][0]
+        assert info["compression"] == "deflate"
+        got = decode_tiff_pixels(f)
+        want = px if px.ndim == 3 else px[:, :, None]
+        assert np.array_equal(got, want), (pred, ts)
+    # deflate actually compresses a smooth page
+    smooth = np.clip(
+        np.arange(300)[:, None] + np.arange(200)[None, :], 0, 255
+    ).astype(np.uint8)
+    assert len(encode_tiff(smooth, compression="deflate")) < 0.1 * smooth.size
+
+
+def test_deflate_legacy_id_and_corruption():
+    img = (np.arange(64) % 256).astype(np.uint8).reshape(8, 8)
+    f = bytearray(encode_tiff(img, compression="deflate"))
+    idx = bytes(f).find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", f, idx + 8, 32946)  # legacy Adobe deflate id
+    assert probe_tiff(bytes(f))["pages"][0]["compression"] == "deflate-old"
+    assert np.array_equal(decode_tiff_pixels(bytes(f))[:, :, 0], img)
+    # a garbage zlib stream is corrupt, not a crash
+    g = bytearray(encode_tiff(img, compression="deflate"))
+    g[-4:] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="deflate"):
+        decode_tiff_pixels(bytes(g))
+
+
+def test_subbyte_round_trip_sweep():
+    rng = np.random.default_rng(43)
+    for depth in (1, 2, 4):
+        # odd widths force row pad bits; both layouts; all codecs
+        px = rng.integers(0, 1 << depth, (23, 17), dtype=np.uint8)
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            for ts in (None, 16):
+                f = encode_tiff(px, compression=comp, tile_size=ts,
+                                bit_depth=depth)
+                info = probe_tiff(f)["pages"][0]
+                assert info["bits_per_sample"] == [depth]
+                got = decode_tiff_pixels(f)
+                assert got.dtype == np.uint8
+                assert np.array_equal(got[:, :, 0], px), (depth, comp, ts)
+
+
+def test_subbyte_row_padding_is_per_row():
+    """w=3 at 1 bit: each row packs into ONE byte with 5 pad bits — a
+    decoder that streams bits across rows reads the pad as data."""
+    px = np.array([[1, 0, 1], [0, 1, 1], [1, 1, 0]], dtype=np.uint8)
+    f = encode_tiff(px, compression="none", bit_depth=1)
+    assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], px)
+    # hand-check the packed strip: rows 1010_0000 / 0110_0000 / 1100_0000
+    assert bytes([0b10100000, 0b01100000, 0b11000000]) in f
+
+
+def test_subbyte_hand_fixture_msb_first():
+    """Hand-assembled 4-bit gray 3x1 (big-endian IFD): 0xAB 0xC0 must
+    read MSB-first as samples A, B, C."""
+    def be_entry(tag, typ, count, value):
+        packed = struct.pack(">HH", value, 0) if typ == 3 else struct.pack(">I", value)
+        return struct.pack(">HHI", tag, typ, count) + packed
+
+    n = 8
+    data_off = 8 + 2 + 12 * n + 4
+    ifd = struct.pack(">H", n)
+    ifd += be_entry(256, 3, 1, 3) + be_entry(257, 3, 1, 1)
+    ifd += be_entry(258, 3, 1, 4) + be_entry(259, 3, 1, 1)
+    ifd += be_entry(262, 3, 1, 1) + be_entry(273, 4, 1, data_off)
+    ifd += be_entry(277, 3, 1, 1) + be_entry(279, 4, 1, 2)
+    blob = b"MM\x00*" + struct.pack(">I", 8) + ifd + struct.pack(">I", 0)[:0]
+    blob = b"MM\x00*" + struct.pack(">I", 8) + ifd + struct.pack(">I", 0) + bytes([0xAB, 0xC0])
+    got = decode_tiff_pixels(blob)
+    assert got[:, :, 0].tolist() == [[0xA, 0xB, 0xC]]
+
+
+def test_min_is_white_round_trip():
+    rng = np.random.default_rng(47)
+    bilevel = rng.integers(0, 2, (19, 31), dtype=np.uint8)
+    f = encode_tiff(bilevel, compression="packbits", bit_depth=1,
+                    min_is_white=True)
+    info = probe_tiff(f)["pages"][0]
+    assert info["photometric"] == 0
+    # decode re-inverts the stored samples: round trip is identity
+    assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], bilevel)
+    # and the stored bits really are inverted (0 stored where px==1)
+    gray = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    g = encode_tiff(gray, compression="none", min_is_white=True)
+    assert np.array_equal(decode_tiff_pixels(g)[:, :, 0], gray)
+    assert (255 - gray).astype(np.uint8).tobytes() in g
+
+
+def test_planar_round_trip_sweep():
+    rng = np.random.default_rng(53)
+    cases = [
+        (rng.integers(0, 256, (13, 9, 3), dtype=np.uint8), "none", False, None),
+        (rng.integers(0, 256, (33, 49, 3), dtype=np.uint8), "lzw", True, None),
+        (rng.integers(0, 256, (20, 20, 3), dtype=np.uint8), "deflate",
+         False, 16),
+        # 16-bit planar tiled with predictor and ragged edges
+        (rng.integers(0, 1 << 16, (33, 20, 3), dtype=np.uint16), "packbits",
+         True, 16),
+    ]
+    for px, comp, pred, ts in cases:
+        f = encode_tiff(px, compression=comp, predictor=pred, tile_size=ts,
+                        planar=True)
+        info = probe_tiff(f)["pages"][0]
+        assert info["planar"] is True
+        if ts:
+            assert info["n_tiles"] == 3 * -(-px.shape[0] // 16) * -(-px.shape[1] // 16)
+        else:
+            assert info["n_strips"] % 3 == 0
+        got = decode_tiff_pixels(f)
+        assert np.array_equal(got, px), (comp, pred, ts)
+    # chunky files report planar False
+    assert probe_tiff(encode_tiff(cases[0][0]))["pages"][0]["planar"] is False
+
+
+def test_planar_strip_table_really_is_plane_major():
+    """Constant-valued planes: plane-major uncompressed strips mean the
+    data region is R-plane bytes, then G, then B — not interleaved."""
+    px = np.empty((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0], px[:, :, 1], px[:, :, 2] = 11, 22, 33
+    f = encode_tiff(px, compression="none", planar=True, rows_per_strip=4)
+    assert f.endswith(bytes([11] * 16 + [22] * 16 + [33] * 16))
+    assert np.array_equal(decode_tiff_pixels(f), px)
+
+
+def test_new_gates_and_validation():
+    with pytest.raises(ValueError, match="bit_depth"):
+        encode_tiff(np.zeros((4, 4), dtype=np.uint8), bit_depth=3)
+    with pytest.raises(ValueError, match="single-sample"):
+        encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), bit_depth=4)
+    with pytest.raises(ValueError, match="range"):
+        encode_tiff(np.full((4, 4), 4, dtype=np.uint8), bit_depth=2)
+    with pytest.raises(ValueError, match="whole-byte"):
+        encode_tiff(np.zeros((4, 4), dtype=np.uint8), bit_depth=4,
+                    predictor=True)
+    with pytest.raises(ValueError, match="3-sample"):
+        encode_tiff(np.zeros((4, 4), dtype=np.uint8), planar=True)
+    # sub-byte predictor pages gate by name on decode: a hand-built BE
+    # 4-bit fixture claiming predictor 2 (the writer refuses to emit one)
+    def be_entry(tag, typ, count, value):
+        packed = struct.pack(">HH", value, 0) if typ == 3 else struct.pack(">I", value)
+        return struct.pack(">HHI", tag, typ, count) + packed
+
+    n = 9
+    data_off = 8 + 2 + 12 * n + 4
+    ifd = struct.pack(">H", n)
+    ifd += be_entry(256, 3, 1, 2) + be_entry(257, 3, 1, 1)
+    ifd += be_entry(258, 3, 1, 4) + be_entry(259, 3, 1, 1)
+    ifd += be_entry(262, 3, 1, 1) + be_entry(273, 4, 1, data_off)
+    ifd += be_entry(277, 3, 1, 1) + be_entry(279, 4, 1, 1)
+    ifd += be_entry(317, 3, 1, 2)  # predictor on a 4-bit page
+    ifd += struct.pack(">I", 0)
+    blob = b"MM\x00*" + struct.pack(">I", 8) + ifd + bytes([0xAB])
+    with pytest.raises(NotImplementedError, match="whole-byte"):
+        decode_tiff_pixels(blob)
+    # planar table not divisible by samples is corrupt
+    g = bytearray(encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8),
+                              compression="none", planar=True,
+                              rows_per_strip=2))  # 2 strips x 3 planes
+    idx = bytes(g).find(struct.pack("<HHI", 273, 4, 6))
+    struct.pack_into("<I", g, idx + 4, 5)  # claim 5 strips over 3 planes
+    with pytest.raises(ValueError, match="divisible"):
+        decode_tiff_pixels(bytes(g))

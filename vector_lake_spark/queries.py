@@ -8418,24 +8418,30 @@ FROM p
 
 def q_mm_tiff_roundtrip(spark, sf):
     """TIFF codec correctness at table scale (the `mm_webp_roundtrip`
-    stance applied to the codec + the r09 tiled/16-bit/palette
-    surface): per document, build a doc-derived gradient whose total
-    has a CLOSED FORM, encode it as a real TIFF sweeping the codec
-    matrix — doc_id%3 picks none/PackBits/LZW, doc_id%2 picks striped
-    vs 16×16 TILED layout (w∈[20,42], h∈[18,34]: nearly every tiled doc
-    has a ragged edge exercising pad-then-crop), n_chars%2 toggles the
-    horizontal-differencing predictor (restarting per tile row on the
-    tiled path; mod-65536 on the 16-bit paths), and doc_id%5 picks the
-    pixel mode: gray8 / RGB8 / gray16 / RGB16 / PALETTE (8-bit indices
-    through a doc-derived 16-bit ColorMap whose channels are LINEAR in
-    the index, so the looked-up sum stays closed-form) — probe it
-    (compression name, predictor tag, tile count, bits/sample,
-    photometric come from the IFD walk, no pixels read), decode it
-    back, and emit dims + channel count + pixel sum. The oracle
-    recomputes everything arithmetically, so a green hash proves
-    encode → probe → decode invert exactly over every document and
-    every cell of the matrix (the reference has no codecs; SURVEY §2.B
-    multimodal rows)."""
+    stance applied to the codec + the r09 tiled/16-bit/palette surface,
+    widened by the r09 wave-2 gate closes — deflate, 1/2/4-bit,
+    MinIsWhite, planar): per document, build a doc-derived gradient
+    whose total has a CLOSED FORM, encode it as a real TIFF sweeping
+    the codec matrix over INDEPENDENT doc_id bit-fields — bit 0 picks
+    striped vs 16×16 TILED layout (w∈[20,42], h∈[18,34]: nearly every
+    tiled doc has a ragged edge exercising pad-then-crop), bits 1..3
+    pick the pixel mode: gray8 / RGB8 / gray16 / RGB16 / PALETTE
+    (8-bit indices through a doc-derived 16-bit ColorMap whose channels
+    are LINEAR in the index, so the looked-up sum stays closed-form) /
+    1-bit MinIsWhite parity page (photometric 0: samples stored
+    inverted, decode re-inverts) / 2-bit / 4-bit packed-sample pages,
+    bits 4..5 pick none/PackBits/LZW/Deflate, n_chars%2 toggles the
+    horizontal-differencing predictor on the whole-byte modes
+    (restarting per tile row on the tiled path; mod-65536 on the
+    16-bit paths), and n_chars%3==0 flips the RGB modes to
+    PlanarConfiguration 2 (plane-major block tables, 3× the tile
+    count) — probe it (compression name, predictor tag, planar flag,
+    tile count, bits/sample, photometric come from the IFD walk, no
+    pixels read), decode it back, and emit dims + channel count +
+    pixel sum. The oracle recomputes everything arithmetically, so a
+    green hash proves encode → probe → decode invert exactly over
+    every document and every cell of the matrix (the reference has no
+    codecs; SURVEY §2.B multimodal rows)."""
     from vector_lake_spark.tiff import (
         decode_tiff_pixels,
         encode_tiff,
@@ -8448,12 +8454,13 @@ def q_mm_tiff_roundtrip(spark, sf):
         (F.col("doc_id") % 23 + 20).cast("int").alias("w"),
         (F.col("n_chars") % 17 + 18).cast("int").alias("h"),
         (F.col("doc_id") % 170).cast("int").alias("base"),
-        (F.col("doc_id") % 5).cast("int").alias("m"),
-        (F.col("doc_id") % 3).cast("int").alias("k"),
+        F.expr("CAST((doc_id div 2) % 8 AS INT)").alias("m"),
+        F.expr("CAST((doc_id div 16) % 4 AS INT)").alias("k"),
         (F.col("doc_id") % 2 == 0).alias("tiled"),
         (F.col("n_chars") % 2 == 0).alias("pred"),
+        (F.col("n_chars") % 3 == 0).alias("plv"),
     )
-    comps = ["none", "packbits", "lzw"]
+    comps = ["none", "packbits", "lzw", "deflate"]
 
     def batches(it):
         import numpy as np
@@ -8466,6 +8473,8 @@ def q_mm_tiff_roundtrip(spark, sf):
                 x = np.arange(r.w)[None, :, None]
                 c3 = np.arange(3)[None, None, :]
                 cmap = None
+                bit_depth = None
+                miw = False
                 if r.m == 0:  # gray8: base + y + x < 256
                     px = (r.base + y + x)[:, :, 0].astype(np.uint8)
                 elif r.m == 1:  # rgb8
@@ -8478,7 +8487,7 @@ def q_mm_tiff_roundtrip(spark, sf):
                     px = (251 * r.base + 7 * y + 3 * x + 5 * c3).astype(
                         np.uint16
                     )
-                else:  # palette: idx = y + x (< 256), linear ColorMap
+                elif r.m == 4:  # palette: idx = y + x (< 256), linear map
                     px = (y + x)[:, :, 0].astype(np.uint8)
                     i = np.arange(r.h + r.w - 1)
                     cmap = np.stack(
@@ -8489,12 +8498,24 @@ def q_mm_tiff_roundtrip(spark, sf):
                         ],
                         axis=1,
                     ).astype(np.uint16)
+                elif r.m == 5:  # 1-bit MinIsWhite parity page
+                    px = ((r.base + y + x) & 1)[:, :, 0].astype(np.uint8)
+                    bit_depth, miw = 1, True
+                elif r.m == 6:  # 2-bit: 2*(y%2) + x%2
+                    px = (2 * (y % 2) + (x % 2))[:, :, 0].astype(np.uint8)
+                    bit_depth = 2
+                else:  # 4-bit: 4*(y%4) + x%4
+                    px = (4 * (y % 4) + (x % 4))[:, :, 0].astype(np.uint8)
+                    bit_depth = 4
                 f = encode_tiff(
                     px,
                     compression=comps[r.k],
-                    predictor=bool(r.pred),
+                    predictor=bool(r.pred) and r.m < 5,
                     tile_size=16 if r.tiled else None,
                     colormap=cmap,
+                    bit_depth=bit_depth,
+                    min_is_white=miw,
+                    planar=bool(r.plv) and r.m in (1, 3),
                 )
                 info = probe_tiff(f)["pages"][0]
                 dec = decode_tiff_pixels(f)
@@ -8508,6 +8529,7 @@ def q_mm_tiff_roundtrip(spark, sf):
                         int(info["photometric"]),
                         info["compression"],
                         info["predictor"] == 2,
+                        bool(info["planar"]),
                         info["n_tiles"],
                         int(dec.astype(np.int64).sum()),
                     )
@@ -8516,8 +8538,8 @@ def q_mm_tiff_roundtrip(spark, sf):
                 rows,
                 columns=[
                     "media_id", "width", "height", "channels", "bits",
-                    "photometric", "compression", "predictor", "n_tiles",
-                    "pix_sum",
+                    "photometric", "compression", "predictor", "planar",
+                    "n_tiles", "pix_sum",
                 ],
             )
 
@@ -8529,7 +8551,7 @@ def q_mm_tiff_roundtrip(spark, sf):
         schema=(
             "media_id long, width int, height int, channels int, "
             "bits int, photometric int, compression string, "
-            "predictor boolean, n_tiles int, pix_sum long"
+            "predictor boolean, planar boolean, n_tiles int, pix_sum long"
         ),
     )
 
@@ -8540,30 +8562,39 @@ WITH p AS (
          (doc_id % 23) + 20 AS w,
          (n_chars % 17) + 18 AS h,
          doc_id % 170 AS base,
-         doc_id % 5 AS m,
-         doc_id % 3 AS k,
+         (doc_id // 2) % 8 AS m,
+         (doc_id // 16) % 4 AS k,
          doc_id % 2 = 0 AS tiled,
-         n_chars % 2 = 0 AS pred
+         n_chars % 2 = 0 AS pred,
+         n_chars % 3 = 0 AS plv
   FROM documents
 ),
 s AS (
   SELECT *,
          h * (h - 1) // 2 AS sy,
-         w * (w - 1) // 2 AS sx
+         w * (w - 1) // 2 AS sx,
+         -- rows of the 1-bit parity page whose (base+y) is even
+         CASE WHEN base % 2 = 0 THEN (h + 1) // 2 ELSE h // 2 END AS ev,
+         plv AND m IN (1, 3) AS planar
   FROM p
 )
 SELECT media_id,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
-       CAST(CASE WHEN m IN (0, 2) THEN 1 ELSE 3 END AS INT) AS channels,
-       CAST(CASE WHEN m IN (2, 3) THEN 16 ELSE 8 END AS INT) AS bits,
-       CAST(CASE WHEN m IN (0, 2) THEN 1
-                 WHEN m = 4 THEN 3 ELSE 2 END AS INT) AS photometric,
+       CAST(CASE WHEN m IN (1, 3, 4) THEN 3 ELSE 1 END AS INT) AS channels,
+       CAST(CASE WHEN m IN (2, 3) THEN 16
+                 WHEN m = 5 THEN 1 WHEN m = 6 THEN 2 WHEN m = 7 THEN 4
+                 ELSE 8 END AS INT) AS bits,
+       CAST(CASE WHEN m IN (1, 3) THEN 2
+                 WHEN m = 4 THEN 3
+                 WHEN m = 5 THEN 0 ELSE 1 END AS INT) AS photometric,
        CASE k WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
-              ELSE 'lzw' END AS compression,
-       pred AS predictor,
+              WHEN 2 THEN 'lzw' ELSE 'deflate' END AS compression,
+       pred AND m < 5 AS predictor,
+       planar,
        CAST(CASE WHEN tiled
                  THEN ((w + 15) // 16) * ((h + 15) // 16)
+                      * (CASE WHEN planar THEN 3 ELSE 1 END)
                  ELSE 0 END AS INT) AS n_tiles,
        CAST(CASE m
             WHEN 0 THEN w * h * base + w * sy + h * sx
@@ -8571,7 +8602,13 @@ SELECT media_id,
             WHEN 2 THEN 251 * w * h * base + 7 * w * sy + 3 * h * sx
             WHEN 3 THEN 3 * (251 * w * h * base + 7 * w * sy + 3 * h * sx)
                         + 15 * w * h
-            ELSE w * h * (100 * base + 50999) + 147 * (w * sy + h * sx)
+            WHEN 4 THEN w * h * (100 * base + 50999) + 147 * (w * sy + h * sx)
+            WHEN 5 THEN ev * (w // 2) + (h - ev) * ((w + 1) // 2)
+            WHEN 6 THEN 2 * w * (h // 2) + h * (w // 2)
+            ELSE 4 * w * (6 * (h // 4)
+                          + CASE h % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END)
+                 + h * (6 * (w // 4)
+                        + CASE w % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END)
             END AS BIGINT) AS pix_sum
 FROM s
 """

@@ -1,7 +1,8 @@
 """TIFF codec — pure stdlib/numpy implementation of the public TIFF 6.0
 baseline (Adobe spec): IFD walk, both byte orders, striped images,
-uncompressed / PackBits / LZW compression, horizontal-differencing
-predictor, MinIsWhite/MinIsBlack/RGB photometrics.
+uncompressed / PackBits / LZW / Deflate compression,
+horizontal-differencing predictor, MinIsWhite/MinIsBlack/RGB
+photometrics.
 
 TIFF is the scanned-document format of crawl corpora (patents, books,
 archives). The metadata pass (`probe_tiff`) walks IFDs only; decode
@@ -10,26 +11,34 @@ covers the baseline subset real scanners emit:
 - Compression 1 (none), 32773 (PackBits — the run-length scheme from
   the spec's appendix), 5 (LZW — MSB-first variable-width codes with
   the spec's EARLY-CHANGE width bump, the detail that distinguishes
-  TIFF-LZW from GIF's LSB-first late-change variant).
+  TIFF-LZW from GIF's LSB-first late-change variant), 8 / legacy 32946
+  (Deflate — zlib streams per TIFF-TN2).
 - Predictor 2 (horizontal differencing) undone after decompression
   (per image row for strips, per tile row for tiles — tiles compress
-  independently; mod 2^depth of the sample width).
+  independently; mod 2^depth of the sample width; whole-byte samples
+  only, per the predictor's own field description).
 - 8- or 16-bit samples (both byte orders), 1 (gray) or 3 (RGB)
   samples/pixel, PALETTE pages (photometric 3: 8-bit indices through
   the spec's 3×256 16-bit ColorMap — r09), strip OR tile layout (§15:
   fixed-size tiles, multiples of 16, left-to-right top-to-bottom,
   padded edge tiles cropped on decode — r09).
+- 1/2/4-bit grayscale/bilevel pages (§4 bilevel + §5 grayscale:
+  samples packed MSB-first, rows padded to byte boundaries — the
+  scanned-document class; both photometrics, striped or tiled — r09).
+- PlanarConfiguration 2 (separate sample planes: plane-major
+  strip/tile tables, predictor per plane row — r09).
 
-Named gates: 1/2/4-bit samples, JPEG-in-TIFF, CCITT fax, planar
-configuration. The matching writer (`encode_tiff`, all three
-compressions, striped or tiled, 8/16-bit, palette) exists for provable
-round trips; `tests/test_tiff.py` also pins the decoder against
-hand-assembled spec fixtures the writer never emits.
+Named gates: CCITT fax (G3/G4), JPEG-in-TIFF, sub-byte palette
+indices. The matching writer (`encode_tiff`, all four compressions,
+striped or tiled, 1/2/4/8/16-bit, palette, planar, MinIsWhite) exists
+for provable round trips; `tests/test_tiff.py` also pins the decoder
+against hand-assembled spec fixtures the writer never emits.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -95,6 +104,7 @@ def _walk_ifds(payload: bytes):
 _COMPRESSION_NAMES = {
     1: "none", 2: "ccitt-rle", 3: "ccitt-g3", 4: "ccitt-g4", 5: "lzw",
     6: "jpeg-old", 7: "jpeg", 8: "deflate", 32773: "packbits",
+    32946: "deflate-old",
 }
 
 
@@ -118,6 +128,7 @@ def probe_tiff(payload: bytes) -> dict:
                 "tile_width": tags.get(322, [None])[0],
                 "tile_length": tags.get(323, [None])[0],
                 "predictor": tags.get(317, [1])[0],
+                "planar": tags.get(284, [1])[0] == 2,
             }
         )
     if not pages:
@@ -301,19 +312,39 @@ def _decode_block(block: bytes, comp: int, expected: int, kind: str) -> bytes:
             return _unpackbits(block, expected)
         except ValueError as e:
             raise ValueError(str(e).replace("strip", kind)) from None
+    if comp in (8, 32946):  # Deflate (TIFF-TN2) / legacy Adobe id
+        try:
+            raw = zlib.decompress(block)
+        except zlib.error as e:
+            raise ValueError(f"corrupt TIFF: bad deflate {kind} ({e})") from None
+        if len(raw) < expected:
+            raise ValueError(f"corrupt TIFF: deflate {kind} too short")
+        return raw[:expected]
     try:
         return _lzw_decode(block, expected)
     except ValueError as e:
         raise ValueError(str(e).replace("strip", kind)) from None
 
 
+def _unpack_subbyte_rows(raw: bytes, rows: int, w: int, depth: int) -> np.ndarray:
+    """(rows, row_bytes) MSB-first packed samples → (rows, w) uint8.
+    Each row starts on a byte boundary per spec; pad bits are dropped."""
+    row_bytes = (w * depth + 7) // 8
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(rows, row_bytes)
+    bits = np.unpackbits(arr, axis=1)[:, : w * depth].reshape(rows, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights.reshape(1, 1, depth)).sum(axis=2).astype(np.uint8)
+
+
 def decode_tiff_pixels(payload: bytes) -> np.ndarray:
-    """First page to an (h, w, ch) array — uint8 for 8-bit pages, uint16
-    for 16-bit and palette pages (a TIFF ColorMap stores 16-bit RGB per
-    the spec, so palette lookups return the map's native range). Striped
-    or tiled layout (TIFF 6.0 §15: fixed-size tiles left-to-right
-    top-to-bottom, right/bottom edge tiles padded to full size — the
-    padding decodes and is cropped)."""
+    """First page to an (h, w, ch) array — uint8 for 1/2/4/8-bit pages
+    (sub-byte samples unpacked MSB-first to their raw 0..2^d-1 range),
+    uint16 for 16-bit and palette pages (a TIFF ColorMap stores 16-bit
+    RGB per the spec, so palette lookups return the map's native
+    range). Striped or tiled layout (TIFF 6.0 §15: fixed-size tiles
+    left-to-right top-to-bottom, right/bottom edge tiles padded to full
+    size — the padding decodes and is cropped), chunky or planar
+    (PlanarConfiguration 2: plane-major strip/tile tables)."""
     tags, lt = next(iter(_walk_ifds(payload)))
     w = tags.get(256, [0])[0]
     h = tags.get(257, [0])[0]
@@ -325,15 +356,16 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     photo = tags.get(262, [1])[0]
     predictor = tags.get(317, [1])[0]
     depth = bits[0]
-    if depth not in (8, 16) or any(b != depth for b in bits) or spp not in (1, 3):
+    if depth not in (1, 2, 4, 8, 16) or any(b != depth for b in bits) \
+            or spp not in (1, 3):
         raise NotImplementedError(
-            f"only uniform 8/16-bit gray/RGB/palette TIFF decodes "
-            f"(bits={bits}, samples={spp}); 1/2/4-bit are format gates"
+            f"only uniform 1/2/4/8/16-bit gray/RGB/palette TIFF decodes "
+            f"(bits={bits}, samples={spp})"
         )
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {_COMPRESSION_NAMES.get(comp, comp)} is a "
-            f"named gate (none/LZW/PackBits decode natively)"
+            f"named gate (none/LZW/PackBits/Deflate decode natively)"
         )
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
@@ -343,16 +375,39 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
         )
     if predictor not in (1, 2):
         raise ValueError(f"corrupt TIFF: predictor {predictor}")
-    if spp > 1 and tags.get(284, [1])[0] == 2:
+    if predictor == 2 and depth < 8:
         raise NotImplementedError(
-            "planar-configuration TIFF (separate sample planes) is a "
-            "named gate (chunky strips/tiles decode)"
+            "horizontal-differencing predictor applies to whole-byte "
+            "samples (8/16-bit); sub-byte predictor pages don't occur"
         )
+    planar = spp > 1 and tags.get(284, [1])[0] == 2
     dtype = np.dtype((lt if depth == 16 else "|") + ("u2" if depth == 16 else "u1"))
-    if 322 in tags or 323 in tags or 324 in tags:
-        px = _decode_tiled(payload, tags, w, h, spp, comp, predictor, dtype)
+    tiled = 322 in tags or 323 in tags or 324 in tags
+    decode_one = _decode_tiled if tiled else _decode_striped
+    if planar:
+        # PlanarConfiguration 2: the strip/tile table is plane-major —
+        # all of sample 0's blocks, then sample 1's, ... Each plane
+        # decodes exactly like a 1-sample image (predictor per plane
+        # row), then the planes stack back to chunky.
+        otag, ctag = (324, 325) if tiled else (273, 279)
+        offsets = tags.get(otag) or []
+        counts = tags.get(ctag) or []
+        if len(offsets) != len(counts) or len(offsets) % spp:
+            raise ValueError(
+                "corrupt TIFF: planar block table not divisible by samples"
+            )
+        per = len(offsets) // spp
+        planes = []
+        for c in range(spp):
+            sub = dict(tags)
+            sub[otag] = offsets[c * per : (c + 1) * per]
+            sub[ctag] = counts[c * per : (c + 1) * per]
+            planes.append(
+                decode_one(payload, sub, w, h, 1, comp, predictor, dtype, depth)
+            )
+        px = np.concatenate(planes, axis=2)
     else:
-        px = _decode_striped(payload, tags, w, h, spp, comp, predictor, dtype)
+        px = decode_one(payload, tags, w, h, spp, comp, predictor, dtype, depth)
     if photo == 0:  # MinIsWhite: invert over the full sample range
         px = (((1 << depth) - 1) - px).astype(px.dtype)
     elif photo == 3:  # palette: indices → the ColorMap's 16-bit RGB
@@ -366,16 +421,34 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
     return px
 
 
+def _row_bytes(w: int, spp: int, depth: int) -> int:
+    """Bytes per image/tile row: sub-byte samples pack MSB-first and
+    each row pads to a byte boundary (TIFF 6.0 §4/§5)."""
+    return (w * spp * depth + 7) // 8
+
+
+def _rows_to_array(
+    raw: bytes, rows: int, w: int, spp: int, dtype: np.dtype, depth: int
+) -> np.ndarray:
+    """Decompressed row bytes → (rows, w, spp) in the native order."""
+    base = np.dtype(dtype.str[-2:])  # native-order view of the samples
+    if depth < 8:
+        return _unpack_subbyte_rows(raw, rows, w, depth)[:, :, None]
+    return (
+        np.frombuffer(raw, dtype=dtype).reshape(rows, w, spp).astype(base)
+    )
+
+
 def _decode_striped(
     payload: bytes, tags: dict, w: int, h: int, spp: int, comp: int,
-    predictor: int, dtype: np.dtype,
+    predictor: int, dtype: np.dtype, depth: int,
 ) -> np.ndarray:
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("corrupt TIFF: missing/mismatched strip tables")
     rps = tags.get(278, [h])[0] or h
-    row_bytes = w * spp * dtype.itemsize
+    row_bytes = _row_bytes(w, spp, depth)
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         rows = min(rps, h - i * rps)
@@ -389,23 +462,18 @@ def _decode_striped(
         raise ValueError(
             "corrupt TIFF: strip table covers fewer rows than the image"
         )
-    base = np.dtype(dtype.str[-2:])  # native-order view of the samples
-    px = (
-        np.frombuffer(bytes(raw), dtype=dtype)
-        .reshape(h, w, spp)
-        .astype(base)
-    )
+    px = _rows_to_array(bytes(raw), h, w, spp, dtype, depth)
     if predictor == 2:
         # horizontal differencing restarts at every row; strips hold
         # whole rows, so one image-level per-row cumsum undoes it
         # (int64 accumulate, cast wraps mod 2^depth)
-        px = np.cumsum(px.astype(np.int64), axis=1).astype(base)
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(px.dtype)
     return px
 
 
 def _decode_tiled(
     payload: bytes, tags: dict, w: int, h: int, spp: int, comp: int,
-    predictor: int, dtype: np.dtype,
+    predictor: int, dtype: np.dtype, depth: int,
 ) -> np.ndarray:
     tw = tags.get(322, [0])[0]
     th = tags.get(323, [0])[0]
@@ -424,13 +492,13 @@ def _decode_tiled(
     base = np.dtype(dtype.str[-2:])
     px = np.empty((h, w, spp), dtype=base)
     # every tile is full-size; edges are padded
-    expected = th * tw * spp * dtype.itemsize
+    expected = th * _row_bytes(tw, spp, depth)
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         block = payload[off : off + cnt]
         if len(block) < cnt:
             raise ValueError("corrupt TIFF: tile data out of range")
         raw = _decode_block(block, comp, expected, "tile")
-        tile = np.frombuffer(raw, dtype=dtype).reshape(th, tw, spp).astype(base)
+        tile = _rows_to_array(raw, th, tw, spp, dtype, depth)
         if predictor == 2:
             # differencing restarts at every TILE row (tiles compress
             # independently), so the cumsum runs per tile, pre-crop
@@ -479,16 +547,25 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     tile_size: int | tuple[int, int] | None = None,
     colormap: np.ndarray | None = None,
+    bit_depth: int | None = None,
+    min_is_white: bool = False,
+    planar: bool = False,
 ) -> bytes:
     """Little-endian baseline TIFF from (h, w) or (h, w, 1|3) pixels —
     uint8 or uint16 (16-bit pages write BitsPerSample 16, little-endian
-    samples); compression in {none, packbits, lzw}. ``tile_size``
-    switches to the §15 tiled layout ((tw, th) or one square edge, both
-    multiples of 16 per spec; edge tiles zero-padded to full size) —
-    otherwise strips. ``colormap`` ((n≤256, 3) uint16) writes a palette
-    page (photometric 3): pixels are then (h, w) uint8 indices and the
-    map pads to the spec's 3×256 SHORT ColorMap. The writer side for
-    provable round trips, not a general archiver."""
+    samples); compression in {none, packbits, lzw, deflate}.
+    ``tile_size`` switches to the §15 tiled layout ((tw, th) or one
+    square edge, both multiples of 16 per spec; edge tiles zero-padded
+    to full size) — otherwise strips. ``colormap`` ((n≤256, 3) uint16)
+    writes a palette page (photometric 3): pixels are then (h, w) uint8
+    indices and the map pads to the spec's 3×256 SHORT ColorMap.
+    ``bit_depth`` in {1, 2, 4} writes a sub-byte grayscale/bilevel page
+    (single-sample uint8 values < 2^depth, packed MSB-first with rows
+    padded to byte boundaries). ``min_is_white`` writes photometric 0
+    (samples stored inverted so decode returns ``pixels`` unchanged —
+    the fax/scan polarity). ``planar`` writes PlanarConfiguration 2
+    (plane-major strip/tile tables). The writer side for provable round
+    trips, not a general archiver."""
     px = np.asarray(pixels)
     if px.dtype not in (np.uint8, np.uint16):
         raise ValueError("encode_tiff expects uint8 or uint16 pixels")
@@ -504,9 +581,28 @@ def encode_tiff(
             raise ValueError("palette pixels must be (h, w[, 1]) uint8 indices")
         if px.max(initial=0) >= cm.shape[0]:
             raise ValueError("palette index exceeds colormap length")
-    depth = 16 if px.dtype == np.uint16 else 8
+        if bit_depth is not None or min_is_white:
+            raise ValueError("palette pages are 8-bit photometric-3 only")
+    depth = bit_depth or (16 if px.dtype == np.uint16 else 8)
+    if bit_depth is not None:
+        if bit_depth not in (1, 2, 4):
+            raise ValueError("bit_depth must be 1, 2 or 4")
+        if px.dtype != np.uint8 or px.shape[2] != 1:
+            raise ValueError("sub-byte pages are single-sample uint8")
+        if predictor:
+            raise ValueError(
+                "the horizontal predictor requires whole-byte samples"
+            )
+        if px.max(initial=0) >= (1 << bit_depth):
+            raise ValueError(f"samples exceed {bit_depth}-bit range")
+    if min_is_white and px.shape[2] != 1:
+        raise ValueError("min_is_white applies to single-sample pages")
     h, w, spp = px.shape
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}.get(compression)
+    if planar and spp != 3:
+        raise ValueError("planar configuration applies to 3-sample pages")
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}.get(
+        compression
+    )
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
 
@@ -515,13 +611,32 @@ def encode_tiff(
             return block
         if comp_id == 32773:
             return _packbits(block)
+        if comp_id == 8:
+            return zlib.compress(block)
         return _lzw_encode(block)
 
     le = np.dtype("<u2") if depth == 16 else np.dtype("u1")
 
+    if min_is_white:
+        # stored inverted: decode's photometric-0 pass re-inverts, so
+        # round trips return the caller's samples unchanged. Inversion
+        # happens BEFORE the predictor pass — decode undoes the
+        # predictor first, then inverts
+        px = (((1 << depth) - 1) - px.astype(np.int64)).astype(px.dtype)
+
     def block_bytes(a: np.ndarray) -> bytes:
+        if depth < 8:
+            n = a.shape[0]
+            shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+            bits = ((a[:, :, 0][:, :, None] >> shifts) & 1).astype(np.uint8)
+            return np.packbits(bits.reshape(n, -1), axis=1).tobytes()
         return a.astype(le).tobytes()  # samples little-endian on disk
 
+    # planar: plane-major block tables — all of sample 0's strips/tiles
+    # first; each plane carries its own predictor pass
+    channels = (
+        [px[:, :, c : c + 1] for c in range(spp)] if planar else [px]
+    )
     tiled = tile_size is not None
     if tiled:
         tw, th = (
@@ -531,27 +646,34 @@ def encode_tiff(
             raise ValueError("TIFF tile dimensions must be multiples of 16")
         across = -(-w // tw)
         down = -(-h // th)
-        padded = np.zeros((down * th, across * tw, spp), dtype=px.dtype)
-        padded[:h, :w] = px
         strips = []
-        for ty in range(down):
-            for tx in range(across):
-                tile = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
-                if predictor:
-                    # differencing restarts per tile: each tile
-                    # compresses (and decodes) independently
-                    tile = _diff_rows(tile)
-                strips.append(pack_block(block_bytes(tile)))
+        for ch in channels:
+            padded = np.zeros(
+                (down * th, across * tw, ch.shape[2]), dtype=px.dtype
+            )
+            padded[:h, :w] = ch
+            for ty in range(down):
+                for tx in range(across):
+                    tile = padded[
+                        ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw
+                    ]
+                    if predictor:
+                        # differencing restarts per tile: each tile
+                        # compresses (and decodes) independently
+                        tile = _diff_rows(tile)
+                    strips.append(pack_block(block_bytes(tile)))
         rps = None
     else:
         rps = rows_per_strip or max(
-            1, min(h, 8192 // max(1, w * spp * (depth // 8)))
+            1, min(h, 8192 // max(1, _row_bytes(w, 1 if planar else spp, depth)))
         )
-        data = _diff_rows(px) if predictor else px
-        strips = [
-            pack_block(block_bytes(data[r0 : r0 + rps]))
-            for r0 in range(0, h, rps)
-        ]
+        strips = []
+        for ch in channels:
+            data = _diff_rows(ch) if predictor else ch
+            strips += [
+                pack_block(block_bytes(data[r0 : r0 + rps]))
+                for r0 in range(0, h, rps)
+            ]
     # layout: header(8) + IFD + values + strips
     entries = []  # (tag, type, count, packed_value_or_None, values)
 
@@ -576,9 +698,12 @@ def encode_tiff(
         lut[:, : cm.shape[0]] = cm.T
         entries.append((320, 3, 768, None, [int(v) for v in lut.ravel()]))
     else:
-        short(262, 2 if spp == 3 else 1)  # RGB / MinIsBlack
+        # RGB / MinIsWhite / MinIsBlack
+        short(262, 2 if spp == 3 else (0 if min_is_white else 1))
     entries.append((offsets_tag, 4, len(strips), None, []))  # patched below
     short(277, spp)
+    if planar:
+        short(284, 2)
     if tiled:
         short(322, tw)
         short(323, th)
