@@ -133,9 +133,11 @@ HEADLINE = [
     "mm_flac_roundtrip",
     "pipe_warc_extract",
     "text_html_extract",
-    # r09: tiled/striped TIFF codec matrix, composed crawl front door
+    # r09: tiled/striped TIFF codec matrix, composed crawl front door,
+    # 12-bit extended-sequential JPEG
     "mm_tiff_roundtrip",
     "pipe_crawl_e2e",
+    "mm_jpeg12_roundtrip",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

@@ -279,3 +279,112 @@ class TestProgressive:
         # off the payload — loud failure, never a silent partial image
         with pytest.raises((ValueError, IndexError)):
             decode_jpeg_pixels(p[: len(p) - 6])
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1) — r09: level shift 2048, widened
+# amplitude categories, 16-bit DQT entries, uint16 output
+# ---------------------------------------------------------------------------
+
+
+class Test12Bit:
+    def test_constant_gray_exact_at_q100(self):
+        px = np.full((16, 24), 3000, dtype=np.uint16)
+        out = decode_jpeg_pixels(encode_jpeg(px, quality=100, precision=12))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, px)
+
+    def test_blockwise_constant_exact_at_q100(self):
+        """Per-8x8-block constants are DC-only: the whole chain is
+        integer arithmetic at the all-ones table, so the 12-bit decode
+        must be EXACT — this is the invariant the oracle entry uses."""
+        vals = (np.arange(6 * 5) * 131 % 4096).astype(np.uint16).reshape(6, 5)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        out = decode_jpeg_pixels(encode_jpeg(px, quality=100, precision=12))
+        assert np.array_equal(out[:, :, ] if out.ndim == 2 else out, px)
+
+    def test_blockwise_constant_rgb_exact_at_q100(self):
+        """RGB adds the float YCbCr round trip: per-channel DC rounding
+        errors stay under 0.2 of a sample step, so integer RGB inputs
+        still reconstruct exactly."""
+        rng = np.random.default_rng(9)
+        vals = rng.integers(0, 4096, (4, 6, 3), dtype=np.uint16)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        out = decode_jpeg_pixels(encode_jpeg(px, quality=100, precision=12))
+        assert out.dtype == np.uint16 and out.shape == px.shape
+        assert np.array_equal(out, px)
+
+    def test_smooth_gradient_psnr_floor(self):
+        y = np.arange(64)[:, None] * 30
+        x = np.arange(48)[None, :] * 20
+        px = np.clip(y + x, 0, 4095).astype(np.uint16)
+        out = decode_jpeg_pixels(encode_jpeg(px, quality=90, precision=12))
+        err = out.astype(np.float64) - px
+        psnr = 10 * np.log10(4095.0**2 / max((err**2).mean(), 1e-12))
+        assert psnr > 35, psnr
+
+    def test_full_range_values_survive(self):
+        """Samples at 0 and 4095 (8x the 8-bit range) prove the decode
+        path really carries 12-bit amplitudes, not clipped 8-bit."""
+        px = np.full((8, 8), 4095, dtype=np.uint16)
+        px[:4, :] = 0
+        out = decode_jpeg_pixels(encode_jpeg(px, quality=95, precision=12))
+        assert out.max() > 3800 and out.min() < 300
+
+    def test_16bit_dqt_entries_decode(self):
+        """Rewrite the encoder's 8-bit DQT segments as Pq=1 16-bit
+        entries with identical values: the decode must not change."""
+        import struct
+        px = np.repeat(np.repeat(
+            (np.arange(12).astype(np.uint16) * 300).reshape(3, 4), 8, 0), 8, 1)
+        f = encode_jpeg(px, quality=100, precision=12)
+        out = bytearray()
+        pos = 0
+        while pos < len(f):
+            if f[pos : pos + 2] == b"\xff\xdb":
+                (seglen,) = struct.unpack_from(">H", f, pos + 2)
+                body = f[pos + 4 : pos + 2 + seglen]
+                tq = body[0] & 0xF
+                out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+                out += bytes([0x10 | tq])
+                out += struct.pack(">64H", *body[1:65])
+                pos += 2 + seglen
+            else:
+                out.append(f[pos])
+                pos += 1
+        got = decode_jpeg_pixels(bytes(out))
+        assert np.array_equal(got, decode_jpeg_pixels(f))
+
+    def test_sof1_8bit_also_decodes(self):
+        """8-bit extended sequential is baseline with a different SOF
+        marker — flipping SOF0 to SOF1 must not change the decode."""
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+        f = bytearray(encode_jpeg(px, quality=85))
+        i = bytes(f).find(b"\xff\xc0")
+        f[i + 1] = 0xC1
+        assert np.array_equal(
+            decode_jpeg_pixels(bytes(f)), decode_jpeg_pixels(bytes(f[:i]) + b"\xff\xc0" + bytes(f[i + 2 :]))
+        )
+
+    def test_validation_and_gates(self):
+        with pytest.raises(ValueError, match="uint16"):
+            encode_jpeg(np.zeros((8, 8), dtype=np.uint8), precision=12)
+        with pytest.raises(ValueError, match="4095"):
+            encode_jpeg(np.full((8, 8), 5000, dtype=np.uint16), precision=12)
+        with pytest.raises(ValueError, match="precision"):
+            encode_jpeg(np.zeros((8, 8), dtype=np.uint8), precision=10)
+        # 12-bit PROGRESSIVE remains a named gate
+        f = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint16),
+                                  precision=12))
+        i = bytes(f).find(b"\xff\xc1")
+        f[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg_pixels(bytes(f))
+        # baseline SOF0 claiming 12-bit is corrupt, not a gate
+        g = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint16),
+                                  precision=12))
+        i = bytes(g).find(b"\xff\xc1")
+        g[i + 1] = 0xC0
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg_pixels(bytes(g))

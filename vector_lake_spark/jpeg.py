@@ -14,8 +14,11 @@ implement the subset for real and gate the rest loudly. Scope:
   parse → bit-unstuffed Huffman decode (table-driven from the file's
   own DHT segments) → dequant → 2-D IDCT (orthonormal DCT matrix —
   exactly JPEG's Annex A definition) → level shift → YCbCr→RGB.
-  Anything outside the subset (12-bit precision, arithmetic coding,
-  lossless SOF3, sampling factors above 2) raises NotImplementedError
+  EXTENDED SEQUENTIAL (SOF1) decodes at 8- AND 12-bit precision (r09:
+  level shift 2048, 16-bit DQT entries, widened amplitude categories,
+  uint16 output — the medical/scanned-archive variant). Anything
+  outside the subset (arithmetic coding, lossless SOF3, 12-bit
+  progressive, sampling factors above 2) raises NotImplementedError
   naming the feature.
 - **Encoders** (`encode_jpeg` baseline, `encode_jpeg_progressive`
   SOF2 with both spectral selection and successive approximation),
@@ -122,6 +125,19 @@ def _canonical_codes(symbols: list[int], length: int) -> dict[int, tuple[int, in
 DC_CODES = _canonical_codes(DC_SYMBOLS, 4)
 AC_CODES = _canonical_codes(AC_SYMBOLS, 8)
 
+# 12-bit extended sequential widens the amplitude categories (T.81
+# tables F.6/F.8): DC diffs reach category 15, AC sizes reach 14. The
+# 16 DC symbols move to 5-bit codes (16 4-bit codes would be a complete
+# code whose all-ones word Annex C reserves); the 226 AC symbols still
+# fit 8-bit codes.
+DC_SYMBOLS_12 = list(range(16))
+AC_SYMBOLS_12 = sorted(
+    {0x00, 0xF0}
+    | {(run << 4) | size for run in range(16) for size in range(1, 15)}
+)
+DC_CODES_12 = _canonical_codes(DC_SYMBOLS_12, 5)
+AC_CODES_12 = _canonical_codes(AC_SYMBOLS_12, 8)
+
 
 # ---------------------------------------------------------------------------
 # Encoder
@@ -160,14 +176,18 @@ def _amplitude(v: int, size: int) -> int:
 
 
 def _encode_block(
-    bw: _BitWriter, block: np.ndarray, qtbl: np.ndarray, pred_dc: int
+    bw: _BitWriter, block: np.ndarray, qtbl: np.ndarray, pred_dc: int,
+    half: float = 128.0, dc_codes: dict = DC_CODES,
+    ac_codes: dict = AC_CODES, max_ac: int = 10,
 ) -> int:
-    coef = np.round(_C @ (block - 128.0) @ _C.T)
+    coef = np.round(_C @ (block - half) @ _C.T)
     q = (coef / qtbl).round().astype(np.int64)
     dc = int(q[0, 0])
     diff = dc - pred_dc
     size = _category(diff)
-    code, length = DC_CODES[size]
+    if size not in dc_codes:
+        raise ValueError(f"DC difference {diff} out of range")
+    code, length = dc_codes[size]
     bw.write(code, length)
     if size:
         bw.write(_amplitude(diff, size), size)
@@ -181,13 +201,13 @@ def _encode_block(
             run += 1
             continue
         while run >= 16:
-            code, length = AC_CODES[0xF0]  # ZRL
+            code, length = ac_codes[0xF0]  # ZRL
             bw.write(code, length)
             run -= 16
         size = _category(v)
-        if size > 10:
-            raise ValueError(f"AC coefficient {v} out of baseline range")
-        code, length = AC_CODES[(run << 4) | size]
+        if size > max_ac:
+            raise ValueError(f"AC coefficient {v} out of range")
+        code, length = ac_codes[(run << 4) | size]
         bw.write(code, length)
         bw.write(_amplitude(v, size), size)
         run = 0
@@ -195,7 +215,7 @@ def _encode_block(
     # (index 62 of the 63 ACs) — the decoder exits at k == 64 on its own
     # there, and a spurious EOB would desynchronize the stream
     if last_nonzero < 62:
-        code, length = AC_CODES[0x00]  # EOB
+        code, length = ac_codes[0x00]  # EOB
         bw.write(code, length)
     return dc
 
@@ -221,16 +241,29 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode a uint8 array — (h, w) grayscale or (h, w, 3) RGB — as a
     baseline JFIF JPEG: 4:4:4 by default, 4:2:0 (2×2-averaged chroma,
     the format virtually every camera writes) with ``subsample=True``.
     ``restart_interval=n`` emits a DRI segment and an RSTm marker every
     n MCUs (DC predictors reset, stream re-byte-aligned) — the
-    error-resilience feature most camera files carry."""
+    error-resilience feature most camera files carry. ``precision=12``
+    writes an EXTENDED SEQUENTIAL (SOF1) file from uint16 samples in
+    0..4095 — level shift 2048, the widened T.81 amplitude categories
+    (DC to 15, AC to 14) — the medical/scanned-archive variant."""
     px = np.asarray(pixels)
-    if px.dtype != np.uint8:
-        raise ValueError("pixels must be uint8")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 8:
+        if px.dtype != np.uint8:
+            raise ValueError("pixels must be uint8")
+    else:
+        if px.dtype != np.uint16:
+            raise ValueError("12-bit pixels must be uint16")
+        if px.max(initial=0) > 4095:
+            raise ValueError("12-bit samples exceed 4095")
+    half = float(1 << (precision - 1))
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
@@ -248,8 +281,8 @@ def encode_jpeg(
         b = px[:, :, 2].astype(np.float64)
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + half,
+            0.5 * r - 0.418688 * g - 0.081312 * b + half,
         ]
     qlum = _quality_scale(LUM_Q, quality)
     qchr = _quality_scale(CHR_Q, quality)
@@ -275,23 +308,29 @@ def encode_jpeg(
         padded.append(_pad_replicate(p, mcus_y * 8 * vi, mcus_x * 8 * hi))
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += (
-        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
+    if precision == 8:  # JFIF declares 8-bit samples; 12-bit files omit it
+        out += (
+            b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0)
+        )
     for tq, tbl in enumerate(qtbls):
         zz = bytes(int(tbl[r, c]) for r, c in ZIGZAG)
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, hi << 4 | vi, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    out += _dht_segment(0, 0, DC_SYMBOLS, 4)
-    out += _dht_segment(1, 0, AC_SYMBOLS, 8)
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
+    dc_syms, dc_len = (
+        (DC_SYMBOLS, 4) if precision == 8 else (DC_SYMBOLS_12, 5)
+    )
+    ac_syms = AC_SYMBOLS if precision == 8 else AC_SYMBOLS_12
+    out += _dht_segment(0, 0, dc_syms, dc_len)
+    out += _dht_segment(1, 0, ac_syms, 8)
     if not gray:
-        out += _dht_segment(0, 1, DC_SYMBOLS, 4)
-        out += _dht_segment(1, 1, AC_SYMBOLS, 8)
+        out += _dht_segment(0, 1, dc_syms, dc_len)
+        out += _dht_segment(1, 1, ac_syms, 8)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
@@ -321,7 +360,13 @@ def encode_jpeg(
                         c0 = (bx * hi + vx) * 8
                         block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
                         pred[ci] = _encode_block(
-                            bw, block, qtbls[0 if ci == 0 else 1], pred[ci]
+                            bw, block, qtbls[0 if ci == 0 else 1], pred[ci],
+                            half=half,
+                            dc_codes=DC_CODES if precision == 8
+                            else DC_CODES_12,
+                            ac_codes=AC_CODES if precision == 8
+                            else AC_CODES_12,
+                            max_ac=10 if precision == 8 else 14,
                         )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
@@ -442,6 +487,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     sof = None
     scan_comps = None
     restart_interval = 0
+    precision = 8
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -462,13 +508,19 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             bpos = 0
             while bpos < len(body):
                 pq, tq = body[bpos] >> 4, body[bpos] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
+                if pq not in (0, 1):
+                    raise ValueError(f"corrupt JPEG: DQT precision {pq}")
                 tbl = np.zeros((8, 8), dtype=np.int64)
-                for i, (r, c) in enumerate(ZIGZAG):
-                    tbl[r, c] = body[bpos + 1 + i]
+                if pq == 0:
+                    for i, (r, c) in enumerate(ZIGZAG):
+                        tbl[r, c] = body[bpos + 1 + i]
+                    bpos += 65
+                else:  # 16-bit entries (the 12-bit-precision pairing)
+                    vals16 = struct.unpack_from(">64H", body, bpos + 1)
+                    for i, (r, c) in enumerate(ZIGZAG):
+                        tbl[r, c] = vals16[i]
+                    bpos += 129
                 qtbls[tq] = tbl
-                bpos += 65
         elif marker == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):
@@ -478,10 +530,15 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 vals = list(body[bpos + 17 : bpos + 17 + n])
                 htabs[(tc, th)] = _build_decode_table(bits, vals)
                 bpos += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision")
+            if marker == 0xC0 and prec != 8:
+                raise ValueError(f"corrupt JPEG: baseline {prec}-bit")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"{prec}-bit precision (8-bit baseline and 8/12-bit "
+                    f"extended sequential decode)"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -493,13 +550,14 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (h, w, comps)
+            precision = prec
         elif marker == 0xC2:  # SOF2 progressive — own multi-scan walk
             return _decode_progressive_pixels(payload)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0} (extended/lossless/arithmetic) "
-                f"unsupported — baseline (SOF0) and progressive (SOF2) "
-                f"decode"
+                f"SOF{marker - 0xC0} (lossless/differential/arithmetic) "
+                f"unsupported — baseline (SOF0), extended sequential "
+                f"(SOF1) and progressive (SOF2) decode"
             )
         elif marker == 0xDA:  # SOS
             ns = body[0]
@@ -567,7 +625,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                             q[k] = _extend(br.read_bits(size), size)
                             k += 1
     geom = (hmax, vmax, mcus_x, mcus_y, None)
-    return _idct_assemble(sof, geom, coefs, qtbls)
+    return _idct_assemble(sof, geom, coefs, qtbls, precision)
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -735,7 +793,10 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xC2:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision")
+                raise NotImplementedError(
+                    f"{prec}-bit progressive (12-bit decodes as extended "
+                    f"sequential only)"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -864,11 +925,16 @@ def _dc_unit(br, htabs, td, blk, ah, al, pred, cid):
             blk[0] |= 1 << al
 
 
-def _idct_assemble(sof, geom, coefs, qtbls):
+def _idct_assemble(sof, geom, coefs, qtbls, precision=8):
     """Shared progressive tail: de-zigzag, dequantize, batch IDCT, then
-    the same upsample + color conversion as baseline."""
+    the same upsample + color conversion as baseline. ``precision``
+    sets the level shift (2^(P-1)), sample range (0..2^P-1) and output
+    dtype (uint8 for 8-bit, uint16 for 12-bit)."""
     h, w, comps = sof
     hmax, vmax, mcus_x, mcus_y, _nb = geom
+    half = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    dt = np.uint8 if precision == 8 else np.uint16
     planes = []
     for ci, (cid, tq, hi, vi) in enumerate(comps):
         zz = coefs[ci].astype(np.float64)  # (by, bx, 64) zigzag order
@@ -878,7 +944,7 @@ def _idct_assemble(sof, geom, coefs, qtbls):
         # matmul, NOT einsum: matmul contracts pairwise exactly like the
         # baseline per-block path, so baseline and progressive decodes
         # of identically-quantized coefficients agree bit-for-bit
-        spatial = (_C.T @ blocks) @ _C + 128.0
+        spatial = (_C.T @ blocks) @ _C + half
         plane = spatial.transpose(0, 2, 1, 3).reshape(
             zz.shape[0] * 8, zz.shape[1] * 8
         )
@@ -888,13 +954,13 @@ def _idct_assemble(sof, geom, coefs, qtbls):
             plane = np.repeat(plane, hmax // hi, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(planes[0]), 0, maxv).astype(dt)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dt)
 
 
 # ---------------------------------------------------------------------------

@@ -8614,6 +8614,117 @@ FROM s
 """
 
 
+def q_mm_jpeg12_roundtrip(spark, sf):
+    """12-bit extended-sequential JPEG (SOF1) correctness at table
+    scale (r09: the precision gate closed in `jpeg.py`). Lossy codecs
+    can't hash-check arbitrary pixels, so the entry leans on the one
+    EXACT subset: per-8×8-block-CONSTANT images at quality 100 are
+    DC-only and the whole encode→decode chain is integer arithmetic
+    (gray) or within 0.2 of a sample step (RGB through the float YCbCr
+    pair) — the decode returns the input bit-for-bit. Per document a
+    (doc_id-derived) block grid is built with values up to 2760 (well
+    past the 8-bit range, proving real 12-bit amplitudes), encoded as a
+    real SOF1 stream — doc_id%2 picks gray vs RGB, doc_id%3==0 adds a
+    DRI/RSTn restart interval — decoded back, and dims + channel count
+    + pixel sum + max sample are emitted. The oracle recomputes the
+    sums arithmetically; a green hash proves the 12-bit entropy coding,
+    level shift 2048, widened categories and uint16 reconstruction all
+    invert (the reference has no codecs; SURVEY §2.B multimodal
+    rows)."""
+    from vector_lake_spark.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 5 + 3).cast("int").alias("wb"),
+        (F.col("n_chars") % 4 + 2).cast("int").alias("hb"),
+        (F.col("doc_id") % 170).cast("int").alias("base"),
+        (F.col("doc_id") % 2 == 0).alias("gray"),
+        (F.col("doc_id") % 3 == 0).alias("rst"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                by = np.arange(r.hb)[:, None, None]
+                bx = np.arange(r.wb)[None, :, None]
+                c3 = np.arange(3)[None, None, :]
+                vals = (16 * r.base + 7 * by + 3 * bx + 5 * c3).astype(
+                    np.uint16
+                )
+                if r.gray:
+                    vals = vals[:, :, 0]
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                f = encode_jpeg(
+                    px,
+                    quality=100,
+                    precision=12,
+                    restart_interval=2 if r.rst else 0,
+                )
+                dec = decode_jpeg_pixels(f)
+                rows.append(
+                    (
+                        r.media_id,
+                        dec.shape[1],
+                        dec.shape[0],
+                        1 if dec.ndim == 2 else dec.shape[2],
+                        int(dec.max()),
+                        int(dec.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels", "max_sample",
+                    "pix_sum",
+                ],
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, channels int, "
+            "max_sample int, pix_sum long"
+        ),
+    )
+
+
+SQL_MM_JPEG12_ROUNDTRIP = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 5) + 3 AS wb,
+         (n_chars % 4) + 2 AS hb,
+         doc_id % 170 AS base,
+         doc_id % 2 = 0 AS gray
+  FROM documents
+),
+s AS (
+  SELECT *,
+         hb * (hb - 1) // 2 AS sy,
+         wb * (wb - 1) // 2 AS sx,
+         -- one channel's block-value total, times the 64 pixels/block
+         64 * (wb * hb * 16 * base + 7 * wb * sy + 3 * hb * sx) AS gsum
+  FROM p
+)
+SELECT media_id,
+       CAST(8 * wb AS INT) AS width,
+       CAST(8 * hb AS INT) AS height,
+       CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT) AS channels,
+       CAST(16 * base + 7 * (hb - 1) + 3 * (wb - 1)
+            + CASE WHEN gray THEN 0 ELSE 10 END AS INT) AS max_sample,
+       CAST(CASE WHEN gray THEN gsum
+                 ELSE 3 * gsum + 64 * wb * hb * 15 END AS BIGINT) AS pix_sum
+FROM s
+"""
+
+
 # A boilerplate page body served identically from many hosts — the thing
 # crawl dedup exists to collapse. No SQL-escaping hazards (no quotes/&).
 CRAWL_MIRROR_TEXT = (
@@ -8830,6 +8941,7 @@ _BASE_QUERIES = {
     "mm_webp_anim": q_mm_webp_anim,
     "mm_flac_roundtrip": q_mm_flac_roundtrip,
     "mm_tiff_roundtrip": q_mm_tiff_roundtrip,
+    "mm_jpeg12_roundtrip": q_mm_jpeg12_roundtrip,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
     "pipe_warc_extract": q_pipe_warc_extract,
     "text_html_extract": q_text_html_extract,
@@ -9086,6 +9198,7 @@ ORACLES = {
     "mm_webp_anim": SQL_MM_WEBP_ANIM,
     "mm_flac_roundtrip": SQL_MM_FLAC_ROUNDTRIP,
     "mm_tiff_roundtrip": SQL_MM_TIFF_ROUNDTRIP,
+    "mm_jpeg12_roundtrip": SQL_MM_JPEG12_ROUNDTRIP,
     "pipe_crawl_e2e": SQL_PIPE_CRAWL_E2E,
     "pipe_warc_extract": SQL_PIPE_WARC_EXTRACT,
     "text_html_extract": SQL_TEXT_HTML_EXTRACT,
