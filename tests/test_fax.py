@@ -1,0 +1,186 @@
+"""CCITT fax codecs (`vector_lake_spark.fax`) and their TIFF wiring.
+
+Round trips prove encoder/decoder consistency; the codeword pins prove
+the T.4 tables against the public spec directly (a transcription slip
+in a shared table would round-trip fine — the pins catch it)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vector_lake_spark.fax import (
+    _BLACK_TERM,
+    _EXT_MAKEUP,
+    _WHITE_MAKEUP,
+    _WHITE_TERM,
+    decode_fax,
+    encode_fax,
+)
+from vector_lake_spark.tiff import decode_tiff_pixels, encode_tiff, probe_tiff
+
+
+def test_spec_codeword_pins():
+    """Well-known T.4 codewords, transcribed independently of the
+    table build: short terminating codes, the 1664 white make-up
+    oddity (6 bits), EOL-adjacent extended make-ups."""
+    assert _WHITE_TERM[0] == "00110101"
+    assert _WHITE_TERM[1] == "000111"
+    assert _WHITE_TERM[2] == "0111"
+    assert _WHITE_TERM[3] == "1000"
+    assert _WHITE_TERM[63] == "00110100"
+    assert _BLACK_TERM[0] == "0000110111"
+    assert _BLACK_TERM[1] == "010"
+    assert _BLACK_TERM[2] == "11"
+    assert _BLACK_TERM[3] == "10"
+    assert _BLACK_TERM[4] == "011"
+    assert _WHITE_MAKEUP[64] == "11011"
+    assert _WHITE_MAKEUP[1664] == "011000"
+    assert _EXT_MAKEUP[1792] == "00000001000"
+    assert _EXT_MAKEUP[2560] == "000000011111"
+    # every (color, kind) table is prefix-free — the decode-dict build
+    # already collides on duplicates; check cross-kind prefixes too
+    for tbl in ({**_WHITE_TERM, **_WHITE_MAKEUP, **_EXT_MAKEUP},
+                {**_BLACK_TERM, **_EXT_MAKEUP}):
+        codes = sorted(tbl.values(), key=len)
+        for i, a in enumerate(codes):
+            for b in codes[i + 1 :]:
+                assert not b.startswith(a) or a == b, (a, b)
+
+
+def test_mh_hand_fixture():
+    """A 12-wide row of 4 white, 5 black, 3 white, MH-coded by hand
+    from the spec tables: white4=1011, black5=0011, white3=1000."""
+    bits = "1011" + "0011" + "1000"
+    data = bytes([int(bits.ljust(16, "0")[i : i + 8], 2) for i in (0, 8)])
+    row = decode_fax(data, 12, 1, "mh")
+    assert row.tolist() == [[0, 0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0]]
+
+
+def test_black_start_needs_zero_white_run():
+    """A row starting black carries the zero-length white run first
+    (spec: lines always start with a white run)."""
+    row = np.array([[1, 1, 1, 0, 0]], dtype=np.uint8)
+    for scheme in ("mh", "g3", "g4"):
+        data = encode_fax(row, scheme)
+        assert np.array_equal(decode_fax(data, 5, 1, scheme), row), scheme
+
+
+def test_round_trip_sweep_all_schemes():
+    rng = np.random.default_rng(19)
+    cases = [
+        np.zeros((5, 40), dtype=np.uint8),            # all white
+        np.ones((5, 40), dtype=np.uint8),             # all black
+        rng.integers(0, 2, (23, 17), dtype=np.uint8),  # noise
+        (rng.random((40, 200)) < 0.05).astype(np.uint8),  # sparse marks
+        np.tile([0, 1], 50).reshape(1, 100).repeat(9, 0),  # 1px stripes
+        np.triu(np.ones((30, 30), dtype=np.uint8)),   # diagonal edge
+    ]
+    for px in cases:
+        for scheme in ("mh", "g3", "g4"):
+            data = encode_fax(px, scheme)
+            got = decode_fax(data, px.shape[1], px.shape[0], scheme)
+            assert np.array_equal(got, px), scheme
+
+
+def test_long_runs_use_makeups():
+    """Runs past 63 / 1728 / 2623 exercise make-up and extended
+    make-up chains in both directions."""
+    for w in (64, 100, 1728, 1729, 1792, 2560, 2624, 3000, 6000):
+        row = np.zeros((1, w), dtype=np.uint8)
+        for scheme in ("mh", "g4"):
+            data = encode_fax(row, scheme)
+            assert np.array_equal(decode_fax(data, w, 1, scheme), row), (w, scheme)
+        black = np.ones((1, w), dtype=np.uint8)
+        data = encode_fax(black, "mh")
+        assert np.array_equal(decode_fax(data, w, 1, "mh"), black), w
+
+
+def test_g4_compresses_correlated_rows():
+    """G4's whole point: vertically-correlated content (text lines,
+    rules) codes at a fraction of MH's size."""
+    px = np.zeros((100, 400), dtype=np.uint8)
+    px[:, 100:140] = 1
+    px[:, 300:310] = 1
+    g4 = encode_fax(px, "g4")
+    mh = encode_fax(px, "mh")
+    assert len(g4) < len(mh) / 5
+    assert np.array_equal(decode_fax(g4, 400, 100, "g4"), px)
+
+
+def test_g4_vertical_modes_all_offsets():
+    """Edges drifting by -3..+3 per row exercise every vertical code."""
+    px = np.zeros((15, 60), dtype=np.uint8)
+    edge = 30
+    drifts = [0, 1, -1, 2, -2, 3, -3, 1, 3, -3, 2, 0, -1, 3, -2]
+    for y, d in enumerate(drifts):
+        edge += d
+        px[y, edge : edge + 10] = 1
+    data = encode_fax(px, "g4")
+    assert np.array_equal(decode_fax(data, 60, 15, "g4"), px)
+
+
+def test_truncated_stream_is_corrupt():
+    px = np.triu(np.ones((20, 20), dtype=np.uint8))
+    for scheme in ("mh", "g3", "g4"):
+        data = encode_fax(px, scheme)
+        with pytest.raises(ValueError):
+            decode_fax(data[: len(data) // 3], 20, 20, scheme)
+
+
+# ---------------------------------------------------------------------------
+# TIFF wiring (compressions 2 / 3 / 4)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_fax_round_trip_all_schemes():
+    rng = np.random.default_rng(23)
+    px = (rng.random((33, 41)) < 0.2).astype(np.uint8)
+    for comp, name in (("ccitt-rle", "ccitt-rle"), ("g3", "ccitt-g3"),
+                       ("g4", "ccitt-g4")):
+        for miw in (False, True):
+            f = encode_tiff(px, compression=comp, bit_depth=1,
+                            min_is_white=miw)
+            info = probe_tiff(f)["pages"][0]
+            assert info["compression"] == name
+            assert info["bits_per_sample"] == [1]
+            assert info["photometric"] == (0 if miw else 1)
+            assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], px), comp
+
+
+def test_tiff_fax_multistrip_resets_reference():
+    """Each strip codes independently: the first row of strip 2 must
+    decode against an all-white imaginary reference, not strip 1's
+    last row."""
+    px = np.ones((8, 30), dtype=np.uint8)  # all black: worst case for G4
+    f = encode_tiff(px, compression="g4", bit_depth=1, rows_per_strip=3)
+    info = probe_tiff(f)["pages"][0]
+    assert info["n_strips"] == 3
+    assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], px)
+
+
+def test_tiff_fax_gates_and_validation():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="1-bit"):
+        encode_tiff(px, compression="g4")
+    with pytest.raises(ValueError, match="striped"):
+        encode_tiff(px, compression="g4", bit_depth=1, tile_size=16)
+    # 2-D Group 3 gates by name: set T4Options bit 0 on a real G3 file
+    f = bytearray(encode_tiff(px, compression="g3", bit_depth=1))
+    i = bytes(f).find(struct.pack("<HHI", 292, 4, 1))
+    struct.pack_into("<I", f, i + 8, 1)
+    with pytest.raises(NotImplementedError, match="2-D"):
+        decode_tiff_pixels(bytes(f))
+    # uncompressed-mode G4 gates by name
+    g = bytearray(encode_tiff(px, compression="g4", bit_depth=1))
+    i = bytes(g).find(struct.pack("<HHI", 293, 4, 1))
+    struct.pack_into("<I", g, i + 8, 2)
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        decode_tiff_pixels(bytes(g))
+    # CCITT on a non-bilevel page is corrupt
+    h = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8),
+                              compression="none"))
+    i = bytes(h).find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", h, i + 8, 4)
+    with pytest.raises(ValueError, match="bilevel"):
+        decode_tiff_pixels(bytes(h))

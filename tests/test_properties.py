@@ -712,3 +712,24 @@ def test_tiff_palette_round_trip_property(w, h, n_colors, comp, tiled, seed):
         tile_size=16 if tiled else None,
     )
     assert np.array_equal(decode_tiff_pixels(f), cmap[idx])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 90),
+    h=st.integers(1, 40),
+    scheme=st.sampled_from(["mh", "g3", "g4"]),
+    density=st.floats(0.0, 1.0),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fax_round_trip_property(w, h, scheme, density, seed):
+    """CCITT fax (r09 wave 3): any bilevel page must invert exactly
+    through MH / G3 1-D / G4 at any mark density."""
+    import numpy as np
+
+    from vector_lake_spark.fax import decode_fax, encode_fax
+
+    rng = np.random.default_rng(seed)
+    px = (rng.random((h, w)) < density).astype(np.uint8)
+    data = encode_fax(px, scheme)
+    assert np.array_equal(decode_fax(data, w, h, scheme), px)

@@ -8429,7 +8429,10 @@ def q_mm_tiff_roundtrip(spark, sf):
     (8-bit indices through a doc-derived 16-bit ColorMap whose channels
     are LINEAR in the index, so the looked-up sum stays closed-form) /
     1-bit MinIsWhite parity page (photometric 0: samples stored
-    inverted, decode re-inverts) / 2-bit / 4-bit packed-sample pages,
+    inverted, decode re-inverts; THIS mode's compression axis sweeps
+    the CCITT fax schemes — MH byte-aligned rows / G3 1-D / G4 MMR —
+    with PackBits as its tiled representative) / 2-bit / 4-bit
+    packed-sample pages,
     bits 4..5 pick none/PackBits/LZW/Deflate, n_chars%2 toggles the
     horizontal-differencing predictor on the whole-byte modes
     (restarting per tile row on the tiled path; mod-65536 on the
@@ -8507,11 +8510,20 @@ def q_mm_tiff_roundtrip(spark, sf):
                 else:  # 4-bit: 4*(y%4) + x%4
                     px = (4 * (y % 4) + (x % 4))[:, :, 0].astype(np.uint8)
                     bit_depth = 4
+                comp = comps[r.k]
+                ts = 16 if r.tiled else None
+                if r.m == 5:
+                    # the bilevel mode sweeps the CCITT fax schemes
+                    # (striped per spec) with PackBits as the k=3 tiled
+                    # representative
+                    comp = ("ccitt-rle", "g3", "g4", "packbits")[r.k]
+                    if r.k != 3:
+                        ts = None
                 f = encode_tiff(
                     px,
-                    compression=comps[r.k],
+                    compression=comp,
                     predictor=bool(r.pred) and r.m < 5,
-                    tile_size=16 if r.tiled else None,
+                    tile_size=ts,
                     colormap=cmap,
                     bit_depth=bit_depth,
                     min_is_white=miw,
@@ -8588,11 +8600,16 @@ SELECT media_id,
        CAST(CASE WHEN m IN (1, 3) THEN 2
                  WHEN m = 4 THEN 3
                  WHEN m = 5 THEN 0 ELSE 1 END AS INT) AS photometric,
-       CASE k WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
-              WHEN 2 THEN 'lzw' ELSE 'deflate' END AS compression,
+       CASE WHEN m = 5 THEN
+              CASE k WHEN 0 THEN 'ccitt-rle' WHEN 1 THEN 'ccitt-g3'
+                     WHEN 2 THEN 'ccitt-g4' ELSE 'packbits' END
+            ELSE
+              CASE k WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
+                     WHEN 2 THEN 'lzw' ELSE 'deflate' END
+       END AS compression,
        pred AND m < 5 AS predictor,
        planar,
-       CAST(CASE WHEN tiled
+       CAST(CASE WHEN tiled AND (m <> 5 OR k = 3)
                  THEN ((w + 15) // 16) * ((h + 15) // 16)
                       * (CASE WHEN planar THEN 3 ELSE 1 END)
                  ELSE 0 END AS INT) AS n_tiles,

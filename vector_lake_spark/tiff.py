@@ -27,12 +27,18 @@ covers the baseline subset real scanners emit:
   scanned-document class; both photometrics, striped or tiled — r09).
 - PlanarConfiguration 2 (separate sample planes: plane-major
   strip/tile tables, predictor per plane row — r09).
+- CCITT fax on bilevel pages (r09, via `vector_lake_spark.fax`):
+  compression 2 (T.4 Modified Huffman, byte-aligned rows), 3 (Group 3
+  one-dimensional, EOL-prefixed rows) and 4 (Group 4 / T.6 MMR, fully
+  two-dimensional) — the compressions of patent/book scan corpora.
 
-Named gates: CCITT fax (G3/G4), JPEG-in-TIFF, sub-byte palette
-indices. The matching writer (`encode_tiff`, all four compressions,
-striped or tiled, 1/2/4/8/16-bit, palette, planar, MinIsWhite) exists
-for provable round trips; `tests/test_tiff.py` also pins the decoder
-against hand-assembled spec fixtures the writer never emits.
+Named gates: 2-D / uncompressed-mode Group 3, uncompressed-mode
+Group 4, tiled fax, JPEG-in-TIFF, sub-byte palette indices. The
+matching writer (`encode_tiff`, all seven compressions, striped or
+tiled, 1/2/4/8/16-bit, palette, planar, MinIsWhite) exists for
+provable round trips; `tests/test_tiff.py` / `tests/test_fax.py` also
+pin the decoders against hand-assembled spec fixtures the writer
+never emits.
 """
 
 from __future__ import annotations
@@ -362,10 +368,26 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             f"only uniform 1/2/4/8/16-bit gray/RGB/palette TIFF decodes "
             f"(bits={bits}, samples={spp})"
         )
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp in (2, 3, 4):  # CCITT fax (T.4 MH / G3 1-D / T.6 G4)
+        if depth != 1 or spp != 1:
+            raise ValueError(
+                "corrupt TIFF: CCITT compression on a non-bilevel page"
+            )
+        if comp == 3 and tags.get(292, [0])[0] & 0b11:
+            raise NotImplementedError(
+                "2-D / uncompressed Group 3 (T4Options bits 0-1) is a "
+                "named gate (1-D G3 decodes)"
+            )
+        if comp == 4 and tags.get(293, [0])[0] & 0b10:
+            raise NotImplementedError(
+                "uncompressed-mode Group 4 (T6Options bit 1) is a named gate"
+            )
+        if 322 in tags or 323 in tags or 324 in tags:
+            raise NotImplementedError("tiled CCITT fax pages are a named gate")
+    elif comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {_COMPRESSION_NAMES.get(comp, comp)} is a "
-            f"named gate (none/LZW/PackBits/Deflate decode natively)"
+            f"named gate (none/LZW/PackBits/Deflate/CCITT decode natively)"
         )
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
@@ -448,6 +470,25 @@ def _decode_striped(
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("corrupt TIFF: missing/mismatched strip tables")
     rps = tags.get(278, [h])[0] or h
+    if comp in (2, 3, 4):  # fax strips decode row-structured, not bytewise
+        from vector_lake_spark.fax import decode_fax
+
+        scheme = {2: "mh", 3: "g3", 4: "g4"}[comp]
+        parts = []
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - i * rps)
+            if rows <= 0:
+                raise ValueError("corrupt TIFF: more strips than rows")
+            strip = payload[off : off + cnt]
+            if len(strip) < cnt:
+                raise ValueError("corrupt TIFF: strip data out of range")
+            parts.append(decode_fax(strip, w, rows, scheme))
+        px = np.concatenate(parts, axis=0)
+        if px.shape[0] != h:
+            raise ValueError(
+                "corrupt TIFF: strip table covers fewer rows than the image"
+            )
+        return px[:, :, None]
     row_bytes = _row_bytes(w, spp, depth)
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -600,11 +641,18 @@ def encode_tiff(
     h, w, spp = px.shape
     if planar and spp != 3:
         raise ValueError("planar configuration applies to 3-sample pages")
-    comp_id = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}.get(
-        compression
-    )
+    comp_id = {
+        "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
+        "ccitt-rle": 2, "g3": 3, "g4": 4,
+    }.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
+    fax_scheme = {2: "mh", 3: "g3", 4: "g4"}.get(comp_id)
+    if fax_scheme:
+        if bit_depth != 1:
+            raise ValueError("CCITT compressions apply to 1-bit pages")
+        if tile_size is not None:
+            raise ValueError("CCITT fax pages are striped, not tiled")
 
     def pack_block(block: bytes) -> bytes:
         if comp_id == 1:
@@ -668,12 +716,20 @@ def encode_tiff(
             1, min(h, 8192 // max(1, _row_bytes(w, 1 if planar else spp, depth)))
         )
         strips = []
-        for ch in channels:
-            data = _diff_rows(ch) if predictor else ch
-            strips += [
-                pack_block(block_bytes(data[r0 : r0 + rps]))
+        if fax_scheme:
+            from vector_lake_spark.fax import encode_fax
+
+            strips = [
+                encode_fax(px[r0 : r0 + rps, :, 0], fax_scheme)
                 for r0 in range(0, h, rps)
             ]
+        else:
+            for ch in channels:
+                data = _diff_rows(ch) if predictor else ch
+                strips += [
+                    pack_block(block_bytes(data[r0 : r0 + rps]))
+                    for r0 in range(0, h, rps)
+                ]
     # layout: header(8) + IFD + values + strips
     entries = []  # (tag, type, count, packed_value_or_None, values)
 
@@ -704,6 +760,10 @@ def encode_tiff(
     short(277, spp)
     if planar:
         short(284, 2)
+    if comp_id == 3:
+        long_(292, 0)  # T4Options: 1-D, no fill, no uncompressed
+    elif comp_id == 4:
+        long_(293, 0)  # T6Options: no uncompressed mode
     if tiled:
         short(322, tw)
         short(323, th)
