@@ -138,6 +138,7 @@ HEADLINE = [
     "mm_tiff_roundtrip",
     "pipe_crawl_e2e",
     "mm_jpeg12_roundtrip",
+    "mm_rle8_roundtrip",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

@@ -268,7 +268,7 @@ def test_many_file_input_skips_local_spread_barriers(spark, tmp_path):
 
     # r09 entries: same contract — the spread is a local artifact only
     for q in (Q.q_pipe_crawl_e2e, Q.q_mm_tiff_roundtrip,
-              Q.q_mm_jpeg12_roundtrip):
+              Q.q_mm_jpeg12_roundtrip, Q.q_mm_rle8_roundtrip):
         df = q(spark, sf)
         assert_not_in_plan(df, "RoundRobinPartitioning")
         assert_not_in_plan(df, "ExistingRDD")
@@ -867,6 +867,21 @@ def test_jpeg12_roundtrip_single_arrow_stage_no_shuffle(spark):
     import re
 
     df = Q.q_mm_jpeg12_roundtrip(spark, SF)
+    plan = plan_string(df)
+    nodes = set(re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", plan))
+    assert len(nodes) == 1, plan
+    simple = plan_string(df, "simple")
+    assert "hashpartitioning" not in simple, simple
+    assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_rle8_roundtrip_single_arrow_stage_no_shuffle(spark):
+    """mm_rle8_roundtrip: the interframe-video entry keeps the same
+    per-row codec contract — one Arrow stage, no hash exchange, text
+    pruned from the scan."""
+    import re
+
+    df = Q.q_mm_rle8_roundtrip(spark, SF)
     plan = plan_string(df)
     nodes = set(re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", plan))
     assert len(nodes) == 1, plan

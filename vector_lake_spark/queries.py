@@ -8742,6 +8742,132 @@ FROM s
 """
 
 
+def q_mm_rle8_roundtrip(spark, sf):
+    """INTERFRAME video correctness at table scale (r09: Microsoft
+    RLE8 in AVI — the documented delta codec closing the last video
+    gate that is honestly closable with stdlib). Per document a
+    3-frame video is built over a doc-derived 16-color palette whose
+    channel sums are LINEAR in the index (so looked-up totals stay
+    closed-form): frame 0 is a busy 4-periodic keyframe, frames 1 and
+    2 change ONLY the bottom row — so their encodings are true deltas
+    (persisted rows cost 2-byte EOLs / early end-of-bitmap). The video
+    muxes through `encode_avi_rle8`, probes (codec tag, frame chunk
+    sizes — no decode), and decodes back through the delta-replay
+    chain. Emitted: dims, frame count, codec, the PINNED invariant
+    that a delta frame is >4× smaller than its keyframe (the oracle
+    asserts TRUE; if the writer ever stops emitting deltas the Spark
+    side flips to false and the hash catches it), and each frame's
+    exact RGB pixel sum — lossless codec, so exact equality (the
+    reference has no codecs; SURVEY §2.B multimodal rows)."""
+    from vector_lake_spark.avi import (
+        decode_avi_frames,
+        encode_avi_rle8,
+        probe_avi,
+    )
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 17 + 16).cast("int").alias("w"),
+        (F.col("n_chars") % 13 + 12).cast("int").alias("h"),
+        (F.col("doc_id") % 90).cast("int").alias("a"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = np.arange(16)
+                pal = np.stack(
+                    [7 * i + r.a, 255 - 9 * i, 3 * i + 40], axis=1
+                ).astype(np.uint8)
+                y = np.arange(r.h)[:, None]
+                x = np.arange(r.w)[None, :]
+                f0 = ((y % 4) + 4 * (x % 4)).astype(np.uint8)
+                f1 = f0.copy()
+                f1[r.h - 1, :] = 5  # bottom row only: a true delta
+                f2 = f1.copy()
+                f2[r.h - 1, :] = 9
+                payload = encode_avi_rle8([f0, f1, f2], pal, fps=5)
+                info = probe_avi(payload)
+                sizes = [s for _, s in info["frames"]]
+                _, frames = decode_avi_frames(payload)
+                sums = [int(px.astype(np.int64).sum()) for _, px in frames]
+                rows.append(
+                    (
+                        r.media_id,
+                        info["width"],
+                        info["height"],
+                        info["n_frames"],
+                        info["codec"],
+                        sizes[1] * 4 < sizes[0] and sizes[2] * 4 < sizes[0],
+                        sums[0],
+                        sums[1],
+                        sums[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames", "codec",
+                    "delta_smaller", "sum0", "sum1", "sum2",
+                ],
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, width int, height int, n_frames int, "
+            "codec string, delta_smaller boolean, "
+            "sum0 long, sum1 long, sum2 long"
+        ),
+    )
+
+
+SQL_MM_RLE8_ROUNDTRIP = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 17) + 16 AS w,
+         (n_chars % 13) + 12 AS h,
+         doc_id % 90 AS a
+  FROM documents
+),
+s AS (
+  SELECT *,
+         -- S4(n) = sum over n of (k % 4)
+         6 * (h // 4) + CASE h % 4 WHEN 2 THEN 1 WHEN 3 THEN 3
+                                   ELSE 0 END AS s4h,
+         6 * (w // 4) + CASE w % 4 WHEN 2 THEN 1 WHEN 3 THEN 3
+                                   ELSE 0 END AS s4w
+  FROM p
+),
+t AS (
+  SELECT *,
+         -- frame 0 index total; bottom-row index total; per-pixel
+         -- palette channel sum is (idx + a + 295)
+         w * s4h + 4 * h * s4w AS i0,
+         w * ((h - 1) % 4) + 4 * s4w AS row_bot
+  FROM s
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS n_frames,
+       'MRLE' AS codec,
+       TRUE AS delta_smaller,
+       CAST(i0 + (a + 295) * w * h AS BIGINT) AS sum0,
+       CAST(i0 - row_bot + 5 * w + (a + 295) * w * h AS BIGINT) AS sum1,
+       CAST(i0 - row_bot + 9 * w + (a + 295) * w * h AS BIGINT) AS sum2
+FROM t
+"""
+
+
 # A boilerplate page body served identically from many hosts — the thing
 # crawl dedup exists to collapse. No SQL-escaping hazards (no quotes/&).
 CRAWL_MIRROR_TEXT = (
@@ -8959,6 +9085,7 @@ _BASE_QUERIES = {
     "mm_flac_roundtrip": q_mm_flac_roundtrip,
     "mm_tiff_roundtrip": q_mm_tiff_roundtrip,
     "mm_jpeg12_roundtrip": q_mm_jpeg12_roundtrip,
+    "mm_rle8_roundtrip": q_mm_rle8_roundtrip,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
     "pipe_warc_extract": q_pipe_warc_extract,
     "text_html_extract": q_text_html_extract,
@@ -9216,6 +9343,7 @@ ORACLES = {
     "mm_flac_roundtrip": SQL_MM_FLAC_ROUNDTRIP,
     "mm_tiff_roundtrip": SQL_MM_TIFF_ROUNDTRIP,
     "mm_jpeg12_roundtrip": SQL_MM_JPEG12_ROUNDTRIP,
+    "mm_rle8_roundtrip": SQL_MM_RLE8_ROUNDTRIP,
     "pipe_crawl_e2e": SQL_PIPE_CRAWL_E2E,
     "pipe_warc_extract": SQL_PIPE_WARC_EXTRACT,
     "text_html_extract": SQL_TEXT_HTML_EXTRACT,
