@@ -139,6 +139,8 @@ HEADLINE = [
     "pipe_crawl_e2e",
     "mm_jpeg12_roundtrip",
     "mm_rle8_roundtrip",
+    "pipe_url_dedup",
+    "text_gopher_rules",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

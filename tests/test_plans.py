@@ -890,6 +890,30 @@ def test_rle8_roundtrip_single_arrow_stage_no_shuffle(spark):
     assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]
 
 
+def test_gopher_rules_pure_codegen_single_scan(spark):
+    """text_gopher_rules is one scan of pure column expressions: no
+    exchange, no Python, and only (doc_id, text) read from parquet."""
+    df = Q.q_text_gopher_rules(spark, SF)
+    p = plan_string(df, "simple")
+    assert "Exchange" not in p, p
+    assert "Python" not in p and "MapInPandas" not in p, p
+    read = p.split("ReadSchema")[-1].split("\n")[0]
+    assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_url_dedup_two_hash_keys_no_python(spark):
+    """pipe_url_dedup's shuffle contract: the canonical-URL group and
+    the domain window/aggregate — hash exchanges on those two keys
+    only, everything else codegen (no Python anywhere)."""
+    import re
+
+    df = Q.q_pipe_url_dedup(spark, SF)
+    p = plan_string(df)
+    assert "Python" not in p and "MapInPandas" not in p, p
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", p))
+    assert keys <= {"url", "domain"}, keys
+
+
 def test_neardup_bucket_cap_exchange_economy(spark):
     """The r09 bucket-size guard's shuffle contract, per strategy:
 

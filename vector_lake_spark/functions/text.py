@@ -173,3 +173,20 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
     return F.when(total > 0, F.round(
         F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
     )).otherwise(F.lit(0.0))
+
+
+def normalize_url(col: Column) -> Column:
+    """Crawl-style URL canonicalization (the RefinedWeb/C4 URL-dedup
+    prep): lowercase, strip scheme, strip a leading ``www.``, drop
+    query string and fragment, drop one trailing slash. Pure codegen
+    regexps — mirrored verbatim in ``oracles.sql_normalize_url``."""
+    u = F.lower(col)
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    u = F.regexp_replace(u, "[?#].*$", "")
+    return F.regexp_replace(u, "/$", "")
+
+
+def url_domain(col: Column) -> Column:
+    """Host part of a normalized URL (everything before the first /)."""
+    return F.regexp_extract(col, "^([^/]+)", 1)

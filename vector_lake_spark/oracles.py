@@ -176,3 +176,16 @@ def sql_repetition_ratio(col: str, n: int = 3) -> str:
         f"round(1.0 - CAST({distinct} AS DOUBLE) / CAST({total} AS DOUBLE), 6) "
         f"ELSE 0.0 END"
     )
+
+
+def sql_normalize_url(col: str) -> str:
+    """== functions.text.normalize_url (same regexps, same order)."""
+    u = f"lower({col})"
+    u = f"regexp_replace({u}, '^https?://', '')"
+    u = f"regexp_replace({u}, '^www\\.', '')"
+    u = f"regexp_replace({u}, '[?#].*$', '')"
+    return f"regexp_replace({u}, '/$', '')"
+
+
+def sql_url_domain(col: str) -> str:
+    return f"regexp_extract({col}, '^([^/]+)', 1)"

@@ -22,11 +22,14 @@ from vector_lake_spark.functions.text import (
     avg_token_len,
     fingerprint64,
     lang_id,
+    normalize_url,
     punct_ratio,
     quality_score,
+    stopword_count,
     stopword_ratio,
     token_count,
     tokens,
+    url_domain,
 )
 from vector_lake_spark.functions.vectors import dot, norm, to_double_array
 from vector_lake_spark.operators import lsh as lsh_mod
@@ -8868,6 +8871,189 @@ FROM t
 """
 
 
+def q_pipe_url_dedup(spark, sf):
+    """URL canonicalization → exact-URL dedup → per-domain cap, the
+    crawl-curation front-of-pipeline staple (C4/RefinedWeb drop
+    duplicate URLs before touching content, then cap any one domain's
+    share of the corpus). Per document a realistic URL VARIANT is
+    derived (three docs share each canonical page; doc_id%3 picks the
+    scheme/www/case/tracking-query/trailing-slash variant), then the
+    real operators run: `normalize_url` (pure codegen regexps)
+    collapses all variants, pages dedup to their first doc_id, and a
+    per-domain window keeps only the 5 earliest pages (the domain
+    cap). Output is the per-domain audit a curation run reports:
+    URLs seen, distinct pages, pages kept, and the kept pages'
+    doc_id sum (pinning that the cap kept the RIGHT pages, not just
+    the right count). Scale shape: one exchange on the canonical URL,
+    one on the domain — both standard hash keys; no skew (domains are
+    uniform by construction, and a production run would salt a
+    mega-domain the same way the dedup family salts hot shingles)."""
+    d = _t(spark, sf, "documents")
+    pid = F.expr("doc_id div 3")
+    dom_id = pid % 20
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://www.example"), dom_id,
+                F.lit(".com/articles/"), pid,
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("http://example"), dom_id,
+                F.lit(".com/articles/"), pid, F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://EXAMPLE"), dom_id,
+                F.lit(".COM/articles/"), pid,
+                F.lit("?utm_source=feed#top"),
+            )
+        )
+    )
+    pages = (
+        d.select(F.col("doc_id"), normalize_url(url).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .withColumn("domain", url_domain(F.col("url")))
+    )
+    w = Window.partitionBy("domain").orderBy("first_doc")
+    ranked = pages.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("domain")
+        .agg(
+            F.sum("n_variants").cast("long").alias("n_urls"),
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum((F.col("rk") <= 5).cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("rk") <= 5, F.col("first_doc")).otherwise(0)
+            ).cast("long").alias("kept_doc_sum"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _sql_pipe_url_dedup() -> str:
+    url = """CASE doc_id % 3
+        WHEN 0 THEN 'https://www.example' || (doc_id // 3) % 20
+                    || '.com/articles/' || (doc_id // 3)
+        WHEN 1 THEN 'http://example' || (doc_id // 3) % 20
+                    || '.com/articles/' || (doc_id // 3) || '/'
+        ELSE 'https://EXAMPLE' || (doc_id // 3) % 20
+             || '.COM/articles/' || (doc_id // 3) || '?utm_source=feed#top'
+        END"""
+    return f"""
+WITH u AS (
+  SELECT doc_id, {O.sql_normalize_url(url)} AS url FROM documents
+),
+pages AS (
+  SELECT url, min(doc_id) AS first_doc, count(*) AS n_variants,
+         {O.sql_url_domain('url')} AS domain
+  FROM u GROUP BY url
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY first_doc) AS rk
+  FROM pages
+)
+SELECT domain,
+       CAST(sum(n_variants) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk <= 5 THEN first_doc ELSE 0 END) AS BIGINT)
+           AS kept_doc_sum
+FROM ranked
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+SQL_PIPE_URL_DEDUP = _sql_pipe_url_dedup()
+
+
+def q_text_gopher_rules(spark, sf):
+    """The published Gopher quality-rule suite per document (the named
+    heuristic set every LLM curation pipeline starts from), as pure
+    codegen expressions over one scan: token-count bounds, mean-word-
+    length bounds, stopword floor, numeric-token ceiling, symbol
+    (punctuation) ceiling — each rule emitted as its own flag plus the
+    conjunction, so downstream reporting can attribute REMOVALS to
+    rules (the Gopher paper's ablation table shape). Thresholds adapt
+    the paper's to this corpus's 10-100-word documents (word floor 20
+    instead of 50); the oracle recomputes every flag from the shared
+    tokenizer formulas."""
+    d = _t(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = token_count(F.col("text"))
+    mean_len = avg_token_len(F.col("text"))
+    n_stop = stopword_count(F.col("text"))
+    n_num = F.size(
+        F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
+    ).cast("long")
+    p_ratio = punct_ratio(F.col("text"))
+    r_words = (n_toks >= 20) & (n_toks <= 100000)
+    r_meanlen = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_stop = n_stop >= 2
+    r_numeric = n_num.cast("double") <= 0.2 * n_toks.cast("double")
+    r_symbol = p_ratio <= 0.1
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        r_words.alias("r_words"),
+        r_meanlen.alias("r_meanlen"),
+        r_stop.alias("r_stop"),
+        r_numeric.alias("r_numeric"),
+        r_symbol.alias("r_symbol"),
+        (r_words & r_meanlen & r_stop & r_numeric & r_symbol).alias(
+            "pass_all"
+        ),
+    )
+
+
+def _sql_text_gopher_rules() -> str:
+    n_toks = O.sql_token_count("text")
+    mean_len = O.sql_avg_token_len("text")
+    n_stop = O.sql_stopword_count("text")
+    n_num = (
+        f"CAST(len(list_filter({O.sql_tokens('text')}, "
+        f"t -> regexp_full_match(t, '[0-9]+'))) AS BIGINT)"
+    )
+    p_ratio = O.sql_punct_ratio("text")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         {n_toks} AS n_tokens,
+         {mean_len} AS mean_len,
+         {n_stop} AS n_stop,
+         {n_num} AS n_num,
+         {p_ratio} AS p_ratio
+  FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       n_tokens >= 20 AND n_tokens <= 100000 AS r_words,
+       mean_len >= 3.0 AND mean_len <= 10.0 AS r_meanlen,
+       n_stop >= 2 AS r_stop,
+       CAST(n_num AS DOUBLE) <= 0.2 * CAST(n_tokens AS DOUBLE) AS r_numeric,
+       p_ratio <= 0.1 AS r_symbol,
+       (n_tokens >= 20 AND n_tokens <= 100000)
+         AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         AND n_stop >= 2
+         AND CAST(n_num AS DOUBLE) <= 0.2 * CAST(n_tokens AS DOUBLE)
+         AND p_ratio <= 0.1 AS pass_all
+FROM m
+"""
+
+
+SQL_TEXT_GOPHER_RULES = _sql_text_gopher_rules()
+
+
 # A boilerplate page body served identically from many hosts — the thing
 # crawl dedup exists to collapse. No SQL-escaping hazards (no quotes/&).
 CRAWL_MIRROR_TEXT = (
@@ -9086,6 +9272,8 @@ _BASE_QUERIES = {
     "mm_tiff_roundtrip": q_mm_tiff_roundtrip,
     "mm_jpeg12_roundtrip": q_mm_jpeg12_roundtrip,
     "mm_rle8_roundtrip": q_mm_rle8_roundtrip,
+    "pipe_url_dedup": q_pipe_url_dedup,
+    "text_gopher_rules": q_text_gopher_rules,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
     "pipe_warc_extract": q_pipe_warc_extract,
     "text_html_extract": q_text_html_extract,
@@ -9344,6 +9532,8 @@ ORACLES = {
     "mm_tiff_roundtrip": SQL_MM_TIFF_ROUNDTRIP,
     "mm_jpeg12_roundtrip": SQL_MM_JPEG12_ROUNDTRIP,
     "mm_rle8_roundtrip": SQL_MM_RLE8_ROUNDTRIP,
+    "pipe_url_dedup": SQL_PIPE_URL_DEDUP,
+    "text_gopher_rules": SQL_TEXT_GOPHER_RULES,
     "pipe_crawl_e2e": SQL_PIPE_CRAWL_E2E,
     "pipe_warc_extract": SQL_PIPE_WARC_EXTRACT,
     "text_html_extract": SQL_TEXT_HTML_EXTRACT,
