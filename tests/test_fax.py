@@ -184,3 +184,28 @@ def test_tiff_fax_gates_and_validation():
     struct.pack_into("<H", h, i + 8, 4)
     with pytest.raises(ValueError, match="bilevel"):
         decode_tiff_pixels(bytes(h))
+
+
+def _bits_to_bytes(bits: str) -> bytes:
+    bits = bits.ljust(-(-len(bits) // 8) * 8, "0")
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_g4_zero_progress_horizontal_is_corrupt():
+    """Crafted H(0,0) pairs make no progress: the decoder must raise,
+    not hang. (The first H(0,0) at line start is harmlessly legal —
+    two cancelling changes at 0 — the SECOND one cannot advance.)"""
+    h00 = "001" + "00110101" + "0000110111"  # H + white0 + black0
+    with pytest.raises(ValueError, match="empty H runs"):
+        decode_fax(_bits_to_bytes(h00 + h00), 8, 1, "g4")
+
+
+def test_g4_backward_vertical_is_corrupt():
+    """A vertical code landing at or left of a0 would emit a
+    zero/negative run and flip parity — corrupt, not accepted."""
+    # row 1: H(5,3) over w=8 -> reference changes [5]
+    row1 = "001" + "1100" + "10"  # H + white5 + black3
+    # row 2: V0 (a1=5), then VL3 from b1=8 -> a1=5 == a0: invalid
+    row2 = "1" + "0000010"
+    with pytest.raises(ValueError, match="vertical out of range"):
+        decode_fax(_bits_to_bytes(row1 + row2), 8, 2, "g4")

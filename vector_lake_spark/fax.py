@@ -271,6 +271,9 @@ def _g4_decode_row(rd: _BitReader, ref: list[int], w: int) -> list[int]:
             r1 = _read_run(rd, color == 0)
             r2 = _read_run(rd, color != 0)
             start = 0 if a0 < 0 else a0
+            if r1 + r2 == 0 and a0 >= 0:
+                # two zero runs advance nothing: corrupt, not a hang
+                raise ValueError("corrupt fax stream: empty H runs")
             cur.append(start + r1)
             cur.append(start + r1 + r2)
             a0 = start + r1 + r2
@@ -295,7 +298,10 @@ def _g4_decode_row(rd: _BitReader, ref: list[int], w: int) -> list[int]:
                 )
             mode = "v"
         if mode == "v":
-            if a1 < 0 or a1 > w or (cur and a1 < cur[-1]):
+            # a1 must lie strictly right of a0 (T.6: coding advances);
+            # an equal-or-left change would be a zero/negative run and
+            # flip the color parity of everything after it
+            if a1 > w or a1 <= a0:
                 raise ValueError("corrupt fax stream: vertical out of range")
             cur.append(a1)
             color ^= 1
