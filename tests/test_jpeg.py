@@ -374,12 +374,14 @@ class Test12Bit:
             encode_jpeg(np.full((8, 8), 5000, dtype=np.uint16), precision=12)
         with pytest.raises(ValueError, match="precision"):
             encode_jpeg(np.zeros((8, 8), dtype=np.uint8), precision=10)
-        # 12-bit PROGRESSIVE remains a named gate
+        # a SEQUENTIAL scan header relabeled SOF2 is corrupt (progressive
+        # DC scans must have Se = 0), not a gate — 12-bit progressive
+        # decodes for real since late r09
         f = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint16),
                                   precision=12))
         i = bytes(f).find(b"\xff\xc1")
         f[i + 1] = 0xC2
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="Se = 0"):
             decode_jpeg_pixels(bytes(f))
         # baseline SOF0 claiming 12-bit is corrupt, not a gate
         g = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint16),
@@ -388,3 +390,70 @@ class Test12Bit:
         g[i + 1] = 0xC0
         with pytest.raises(ValueError, match="baseline"):
             decode_jpeg_pixels(bytes(g))
+
+
+# ---------------------------------------------------------------------------
+# 12-bit PROGRESSIVE (SOF2) — late r09: the four Annex G scan decoders
+# over the widened amplitude categories, 16-bit DQT (Pq=1), level shift
+# 2048. Both encoders quantize identically, so at every quality the
+# progressive and sequential decodes of the same 12-bit image agree
+# pixel-for-pixel.
+# ---------------------------------------------------------------------------
+
+
+class Test12BitProgressive:
+    def test_block_constant_q100_exact_gray(self):
+        rng = np.random.default_rng(41)
+        px = np.repeat(np.repeat(
+            rng.integers(0, 4096, (3, 5), dtype=np.uint16), 8, 0), 8, 1)
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+        out = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, quality=100, precision=12))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, px)
+
+    def test_progressive_matches_sequential_every_quality(self):
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+        rng = np.random.default_rng(42)
+        px = rng.integers(0, 4096, (21, 37, 3), dtype=np.uint16)
+        for quality, subsample in ((100, False), (90, False), (75, True)):
+            prog = decode_jpeg_pixels(encode_jpeg_progressive(
+                px, quality=quality, precision=12, subsample=subsample))
+            seq = decode_jpeg_pixels(encode_jpeg(
+                px, quality=quality, precision=12, subsample=subsample))
+            assert np.array_equal(prog, seq), (quality, subsample)
+
+    def test_twelve_bit_amplitudes_survive(self):
+        """A gradient spanning the full 12-bit range decodes with >8-bit
+        dynamic range intact (values above 255 present and ordered)."""
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+        px = np.repeat(np.repeat(
+            (np.arange(8, dtype=np.uint16) * 585).reshape(1, 8), 8, 0), 8, 1)
+        out = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, quality=100, precision=12))
+        assert np.array_equal(out, px)
+        assert out.max() > 255
+
+    def test_sixteen_bit_dqt_written_and_read(self):
+        """The 12-bit progressive encoder writes Pq=1 DQT segments; the
+        decoder reads them (not the 8-bit table walk)."""
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+        import struct
+        f = encode_jpeg_progressive(
+            np.full((8, 8), 2048, dtype=np.uint16), quality=50, precision=12)
+        i = f.find(b"\xff\xdb")
+        assert f[i + 4] >> 4 == 1  # Pq=1: 16-bit entries
+        (seglen,) = struct.unpack_from(">H", f, i + 2)
+        assert seglen == 131  # 2 len + 1 id + 128 entries
+
+    def test_validation(self):
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+        with pytest.raises(ValueError, match="uint16"):
+            encode_jpeg_progressive(
+                np.zeros((8, 8), dtype=np.uint8), precision=12)
+        with pytest.raises(ValueError, match="4095"):
+            encode_jpeg_progressive(
+                np.full((8, 8), 4096, dtype=np.uint16), precision=12)
+        with pytest.raises(ValueError, match="precision"):
+            encode_jpeg_progressive(
+                np.zeros((8, 8), dtype=np.uint8), precision=10)

@@ -16,9 +16,11 @@ implement the subset for real and gate the rest loudly. Scope:
   exactly JPEG's Annex A definition) → level shift → YCbCr→RGB.
   EXTENDED SEQUENTIAL (SOF1) decodes at 8- AND 12-bit precision (r09:
   level shift 2048, 16-bit DQT entries, widened amplitude categories,
-  uint16 output — the medical/scanned-archive variant). Anything
-  outside the subset (arithmetic coding, lossless SOF3, 12-bit
-  progressive, sampling factors above 2) raises NotImplementedError
+  uint16 output — the medical/scanned-archive variant), and SOF2
+  progressive decodes at BOTH precisions too (12-bit progressive
+  landed later in r09 — the same four Annex G scan decoders over the
+  widened categories). Anything outside the subset (arithmetic coding,
+  lossless SOF3, sampling factors above 2) raises NotImplementedError
   naming the feature.
 - **Encoders** (`encode_jpeg` baseline, `encode_jpeg_progressive`
   SOF2 with both spectral selection and successive approximation),
@@ -755,6 +757,7 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
     restart_interval = 0
+    precision = 8
     coefs: list[np.ndarray] | None = None
     geom = None
     while pos < len(payload):
@@ -774,13 +777,19 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
             bpos = 0
             while bpos < len(body):
                 pq, tq = body[bpos] >> 4, body[bpos] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
+                if pq not in (0, 1):
+                    raise ValueError(f"corrupt JPEG: DQT precision {pq}")
                 tbl = np.zeros((8, 8), dtype=np.int64)
-                for i, (r, c) in enumerate(ZIGZAG):
-                    tbl[r, c] = body[bpos + 1 + i]
+                if pq == 0:
+                    for i, (r, c) in enumerate(ZIGZAG):
+                        tbl[r, c] = body[bpos + 1 + i]
+                    bpos += 65
+                else:  # 16-bit entries (the 12-bit-precision pairing)
+                    vals16 = struct.unpack_from(">64H", body, bpos + 1)
+                    for i, (r, c) in enumerate(ZIGZAG):
+                        tbl[r, c] = vals16[i]
+                    bpos += 129
                 qtbls[tq] = tbl
-                bpos += 65
         elif marker == 0xC4:
             bpos = 0
             while bpos < len(body):
@@ -792,11 +801,11 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 bpos += 17 + n
         elif marker == 0xC2:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(
-                    f"{prec}-bit progressive (12-bit decodes as extended "
-                    f"sequential only)"
+                    f"{prec}-bit progressive (8- and 12-bit decode)"
                 )
+            precision = prec
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -846,7 +855,7 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
         pos = pos + 2 + seglen
     if sof is None or coefs is None:
         raise ValueError("progressive JPEG missing SOF2/SOS")
-    return _idct_assemble(sof, geom, coefs, qtbls)
+    return _idct_assemble(sof, geom, coefs, qtbls, precision)
 
 
 def _decode_progressive_scan(
@@ -972,10 +981,12 @@ def _idct_assemble(sof, geom, coefs, qtbls, precision=8):
 # ---------------------------------------------------------------------------
 
 
-def _quantized_planes(px, quality, subsample):
+def _quantized_planes(px, quality, subsample, precision=8):
     """Shared FDCT front half: returns (h, w, samp, qtbls, coefs) where
     coefs[ci] is an (by, bx, 64) int array in zigzag order over the
-    MCU-padded grid."""
+    MCU-padded grid. ``precision`` sets the level shift / chroma offset
+    (2^(P-1)), matching the sequential encoder."""
+    half = float(1 << (precision - 1))
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -987,8 +998,8 @@ def _quantized_planes(px, quality, subsample):
         b = px[:, :, 2].astype(np.float64)
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + half,
+            0.5 * r - 0.418688 * g - 0.081312 * b + half,
         ]
     qlum = _quality_scale(LUM_Q, quality)
     qchr = _quality_scale(CHR_Q, quality)
@@ -1013,7 +1024,7 @@ def _quantized_planes(px, quality, subsample):
             ) / 4.0
         p = _pad_replicate(p, mcus_y * 8 * vi, mcus_x * 8 * hi)
         by, bx = mcus_y * vi, mcus_x * hi
-        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - half
         # stacked matmul (not einsum) for bit-identity with the baseline
         # encoder's per-block FDCT — same pairwise contraction order
         coef = np.round((_C @ blocks) @ _C.T)
@@ -1023,7 +1034,10 @@ def _quantized_planes(px, quality, subsample):
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90, subsample: bool = False
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode as a progressive (SOF2) JFIF JPEG using both spectral
     selection and one level of successive approximation, so a round
@@ -1031,15 +1045,30 @@ def encode_jpeg_progressive(
     decoders. Same quant/table conventions as ``encode_jpeg`` — at
     quality 100 the two encoders produce IDENTICAL coefficients, so
     progressive and baseline decodes of the same image must agree
-    pixel-for-pixel."""
+    pixel-for-pixel. ``precision=12`` writes a 12-bit progressive
+    stream from uint16 samples in 0..4095 (level shift 2048, widened
+    amplitude categories, 16-bit DQT entries) — the same matrix cell
+    the sequential encoder covers with SOF1."""
     px = np.asarray(pixels)
-    if px.dtype != np.uint8:
-        raise ValueError("pixels must be uint8")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 8:
+        if px.dtype != np.uint8:
+            raise ValueError("pixels must be uint8")
+    else:
+        if px.dtype != np.uint16:
+            raise ValueError("12-bit pixels must be uint16")
+        if px.max(initial=0) > 4095:
+            raise ValueError("12-bit samples exceed 4095")
     if px.ndim not in (2, 3) or (px.ndim == 3 and px.shape[2] != 3):
         raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
     if px.shape[0] == 0 or px.shape[1] == 0:
         raise ValueError("degenerate image")
-    h, w, samp, qtbls, coefs = _quantized_planes(px, quality, subsample)
+    h, w, samp, qtbls, coefs = _quantized_planes(
+        px, quality, subsample, precision
+    )
+    dc_codes = DC_CODES if precision == 8 else DC_CODES_12
+    ac_codes = AC_CODES if precision == 8 else AC_CODES_12
     ncomp = len(coefs)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -1053,23 +1082,35 @@ def encode_jpeg_progressive(
         nb.append((-(-ch // 8), -(-cw // 8)))
 
     out = bytearray(b"\xff\xd8")
-    out += (
-        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
+    if precision == 8:  # JFIF declares 8-bit samples; 12-bit files omit it
+        out += (
+            b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0)
+        )
     for tq, tbl in enumerate(qtbls):
-        zz = bytes(int(tbl[r, c]) for r, c in ZIGZAG)
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+        if precision == 8:
+            zz = bytes(int(tbl[r, c]) for r, c in ZIGZAG)
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+        else:  # Pq=1: 16-bit entries, the 12-bit-precision pairing
+            zz16 = struct.pack(">64H", *(int(tbl[r, c]) for r, c in ZIGZAG))
+            out += (
+                b"\xff\xdb" + struct.pack(">H", 131)
+                + bytes([0x10 | tq]) + zz16
+            )
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, hi << 4 | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
-    out += _dht_segment(0, 0, DC_SYMBOLS, 4)
-    out += _dht_segment(1, 0, AC_SYMBOLS, 8)
+    dc_syms, dc_len = (
+        (DC_SYMBOLS, 4) if precision == 8 else (DC_SYMBOLS_12, 5)
+    )
+    ac_syms = AC_SYMBOLS if precision == 8 else AC_SYMBOLS_12
+    out += _dht_segment(0, 0, dc_syms, dc_len)
+    out += _dht_segment(1, 0, ac_syms, 8)
     if ncomp > 1:
-        out += _dht_segment(0, 1, DC_SYMBOLS, 4)
-        out += _dht_segment(1, 1, AC_SYMBOLS, 8)
+        out += _dht_segment(0, 1, dc_syms, dc_len)
+        out += _dht_segment(1, 1, ac_syms, 8)
 
     def sos_header(scan_comps, ss, se, ah, al):
         body = bytes([len(scan_comps)])
@@ -1088,7 +1129,7 @@ def encode_jpeg_progressive(
         for bx in range(mcus_x):
             for ci in range(ncomp):
                 hi, vi = samp[ci]
-                dct = DC_CODES
+                dct = dc_codes
                 for vy in range(vi):
                     for vx in range(hi):
                         dc = int(coefs[ci][by * vi + vy, bx * hi + vx, 0]) >> 1
@@ -1108,7 +1149,7 @@ def encode_jpeg_progressive(
         nby, nbx = nb[ci]
         for y in range(nby):
             for x in range(nbx):
-                _emit_ac_first(bw, coefs[ci][y, x], 1, 63, 1)
+                _emit_ac_first(bw, coefs[ci][y, x], 1, 63, 1, ac_codes)
         out += bw.flush()
 
     # ---- DC refinement: raw bit per block, interleaved, Ah=1 Al=0 --------
@@ -1133,14 +1174,14 @@ def encode_jpeg_progressive(
         nby, nbx = nb[ci]
         for y in range(nby):
             for x in range(nbx):
-                _emit_ac_refine(bw, coefs[ci][y, x], 1, 63, 0)
+                _emit_ac_refine(bw, coefs[ci][y, x], 1, 63, 0, ac_codes)
         out += bw.flush()
 
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def _emit_ac_first(bw, coef, ss, se, al):
+def _emit_ac_first(bw, coef, ss, se, al, ac_codes=AC_CODES):
     """AC-first scan of one block: magnitudes shifted toward zero by Al
     (T.81 point transform), run/size coding, per-block EOB0 (no
     cross-block EOB runs — simplicity costs bits, not bugs)."""
@@ -1161,20 +1202,20 @@ def _emit_ac_first(bw, coef, ss, se, al):
             run += 1
             continue
         while run >= 16:
-            code, length = AC_CODES[0xF0]
+            code, length = ac_codes[0xF0]
             bw.write(code, length)
             run -= 16
         size = _category(az)
-        code, length = AC_CODES[(run << 4) | size]
+        code, length = ac_codes[(run << 4) | size]
         bw.write(code, length)
         bw.write(_amplitude(az, size), size)
         run = 0
     if last < se:
-        code, length = AC_CODES[0x00]  # EOB0
+        code, length = ac_codes[0x00]  # EOB0
         bw.write(code, length)
 
 
-def _emit_ac_refine(bw, coef, ss, se, al):
+def _emit_ac_refine(bw, coef, ss, se, al, ac_codes=AC_CODES):
     """AC-refinement scan of one block — the jcphuff.c G.1.2.3 shape:
     newly-nonzero coefficients emit (run, 1) + sign, already-nonzero
     coefficients buffer one correction bit which flushes after the next
@@ -1195,7 +1236,7 @@ def _emit_ac_refine(bw, coef, ss, se, al):
             run += 1
             continue
         while run > 15 and k <= eob:
-            code, length = AC_CODES[0xF0]
+            code, length = ac_codes[0xF0]
             bw.write(code, length)
             run -= 16
             for bit in pending:
@@ -1204,7 +1245,7 @@ def _emit_ac_refine(bw, coef, ss, se, al):
         if a > 1:  # history coefficient: one correction bit, run intact
             pending.append(a & 1)
             continue
-        code, length = AC_CODES[(run << 4) | 1]
+        code, length = ac_codes[(run << 4) | 1]
         bw.write(code, length)
         bw.write(1 if int(coef[k]) > 0 else 0, 1)
         for bit in pending:
@@ -1212,7 +1253,7 @@ def _emit_ac_refine(bw, coef, ss, se, al):
         pending = []
         run = 0
     if run > 0 or pending:
-        code, length = AC_CODES[0x00]  # EOB0 + its buffered bits
+        code, length = ac_codes[0x00]  # EOB0 + its buffered bits
         bw.write(code, length)
         for bit in pending:
             bw.write(bit, 1)
