@@ -8,9 +8,11 @@ pass through Python row-at-a-time serde. Decode status (r06):
   parsing → dims + channel means), PNG at **every legal IHDR
   combination** (``decode_png`` — stdlib zlib inflate + full
   None/Sub/Up/Average/Paeth filter reconstruction; depths 1/2/4/8/16
-  and Adam7 interlace since r08), and integer PCM WAV at **all four
-  widths** (``decode_wav`` — 8-bit biased / 16 / sign-extended 24 /
-  32; r08), each with a Spark operator (``extract_bmp_features`` /
+  and Adam7 interlace since r08), and WAV at **every sample format**
+  (``decode_wav`` — 8-bit biased / 16 / sign-extended 24 / 32 integer
+  PCM since r08; IEEE float 32/64 and G.711 A-law/μ-law through the
+  manual RIFF walk since r09), each with a Spark operator
+  (``extract_bmp_features`` /
   ``extract_png_features`` / ``extract_wav_features``) and
   exact-pixel/exact-sample tests through the Arrow boundary.
 - REAL, numpy-only: baseline + progressive JPEG (``jpeg.py`` — Huffman
@@ -25,9 +27,10 @@ pass through Python row-at-a-time serde. Decode status (r06):
   ``extract_video_frames`` dispatch, decoding ONLY sampled frames.
 - All three video containers PROBE for real (RIFF/AVI, ISO-BMFF/MP4,
   EBML/Matroska — ``probe_media`` is the unified metadata pass);
-  remaining gates are named codec subsets (12-bit/arithmetic JPEG,
-  lossy VP8, interframe video codecs — Matroska block decode raises
-  listing the codecs it found).
+  remaining gates are named codec subsets (arithmetic/lossless JPEG,
+  lossy VP8, motion-compensated video codecs — Matroska block decode
+  raises listing the codecs it found; RLE8-in-AVI interframe deltas
+  decode for real since r09).
 
 At 100 TB: binary payloads dominate row size, so every transform projects
 only the columns it needs (column pruning keeps untouched media out of the
@@ -77,8 +80,8 @@ def _decode_image(payload: bytes):
     baseline + progressive JPEG (r06/r07 — full Huffman + dequant +
     IDCT + Annex G progressive scans in ``jpeg.py``, numpy only) and
     GIF (r07 — LZW + frame composition in ``gif.py``) decode for real;
-    the remaining gates are format subsets (12-bit JPEG, 16-bit PNG),
-    each raising with the feature named."""
+    the remaining gates are format subsets (arithmetic-coded and
+    lossless JPEG, lossy VP8), each raising with the feature named."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload[:8] == PNG_SIGNATURE:
@@ -314,29 +317,40 @@ def decode_bmp(payload: bytes) -> dict:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """Real decode of a PCM WAV payload via the stdlib ``wave`` module:
-    sample rate, channel count, duration, and RMS amplitude.
+    """Real decode of a WAV payload: sample rate, channel count,
+    duration, and RMS amplitude.
 
     All integer PCM widths decode (r08 — the sub-16-bit gate is
     closed): 8-bit is UNSIGNED with a 128 bias per the RIFF spec,
     16/24/32-bit are signed little-endian (24-bit unpacked by byte
-    composition — no stdlib struct code exists for it). RMS is
-    computed on the raw integer samples of whatever width the file
-    carries (bias-corrected for 8-bit), so the value is
-    width-dependent by design — it reports THIS file's amplitude, not
-    a normalized loudness."""
+    composition — no stdlib struct code exists for it). Format tags
+    beyond PCM decode too (late r09, via the manual RIFF walk the
+    stdlib ``wave`` module refuses): IEEE float 32/64 (tag 3), A-law
+    (tag 6) and μ-law (tag 7, both G.711 — ``g711.py``, expanded to
+    16-bit linear before the RMS), plus WAVE_FORMAT_EXTENSIBLE
+    wrapping any of those. RMS is computed on the raw samples of
+    whatever domain the file carries (bias-corrected for 8-bit,
+    [-1, 1] floats for tag 3, 16-bit linear for G.711), so the value
+    is format-dependent by design — it reports THIS file's amplitude,
+    not a normalized loudness."""
     import io
     import math
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_channels = w.getnchannels()
-        rate = w.getframerate()
-        n_frames = w.getnframes()
-        width = w.getsampwidth()
-        frames = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_channels = w.getnchannels()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            frames = w.readframes(n_frames)
+        codec = "pcm"
+    except wave.Error:
+        # stdlib wave only opens integer PCM — companded/float formats
+        # take the manual RIFF chunk walk
+        return _decode_wav_ext(payload)
     if width == 1:  # unsigned with a 128 bias, per the RIFF spec
         samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
     elif width == 2:
@@ -356,8 +370,14 @@ def decode_wav(payload: bytes) -> dict:
             f"unsupported PCM sample width {width * 8} bits (8/16/24/32 "
             f"integer PCM decode natively)"
         )
+    return _wav_stats(samples, rate, n_channels, n_frames, codec)
+
+
+def _wav_stats(samples, rate, n_channels, n_frames, codec) -> dict:
+    import math
+
     # square-sum in float64: int64 would overflow past ~2^31.5 amplitude
-    sf = samples.astype(np.float64)
+    sf = samples.astype("float64")
     rms = math.sqrt(float((sf * sf).sum()) / len(sf)) if len(sf) else 0.0
     return {
         "sample_rate": rate,
@@ -365,7 +385,111 @@ def decode_wav(payload: bytes) -> dict:
         "n_samples": n_frames,
         "duration_ms": int(n_frames * 1000 / rate) if rate else 0,
         "rms": round(rms, 6),
+        "codec": codec,
     }
+
+
+def _decode_wav_ext(payload: bytes) -> dict:
+    """RIFF walk for the WAV format tags stdlib ``wave`` refuses:
+    IEEE float (3), A-law (6), μ-law (7), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE, resolved through the SubFormat GUID's leading tag).
+    Anything else (ADPCM variants, MP3-in-WAV …) raises a named
+    NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    tag, n_channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt)
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
+        if len(fmt) < 26:
+            raise ValueError("extensible WAV fmt chunk too short")
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    if tag == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4")
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError(f"IEEE-float WAV with {bits}-bit samples")
+        codec = f"float{bits}"
+    elif tag in (6, 7):
+        if bits not in (0, 8):
+            raise ValueError(f"G.711 WAV with {bits}-bit samples")
+        from vector_lake_spark.g711 import alaw_decode, ulaw_decode
+
+        codes = np.frombuffer(data, dtype=np.uint8)
+        samples = alaw_decode(codes) if tag == 6 else ulaw_decode(codes)
+        codec = "alaw" if tag == 6 else "ulaw"
+    elif tag == 1:
+        raise ValueError("integer PCM rejected by the stdlib wave parser")
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {tag} unsupported (integer PCM, IEEE float, "
+            f"G.711 A-law/μ-law decode natively)"
+        )
+    if n_channels < 1:
+        raise ValueError("WAV with zero channels")
+    n_frames = len(samples) // n_channels
+    return _wav_stats(samples, rate, n_channels, n_frames, codec)
+
+
+def encode_wav_ext(
+    samples, rate: int = 8000, fmt: str = "ulaw", n_channels: int = 1
+) -> bytes:
+    """Mux samples into the non-PCM WAV formats ``_decode_wav_ext``
+    reads — the test/oracle-side writer proving the decode inverts a
+    real stream. ``fmt``: 'ulaw'/'alaw' take int16 linear samples and
+    compand them through ``g711.py``; 'float32'/'float64' take floats
+    verbatim."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples)
+    if fmt == "ulaw":
+        from vector_lake_spark.g711 import ulaw_encode
+
+        data, tag, bits = ulaw_encode(x).tobytes(), 7, 8
+    elif fmt == "alaw":
+        from vector_lake_spark.g711 import alaw_encode
+
+        data, tag, bits = alaw_encode(x).tobytes(), 6, 8
+    elif fmt == "float32":
+        data, tag, bits = x.astype("<f4").tobytes(), 3, 32
+    elif fmt == "float64":
+        data, tag, bits = x.astype("<f8").tobytes(), 3, 64
+    else:
+        raise ValueError(f"unknown ext-WAV format {fmt!r}")
+    ba = n_channels * bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", tag, n_channels, rate, rate * ba, ba, bits
+    )
+    out = bytearray(b"RIFF")
+    out += struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(data))
+    out += b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    out += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        out += b"\x00"
+    return bytes(out)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -716,9 +840,10 @@ def extract_webp_features(df: DataFrame) -> DataFrame:
 
 
 def _decode_audio(payload: bytes) -> dict:
-    """Magic-dispatched audio decode: integer-PCM WAV (all four widths)
-    and FLAC (``flac.py`` — full Rice/LPC lossless decode, r08) both
-    return the same rate/channels/duration/RMS stats shape."""
+    """Magic-dispatched audio decode: WAV (all four integer PCM widths,
+    IEEE float 32/64, G.711 A-law/μ-law) and FLAC (``flac.py`` — full
+    Rice/LPC lossless decode, r08) both return the same
+    rate/channels/duration/RMS stats shape."""
     if payload is not None and payload[:4] == b"fLaC":
         from vector_lake_spark.flac import decode_flac
 
@@ -730,7 +855,7 @@ def _decode_audio(payload: bytes) -> dict:
     ):
         return decode_wav(bytes(payload))
     raise NotImplementedError(
-        "unrecognized audio payload (integer-PCM WAV and FLAC decode "
+        "unrecognized audio payload (WAV and FLAC decode "
         "natively — decode_wav / flac.decode_flac)"
     )
 
