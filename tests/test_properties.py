@@ -733,3 +733,70 @@ def test_fax_round_trip_property(w, h, scheme, density, seed):
     px = (rng.random((h, w)) < density).astype(np.uint8)
     data = encode_fax(px, scheme)
     assert np.array_equal(decode_fax(data, w, h, scheme), px)
+
+
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=1, max_value=100),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=20, deadline=None)
+def test_progressive12_equals_sequential_property(h, w, quality, seed):
+    """Late-r09 codec: the 12-bit progressive and extended-sequential
+    encoders quantize identically, so their decodes must agree
+    pixel-for-pixel at ANY geometry and quality — the same anchor the
+    8-bit pair is pinned by above, over the widened categories."""
+    from vector_lake_spark.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    seq = decode_jpeg_pixels(encode_jpeg(img, quality, precision=12))
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(img, quality, precision=12)
+    )
+    assert prog.dtype == np.uint16
+    assert np.array_equal(prog, seq)
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_g711_compander_properties(xs):
+    """Late-r09 codec (G.711): for ANY int16 samples, (1) encode→decode→
+    encode is a fixed point (decode levels re-encode to their own code),
+    (2) the decoded magnitude error is within the segment step, and
+    (3) sign is preserved for samples past the first quantization step."""
+    from vector_lake_spark.g711 import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    x = np.array(xs, dtype=np.int16)
+    for enc, dec, step0 in ((ulaw_encode, ulaw_decode, 8),
+                            (alaw_encode, alaw_decode, 16)):
+        code = enc(x)
+        back = dec(code)
+        # fixed point: decode levels are exactly representable
+        assert np.array_equal(enc(back), code)
+        assert np.array_equal(dec(enc(back)), back)
+        # bounded error: each segment's step doubles; worst case the
+        # relative error above the first segment is < 1/16 + slack
+        err = np.abs(back.astype(np.int64) - x.astype(np.int64))
+        mag = np.abs(x.astype(np.int64))
+        big = mag >= 1024
+        if big.any():
+            assert float((err[big] / mag[big]).max()) < 0.08
+        small = mag < 1024
+        if small.any():
+            assert int(err[small].max()) <= 64
+        # sign preservation away from zero
+        far = mag > 4 * step0
+        if far.any():
+            assert np.all(np.sign(back[far]) == np.sign(x[far]))

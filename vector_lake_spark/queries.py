@@ -8006,23 +8006,32 @@ FROM p
 
 
 def q_mm_wav_depths(spark, sf):
-    """All four integer PCM widths under the oracle gate (r08 closed the
-    sub-16-bit WAV gate): per document, doc_id%4 picks the sample width
-    (8/16/24/32 bits), a ±amp square wave is written through the stdlib
-    `wave` muxer at a width-scaled amplitude (24-bit amplitudes exceed
-    the 16-bit range, so the wide paths are genuinely exercised), and
-    the REAL `decode_wav` reads it back. A square wave's RMS is exactly
-    its amplitude, so every output — including the float RMS — has a
-    closed form; a green hash proves the 8-bit bias, the 24-bit
-    sign-extending byte composition and the 32-bit float64-accumulated
-    RMS all invert the writer exactly at table scale."""
-    from vector_lake_spark.multimodal import decode_wav
+    """Every WAV sample format under the oracle gate: the four integer
+    PCM widths (r08 closed the sub-16-bit gate), and — late r09 — the
+    formats the stdlib `wave` module refuses: G.711 μ-law and A-law
+    (`g711.py`, cross-checked bit-exact against stdlib `audioop` over
+    the complete code/sample domain) and IEEE float 32/64, through the
+    manual RIFF walk (`multimodal._decode_wav_ext`). Per document,
+    doc_id%8 picks the mode; a ±amp square wave is muxed and the REAL
+    `decode_wav` reads it back, the emitted codec string coming from
+    the decoder, not the parameters. Amplitude choices keep every RMS
+    closed-form: integer modes scale past 16 bits (proving the wide
+    paths), the companded modes sit on EXACT G.711 decode levels
+    (doc-derived segment/mantissa — levels re-encode to their own code,
+    so the round trip is lossless and the oracle recomputes the level
+    formula), floats use base_amp/64 (exact in float32 and at 6-decimal
+    rounding). A square wave's RMS is exactly its amplitude, so a green
+    hash proves bias handling, sign-extension, both companders and both
+    float widths all invert the writer at table scale."""
+    from vector_lake_spark.multimodal import decode_wav, encode_wav_ext
 
     d = _t(spark, sf, "documents")
     params = d.select(
         F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % 4 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 8).cast("int").alias("mode"),
         (F.col("doc_id") % 100 + 1).cast("int").alias("base_amp"),
+        ((F.col("doc_id") / 8).cast("long") % 8).cast("int").alias("seg"),
+        (F.col("n_chars") % 16).cast("int").alias("quant"),
         ((F.col("n_chars") % 50 + 10) * 2).cast("int").alias("n_samples"),
     )
     spread = _auto_spread_n(spark, d)
@@ -8033,32 +8042,62 @@ def q_mm_wav_depths(spark, sf):
         import io
         import wave
 
+        import numpy as np
         import pandas as pd
+
+        from vector_lake_spark.g711 import alaw_level, ulaw_level
 
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                amp = r.base_amp << (8 * (r.width - 1))
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(r.width)
-                    w.setframerate(8000)
-                    frames = bytearray()
-                    for i in range(r.n_samples):
-                        s = amp if i % 2 == 0 else -amp
-                        if r.width == 1:
-                            frames += bytes([(s + 128) & 0xFF])
-                        else:
-                            frames += int(s).to_bytes(
-                                r.width, "little", signed=True
-                            )
-                    w.writeframes(bytes(frames))
-                out = decode_wav(buf.getvalue())
+                if r.mode < 4:  # integer PCM, width-scaled amplitude
+                    width = r.mode + 1
+                    amp = r.base_amp << (8 * (r.mode))
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(width)
+                        w.setframerate(8000)
+                        frames = bytearray()
+                        for i in range(r.n_samples):
+                            s = amp if i % 2 == 0 else -amp
+                            if width == 1:
+                                frames += bytes([(s + 128) & 0xFF])
+                            else:
+                                frames += int(s).to_bytes(
+                                    width, "little", signed=True
+                                )
+                        w.writeframes(bytes(frames))
+                    payload = buf.getvalue()
+                    bits = width * 8
+                elif r.mode == 4:  # mu-law at an exact decode level
+                    amp = ulaw_level(r.seg, r.quant)
+                    sq = np.where(
+                        np.arange(r.n_samples) % 2 == 0, amp, -amp
+                    ).astype(np.int16)
+                    payload = encode_wav_ext(sq, 8000, "ulaw")
+                    bits = 8
+                elif r.mode == 5:  # A-law at an exact decode level
+                    amp = alaw_level(r.seg, r.quant)
+                    sq = np.where(
+                        np.arange(r.n_samples) % 2 == 0, amp, -amp
+                    ).astype(np.int16)
+                    payload = encode_wav_ext(sq, 8000, "alaw")
+                    bits = 8
+                else:  # IEEE float 32/64, amplitude exact in both
+                    famp = r.base_amp / 64.0
+                    sq = np.where(
+                        np.arange(r.n_samples) % 2 == 0, famp, -famp
+                    )
+                    fmt = "float32" if r.mode == 6 else "float64"
+                    payload = encode_wav_ext(sq, 8000, fmt)
+                    bits = 32 if r.mode == 6 else 64
+                out = decode_wav(payload)
                 rows.append(
                     (
                         r.media_id,
-                        r.width * 8,
+                        out["codec"],
+                        bits,
                         out["n_samples"],
                         out["duration_ms"],
                         out["rms"],
@@ -8066,14 +8105,17 @@ def q_mm_wav_depths(spark, sf):
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "bits", "n_samples", "duration_ms", "rms"],
+                columns=[
+                    "media_id", "codec", "bits", "n_samples", "duration_ms",
+                    "rms",
+                ],
             )
 
     return params.mapInPandas(
         batches,
         schema=(
-            "media_id long, bits int, n_samples long, duration_ms long, "
-            "rms double"
+            "media_id long, codec string, bits int, n_samples long, "
+            "duration_ms long, rms double"
         ),
     )
 
@@ -8081,16 +8123,33 @@ def q_mm_wav_depths(spark, sf):
 SQL_MM_WAV_DEPTHS = """
 WITH p AS (
   SELECT doc_id AS media_id,
-         (doc_id % 4) + 1 AS width,
+         doc_id % 8 AS mode,
          (doc_id % 100) + 1 AS base_amp,
+         (doc_id // 8) % 8 AS seg,
+         n_chars % 16 AS quant,
          ((n_chars % 50) + 10) * 2 AS n
   FROM documents
 )
 SELECT media_id,
-       CAST(width * 8 AS INT) AS bits,
+       CASE WHEN mode < 4 THEN 'pcm'
+            WHEN mode = 4 THEN 'ulaw'
+            WHEN mode = 5 THEN 'alaw'
+            WHEN mode = 6 THEN 'float32'
+            ELSE 'float64' END AS codec,
+       CAST(CASE WHEN mode < 4 THEN (mode + 1) * 8
+                 WHEN mode < 6 THEN 8
+                 WHEN mode = 6 THEN 32
+                 ELSE 64 END AS INT) AS bits,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-       CAST(base_amp * (2 ** (8 * (width - 1))) AS DOUBLE) AS rms
+       CAST(CASE
+            WHEN mode < 4 THEN base_amp * (2 ** (8 * mode))
+            -- G.711 exact decode levels: the compander round-trips them
+            WHEN mode = 4 THEN ((quant * 8 + 132) << seg) - 132
+            WHEN mode = 5 THEN CASE WHEN seg = 0 THEN quant * 16 + 8
+                 ELSE (quant * 16 + 264) << (seg - 1) END
+            ELSE base_amp / 64.0
+            END AS DOUBLE) AS rms
 FROM p
 """
 
@@ -8650,8 +8709,17 @@ def q_mm_jpeg12_roundtrip(spark, sf):
     sums arithmetically; a green hash proves the 12-bit entropy coding,
     level shift 2048, widened categories and uint16 reconstruction all
     invert (the reference has no codecs; SURVEY §2.B multimodal
-    rows)."""
-    from vector_lake_spark.jpeg import decode_jpeg_pixels, encode_jpeg
+    rows). Late r09 closed the 12-bit PROGRESSIVE gate too, so the
+    matrix now sweeps BOTH frame types: n_chars%2 picks sequential
+    (SOF1) vs progressive (SOF2 — all four Annex G scan decoders over
+    the widened categories), the emitted `progressive` flag is read
+    back from the stream's own SOF marker, and the closed-form sums
+    are identical because both encoders quantize identically."""
+    from vector_lake_spark.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     d = _t(spark, sf, "documents")
     params = d.select(
@@ -8661,6 +8729,7 @@ def q_mm_jpeg12_roundtrip(spark, sf):
         (F.col("doc_id") % 170).cast("int").alias("base"),
         (F.col("doc_id") % 2 == 0).alias("gray"),
         (F.col("doc_id") % 3 == 0).alias("rst"),
+        (F.col("n_chars") % 2 == 0).alias("prog"),
     )
 
     def batches(it):
@@ -8679,12 +8748,15 @@ def q_mm_jpeg12_roundtrip(spark, sf):
                 if r.gray:
                     vals = vals[:, :, 0]
                 px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                f = encode_jpeg(
-                    px,
-                    quality=100,
-                    precision=12,
-                    restart_interval=2 if r.rst else 0,
-                )
+                if r.prog:
+                    f = encode_jpeg_progressive(px, quality=100, precision=12)
+                else:
+                    f = encode_jpeg(
+                        px,
+                        quality=100,
+                        precision=12,
+                        restart_interval=2 if r.rst else 0,
+                    )
                 dec = decode_jpeg_pixels(f)
                 rows.append(
                     (
@@ -8692,6 +8764,8 @@ def q_mm_jpeg12_roundtrip(spark, sf):
                         dec.shape[1],
                         dec.shape[0],
                         1 if dec.ndim == 2 else dec.shape[2],
+                        # read the frame type back from the stream itself
+                        b"\xff\xc2" in f and b"\xff\xc1" not in f,
                         int(dec.max()),
                         int(dec.astype(np.int64).sum()),
                     )
@@ -8699,8 +8773,8 @@ def q_mm_jpeg12_roundtrip(spark, sf):
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "width", "height", "channels", "max_sample",
-                    "pix_sum",
+                    "media_id", "width", "height", "channels",
+                    "progressive", "max_sample", "pix_sum",
                 ],
             )
 
@@ -8711,7 +8785,7 @@ def q_mm_jpeg12_roundtrip(spark, sf):
         batches,
         schema=(
             "media_id long, width int, height int, channels int, "
-            "max_sample int, pix_sum long"
+            "progressive boolean, max_sample int, pix_sum long"
         ),
     )
 
@@ -8722,7 +8796,8 @@ WITH p AS (
          (doc_id % 5) + 3 AS wb,
          (n_chars % 4) + 2 AS hb,
          doc_id % 170 AS base,
-         doc_id % 2 = 0 AS gray
+         doc_id % 2 = 0 AS gray,
+         n_chars % 2 = 0 AS prog
   FROM documents
 ),
 s AS (
@@ -8737,6 +8812,7 @@ SELECT media_id,
        CAST(8 * wb AS INT) AS width,
        CAST(8 * hb AS INT) AS height,
        CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT) AS channels,
+       prog AS progressive,
        CAST(16 * base + 7 * (hb - 1) + 3 * (wb - 1)
             + CASE WHEN gray THEN 0 ELSE 10 END AS INT) AS max_sample,
        CAST(CASE WHEN gray THEN gsum
@@ -9492,6 +9568,10 @@ _FRONTLOAD: tuple[str, ...] = (
     "pipe_dedup_report",
     "mm_flac_roundtrip",
     "mm_webp_anim",
+    # late-r09 rewrites under already-green entries: the WAV entry grew
+    # the G.711/IEEE-float modes (g711.py, _decode_wav_ext) and must
+    # re-attach its evidence to the new code this round
+    "mm_wav_depths",
 )
 
 QUERIES = dict(
