@@ -158,6 +158,43 @@ class TestExtWav:
         assert got["codec"] == "ulaw"
         assert got["rms"] == float(amp)
 
+    def test_extensible_integer_pcm_decodes(self):
+        """The top r09-review finding: WAVE_FORMAT_EXTENSIBLE wrapping
+        plain integer PCM (the form multichannel/24-bit encoders emit)
+        must decode through the shared width logic, not error out."""
+        amp = 12000
+        data = np.array([amp, -amp] * 16, dtype="<i2").tobytes()
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+            + struct.pack("<HHI", 22, 16, 1)  # cbSize, valid bits, tag 1
+            + struct.pack("<H", 1) + bytes(14)  # SubFormat GUID lead
+        )
+        out = bytearray(b"RIFF\x00\x00\x00\x00WAVE")
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(data)) + data
+        struct.pack_into("<I", out, 4, len(out) - 8)
+        got = decode_wav(bytes(out))
+        assert got["codec"] == "pcm"
+        assert got["rms"] == float(amp)
+        assert got["n_samples"] == 32
+
+    def test_short_fmt_chunk_is_valueerror(self):
+        out = bytearray(b"RIFF\x00\x00\x00\x00WAVE")
+        out += b"fmt " + struct.pack("<I", 8) + bytes(8)
+        out += b"data" + struct.pack("<I", 0)
+        struct.pack_into("<I", out, 4, len(out) - 8)
+        with pytest.raises(ValueError, match="fmt chunk too short"):
+            decode_wav(bytes(out))
+
+    def test_riff_size_covers_pad_byte(self):
+        """Odd-length data chunks get a pad byte that the declared RIFF
+        size must include (strict external parsers honor it)."""
+        payload = encode_wav_ext(
+            np.zeros(5, dtype=np.int16), 8000, "ulaw"
+        )
+        (declared,) = struct.unpack_from("<I", payload, 4)
+        assert declared == len(payload) - 8
+
     def test_unsupported_tag_gates_loudly(self):
         base = bytearray(
             encode_wav_ext(np.zeros(4, dtype=np.int16), 8000, "ulaw")

@@ -457,3 +457,29 @@ class Test12BitProgressive:
         with pytest.raises(ValueError, match="precision"):
             encode_jpeg_progressive(
                 np.zeros((8, 8), dtype=np.uint8), precision=10)
+
+    def test_truncated_16bit_dqt_is_valueerror(self):
+        """r09 review: a Pq=1 DQT segment shorter than its 129 bytes
+        must raise the decoder's ValueError contract, not struct.error
+        — in both the sequential and progressive walks."""
+        import struct
+
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+        for f in (
+            encode_jpeg(np.full((8, 8), 9, dtype=np.uint16), quality=100,
+                        precision=12),
+            encode_jpeg_progressive(np.full((8, 8), 9, dtype=np.uint16),
+                                    quality=100, precision=12),
+        ):
+            i = f.find(b"\xff\xdb")
+            (seglen,) = struct.unpack_from(">H", f, i + 2)
+            # promote the 8-bit table to a Pq=1 id WITHOUT widening the
+            # body: the declared 16-bit table is now truncated
+            cut = bytearray(f)
+            if seglen == 67:  # 8-bit body: flip Pq to 1
+                cut[i + 4] |= 0x10
+            else:  # already 16-bit: shorten the segment body
+                cut = cut[: i + 4 + 65] + cut[i + 2 + seglen :]
+                struct.pack_into(">H", cut, i + 2, 2 + 1 + 64)
+            with pytest.raises(ValueError, match="DQT"):
+                decode_jpeg_pixels(bytes(cut))

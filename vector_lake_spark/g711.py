@@ -34,7 +34,6 @@ from __future__ import annotations
 import numpy as np
 
 _BIAS = 0x84  # 132
-_CLIP = 0x7F7B  # 32635: largest |x| the mu-law encoder accepts pre-bias
 
 
 def _ulaw_decode_table() -> np.ndarray:

@@ -518,6 +518,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         tbl[r, c] = body[bpos + 1 + i]
                     bpos += 65
                 else:  # 16-bit entries (the 12-bit-precision pairing)
+                    if bpos + 129 > len(body):
+                        raise ValueError(
+                            "corrupt JPEG: truncated 16-bit DQT segment"
+                        )
                     vals16 = struct.unpack_from(">64H", body, bpos + 1)
                     for i, (r, c) in enumerate(ZIGZAG):
                         tbl[r, c] = vals16[i]
@@ -785,6 +789,10 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                         tbl[r, c] = body[bpos + 1 + i]
                     bpos += 65
                 else:  # 16-bit entries (the 12-bit-precision pairing)
+                    if bpos + 129 > len(body):
+                        raise ValueError(
+                            "corrupt JPEG: truncated 16-bit DQT segment"
+                        )
                     vals16 = struct.unpack_from(">64H", body, bpos + 1)
                     for i, (r, c) in enumerate(ZIGZAG):
                         tbl[r, c] = vals16[i]
@@ -1129,14 +1137,13 @@ def encode_jpeg_progressive(
         for bx in range(mcus_x):
             for ci in range(ncomp):
                 hi, vi = samp[ci]
-                dct = dc_codes
                 for vy in range(vi):
                     for vx in range(hi):
                         dc = int(coefs[ci][by * vi + vy, bx * hi + vx, 0]) >> 1
                         diff = dc - pred[ci]
                         pred[ci] = dc
                         size = _category(diff)
-                        code, length = dct[size]
+                        code, length = dc_codes[size]
                         bw.write(code, length)
                         if size:
                             bw.write(_amplitude(diff, size), size)

@@ -334,10 +334,7 @@ def decode_wav(payload: bytes) -> dict:
     is format-dependent by design — it reports THIS file's amplitude,
     not a normalized loudness."""
     import io
-    import math
     import wave
-
-    import numpy as np
 
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
@@ -346,31 +343,39 @@ def decode_wav(payload: bytes) -> dict:
             n_frames = w.getnframes()
             width = w.getsampwidth()
             frames = w.readframes(n_frames)
-        codec = "pcm"
-    except wave.Error:
-        # stdlib wave only opens integer PCM — companded/float formats
-        # take the manual RIFF chunk walk
+    except (wave.Error, EOFError):
+        # stdlib wave only opens plain integer PCM (and raises EOFError,
+        # not wave.Error, on some truncated headers) — companded/float/
+        # extensible/corrupt payloads take the manual RIFF chunk walk,
+        # which decodes or raises the named ValueError contract
         return _decode_wav_ext(payload)
+    samples = _pcm_samples(frames, width)
+    return _wav_stats(samples, rate, n_channels, n_frames, "pcm")
+
+
+def _pcm_samples(frames: bytes, width: int):
+    """Integer PCM bytes → int64 samples at any of the four widths —
+    shared by the stdlib-wave path and the extensible RIFF walk."""
+    import numpy as np
+
     if width == 1:  # unsigned with a 128 bias, per the RIFF spec
-        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
-    elif width == 2:
-        samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
-    elif width == 3:  # no struct code for 24-bit: compose bytes
+        return np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    if width == 2:
+        return np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    if width == 3:  # no struct code for 24-bit: compose bytes
         raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
         u = (
             raw[:, 0].astype(np.int64)
             | (raw[:, 1].astype(np.int64) << 8)
             | (raw[:, 2].astype(np.int64) << 16)
         )
-        samples = u - ((u >> 23) << 24)  # sign-extend bit 23
-    elif width == 4:
-        samples = np.frombuffer(frames, dtype="<i4").astype(np.int64)
-    else:
-        raise NotImplementedError(
-            f"unsupported PCM sample width {width * 8} bits (8/16/24/32 "
-            f"integer PCM decode natively)"
-        )
-    return _wav_stats(samples, rate, n_channels, n_frames, codec)
+        return u - ((u >> 23) << 24)  # sign-extend bit 23
+    if width == 4:
+        return np.frombuffer(frames, dtype="<i4").astype(np.int64)
+    raise NotImplementedError(
+        f"unsupported PCM sample width {width * 8} bits (8/16/24/32 "
+        f"integer PCM decode natively)"
+    )
 
 
 def _wav_stats(samples, rate, n_channels, n_frames, codec) -> dict:
@@ -390,11 +395,12 @@ def _wav_stats(samples, rate, n_channels, n_frames, codec) -> dict:
 
 
 def _decode_wav_ext(payload: bytes) -> dict:
-    """RIFF walk for the WAV format tags stdlib ``wave`` refuses:
-    IEEE float (3), A-law (6), μ-law (7), and WAVE_FORMAT_EXTENSIBLE
-    (0xFFFE, resolved through the SubFormat GUID's leading tag).
-    Anything else (ADPCM variants, MP3-in-WAV …) raises a named
-    NotImplementedError."""
+    """RIFF walk for the WAV formats stdlib ``wave`` refuses: IEEE
+    float (3), A-law (6), μ-law (7), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE, resolved through the SubFormat GUID's leading tag —
+    including extensible INTEGER PCM, the form multichannel/24-bit
+    encoders emit). Anything else (ADPCM variants, MP3-in-WAV …)
+    raises a named NotImplementedError."""
     import struct
 
     import numpy as np
@@ -417,6 +423,8 @@ def _decode_wav_ext(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt /data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"WAV fmt chunk too short ({len(fmt)} bytes)")
     tag, n_channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt)
     if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
         if len(fmt) < 26:
@@ -439,7 +447,14 @@ def _decode_wav_ext(payload: bytes) -> dict:
         samples = alaw_decode(codes) if tag == 6 else ulaw_decode(codes)
         codec = "alaw" if tag == 6 else "ulaw"
     elif tag == 1:
-        raise ValueError("integer PCM rejected by the stdlib wave parser")
+        # plain PCM never lands here (stdlib wave handles it), but the
+        # EXTENSIBLE wrapper around integer PCM — the form multichannel
+        # and 24-bit encoders actually emit — resolves to tag 1 above
+        # and decodes through the shared width logic
+        if bits % 8 != 0 or not 8 <= bits <= 32:
+            raise ValueError(f"integer-PCM WAV with {bits}-bit samples")
+        samples = _pcm_samples(data, bits // 8)
+        codec = "pcm"
     else:
         raise NotImplementedError(
             f"WAV format tag {tag} unsupported (integer PCM, IEEE float, "
@@ -479,16 +494,18 @@ def encode_wav_ext(
     else:
         raise ValueError(f"unknown ext-WAV format {fmt!r}")
     ba = n_channels * bits // 8
+    # non-PCM fmt chunks carry the cbSize extension word (0: no extra)
     fmt_chunk = struct.pack(
-        "<HHIIHH", tag, n_channels, rate, rate * ba, ba, bits
+        "<HHIIHHH", tag, n_channels, rate, rate * ba, ba, bits, 0
     )
+    pad = b"\x00" if len(data) & 1 else b""
     out = bytearray(b"RIFF")
-    out += struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8 + len(data))
+    out += struct.pack(
+        "<I", 4 + 8 + len(fmt_chunk) + 8 + len(data) + len(pad)
+    )
     out += b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
-    out += b"data" + struct.pack("<I", len(data)) + data
-    if len(data) & 1:
-        out += b"\x00"
+    out += b"data" + struct.pack("<I", len(data)) + data + pad
     return bytes(out)
 
 
