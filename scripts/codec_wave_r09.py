@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vector_lake_spark import queries as Q
 from vector_lake_spark.session import get_spark
 
-OPS = ["mm_tiff_roundtrip", "mm_jpeg12_roundtrip", "mm_rle8_roundtrip"]
+OPS = ["mm_tiff_roundtrip", "mm_jpeg12_roundtrip", "mm_rle8_roundtrip",
+       "mm_wav_depths"]
 TIERS = [
     ("mult1", "localdata/sf0.1gen"),
     ("mult10", "localdata/sf1"),
