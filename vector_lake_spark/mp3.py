@@ -1,0 +1,241 @@
+"""MPEG audio (MP3) frame-walk probe — metadata without decode.
+
+Audio crawl corpora are mostly MPEG audio; the scale posture for media
+(README, `probe_media`) is to route/filter/budget by header metadata
+WITHOUT entropy-decoding anything. This module walks the elementary
+stream for real: ID3v2 skip (syncsafe size, footer flag), per-frame
+11-bit-sync header parse against the public ISO/IEC 11172-3 /
+13818-3 tables (bitrate and sample-rate indices for MPEG-1, MPEG-2
+and the 2.5 extension, layers I-III), frame-length arithmetic (slot
+padding: 4-byte slots for Layer I, 1-byte otherwise), ID3v1 trailer
+tolerance, and CBR/VBR detection from the observed bitrate set.
+
+Layer III *decode* (hybrid filterbank + Huffman) is far outside the
+honest-decode set — ``decode_mp3`` raises the named gate. The matching
+``mux_mp3_frames`` writes a syntactically VALID frame sequence with
+zeroed payload slots (the probe never reads payload bytes), so the
+probe's arithmetic is provable end-to-end: the table-scale oracle
+(`mm_mp3_probe`) recomputes frame sizes, stream bytes and duration in
+closed form from the same public tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# bitrate tables in kbps, index 1..14 (0 = free-format, 15 = bad) —
+# ISO 11172-3 / 13818-3; key (version_group, layer) where version_group
+# is 1 for MPEG-1 and 2 for MPEG-2/2.5 (which share tables)
+BITRATES = {
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+
+# sample-rate tables, index 0..2 (3 = reserved), by exact version
+SAMPLE_RATES = {
+    "1": [44100, 48000, 32000],
+    "2": [22050, 24000, 16000],
+    "2.5": [11025, 12000, 8000],
+}
+
+# samples per frame: layer I is 384 everywhere; layer II 1152; layer
+# III 1152 for MPEG-1 but 576 for MPEG-2/2.5 (the low-rate extension)
+def _samples_per_frame(vgroup: int, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if vgroup == 1 else 576
+
+
+def frame_length(
+    vgroup: int, layer: int, bitrate_kbps: int, rate: int, pad: int
+) -> int:
+    """Frame size in bytes from the header fields — the public formula
+    (slot = 4 bytes for layer I, 1 byte otherwise)."""
+    br = bitrate_kbps * 1000
+    if layer == 1:
+        return (12 * br // rate + pad) * 4
+    spf = _samples_per_frame(vgroup, layer)
+    return spf // 8 * br // rate + pad
+
+
+def _parse_header(b: bytes, pos: int):
+    """Parse 4 header bytes at pos; returns a dict or None if not a
+    valid MPEG audio frame header."""
+    if pos + 4 > len(b):
+        return None
+    h = struct.unpack_from(">I", b, pos)[0]
+    if h >> 21 != 0x7FF:  # 11-bit sync
+        return None
+    ver_bits = (h >> 19) & 3
+    layer_bits = (h >> 17) & 3
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    pad = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+        # reserved version/layer, free-format (unwalkable without
+        # sync-scanning) and bad indices all fail the walk
+        return None
+    version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+    vgroup = 1 if version == "1" else 2
+    layer = 4 - layer_bits  # bits 3/2/1 -> layer I/II/III
+    rate = SAMPLE_RATES[version][sr_idx]
+    kbps = BITRATES[(vgroup, layer)][br_idx - 1]
+    return {
+        "version": version,
+        "vgroup": vgroup,
+        "layer": layer,
+        "bitrate_kbps": kbps,
+        "sample_rate": rate,
+        "padding": pad,
+        "n_channels": 1 if mode == 3 else 2,
+        "frame_bytes": frame_length(vgroup, layer, kbps, rate, pad),
+    }
+
+
+def _skip_id3v2(b: bytes) -> int:
+    if len(b) >= 10 and b[:3] == b"ID3":
+        size = (
+            (b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
+            | (b[8] & 0x7F) << 7 | (b[9] & 0x7F)
+        )  # syncsafe
+        return 10 + size + (10 if b[5] & 0x10 else 0)  # footer flag
+    return 0
+
+
+def is_mp3(payload: bytes) -> bool:
+    """Cheap magic check: ID3v2 tag, or a valid frame header at 0."""
+    if payload is None or len(payload) < 4:
+        return False
+    if payload[:3] == b"ID3":
+        return True
+    return _parse_header(payload, 0) is not None
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Walk every frame of an MPEG audio stream: version/layer/rate/
+    channel metadata, exact frame count, stream bytes, duration, and
+    CBR/VBR detection — no payload byte is ever read."""
+    b = bytes(payload)
+    pos = _skip_id3v2(b)
+    first = _parse_header(b, pos)
+    if first is None:
+        raise ValueError("not an MPEG audio stream (no frame sync)")
+    n_frames = 0
+    bitrates = set()
+    stream_bytes = 0
+    while pos < len(b):
+        if pos + 3 == len(b) - 125 and b[pos : pos + 3] == b"TAG":
+            pos += 128  # ID3v1 trailer
+            continue
+        hdr = _parse_header(b, pos)
+        if hdr is None:
+            raise ValueError(
+                f"corrupt MPEG audio stream: lost frame sync at byte {pos} "
+                f"after {n_frames} frames"
+            )
+        if (hdr["version"], hdr["layer"], hdr["sample_rate"]) != (
+            first["version"], first["layer"], first["sample_rate"]
+        ):
+            raise ValueError(
+                "corrupt MPEG audio stream: version/layer/rate changed "
+                "mid-stream"
+            )
+        if pos + hdr["frame_bytes"] > len(b):
+            raise ValueError(
+                f"truncated MPEG audio stream: frame {n_frames} needs "
+                f"{hdr['frame_bytes']} bytes, {len(b) - pos} remain"
+            )
+        n_frames += 1
+        bitrates.add(hdr["bitrate_kbps"])
+        stream_bytes += hdr["frame_bytes"]
+        pos += hdr["frame_bytes"]
+    spf = _samples_per_frame(first["vgroup"], first["layer"])
+    rate = first["sample_rate"]
+    return {
+        "version": first["version"],
+        "layer": first["layer"],
+        "sample_rate": rate,
+        "n_channels": first["n_channels"],
+        "n_frames": n_frames,
+        "stream_bytes": stream_bytes,
+        "duration_ms": n_frames * spf * 1000 // rate,
+        "vbr": len(bitrates) > 1,
+        "bitrate_kbps": (
+            next(iter(bitrates)) if len(bitrates) == 1
+            else round(
+                stream_bytes * 8 * rate / (n_frames * spf) / 1000
+            )
+        ),
+        "decodable": False,  # Layer decode gates by name below
+    }
+
+
+def decode_mp3(payload: bytes):
+    """Named gate: MPEG audio decode (subband/hybrid filterbank +
+    Huffman) is outside the honest-decode set — only the frame-walk
+    probe is implemented."""
+    info = probe_mp3(payload)
+    raise NotImplementedError(
+        f"MPEG-{info['version']} layer {info['layer']} audio decode "
+        f"unsupported — probe_mp3 reads all stream metadata"
+    )
+
+
+def mux_mp3_frames(
+    n_frames: int,
+    version: str = "1",
+    layer: int = 3,
+    bitrate_idx: int = 9,
+    rate_idx: int = 0,
+    mono: bool = False,
+    pad_every: int = 0,
+    id3v2_bytes: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Write a syntactically valid CBR MPEG audio stream with zeroed
+    payload slots (the probe never reads payload) — the test/oracle
+    muxer. ``pad_every=n`` sets the padding bit on every n-th frame,
+    exercising the slot arithmetic; ``id3v2_bytes`` prepends a tag of
+    that content size; ``id3v1`` appends the 128-byte trailer."""
+    if version not in SAMPLE_RATES:
+        raise ValueError(f"unknown MPEG version {version!r}")
+    if not 1 <= layer <= 3:
+        raise ValueError("layer must be 1..3")
+    if not 1 <= bitrate_idx <= 14:
+        raise ValueError("bitrate_idx must be 1..14")
+    if not 0 <= rate_idx <= 2:
+        raise ValueError("rate_idx must be 0..2")
+    vgroup = 1 if version == "1" else 2
+    rate = SAMPLE_RATES[version][rate_idx]
+    kbps = BITRATES[(vgroup, layer)][bitrate_idx - 1]
+    ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    out = bytearray()
+    if id3v2_bytes:
+        out += b"ID3" + bytes([4, 0, 0])  # v2.4, no flags
+        out += bytes(
+            [
+                (id3v2_bytes >> 21) & 0x7F, (id3v2_bytes >> 14) & 0x7F,
+                (id3v2_bytes >> 7) & 0x7F, id3v2_bytes & 0x7F,
+            ]
+        )
+        out += bytes(id3v2_bytes)
+    for i in range(n_frames):
+        pad = 1 if pad_every and (i + 1) % pad_every == 0 else 0
+        h = (
+            0x7FF << 21 | ver_bits << 19 | (4 - layer) << 17 | 1 << 16
+            | bitrate_idx << 12 | rate_idx << 10 | pad << 9
+            | (3 if mono else 0) << 6
+        )
+        frame = bytearray(struct.pack(">I", h))
+        frame += bytes(frame_length(vgroup, layer, kbps, rate, pad) - 4)
+        out += frame
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)

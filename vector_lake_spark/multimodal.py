@@ -860,7 +860,9 @@ def _decode_audio(payload: bytes) -> dict:
     """Magic-dispatched audio decode: WAV (all four integer PCM widths,
     IEEE float 32/64, G.711 A-law/μ-law) and FLAC (``flac.py`` — full
     Rice/LPC lossless decode, r08) both return the same
-    rate/channels/duration/RMS stats shape."""
+    rate/channels/duration/RMS stats shape. MPEG audio is RECOGNIZED
+    and probed (``mp3.py``) but its decode raises the named gate — the
+    probe is the scale operator for that format."""
     if payload is not None and payload[:4] == b"fLaC":
         from vector_lake_spark.flac import decode_flac
 
@@ -871,9 +873,14 @@ def _decode_audio(payload: bytes) -> dict:
         and payload[8:12] == b"WAVE"
     ):
         return decode_wav(bytes(payload))
+    from vector_lake_spark.mp3 import decode_mp3, is_mp3
+
+    if is_mp3(payload):
+        decode_mp3(bytes(payload))  # raises the named layer gate
     raise NotImplementedError(
-        "unrecognized audio payload (WAV and FLAC decode "
-        "natively — decode_wav / flac.decode_flac)"
+        "unrecognized audio payload (WAV and FLAC decode natively — "
+        "decode_wav / flac.decode_flac; MPEG audio probes via "
+        "mp3.probe_mp3)"
     )
 
 

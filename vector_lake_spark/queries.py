@@ -8947,6 +8947,148 @@ FROM t
 """
 
 
+def q_mm_mp3_probe(spark, sf):
+    """MPEG-audio metadata at table scale (late r09: `mp3.py` — the
+    audio sibling of `probe_media`'s route-without-decode posture).
+    Per document a syntactically valid CBR stream is muxed from
+    doc-derived header parameters sweeping the full public table
+    matrix (3 MPEG versions x 3 layers x 14 bitrate indices x 3 rate
+    indices, mono/stereo, padding slots on every third frame for some
+    docs, ID3v2 prefix and ID3v1 trailer wrappers) and `probe_mp3`
+    frame-WALKS it — every frame's length computed from the ISO
+    11172-3/13818-3 tables, no payload byte read. The oracle recomputes
+    sample rate, bitrate, per-frame slot arithmetic (incl. layer I's
+    4-byte slots), stream bytes, frame count and duration closed-form
+    from the same public tables as DuckDB list literals, so a green
+    hash proves the whole header grammar. Layer DECODE stays a named
+    gate — at 100 TB the probe is the operator that routes/budgets
+    audio corpora (reference has no codecs; SURVEY §2.B multimodal)."""
+    from vector_lake_spark.mp3 import mux_mp3_frames, probe_mp3
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 3).cast("int").alias("v3"),
+        ((F.col("doc_id") / 3).cast("long") % 3 + 1).cast("int").alias("layer"),
+        (F.col("doc_id") % 14 + 1).cast("int").alias("br_idx"),
+        (F.col("n_chars") % 3).cast("int").alias("rate_idx"),
+        (F.col("n_chars") % 40 + 5).cast("int").alias("n_frames"),
+        (F.col("doc_id") % 2 == 0).alias("mono"),
+        (F.col("doc_id") % 5 == 0).alias("padded"),
+        (F.col("n_chars") % 2 == 0).alias("tagged"),
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = mux_mp3_frames(
+                    r.n_frames,
+                    version=("1", "2", "2.5")[r.v3],
+                    layer=r.layer,
+                    bitrate_idx=r.br_idx,
+                    rate_idx=r.rate_idx,
+                    mono=r.mono,
+                    pad_every=3 if r.padded else 0,
+                    id3v2_bytes=64 if r.tagged else 0,
+                    id3v1=r.tagged,
+                )
+                info = probe_mp3(payload)
+                rows.append(
+                    (
+                        r.media_id,
+                        info["version"],
+                        info["layer"],
+                        info["sample_rate"],
+                        info["n_channels"],
+                        info["n_frames"],
+                        info["stream_bytes"],
+                        info["duration_ms"],
+                        info["bitrate_kbps"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "version", "layer", "sample_rate",
+                    "n_channels", "n_frames", "stream_bytes", "duration_ms",
+                    "bitrate_kbps",
+                ],
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, version string, layer int, sample_rate int, "
+            "n_channels int, n_frames long, stream_bytes long, "
+            "duration_ms long, bitrate_kbps int"
+        ),
+    )
+
+
+SQL_MM_MP3_PROBE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 3 AS v3,
+         (doc_id // 3) % 3 + 1 AS layer,
+         doc_id % 14 + 1 AS br_idx,
+         n_chars % 3 AS rate_idx,
+         n_chars % 40 + 5 AS n,
+         doc_id % 2 = 0 AS mono,
+         doc_id % 5 = 0 AS padded
+  FROM documents
+),
+t AS (
+  SELECT *,
+         CASE v3 WHEN 0 THEN 1 ELSE 2 END AS vgroup,
+         -- sample-rate tables by exact version (index 0..2)
+         CASE v3
+           WHEN 0 THEN ([44100, 48000, 32000])[rate_idx + 1]
+           WHEN 1 THEN ([22050, 24000, 16000])[rate_idx + 1]
+           ELSE ([11025, 12000, 8000])[rate_idx + 1]
+         END AS rate,
+         -- bitrate tables by (version group, layer), index 1..14
+         CASE
+           WHEN v3 = 0 AND layer = 1 THEN ([32,64,96,128,160,192,224,256,288,320,352,384,416,448])[br_idx]
+           WHEN v3 = 0 AND layer = 2 THEN ([32,48,56,64,80,96,112,128,160,192,224,256,320,384])[br_idx]
+           WHEN v3 = 0 AND layer = 3 THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[br_idx]
+           WHEN layer = 1 THEN ([32,48,56,64,80,96,112,128,144,160,176,192,224,256])[br_idx]
+           ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[br_idx]
+         END AS kbps
+  FROM p
+),
+s AS (
+  SELECT *,
+         CASE WHEN layer = 1 THEN 384
+              WHEN layer = 2 THEN 1152
+              WHEN vgroup = 1 THEN 1152 ELSE 576 END AS spf,
+         CASE WHEN layer = 1 THEN (12 * kbps * 1000 // rate) * 4
+              ELSE (CASE WHEN layer = 2 THEN 1152
+                         WHEN vgroup = 1 THEN 1152 ELSE 576 END)
+                   // 8 * kbps * 1000 // rate END AS base_len,
+         CASE WHEN padded THEN n // 3 ELSE 0 END AS n_pad
+  FROM t
+)
+SELECT media_id,
+       CASE v3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END AS version,
+       CAST(layer AS INT) AS layer,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(CASE WHEN mono THEN 1 ELSE 2 END AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(n * base_len
+            + n_pad * (CASE WHEN layer = 1 THEN 4 ELSE 1 END)
+            AS BIGINT) AS stream_bytes,
+       CAST(n * spf * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(kbps AS INT) AS bitrate_kbps
+FROM s
+"""
+
+
 def q_pipe_url_dedup(spark, sf):
     """URL canonicalization → exact-URL dedup → per-domain cap, the
     crawl-curation front-of-pipeline staple (C4/RefinedWeb drop
@@ -9348,6 +9490,7 @@ _BASE_QUERIES = {
     "mm_tiff_roundtrip": q_mm_tiff_roundtrip,
     "mm_jpeg12_roundtrip": q_mm_jpeg12_roundtrip,
     "mm_rle8_roundtrip": q_mm_rle8_roundtrip,
+    "mm_mp3_probe": q_mm_mp3_probe,
     "pipe_url_dedup": q_pipe_url_dedup,
     "text_gopher_rules": q_text_gopher_rules,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
@@ -9612,6 +9755,7 @@ ORACLES = {
     "mm_tiff_roundtrip": SQL_MM_TIFF_ROUNDTRIP,
     "mm_jpeg12_roundtrip": SQL_MM_JPEG12_ROUNDTRIP,
     "mm_rle8_roundtrip": SQL_MM_RLE8_ROUNDTRIP,
+    "mm_mp3_probe": SQL_MM_MP3_PROBE,
     "pipe_url_dedup": SQL_PIPE_URL_DEDUP,
     "text_gopher_rules": SQL_TEXT_GOPHER_RULES,
     "pipe_crawl_e2e": SQL_PIPE_CRAWL_E2E,
