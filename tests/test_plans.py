@@ -953,3 +953,32 @@ def test_neardup_bucket_cap_exchange_economy(spark):
     # window-side (pre-id-join) exchanges shuffle narrow key rows
     narrow_key_ex = [e for e in ex if " v#" not in e and "va" not in e and "vb" not in e]
     assert len(narrow_key_ex) >= 2, ex
+
+
+def test_mp3_probe_single_arrow_stage_no_shuffle(spark):
+    """mm_mp3_probe: the audio-probe entry keeps the per-row codec
+    contract — one Arrow stage, no hash exchange, document text pruned
+    from the scan (only doc_id/n_chars feed the muxed matrix)."""
+    import re
+
+    df = Q.q_mm_mp3_probe(spark, SF)
+    plan = plan_string(df)
+    nodes = set(re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", plan))
+    assert len(nodes) == 1, plan
+    simple = plan_string(df, "simple")
+    assert "hashpartitioning" not in simple, simple
+    assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_wav_depths_single_arrow_stage_no_shuffle(spark):
+    """mm_wav_depths (late-r09 8-mode matrix): still one Arrow stage,
+    no hash exchange, text pruned from the scan."""
+    import re
+
+    df = Q.q_mm_wav_depths(spark, SF)
+    plan = plan_string(df)
+    nodes = set(re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", plan))
+    assert len(nodes) == 1, plan
+    simple = plan_string(df, "simple")
+    assert "hashpartitioning" not in simple, simple
+    assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]

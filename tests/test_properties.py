@@ -800,3 +800,50 @@ def test_g711_compander_properties(xs):
         far = mag > 4 * step0
         if far.any():
             assert np.all(np.sign(back[far]) == np.sign(x[far]))
+
+
+@given(
+    v3=st.integers(min_value=0, max_value=2),
+    layer=st.integers(min_value=1, max_value=3),
+    br_idx=st.integers(min_value=1, max_value=14),
+    rate_idx=st.integers(min_value=0, max_value=2),
+    n=st.integers(min_value=1, max_value=60),
+    mono=st.booleans(),
+    pad_every=st.integers(min_value=0, max_value=4),
+    tagged=st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp3_probe_matches_closed_form(
+    v3, layer, br_idx, rate_idx, n, mono, pad_every, tagged
+):
+    """Late-r09 probe: for ANY cell of the public header-table matrix,
+    the frame walk's outputs equal the closed-form arithmetic the
+    DuckDB oracle uses (frame sizes, slot padding, duration)."""
+    from vector_lake_spark.mp3 import (
+        BITRATES,
+        SAMPLE_RATES,
+        frame_length,
+        mux_mp3_frames,
+        probe_mp3,
+    )
+
+    version = ("1", "2", "2.5")[v3]
+    vgroup = 1 if version == "1" else 2
+    payload = mux_mp3_frames(
+        n, version, layer, br_idx, rate_idx, mono=mono,
+        pad_every=pad_every, id3v2_bytes=33 if tagged else 0, id3v1=tagged,
+    )
+    info = probe_mp3(payload)
+    rate = SAMPLE_RATES[version][rate_idx]
+    kbps = BITRATES[(vgroup, layer)][br_idx - 1]
+    n_pad = n // pad_every if pad_every else 0
+    base = frame_length(vgroup, layer, kbps, rate, 0)
+    slot = 4 if layer == 1 else 1
+    spf = 384 if layer == 1 else (1152 if (layer == 2 or vgroup == 1) else 576)
+    assert info["n_frames"] == n
+    assert info["sample_rate"] == rate
+    assert info["bitrate_kbps"] == kbps
+    assert info["stream_bytes"] == n * base + n_pad * slot
+    assert info["duration_ms"] == n * spf * 1000 // rate
+    assert info["n_channels"] == (1 if mono else 2)
+    assert info["vbr"] is False
