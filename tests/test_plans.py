@@ -982,3 +982,17 @@ def test_wav_depths_single_arrow_stage_no_shuffle(spark):
     simple = plan_string(df, "simple")
     assert "hashpartitioning" not in simple, simple
     assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_ogg_probe_single_arrow_stage_no_shuffle(spark):
+    """mm_ogg_probe: the page-walk entry keeps the per-row codec
+    contract — one Arrow stage, no hash exchange, text pruned."""
+    import re
+
+    df = Q.q_mm_ogg_probe(spark, SF)
+    plan = plan_string(df)
+    nodes = set(re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", plan))
+    assert len(nodes) == 1, plan
+    simple = plan_string(df, "simple")
+    assert "hashpartitioning" not in simple, simple
+    assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]

@@ -847,3 +847,61 @@ def test_mp3_probe_matches_closed_form(
     assert info["duration_ms"] == n * spf * 1000 // rate
     assert info["n_channels"] == (1 if mono else 2)
     assert info["vbr"] is False
+
+
+@given(
+    opus=st.booleans(),
+    channels=st.integers(min_value=1, max_value=8),
+    rate=st.sampled_from([8000, 22050, 44100, 48000]),
+    n_audio=st.integers(min_value=1, max_value=10),
+    pkt_bytes=st.lists(st.integers(min_value=0, max_value=700),
+                       min_size=1, max_size=3),
+    gstep=st.integers(min_value=1, max_value=100_000),
+    pre_skip=st.integers(min_value=0, max_value=2000),
+)
+@settings(max_examples=60, deadline=None)
+def test_ogg_probe_matches_closed_form(
+    opus, channels, rate, n_audio, pkt_bytes, gstep, pre_skip
+):
+    """Late-r09 probe: any page/packet geometry muxes to a stream whose
+    walk reproduces the closed-form page/packet/duration arithmetic —
+    incl. multi-packet pages and 255-multiple lacing boundaries."""
+    from vector_lake_spark.ogg import (
+        mux_ogg_pages,
+        opus_id_packet,
+        probe_ogg,
+        vorbis_id_packet,
+    )
+
+    idpkt = (
+        opus_id_packet(channels, pre_skip, 48000)
+        if opus
+        else vorbis_id_packet(channels, rate)
+    )
+    pages = [{"serial": 1, "seq": 0, "granule": 0, "bos": True,
+              "packets": [idpkt]}]
+    for i in range(n_audio):
+        pages.append(
+            {
+                "serial": 1,
+                "seq": i + 1,
+                "granule": (i + 1) * gstep,
+                "eos": i == n_audio - 1,
+                "packets": [bytes(k) for k in pkt_bytes],
+            }
+        )
+    info = probe_ogg(mux_ogg_pages(pages))
+    eff_rate = 48000 if opus else rate
+    g = n_audio * gstep
+    samples = max(g - pre_skip, 0) if opus else g
+    assert info["codec"] == ("opus" if opus else "vorbis")
+    assert info["n_channels"] == channels
+    assert info["sample_rate"] == eff_rate
+    assert info["n_pages"] == n_audio + 1
+    assert info["n_packets"] == 1 + n_audio * len(pkt_bytes)
+    assert info["duration_ms"] == samples * 1000 // eff_rate
+    page_body = sum(pkt_bytes)
+    lacing = sum(k // 255 + 1 for k in pkt_bytes)
+    assert info["total_bytes"] == (
+        27 + 1 + len(idpkt) + n_audio * (27 + lacing + page_body)
+    )

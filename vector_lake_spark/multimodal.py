@@ -874,13 +874,16 @@ def _decode_audio(payload: bytes) -> dict:
     ):
         return decode_wav(bytes(payload))
     from vector_lake_spark.mp3 import decode_mp3, is_mp3
+    from vector_lake_spark.ogg import decode_ogg, is_ogg
 
     if is_mp3(payload):
         decode_mp3(bytes(payload))  # raises the named layer gate
+    if is_ogg(payload):
+        decode_ogg(bytes(payload))  # raises the named codec gate
     raise NotImplementedError(
         "unrecognized audio payload (WAV and FLAC decode natively — "
-        "decode_wav / flac.decode_flac; MPEG audio probes via "
-        "mp3.probe_mp3)"
+        "decode_wav / flac.decode_flac; MPEG audio and Ogg probe via "
+        "mp3.probe_mp3 / ogg.probe_ogg)"
     )
 
 

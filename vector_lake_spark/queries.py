@@ -9089,6 +9089,145 @@ FROM s
 """
 
 
+def q_mm_ogg_probe(spark, sf):
+    """Ogg container metadata at table scale (late r09: `ogg.py` — the
+    page-walk companion of `mm_mp3_probe` for the other half of crawl
+    audio). Per document a spec-valid Ogg stream is muxed (RFC 3533
+    pages: BOS identification page carrying a real Vorbis-I or
+    OpusHead header, doc-derived audio pages with 255-run lacing, EOS
+    flag, every page CRC'd with the direct 0x04c11db7 CRC-32) and
+    `probe_ogg` walks it back — verifying capture pattern, version,
+    CRC and sequence continuity on every page, identifying the codec
+    from the ID header, and deriving duration from the final granule
+    position (Opus: 48 kHz minus pre-skip; Vorbis: samples at the
+    stream rate) without reading one audio packet. The oracle
+    recomputes page sizes (27-byte header + lacing-table length +
+    body), packet counts and granule arithmetic closed-form, so a
+    green hash proves the whole framing grammar. Codec DECODE stays a
+    named gate (reference has no codecs; SURVEY §2.B multimodal)."""
+    from vector_lake_spark.ogg import (
+        mux_ogg_pages,
+        opus_id_packet,
+        probe_ogg,
+        vorbis_id_packet,
+    )
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 2 == 0).alias("opus"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+        (F.col("n_chars") % 4).cast("int").alias("rate_idx"),
+        (F.col("n_chars") % 12 + 2).cast("int").alias("n_audio"),
+        (F.col("doc_id") % 300 + 10).cast("int").alias("pkt_bytes"),
+        ((F.col("doc_id") % 50 + 10) * 160).cast("long").alias("gstep"),
+        (F.col("doc_id") % 400).cast("int").alias("pre_skip"),
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        rates = (8000, 22050, 44100, 48000)
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.opus:
+                    idpkt = opus_id_packet(r.channels, r.pre_skip, 48000)
+                else:
+                    idpkt = vorbis_id_packet(r.channels, rates[r.rate_idx])
+                pages = [
+                    {
+                        "serial": 1,
+                        "seq": 0,
+                        "granule": 0,
+                        "bos": True,
+                        "packets": [idpkt],
+                    }
+                ]
+                for i in range(r.n_audio):
+                    pages.append(
+                        {
+                            "serial": 1,
+                            "seq": i + 1,
+                            "granule": (i + 1) * r.gstep,
+                            "eos": i == r.n_audio - 1,
+                            "packets": [bytes([i & 0xFF]) * r.pkt_bytes],
+                        }
+                    )
+                info = probe_ogg(mux_ogg_pages(pages))
+                rows.append(
+                    (
+                        r.media_id,
+                        info["codec"],
+                        info["sample_rate"],
+                        info["n_channels"],
+                        info["n_pages"],
+                        info["n_packets"],
+                        info["duration_ms"],
+                        info["total_bytes"],
+                        info["eos"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "codec", "sample_rate", "n_channels",
+                    "n_pages", "n_packets", "duration_ms", "total_bytes",
+                    "eos",
+                ],
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, codec string, sample_rate int, n_channels int, "
+            "n_pages long, n_packets long, duration_ms long, "
+            "total_bytes long, eos boolean"
+        ),
+    )
+
+
+SQL_MM_OGG_PROBE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 2 = 0 AS opus,
+         doc_id % 2 + 1 AS channels,
+         n_chars % 4 AS rate_idx,
+         n_chars % 12 + 2 AS n_audio,
+         doc_id % 300 + 10 AS pkt_bytes,
+         (doc_id % 50 + 10) * 160 AS gstep,
+         doc_id % 400 AS pre_skip
+  FROM documents
+),
+t AS (
+  SELECT *,
+         CASE WHEN opus THEN 48000
+              ELSE ([8000, 22050, 44100, 48000])[rate_idx + 1] END AS rate,
+         CASE WHEN opus THEN 19 ELSE 30 END AS id_len,
+         -- lacing entries for one pkt_bytes packet: 255-runs + term
+         pkt_bytes // 255 + 1 AS n_segs,
+         n_audio * gstep AS g_last
+  FROM p
+)
+SELECT media_id,
+       CASE WHEN opus THEN 'opus' ELSE 'vorbis' END AS codec,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(channels AS INT) AS n_channels,
+       CAST(n_audio + 1 AS BIGINT) AS n_pages,
+       CAST(n_audio + 1 AS BIGINT) AS n_packets,
+       CAST(CASE WHEN opus
+                 THEN GREATEST(g_last - pre_skip, 0) * 1000 // 48000
+                 ELSE g_last * 1000 // rate END AS BIGINT) AS duration_ms,
+       CAST(27 + 1 + id_len
+            + n_audio * (27 + n_segs + pkt_bytes) AS BIGINT) AS total_bytes,
+       TRUE AS eos
+FROM t
+"""
+
+
 def q_pipe_url_dedup(spark, sf):
     """URL canonicalization → exact-URL dedup → per-domain cap, the
     crawl-curation front-of-pipeline staple (C4/RefinedWeb drop
@@ -9491,6 +9630,7 @@ _BASE_QUERIES = {
     "mm_jpeg12_roundtrip": q_mm_jpeg12_roundtrip,
     "mm_rle8_roundtrip": q_mm_rle8_roundtrip,
     "mm_mp3_probe": q_mm_mp3_probe,
+    "mm_ogg_probe": q_mm_ogg_probe,
     "pipe_url_dedup": q_pipe_url_dedup,
     "text_gopher_rules": q_text_gopher_rules,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
@@ -9756,6 +9896,7 @@ ORACLES = {
     "mm_jpeg12_roundtrip": SQL_MM_JPEG12_ROUNDTRIP,
     "mm_rle8_roundtrip": SQL_MM_RLE8_ROUNDTRIP,
     "mm_mp3_probe": SQL_MM_MP3_PROBE,
+    "mm_ogg_probe": SQL_MM_OGG_PROBE,
     "pipe_url_dedup": SQL_PIPE_URL_DEDUP,
     "text_gopher_rules": SQL_TEXT_GOPHER_RULES,
     "pipe_crawl_e2e": SQL_PIPE_CRAWL_E2E,
