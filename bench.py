@@ -141,6 +141,9 @@ HEADLINE = [
     "mm_rle8_roundtrip",
     "pipe_url_dedup",
     "text_gopher_rules",
+    # late r09: audio-probe pair (route-without-decode for crawl audio)
+    "mm_mp3_probe",
+    "mm_ogg_probe",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

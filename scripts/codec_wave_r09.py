@@ -19,7 +19,7 @@ from vector_lake_spark import queries as Q
 from vector_lake_spark.session import get_spark
 
 OPS = ["mm_tiff_roundtrip", "mm_jpeg12_roundtrip", "mm_rle8_roundtrip",
-       "mm_wav_depths"]
+       "mm_wav_depths", "mm_mp3_probe", "mm_ogg_probe"]
 TIERS = [
     ("mult1", "localdata/sf0.1gen"),
     ("mult10", "localdata/sf1"),
