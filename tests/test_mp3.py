@@ -118,3 +118,18 @@ def test_muxer_validation():
         mux_mp3_frames(1, "1", 3, 15)
     with pytest.raises(ValueError, match="rate_idx"):
         mux_mp3_frames(1, "1", 3, 9, 3)
+
+
+def test_id3_tagged_non_mpeg_is_not_mp3():
+    """Review finding: an ID3 tag alone must not classify a payload as
+    MPEG audio — AAC files carry ID3 tags too. ADTS AAC sync (0xFFF
+    with layer bits 00) must also be rejected."""
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(10)
+    adts_aac = bytes([0xFF, 0xF1, 0x50, 0x80, 0x00, 0x1F, 0xFC])
+    assert not is_mp3(id3 + adts_aac)
+    assert not is_mp3(adts_aac)
+    # and a REAL tagged stream still passes
+    assert is_mp3(mux_mp3_frames(2, "1", 3, 9, 0, id3v2_bytes=10))
+    from vector_lake_spark.multimodal import _decode_audio
+    with pytest.raises(NotImplementedError, match="unrecognized audio"):
+        _decode_audio(id3 + adts_aac)

@@ -193,3 +193,42 @@ def test_id_packet_wire_sizes():
     assert len(opus_id_packet(2, 312, 48000)) == 19
     v = vorbis_id_packet(2, 44100)
     assert struct.unpack_from("<I", v, 12)[0] == 44100
+
+
+class TestReviewFindings:
+    """Late-r09 review pass: short ID packets, multi-clock duration,
+    ID3-tagged non-MPEG routing."""
+
+    def test_short_id_packets_are_named_valueerrors(self):
+        for pkt, msg in ((b"OpusHead", "OpusHead"),
+                         (b"\x01vorbis" + bytes(5), "Vorbis")):
+            stream = mux_ogg_pages(
+                [{"serial": 1, "seq": 0, "granule": 0, "bos": True,
+                  "eos": True, "packets": [pkt]}]
+            )
+            with pytest.raises(ValueError, match=msg):
+                probe_ogg(stream)
+
+    def test_tiny_unknown_bos_packet_is_unknown_codec(self):
+        stream = mux_ogg_pages(
+            [{"serial": 1, "seq": 0, "granule": 0, "bos": True,
+              "eos": True, "packets": [b"xy"]}]
+        )
+        assert probe_ogg(stream)["codec"] == "unknown"
+
+    def test_multiplexed_duration_uses_codec_stream_clock(self):
+        """A Theora stream's granule (a shifted frame counter) must not
+        leak into the Vorbis stream's duration."""
+        pages = [
+            {"serial": 1, "seq": 0, "granule": 0, "bos": True,
+             "packets": [vorbis_id_packet(2, 44100)]},
+            {"serial": 2, "seq": 0, "granule": 0, "bos": True,
+             "packets": [b"\x80theora" + bytes(5)]},
+            {"serial": 2, "seq": 1, "granule": 1_000_000, "eos": True,
+             "packets": [b"v"]},
+            {"serial": 1, "seq": 1, "granule": 4410, "eos": True,
+             "packets": [b"a"]},
+        ]
+        info = probe_ogg(mux_ogg_pages(pages))
+        assert info["codec"] == "vorbis"
+        assert info["duration_ms"] == 100

@@ -110,12 +110,14 @@ def _skip_id3v2(b: bytes) -> int:
 
 
 def is_mp3(payload: bytes) -> bool:
-    """Cheap magic check: ID3v2 tag, or a valid frame header at 0."""
+    """Magic check: a valid MPEG frame header at 0, or after an ID3v2
+    tag. An ID3 tag alone is NOT enough — AAC/AIFF files carry ID3 tags
+    in the wild, and classifying them as MPEG audio would misroute a
+    well-formed-but-unsupported format as corrupt."""
     if payload is None or len(payload) < 4:
         return False
-    if payload[:3] == b"ID3":
-        return True
-    return _parse_header(payload, 0) is not None
+    b = bytes(payload)
+    return _parse_header(b, _skip_id3v2(b)) is not None
 
 
 def probe_mp3(payload: bytes) -> dict:

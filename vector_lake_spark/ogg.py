@@ -90,8 +90,8 @@ def vorbis_id_packet(channels: int, rate: int) -> bytes:
     """Vorbis I identification header (the BOS packet)."""
     return (
         b"\x01vorbis" + struct.pack("<IB I iii", 0, channels, rate, 0, 0, 0)
-        + bytes([0x66])  # blocksizes 256/64 (log2 8|6) — framing bit set
-        + b"\x01"
+        + bytes([0x66])  # blocksize_1|blocksize_0 nibbles: log2 6|6 (64/64)
+        + b"\x01"  # framing bit
     )
 
 
@@ -115,6 +115,7 @@ def probe_ogg(payload: bytes) -> dict:
     n_pages = 0
     n_packets = 0
     codec = None
+    codec_serial = None  # the stream whose granule clock we report
     channels = None
     rate = None
     pre_skip = 0
@@ -161,26 +162,39 @@ def probe_ogg(payload: bytes) -> dict:
             saw_eos = True
         # packets ending on this page: lacing values < 255 terminate one
         n_packets += sum(1 for s in seg_tbl if s < 255)
-        if flags & 2 and codec is None and body_len >= 8:
+        if flags & 2 and codec is None and body_len >= 1:
             first = b[pos + 27 + n_segs : pos + 27 + n_segs + body_len]
             if first[:8] == b"OpusHead":
-                codec = "opus"
+                if len(first) < 12:
+                    raise ValueError(
+                        "corrupt Ogg: OpusHead packet shorter than its "
+                        "12-byte identification header"
+                    )
+                codec, codec_serial = "opus", serial
                 channels = first[9]
                 (pre_skip,) = struct.unpack_from("<H", first, 10)
                 rate = 48000  # Opus granules are always 48 kHz
             elif first[:7] == b"\x01vorbis":
-                codec = "vorbis"
+                if len(first) < 16:
+                    raise ValueError(
+                        "corrupt Ogg: Vorbis identification packet shorter "
+                        "than its fixed fields"
+                    )
+                codec, codec_serial = "vorbis", serial
                 channels = first[11]
                 (rate,) = struct.unpack_from("<I", first, 12)
             elif first[:5] == b"\x7fFLAC":
-                codec = "flac"
+                codec, codec_serial = "flac", serial
             elif first[:7] == b"\x80theora":
-                codec = "theora"
+                codec, codec_serial = "theora", serial
             else:
-                codec = "unknown"
+                codec, codec_serial = "unknown", serial
         n_pages += 1
         pos += page_len
-    granule = max(last_granule.values(), default=0)
+    # duration comes from the identified codec's OWN stream: other
+    # serials in a multiplexed file run different granule clocks
+    # (e.g. Theora's shifted frame counter)
+    granule = last_granule.get(codec_serial, 0)
     if codec == "opus":
         samples = max(granule - pre_skip, 0)
     else:
