@@ -226,3 +226,96 @@ def test_muxer_rejects_bad_inputs():
         encode_mkv_mjpeg([], 2, 8, 8)
     with pytest.raises(ValueError, match="fps must be positive"):
         encode_mkv_mjpeg([b"x"], 0, 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# V_MJPEG block decode — late r09: the intraframe gate-close
+# ---------------------------------------------------------------------------
+
+
+def _mjpeg_mkv(values=(10, 120, 250), fps=5, w=24, h=16):
+    import numpy as np
+
+    from vector_lake_spark.jpeg import encode_jpeg
+    from vector_lake_spark.mkv import encode_mkv_mjpeg
+
+    frames = [
+        encode_jpeg(np.full((h, w), v, dtype=np.uint8), 100) for v in values
+    ]
+    return encode_mkv_mjpeg(frames, fps=fps, width=w, height=h)
+
+
+def test_vmjpeg_blocks_decode_exactly():
+    import numpy as np
+
+    p = _mjpeg_mkv()
+    info, out = decode_mkv_frames(p)
+    assert info["blocks_by_track"] == {1: 3}
+    assert [px[0, 0] for _, px in out] == [10, 120, 250]
+    assert all(px.shape == (16, 24) for _, px in out)
+    # selective decode touches only requested frames
+    _, sampled = decode_mkv_frames(p, [2])
+    assert sampled == [(2, sampled[0][1])] and sampled[0][1][0, 0] == 250
+    assert np.array_equal(sampled[0][1], out[2][1])
+
+
+def test_vmjpeg_blockgroup_form_decodes():
+    """Blocks wrapped in BlockGroup (0xA0 > 0xA1) decode the same as
+    SimpleBlocks — real muxers emit both forms."""
+    import numpy as np
+
+    from vector_lake_spark.jpeg import encode_jpeg
+
+    p = bytearray(_mjpeg_mkv(values=(77,)))
+    # rewrap the single SimpleBlock as a BlockGroup: find 0xA3 element
+    i = bytes(p).find(b"\xa3")
+    # parse its size vint (1 byte here for small frames)
+    frame = encode_jpeg(np.full((16, 24), 99, dtype=np.uint8), 100)
+    block_body = b"\x81\x00\x00\x00" + frame
+    block = b"\xa1" + _vint_size(len(block_body)) + block_body
+    group = b"\xa0" + _vint_size(len(block)) + block
+    # append the group as a second cluster
+    cluster = _el(0x1F43B675, _uint_el(0xE7, 200) + group)
+    p = bytes(p) + cluster
+    # NB: appended cluster sits AFTER the sized Segment — rebuild instead
+    # by splicing into the segment body for a well-formed file
+    base = _mjpeg_mkv(values=(77,))
+    seg_id = (0x18538067).to_bytes(4, "big")
+    j = base.find(seg_id)
+    # existing segment: id + size vint + body; re-emit with new body
+    from vector_lake_spark.mkv import _read_vint
+
+    size, body_start, _ = _read_vint(base, j + 4, keep_marker=False)
+    body = base[body_start : body_start + size] + cluster
+    rebuilt = base[:j] + seg_id + _vint_size(len(body)) + body
+    info, out = decode_mkv_frames(rebuilt)
+    assert info["blocks_by_track"] == {1: 2}
+    assert [px[0, 0] for _, px in out] == [77, 99]
+
+
+def test_laced_blocks_gate_by_name():
+    p = bytearray(_mjpeg_mkv(values=(50,)))
+    # find the SimpleBlock INSIDE the cluster (a bare 0xa3 search hits
+    # the EBML magic's last byte)
+    i = bytes(p).find(b"\xa3", bytes(p).find(b"\x1f\x43\xb6\x75"))
+    # block body starts after id + size vint: set lacing bits in flags
+    from vector_lake_spark.mkv import _read_vint
+
+    _, body_start, _ = _read_vint(bytes(p), i + 1, keep_marker=False)
+    p[body_start + 3] |= 0x06  # EBML lacing
+    with pytest.raises(NotImplementedError, match="laced"):
+        decode_mkv_frames(bytes(p))
+
+
+def test_extract_video_frames_mkv(spark):
+    from vector_lake_spark.multimodal import extract_video_frames
+
+    p = _mjpeg_mkv(values=(10, 120, 250, 30, 200), fps=5)
+    df = spark.createDataFrame(
+        [(1, bytearray(p))], "media_id long, payload binary"
+    )
+    out = extract_video_frames(df, every_ms=400).collect()
+    # 5 fps, 400 ms stride -> every 2nd frame: 0, 2, 4
+    assert [r["frame_no"] for r in out] == [0, 2, 4]
+    assert [r["mean_r"] for r in out] == [10.0, 250.0, 200.0]
+    assert out[0]["offset_ms"] == 0 and out[1]["offset_ms"] == 400

@@ -4,11 +4,15 @@ the public Matroska element registry), no external demuxer.
 Matroska was the last NAMED container gate (``avi.py`` r06, ``mp4.py``
 r07). This module closes it at the level a 100 TB pipeline needs first:
 the METADATA pass — docType (matroska/webm), segment duration, per-track
-codec id / dimensions / audio params, and cluster/block counts — all
-without touching a byte of frame payload. DECODE stays gated BY NAME:
-Matroska's common codecs (V_VP8/VP9/AV1, V_MPEG4/ISO/AVC, A_OPUS,
-A_VORBIS) are interframe/entropy codecs outside this repo's
-real-decode set, and an honest NotImplementedError beats a fake.
+codec id / dimensions / audio params, and cluster/block counts (total
+and per track) — all without touching a byte of frame payload. Since
+late r09, intraframe **V_MJPEG tracks DECODE for real** too
+(``decode_mkv_frames``: un-laced (Simple)Block payloads are whole JPEG
+frames through the native codec — the same sampled-decode economics as
+MJPEG-in-AVI); Matroska's common codecs (V_VP8/VP9/AV1,
+V_MPEG4/ISO/AVC, A_OPUS, A_VORBIS) stay gated BY NAME — they are
+interframe/entropy codecs outside this repo's real-decode set, and an
+honest NotImplementedError beats a fake.
 
 EBML structure (RFC 8794): every element is
 
@@ -29,7 +33,8 @@ Elements parsed (ids from the public registry):
         AE TrackEntry         D7 TrackNumber, 83 TrackType, 86 CodecID
           E0 Video            B0 PixelWidth, BA PixelHeight
           E1 Audio            B5 SamplingFrequency, 9F Channels
-      1F43B675 Cluster        E7 Timestamp, A3 SimpleBlock (counted)
+      1F43B675 Cluster        E7 Timestamp, A3 SimpleBlock,
+                             A0 BlockGroup > A1 Block (counted per track)
 
 At 100 TB the probe runs inside the same Arrow ``mapInPandas`` operator
 shape as the other containers: payloads are an opaque binary column and
@@ -150,6 +155,7 @@ def probe_mkv(payload: bytes) -> dict:
     tracks: list[dict] = []
     n_clusters = 0
     n_blocks = 0
+    blocks_by_track: dict[int, int] = {}
     for eid, s, e in _elements(payload, 0, len(payload)):
         if eid == 0x1A45DFA3:  # EBML header
             for hid, hs, he in _elements(payload, s, e):
@@ -205,6 +211,21 @@ def probe_mkv(payload: bytes) -> dict:
                     for cid, cs, ce in _elements(payload, ss, se):
                         if cid == 0xA3:  # SimpleBlock
                             n_blocks += 1
+                            tno, _, _ = _read_vint(
+                                payload, cs, keep_marker=False
+                            )
+                            blocks_by_track[tno] = (
+                                blocks_by_track.get(tno, 0) + 1
+                            )
+                        elif cid == 0xA0:  # BlockGroup wraps a Block
+                            for gid, gs, _ge in _elements(payload, cs, ce):
+                                if gid == 0xA1:
+                                    tno, _, _ = _read_vint(
+                                        payload, gs, keep_marker=False
+                                    )
+                                    blocks_by_track[tno] = (
+                                        blocks_by_track.get(tno, 0) + 1
+                                    )
     if doc_type is None:
         raise ValueError("corrupt Matroska: EBML header without DocType")
     return {
@@ -215,6 +236,7 @@ def probe_mkv(payload: bytes) -> dict:
         "tracks": tracks,
         "n_clusters": n_clusters,
         "n_blocks": n_blocks,
+        "blocks_by_track": blocks_by_track,
     }
 
 
@@ -304,15 +326,77 @@ def encode_mkv_mjpeg(
     return header + segment
 
 
+def _video_block_slices(payload: bytes, track_no: int) -> list[tuple[int, int]]:
+    """(offset, end) of every un-laced (Simple)Block payload belonging to
+    ``track_no``, cluster order. Laced blocks raise by name — the repo's
+    V_MJPEG writer (and typical intraframe muxing) is one frame per
+    block; EBML/Xiph/fixed lacing is real work this decoder does not
+    fake."""
+    slices: list[tuple[int, int]] = []
+
+    def block_slice(bs: int, be: int) -> None:
+        tno, p, _ = _read_vint(payload, bs, keep_marker=False)
+        if tno != track_no:
+            return
+        flags = payload[p + 2]  # int16 relative timestamp, then flags
+        if flags & 0x06:
+            raise NotImplementedError(
+                "laced Matroska blocks unsupported (EBML/Xiph/fixed "
+                "lacing) — one-frame-per-block streams decode"
+            )
+        slices.append((p + 3, be))
+
+    for eid, s, e in _elements(payload, 0, len(payload)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for sid, ss, se in _elements(payload, s, e):
+            if sid != 0x1F43B675:  # Cluster
+                continue
+            for cid, cs, ce in _elements(payload, ss, se):
+                if cid == 0xA3:  # SimpleBlock
+                    block_slice(cs, ce)
+                elif cid == 0xA0:  # BlockGroup wraps a Block
+                    for gid, gs, ge in _elements(payload, cs, ce):
+                        if gid == 0xA1:
+                            block_slice(gs, ge)
+    return slices
+
+
 def decode_mkv_frames(payload: bytes, frame_indices=None):
-    """Matroska block DECODE is gated by name: the container's common
-    codecs are interframe (V_VP8/VP9/AV1, H.264/H.265) or entropy audio
-    (Opus, Vorbis) — outside this repo's real-decode set. The probe
-    above still reads all metadata."""
+    """Decode selected frames (all if None) of a Matroska video track.
+    Intraframe V_MJPEG tracks decode for REAL (late r09): block payloads
+    are whole JPEG frames, each independently seekable through the
+    native codec — the same sampled-decode economics as MJPEG-in-AVI.
+    The container's common codecs stay gated by name: V_VP8/VP9/AV1 and
+    H.264/H.265 are interframe (GOP-aware decoders), Opus/Vorbis are
+    entropy audio — outside this repo's real-decode set. The probe
+    reads all metadata either way. Returns (probe_info, [(frame_no,
+    pixels)])."""
     info = probe_mkv(payload)
-    codecs = sorted({t["codec"] for t in info["tracks"] if t["codec"]})
-    raise NotImplementedError(
-        f"Matroska block decode unsupported (tracks: {', '.join(codecs) or 'none'})"
-        f" — interframe/entropy codecs need GOP-aware decoders; only the"
-        f" metadata probe (probe_mkv) is implemented"
+    video = [t for t in info["tracks"] if t["track_type"] == 1]
+    vcodecs = sorted({t["codec"] for t in video if t["codec"]})
+    if not video or "V_MJPEG" not in vcodecs:
+        codecs = sorted({t["codec"] for t in info["tracks"] if t["codec"]})
+        raise NotImplementedError(
+            f"Matroska block decode unsupported (tracks: "
+            f"{', '.join(codecs) or 'none'}) — interframe/entropy codecs "
+            f"need GOP-aware decoders; intraframe V_MJPEG tracks decode "
+            f"natively and the metadata probe (probe_mkv) reads all tracks"
+        )
+    tr = next(t for t in video if t["codec"] == "V_MJPEG")
+    frames = _video_block_slices(payload, tr["track_number"])
+    idx = (
+        list(range(len(frames)))
+        if frame_indices is None
+        else list(frame_indices)
     )
+    for i in idx:
+        if not 0 <= i < len(frames):
+            raise IndexError(f"frame {i} out of range 0..{len(frames)-1}")
+    from vector_lake_spark.jpeg import decode_jpeg_pixels
+
+    out = []
+    for i in idx:
+        s, e = frames[i]
+        out.append((i, decode_jpeg_pixels(payload[s:e])))
+    return info, out

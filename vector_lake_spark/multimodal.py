@@ -630,7 +630,9 @@ def probe_media(df: DataFrame) -> DataFrame:
                 "height": t["height"] if t else None,
                 "duration_ms": info["duration_ms"],
                 "n_frames": info["n_blocks"],
-                "decodable": False,  # interframe codecs gate by name
+                # intraframe V_MJPEG blocks decode natively (late r09);
+                # interframe codecs still gate by name
+                "decodable": bool(t and t["codec"] == "V_MJPEG"),
             }
         info = probe_avi(data)  # raises its own named error on non-AVI
         return {
@@ -675,9 +677,11 @@ def extract_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     frames_sampled × decode, not duration × decode; the probe slices
     frame chunks by (offset, length) so unsampled frames are never even
     copied out of the payload buffer. r07 adds the MP4 container
-    (photo-JPEG samples, ``mp4.py``) behind the same magic dispatch;
-    other containers / interframe codecs raise by name."""
+    (photo-JPEG samples, ``mp4.py``) and late r09 Matroska V_MJPEG
+    tracks (``mkv.py``) behind the same magic dispatch; interframe
+    codecs raise by name."""
     from vector_lake_spark.avi import decode_avi_frames, probe_avi
+    from vector_lake_spark.mkv import decode_mkv_frames, is_mkv, probe_mkv
     from vector_lake_spark.mp4 import decode_mp4_frames, is_mp4, probe_mp4
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -685,7 +689,24 @@ def extract_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                if is_mp4(data):
+                if is_mkv(data):
+                    info = probe_mkv(data)
+                    video = [
+                        t for t in info["tracks"] if t["track_type"] == 1
+                    ]
+                    if not video:
+                        raise ValueError("Matroska has no video track")
+                    tr = video[0]
+                    n_frames = info["blocks_by_track"].get(
+                        tr["track_number"], 0
+                    )
+                    fps = (
+                        n_frames * 1000.0 / info["duration_ms"]
+                        if info["duration_ms"]
+                        else 0
+                    )
+                    decode = decode_mkv_frames
+                elif is_mp4(data):
                     info = probe_mp4(data)
                     video = [
                         t for t in info["tracks"] if t["handler"] == "vide"

@@ -7800,7 +7800,9 @@ SELECT media_id,
        CAST(8 AS INT) AS height,
        CAST(n_frames * 1000 // fps AS BIGINT) AS duration_ms,
        CAST(n_frames AS BIGINT) AS n_frames,
-       kind <> 2 AS decodable
+       -- all three containers decode since late r09: MJPEG-in-AVI,
+       -- photo-JPEG-in-MP4 and V_MJPEG-in-Matroska are all intraframe
+       TRUE AS decodable
 FROM p
 """
 
@@ -9852,9 +9854,12 @@ _FRONTLOAD: tuple[str, ...] = (
     "mm_flac_roundtrip",
     "mm_webp_anim",
     # late-r09 rewrites under already-green entries: the WAV entry grew
-    # the G.711/IEEE-float modes (g711.py, _decode_wav_ext) and must
-    # re-attach its evidence to the new code this round
+    # the G.711/IEEE-float modes (g711.py, _decode_wav_ext), and the
+    # container-probe entry's decodability routing changed (V_MJPEG
+    # Matroska blocks decode natively now) — both must re-attach their
+    # evidence to the new code this round
     "mm_wav_depths",
+    "mm_container_probe",
 )
 
 QUERIES = dict(
