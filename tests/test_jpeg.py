@@ -80,11 +80,18 @@ def test_stats_shape_matches_image_contract():
 def test_unsupported_features_raise_loudly():
     img = np.full((8, 8), 9, dtype=np.uint8)
     payload = bytearray(encode_jpeg(img, 100))
-    # flip SOF0 -> SOF3 (lossless — still honestly gated; SOF2 decodes
-    # for real since r07, see TestProgressive)
+    # flip SOF0 -> SOF5 (differential — still honestly gated; SOF2
+    # decodes since r07, SOF3 lossless since late r09)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        decode_jpeg_pixels(bytes(payload))
+    # a BASELINE stream relabeled SOF3 is corrupt for the lossless
+    # walk (its SOS carries predictor 0), not a gate
+    payload = bytearray(encode_jpeg(img, 100))
     i = payload.find(b"\xff\xc0")
     payload[i + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    with pytest.raises(ValueError, match="predictor 0"):
         decode_jpeg_pixels(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"nonsense")
@@ -483,3 +490,81 @@ class Test12BitProgressive:
                 struct.pack_into(">H", cut, i + 2, 2 + 1 + 64)
             with pytest.raises(ValueError, match="DQT"):
                 decode_jpeg_pixels(bytes(cut))
+
+
+# ---------------------------------------------------------------------------
+# Lossless (SOF3) — late r09: Annex H DPCM, exact on arbitrary content
+# ---------------------------------------------------------------------------
+
+
+class TestLossless:
+    def test_exact_roundtrip_every_predictor(self):
+        from vector_lake_spark.jpeg import encode_jpeg_lossless
+
+        rng = np.random.default_rng(11)
+        gray8 = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+        rgb8 = rng.integers(0, 256, (9, 17, 3), dtype=np.uint8)
+        gray16 = rng.integers(0, 65536, (11, 7), dtype=np.uint16)
+        for px in (gray8, rgb8, gray16):
+            for pred in range(1, 8):
+                out = decode_jpeg_pixels(encode_jpeg_lossless(px, pred))
+                assert np.array_equal(out, px), (px.shape, pred)
+                assert out.dtype == px.dtype
+
+    def test_extreme_differences_use_special_category(self):
+        """Alternating 0/65535 at 16-bit exercises the modulo-2^16
+        wraparound and the no-extra-bits 32768 category."""
+        from vector_lake_spark.jpeg import encode_jpeg_lossless
+
+        px = np.zeros((6, 6), dtype=np.uint16)
+        px[::2, ::2] = 65535
+        px[1::2, 1::2] = 65535
+        for pred in (1, 2, 4, 6, 7):
+            assert np.array_equal(
+                decode_jpeg_pixels(encode_jpeg_lossless(px, pred)), px
+            )
+
+    def test_odd_precision_and_range_validation(self):
+        from vector_lake_spark.jpeg import encode_jpeg_lossless
+
+        px = np.arange(12, dtype=np.uint16).reshape(3, 4)
+        out = decode_jpeg_pixels(encode_jpeg_lossless(px, 4, precision=4))
+        assert np.array_equal(out, px)
+        with pytest.raises(ValueError, match="range"):
+            encode_jpeg_lossless(np.full((2, 2), 16, dtype=np.uint16),
+                                 precision=4)
+        with pytest.raises(ValueError, match="predictor"):
+            encode_jpeg_lossless(px, predictor=0)
+        with pytest.raises(ValueError, match="precision"):
+            encode_jpeg_lossless(px, precision=17)
+
+    def test_named_gates(self):
+        """Restart intervals, subsampled components and point
+        transforms stay loud; corrupt predictor is ValueError."""
+        import struct
+
+        from vector_lake_spark.jpeg import encode_jpeg_lossless
+
+        f = bytearray(encode_jpeg_lossless(
+            np.full((4, 4), 7, dtype=np.uint8)))
+        # inject a DRI segment before SOS
+        i = bytes(f).find(b"\xff\xda")
+        with_dri = f[:i] + b"\xff\xdd\x00\x04\x00\x02" + f[i:]
+        with pytest.raises(NotImplementedError, match="restart"):
+            decode_jpeg_pixels(bytes(with_dri))
+        # point transform (Al) in the SOS tail
+        g = bytearray(encode_jpeg_lossless(
+            np.full((4, 4), 7, dtype=np.uint8)))
+        i = bytes(g).find(b"\xff\xda")
+        (slen,) = struct.unpack_from(">H", g, i + 2)
+        g[i + 2 + slen - 1] = 2  # Ah<<4|Al byte -> Al=2
+        with pytest.raises(NotImplementedError, match="point transform"):
+            decode_jpeg_pixels(bytes(g))
+
+    def test_lossless_beats_png_posture_not_required_but_sane_size(self):
+        """Smooth content compresses (diffs are small categories)."""
+        from vector_lake_spark.jpeg import encode_jpeg_lossless
+
+        px = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
+        f = encode_jpeg_lossless(px, predictor=1)
+        assert len(f) < px.size  # < 1 byte/sample on a gradient

@@ -905,3 +905,30 @@ def test_ogg_probe_matches_closed_form(
     assert info["total_bytes"] == (
         27 + 1 + len(idpkt) + n_audio * (27 + lacing + page_body)
     )
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    predictor=st.integers(min_value=1, max_value=7),
+    precision=st.sampled_from([2, 4, 8, 12, 16]),
+    rgb=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_lossless_jpeg_roundtrip_property(h, w, predictor, precision, rgb, seed):
+    """Late-r09 codec (SOF3): lossless JPEG round-trips BIT-EXACTLY for
+    ARBITRARY content at any geometry, precision 2..16, all seven
+    predictors, gray and RGB — the definitional property of the Annex H
+    process."""
+    from vector_lake_spark.jpeg import decode_jpeg_pixels, encode_jpeg_lossless
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    dt = np.uint8 if precision <= 8 else np.uint16
+    px = rng.integers(0, 1 << precision, shape).astype(dt)
+    out = decode_jpeg_pixels(
+        encode_jpeg_lossless(px, predictor=predictor, precision=precision)
+    )
+    assert out.dtype == dt
+    assert np.array_equal(out, px)

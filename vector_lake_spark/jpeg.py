@@ -19,9 +19,12 @@ implement the subset for real and gate the rest loudly. Scope:
   uint16 output — the medical/scanned-archive variant), and SOF2
   progressive decodes at BOTH precisions too (12-bit progressive
   landed later in r09 — the same four Annex G scan decoders over the
-  widened categories). Anything outside the subset (arithmetic coding,
-  lossless SOF3, sampling factors above 2) raises NotImplementedError
-  naming the feature.
+  widened categories), and LOSSLESS (SOF3, Annex H DPCM — late r09)
+  decodes at precision 2..16 with all seven predictors, the one JPEG
+  process whose round trip is exact on arbitrary content. Anything
+  outside the subset (arithmetic coding, differential processes,
+  sampling factors above 2) raises NotImplementedError naming the
+  feature.
 - **Encoders** (`encode_jpeg` baseline, `encode_jpeg_progressive`
   SOF2 with both spectral selection and successive approximation),
   used by the tests so exactness can be proven without a reference
@@ -559,11 +562,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             precision = prec
         elif marker == 0xC2:  # SOF2 progressive — own multi-scan walk
             return _decode_progressive_pixels(payload)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker == 0xC3:  # SOF3 lossless — own predictive walk
+            return _decode_lossless_pixels(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
-                f"SOF{marker - 0xC0} (lossless/differential/arithmetic) "
+                f"SOF{marker - 0xC0} (differential/arithmetic) "
                 f"unsupported — baseline (SOF0), extended sequential "
-                f"(SOF1) and progressive (SOF2) decode"
+                f"(SOF1), progressive (SOF2) and lossless (SOF3) decode"
             )
         elif marker == 0xDA:  # SOS
             ns = body[0]
@@ -1264,3 +1269,234 @@ def _emit_ac_refine(bw, coef, ss, se, al, ac_codes=AC_CODES):
         bw.write(code, length)
         for bit in pending:
             bw.write(bit, 1)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3) — ITU-T T.81 Annex H
+# ---------------------------------------------------------------------------
+#
+# The predictive (DPCM) process: no DCT, no quantization. Each sample's
+# difference from a neighbor prediction (7 selectable predictors) is
+# Huffman-coded with DC-style category codes, arithmetic modulo 2^16.
+# This is the archival variant (DNG, DICOM) — precision 2..16 bits and
+# the ONLY JPEG process whose round trip is exact on arbitrary content,
+# which is what the table-scale oracle pins. Restart intervals are not
+# written by the encoder and raise by name in the decoder (their
+# prediction-reset spatial semantics are a rarely-used corner).
+
+# categories 0..16 (16 = the special 32768 difference, no extra bits)
+DC_SYMBOLS_LL = list(range(17))
+DC_CODES_LL = _canonical_codes(DC_SYMBOLS_LL, 5)
+
+
+def _ll_predict(plane, x, y, predictor, default):
+    """T.81 H.1.2.1: first sample -> default; rest of first line -> Ra;
+    first column -> Rb; everywhere else the selected predictor."""
+    if y == 0:
+        return default if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # predictor 7
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray, predictor: int = 1, precision: int | None = None
+) -> bytes:
+    """Encode as a lossless (SOF3) JPEG — exact for ANY content at any
+    precision 2..16. Gray (h, w) or RGB (h, w, 3) arrays; components
+    are stored as-is (no color transform — losslessness is the point).
+    ``precision`` defaults to 8 for uint8 input and 16 for uint16."""
+    px = np.asarray(pixels)
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if px.ndim not in (2, 3) or (px.ndim == 3 and px.shape[2] != 3):
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+    if px.shape[0] == 0 or px.shape[1] == 0:
+        raise ValueError("degenerate image")
+    if precision is None:
+        precision = 8 if px.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if px.max(initial=0) > (1 << precision) - 1:
+        raise ValueError(f"samples exceed {precision}-bit range")
+    h, w = px.shape[:2]
+    planes = (
+        [px.astype(np.int64)]
+        if px.ndim == 2
+        else [px[:, :, c].astype(np.int64) for c in range(3)]
+    )
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # H=V=1; Tq unused in lossless
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_SYMBOLS_LL, 5)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah<<4|Al=0
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    default = 1 << (precision - 1)
+    # the whole prediction pass is vectorizable at encode time (the
+    # decoder's reconstruction is the sequential side): build Ra/Rb/Rc
+    # shifts, select the predictor, patch the first-line/first-column
+    # rules, and map differences to signed mod-2^16 in one shot
+    diffs = []
+    for p in planes:
+        ra = np.zeros_like(p)
+        ra[:, 1:] = p[:, :-1]
+        rb = np.zeros_like(p)
+        rb[1:, :] = p[:-1, :]
+        rc = np.zeros_like(p)
+        rc[1:, 1:] = p[:-1, :-1]
+        if predictor == 1:
+            pred = ra
+        elif predictor == 2:
+            pred = rb
+        elif predictor == 3:
+            pred = rc
+        elif predictor == 4:
+            pred = ra + rb - rc
+        elif predictor == 5:
+            pred = ra + ((rb - rc) >> 1)
+        elif predictor == 6:
+            pred = rb + ((ra - rc) >> 1)
+        else:
+            pred = (ra + rb) >> 1
+        pred[0, :] = ra[0, :]  # first line: predictor 1
+        pred[1:, 0] = rb[1:, 0]  # first column: predictor 2
+        pred[0, 0] = default
+        d = (p - pred) & 0xFFFF
+        d[d >= 0x8000] -= 0x10000
+        diffs.append(d)
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for dplane in diffs:  # interleaved MCU: one per component
+                d = int(dplane[y, x])
+                if d == -0x8000:  # the special 32768 category
+                    code, length = DC_CODES_LL[16]
+                    bw.write(code, length)
+                    continue
+                size = _category(d)
+                code, length = DC_CODES_LL[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(_amplitude(d, size), size)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless_pixels(payload: bytes) -> np.ndarray:
+    """Decode a lossless (SOF3) stream: marker walk, then the Annex H
+    DPCM scan — Huffman difference categories, modulo-2^16 arithmetic,
+    the selected predictor with the first-line/first-column rules."""
+    pos = 2
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0xF
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + n])
+                htabs[(tc, th)] = _build_decode_table(bits, vals)
+                bpos += 17 + n
+        elif marker == 0xC3:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if not 2 <= prec <= 16:
+                raise ValueError(f"corrupt JPEG: lossless {prec}-bit")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, _tq = body[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components "
+                        "unsupported (H=V=1 decodes)"
+                    )
+                comps.append(cid)
+            sof = (prec, h, w, comps)
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals in lossless JPEG unsupported "
+                "(prediction-reset semantics)"
+            )
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4)
+                for i in range(ns)
+            ]
+            predictor = body[1 + 2 * ns]
+            pt = body[3 + 2 * ns] & 0xF
+            if not 1 <= predictor <= 7:
+                raise ValueError(
+                    f"corrupt JPEG: lossless predictor {predictor}"
+                )
+            if pt != 0:
+                raise NotImplementedError(
+                    "lossless point transform (Al != 0) unsupported"
+                )
+            scan = (scan_comps, predictor)
+            pos = pos + 2 + seglen
+            break
+        pos = pos + 2 + seglen
+    if sof is None or scan is None:
+        raise ValueError("lossless JPEG missing SOF3/SOS")
+    prec, h, w, comps = sof
+    scan_comps, predictor = scan
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved lossless scans unsupported"
+        )
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in scan_comps]
+    default = 1 << (prec - 1)
+    br = _BitReader(payload, pos)
+    for y in range(h):
+        for x in range(w):
+            for ci, (_cid, td) in enumerate(scan_comps):
+                size = _huff_decode(br, htabs[(0, td)])
+                if size == 16:
+                    diff = 0x8000
+                elif size:
+                    diff = _extend(br.read_bits(size), size)
+                else:
+                    diff = 0
+                pred = _ll_predict(planes[ci], x, y, predictor, default)
+                planes[ci][y, x] = (pred + diff) & 0xFFFF
+    dt = np.uint8 if prec <= 8 else np.uint16
+    if len(planes) == 1:
+        return planes[0].astype(dt)
+    return np.stack(planes, axis=2).astype(dt)

@@ -27,10 +27,11 @@ pass through Python row-at-a-time serde. Decode status (r06):
   ``extract_video_frames`` dispatch, decoding ONLY sampled frames.
 - All three video containers PROBE for real (RIFF/AVI, ISO-BMFF/MP4,
   EBML/Matroska — ``probe_media`` is the unified metadata pass);
-  remaining gates are named codec subsets (arithmetic/lossless JPEG,
+  remaining gates are named codec subsets (arithmetic-coded JPEG,
   lossy VP8, motion-compensated video codecs — Matroska block decode
-  raises listing the codecs it found; RLE8-in-AVI interframe deltas
-  decode for real since r09).
+  raises listing the codecs it found, though V_MJPEG tracks decode for
+  real; RLE8-in-AVI interframe deltas and lossless SOF3 JPEG decode
+  for real since r09).
 
 At 100 TB: binary payloads dominate row size, so every transform projects
 only the columns it needs (column pruning keeps untouched media out of the
@@ -80,8 +81,9 @@ def _decode_image(payload: bytes):
     baseline + progressive JPEG (r06/r07 — full Huffman + dequant +
     IDCT + Annex G progressive scans in ``jpeg.py``, numpy only) and
     GIF (r07 — LZW + frame composition in ``gif.py``) decode for real;
-    the remaining gates are format subsets (arithmetic-coded and
-    lossless JPEG, lossy VP8), each raising with the feature named."""
+    the remaining gates are format subsets (arithmetic-coded JPEG,
+    lossy VP8), each raising with the feature named; lossless SOF3
+    decodes for real since late r09."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload[:8] == PNG_SIGNATURE:

@@ -8711,15 +8711,20 @@ def q_mm_jpeg12_roundtrip(spark, sf):
     sums arithmetically; a green hash proves the 12-bit entropy coding,
     level shift 2048, widened categories and uint16 reconstruction all
     invert (the reference has no codecs; SURVEY §2.B multimodal
-    rows). Late r09 closed the 12-bit PROGRESSIVE gate too, so the
-    matrix now sweeps BOTH frame types: n_chars%2 picks sequential
-    (SOF1) vs progressive (SOF2 — all four Annex G scan decoders over
-    the widened categories), the emitted `progressive` flag is read
-    back from the stream's own SOF marker, and the closed-form sums
-    are identical because both encoders quantize identically."""
+    rows). Late r09 closed the 12-bit PROGRESSIVE gate and then the
+    LOSSLESS (SOF3) gate too, so the matrix now sweeps all THREE frame
+    processes: n_chars%3 picks sequential (SOF1) vs progressive (SOF2
+    — all four Annex G scan decoders over the widened categories) vs
+    lossless (SOF3 Annex H DPCM at 12-bit, the predictor cycling
+    doc-derived through all seven). The emitted `frame_type` string is
+    read back from the stream's own SOF marker, and the closed-form
+    sums are identical across processes: the DCT pair quantizes
+    identically and is exact on block-constant q100 content, and
+    lossless is exact on ANY content by definition."""
     from vector_lake_spark.jpeg import (
         decode_jpeg_pixels,
         encode_jpeg,
+        encode_jpeg_lossless,
         encode_jpeg_progressive,
     )
 
@@ -8731,7 +8736,8 @@ def q_mm_jpeg12_roundtrip(spark, sf):
         (F.col("doc_id") % 170).cast("int").alias("base"),
         (F.col("doc_id") % 2 == 0).alias("gray"),
         (F.col("doc_id") % 3 == 0).alias("rst"),
-        (F.col("n_chars") % 2 == 0).alias("prog"),
+        (F.col("n_chars") % 3).cast("int").alias("ftype"),
+        (F.col("doc_id") % 7 + 1).cast("int").alias("pred"),
     )
 
     def batches(it):
@@ -8750,8 +8756,12 @@ def q_mm_jpeg12_roundtrip(spark, sf):
                 if r.gray:
                     vals = vals[:, :, 0]
                 px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                if r.prog:
+                if r.ftype == 1:
                     f = encode_jpeg_progressive(px, quality=100, precision=12)
+                elif r.ftype == 2:
+                    f = encode_jpeg_lossless(
+                        px, predictor=r.pred, precision=12
+                    )
                 else:
                     f = encode_jpeg(
                         px,
@@ -8760,14 +8770,23 @@ def q_mm_jpeg12_roundtrip(spark, sf):
                         restart_interval=2 if r.rst else 0,
                     )
                 dec = decode_jpeg_pixels(f)
+                # read the frame type back from the stream itself
+                marker = next(
+                    name
+                    for sig, name in (
+                        (b"\xff\xc1", "sequential"),
+                        (b"\xff\xc2", "progressive"),
+                        (b"\xff\xc3", "lossless"),
+                    )
+                    if sig in f
+                )
                 rows.append(
                     (
                         r.media_id,
                         dec.shape[1],
                         dec.shape[0],
                         1 if dec.ndim == 2 else dec.shape[2],
-                        # read the frame type back from the stream itself
-                        b"\xff\xc2" in f and b"\xff\xc1" not in f,
+                        marker,
                         int(dec.max()),
                         int(dec.astype(np.int64).sum()),
                     )
@@ -8776,7 +8795,7 @@ def q_mm_jpeg12_roundtrip(spark, sf):
                 rows,
                 columns=[
                     "media_id", "width", "height", "channels",
-                    "progressive", "max_sample", "pix_sum",
+                    "frame_type", "max_sample", "pix_sum",
                 ],
             )
 
@@ -8787,7 +8806,7 @@ def q_mm_jpeg12_roundtrip(spark, sf):
         batches,
         schema=(
             "media_id long, width int, height int, channels int, "
-            "progressive boolean, max_sample int, pix_sum long"
+            "frame_type string, max_sample int, pix_sum long"
         ),
     )
 
@@ -8799,7 +8818,7 @@ WITH p AS (
          (n_chars % 4) + 2 AS hb,
          doc_id % 170 AS base,
          doc_id % 2 = 0 AS gray,
-         n_chars % 2 = 0 AS prog
+         n_chars % 3 AS ftype
   FROM documents
 ),
 s AS (
@@ -8814,7 +8833,8 @@ SELECT media_id,
        CAST(8 * wb AS INT) AS width,
        CAST(8 * hb AS INT) AS height,
        CAST(CASE WHEN gray THEN 1 ELSE 3 END AS INT) AS channels,
-       prog AS progressive,
+       CASE ftype WHEN 1 THEN 'progressive' WHEN 2 THEN 'lossless'
+                  ELSE 'sequential' END AS frame_type,
        CAST(16 * base + 7 * (hb - 1) + 3 * (wb - 1)
             + CASE WHEN gray THEN 0 ELSE 10 END AS INT) AS max_sample,
        CAST(CASE WHEN gray THEN gsum
