@@ -261,24 +261,18 @@ def test_vmjpeg_blocks_decode_exactly():
 
 def test_vmjpeg_blockgroup_form_decodes():
     """Blocks wrapped in BlockGroup (0xA0 > 0xA1) decode the same as
-    SimpleBlocks — real muxers emit both forms."""
+    SimpleBlocks — real muxers emit both forms. Splices a BlockGroup
+    cluster into the Segment body of a muxed one-frame file; both the
+    per-track count and n_blocks must see TWO frames."""
     import numpy as np
 
     from vector_lake_spark.jpeg import encode_jpeg
 
-    p = bytearray(_mjpeg_mkv(values=(77,)))
-    # rewrap the single SimpleBlock as a BlockGroup: find 0xA3 element
-    i = bytes(p).find(b"\xa3")
-    # parse its size vint (1 byte here for small frames)
     frame = encode_jpeg(np.full((16, 24), 99, dtype=np.uint8), 100)
     block_body = b"\x81\x00\x00\x00" + frame
     block = b"\xa1" + _vint_size(len(block_body)) + block_body
     group = b"\xa0" + _vint_size(len(block)) + block
-    # append the group as a second cluster
     cluster = _el(0x1F43B675, _uint_el(0xE7, 200) + group)
-    p = bytes(p) + cluster
-    # NB: appended cluster sits AFTER the sized Segment — rebuild instead
-    # by splicing into the segment body for a well-formed file
     base = _mjpeg_mkv(values=(77,))
     seg_id = (0x18538067).to_bytes(4, "big")
     j = base.find(seg_id)
@@ -290,6 +284,7 @@ def test_vmjpeg_blockgroup_form_decodes():
     rebuilt = base[:j] + seg_id + _vint_size(len(body)) + body
     info, out = decode_mkv_frames(rebuilt)
     assert info["blocks_by_track"] == {1: 2}
+    assert info["n_blocks"] == 2  # BlockGroup blocks count as frames too
     assert [px[0, 0] for _, px in out] == [77, 99]
 
 
@@ -319,3 +314,54 @@ def test_extract_video_frames_mkv(spark):
     assert [r["frame_no"] for r in out] == [0, 2, 4]
     assert [r["mean_r"] for r in out] == [10.0, 250.0, 200.0]
     assert out[0]["offset_ms"] == 0 and out[1]["offset_ms"] == 400
+
+
+def test_mixed_codec_video_tracks_sample_the_mjpeg_one(spark):
+    """Review finding: an MKV whose FIRST video track is interframe but
+    whose second is V_MJPEG must sample and decode the V_MJPEG track
+    (probe_media must call it decodable, too)."""
+    import numpy as np
+
+    from vector_lake_spark.jpeg import encode_jpeg
+    from vector_lake_spark.mkv import _read_vint as _rv, probe_mkv
+    from vector_lake_spark.multimodal import extract_video_frames, probe_media
+
+    base = _mjpeg_mkv(values=(10, 200), fps=4)
+    # splice a V_VP9 TrackEntry in FRONT of the muxed MJPEG track, so
+    # video[0] is the interframe track and the old video[0]-based
+    # sampling would raise/undersample
+    vp9_track = _el(
+        0xAE,
+        _uint_el(0xD7, 2)
+        + _uint_el(0x83, 1)  # video
+        + _el(0x86, b"V_VP9")
+        + _el(0xE0, _uint_el(0xB0, 24) + _uint_el(0xBA, 16)),
+    )
+    i = base.find((0x1654AE6B).to_bytes(4, "big"))
+    size, body_start, _ = _rv(base, i + 4, keep_marker=False)
+    tracks_body = base[body_start : body_start + size]
+    # VP9 entry FIRST, so video[0] is the interframe track
+    new_tracks = (
+        (0x1654AE6B).to_bytes(4, "big")
+        + _vint_size(len(vp9_track + tracks_body))
+        + vp9_track
+        + tracks_body
+    )
+    seg_id = (0x18538067).to_bytes(4, "big")
+    j = base.find(seg_id)
+    ssize, sbody, _ = _rv(base, j + 4, keep_marker=False)
+    seg_body = base[sbody : sbody + ssize].replace(
+        base[i : body_start + size], new_tracks
+    )
+    rebuilt = base[:j] + seg_id + _vint_size(len(seg_body)) + seg_body
+    info = probe_mkv(rebuilt)
+    assert [t["codec"] for t in info["tracks"] if t["track_type"] == 1] == [
+        "V_VP9", "V_MJPEG",
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(rebuilt))], "media_id long, payload binary"
+    )
+    out = extract_video_frames(df, every_ms=250).collect()
+    assert [r["mean_r"] for r in out] == [10.0, 200.0]
+    probe = probe_media(df).collect()[0]
+    assert probe["decodable"] is True

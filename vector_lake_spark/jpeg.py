@@ -1328,11 +1328,13 @@ def encode_jpeg_lossless(
         raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
     if px.shape[0] == 0 or px.shape[1] == 0:
         raise ValueError("degenerate image")
+    if px.dtype.kind not in "ui":
+        raise ValueError("lossless samples must be an integer dtype")
     if precision is None:
         precision = 8 if px.dtype == np.uint8 else 16
     if not 2 <= precision <= 16:
         raise ValueError("precision must be 2..16")
-    if px.max(initial=0) > (1 << precision) - 1:
+    if px.max(initial=0) > (1 << precision) - 1 or px.min(initial=0) < 0:
         raise ValueError(f"samples exceed {precision}-bit range")
     h, w = px.shape[:2]
     planes = (
@@ -1496,6 +1498,13 @@ def _decode_lossless_pixels(payload: bytes) -> np.ndarray:
                     diff = 0
                 pred = _ll_predict(planes[ci], x, y, predictor, default)
                 planes[ci][y, x] = (pred + diff) & 0xFFFF
+    maxv = (1 << prec) - 1
+    for p in planes:
+        if int(p.max(initial=0)) > maxv:
+            raise ValueError(
+                f"corrupt lossless JPEG: reconstructed sample exceeds "
+                f"the declared {prec}-bit range"
+            )
     dt = np.uint8 if prec <= 8 else np.uint16
     if len(planes) == 1:
         return planes[0].astype(dt)

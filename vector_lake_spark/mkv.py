@@ -220,6 +220,10 @@ def probe_mkv(payload: bytes) -> dict:
                         elif cid == 0xA0:  # BlockGroup wraps a Block
                             for gid, gs, _ge in _elements(payload, cs, ce):
                                 if gid == 0xA1:
+                                    # real muxers wrap most blocks in
+                                    # BlockGroups — they count as frames
+                                    # exactly like SimpleBlocks
+                                    n_blocks += 1
                                     tno, _, _ = _read_vint(
                                         payload, gs, keep_marker=False
                                     )
@@ -338,6 +342,11 @@ def _video_block_slices(payload: bytes, track_no: int) -> list[tuple[int, int]]:
         tno, p, _ = _read_vint(payload, bs, keep_marker=False)
         if tno != track_no:
             return
+        if p + 3 > be:
+            raise ValueError(
+                "corrupt Matroska: block body ends before its "
+                "timestamp/flags header"
+            )
         flags = payload[p + 2]  # int16 relative timestamp, then flags
         if flags & 0x06:
             raise NotImplementedError(

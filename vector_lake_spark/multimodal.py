@@ -633,8 +633,10 @@ def probe_media(df: DataFrame) -> DataFrame:
                 "duration_ms": info["duration_ms"],
                 "n_frames": info["n_blocks"],
                 # intraframe V_MJPEG blocks decode natively (late r09);
-                # interframe codecs still gate by name
-                "decodable": bool(t and t["codec"] == "V_MJPEG"),
+                # interframe codecs still gate by name — the flag must
+                # agree with decode_mkv_frames, which picks ANY V_MJPEG
+                # video track, not just the first
+                "decodable": any(v["codec"] == "V_MJPEG" for v in video),
             }
         info = probe_avi(data)  # raises its own named error on non-AVI
         return {
@@ -698,7 +700,13 @@ def extract_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     ]
                     if not video:
                         raise ValueError("Matroska has no video track")
-                    tr = video[0]
+                    # size the sampling from the SAME track decode will
+                    # pick (the V_MJPEG one); a no-MJPEG file keeps
+                    # video[0] so decode raises its named codec gate
+                    tr = next(
+                        (t for t in video if t["codec"] == "V_MJPEG"),
+                        video[0],
+                    )
                     n_frames = info["blocks_by_track"].get(
                         tr["track_number"], 0
                     )
