@@ -95,11 +95,12 @@ def test_unsupported_features_raise_loudly():
         decode_jpeg_pixels(bytes(payload))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"nonsense")
-    # sampling factor 3 is past the 1..2 decode subset
+    # sampling factor 5 is outside the spec's 1..4 range: corrupt, not
+    # a gate (factors up to 4 with integer ratios decode since late r09)
     payload = bytearray(encode_jpeg(img, 100))
     i = payload.find(b"\xff\xc0")
-    payload[i + 11] = 0x33  # Hi=3, Vi=3
-    with pytest.raises(NotImplementedError, match="sampling factors"):
+    payload[i + 11] = 0x51  # Hi=5
+    with pytest.raises(ValueError, match="spec range"):
         decode_jpeg_pixels(bytes(payload))
 
 
@@ -568,3 +569,76 @@ class TestLossless:
         px = np.tile(np.arange(64, dtype=np.uint8), (64, 1))
         f = encode_jpeg_lossless(px, predictor=1)
         assert len(f) < px.size  # < 1 byte/sample on a gradient
+
+
+# ---------------------------------------------------------------------------
+# 4:2:2 / 4:1:1 sampling (late r09) — factors above 2 decode for real
+# ---------------------------------------------------------------------------
+
+
+class TestWideSampling:
+    def test_constant_exact_at_q100_every_mode(self):
+        rgb = np.full((20, 28, 3), 90, dtype=np.uint8)
+        for mode in ("420", "422", "411", True):
+            out = decode_jpeg_pixels(encode_jpeg(rgb, 100, subsample=mode))
+            assert np.array_equal(out, rgb), mode
+
+    def test_gradient_psnr_floor_411_and_422(self):
+        h, w = 32, 48
+        grad = np.stack(
+            [
+                np.linspace(0, 200, w)[None, :].repeat(h, 0),
+                np.linspace(30, 220, h)[:, None].repeat(w, 1),
+                np.full((h, w), 128.0),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        for mode, floor in (("422", 40), ("411", 35)):
+            dec = decode_jpeg_pixels(encode_jpeg(grad, 90, subsample=mode))
+            mse = ((dec.astype(float) - grad.astype(float)) ** 2).mean()
+            assert 10 * np.log10(255**2 / mse) > floor, mode
+        # 4:1:1 is genuinely smaller than 4:2:2 (half the chroma
+        # again) once the width fills the 32-sample MCU without padding
+        wide = np.tile(grad, (1, 2, 1))[:, :64]
+        assert len(encode_jpeg(wide, 90, subsample="411")) < len(
+            encode_jpeg(wide, 90, subsample="422")
+        )
+
+    def test_progressive_matches_sequential_every_mode(self):
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)
+        for mode in ("420", "422", "411"):
+            a = decode_jpeg_pixels(
+                encode_jpeg_progressive(px, 100, subsample=mode))
+            b = decode_jpeg_pixels(encode_jpeg(px, 100, subsample=mode))
+            assert np.array_equal(a, b), mode
+
+    def test_odd_dimensions_411(self):
+        img = np.full((17, 23, 3), 64, dtype=np.uint8)
+        out = decode_jpeg_pixels(encode_jpeg(img, 100, subsample="411"))
+        assert out.shape == (17, 23, 3)
+        assert np.array_equal(out, img)
+
+    def test_fractional_ratio_gates_by_name(self):
+        import struct as _s
+
+        f = bytearray(encode_jpeg(
+            np.full((16, 16, 3), 5, dtype=np.uint8), 90, subsample="420"))
+        i = bytes(f).find(b"\xff\xc0")
+        f[i + 14] = 0x33  # chroma 3x3 vs luma 2x2 -> fractional
+        with pytest.raises(NotImplementedError, match="fractional"):
+            decode_jpeg_pixels(bytes(f))
+        # factor 5 is outside the spec range -> corrupt, not a gate
+        g = bytearray(encode_jpeg(
+            np.full((16, 16, 3), 5, dtype=np.uint8), 90))
+        i = bytes(g).find(b"\xff\xc0")
+        g[i + 11] = 0x51
+        with pytest.raises(ValueError, match="spec range"):
+            decode_jpeg_pixels(bytes(g))
+
+    def test_bad_subsample_mode_rejected(self):
+        with pytest.raises(ValueError, match="subsample"):
+            encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8),
+                        subsample="444x")

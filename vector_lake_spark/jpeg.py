@@ -8,8 +8,9 @@ implement the subset for real and gate the rest loudly. Scope:
   AND progressive DCT (SOF2, r07 — full spectral selection +
   successive approximation per T.81 Annex G: DC first/refine, AC first
   with EOB runs, AC refine with correction bits), 8-bit, 1 or 3
-  components, sampling factors 1..2 — 4:4:4, 4:2:2 and 4:2:0 (the
-  camera default) all decode, with nearest-neighbor chroma upsampling;
+  components, sampling factors 1..4 with integer upsampling ratios —
+  4:4:4, 4:2:2, 4:2:0 (the camera default) and 4:1:1 (the DV tape
+  format) all decode, with nearest-neighbor chroma upsampling;
   DRI/RSTn restart intervals honored. Marker walk → DQT/DHT/SOF/SOS
   parse → bit-unstuffed Huffman decode (table-driven from the file's
   own DHT segments) → dequant → 2-D IDCT (orthonormal DCT matrix —
@@ -23,8 +24,8 @@ implement the subset for real and gate the rest loudly. Scope:
   decodes at precision 2..16 with all seven predictors, the one JPEG
   process whose round trip is exact on arbitrary content. Anything
   outside the subset (arithmetic coding, differential processes,
-  sampling factors above 2) raises NotImplementedError naming the
-  feature.
+  fractional chroma-upsampling ratios) raises NotImplementedError
+  naming the feature.
 - **Encoders** (`encode_jpeg` baseline, `encode_jpeg_progressive`
   SOF2 with both spectral selection and successive approximation),
   used by the tests so exactness can be proven without a reference
@@ -241,6 +242,36 @@ def _pad_replicate(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return pp
 
 
+
+# subsampling modes: luma factors; chroma is always (1, 1). True keeps
+# the historical 4:2:0 meaning.
+_SUBSAMPLE_LUMA = {
+    False: (1, 1), True: (2, 2), "420": (2, 2), "422": (2, 1),
+    "411": (4, 1),
+}
+
+
+def _subsample_factors(subsample, gray):
+    if gray:
+        return [(1, 1)]
+    if subsample not in _SUBSAMPLE_LUMA:
+        raise ValueError(
+            f"subsample must be False/True/'420'/'422'/'411', "
+            f"got {subsample!r}"
+        )
+    lh, lv = _SUBSAMPLE_LUMA[subsample]
+    return [(lh, lv), (1, 1), (1, 1)]
+
+
+def _chroma_average(p, h, w, fh, fv):
+    """fh x fv box-average of a chroma plane (pad-then-mean) — shared
+    by BOTH encoders so progressive==baseline stays bit-identical."""
+    ph = -(-h // fv) * fv
+    pw = -(-w // fh) * fh
+    p = _pad_replicate(p, ph, pw)
+    return p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 90,
@@ -293,10 +324,8 @@ def encode_jpeg(
     qchr = _quality_scale(CHR_Q, quality)
     qtbls = [qlum] if gray else [qlum, qchr]
     ncomp = 1 if gray else 3
-    # sampling factors (Hi, Vi) per component
-    samp = [(1, 1)] * ncomp
-    if subsample:
-        samp = [(2, 2), (1, 1), (1, 1)]
+    # sampling factors (Hi, Vi) per component (4:2:0 / 4:2:2 / 4:1:1)
+    samp = _subsample_factors(subsample, gray)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
@@ -304,12 +333,8 @@ def encode_jpeg(
     padded = []
     for ci, p in enumerate(planes):
         hi, vi = samp[ci]
-        if subsample and ci > 0:  # 2x2 chroma averaging
-            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
-            p = _pad_replicate(p, ph2, pw2)
-            p = (
-                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
-            ) / 4.0
+        if ci > 0 and (hmax, vmax) != (1, 1):  # chroma box-averaging
+            p = _chroma_average(p, h, w, hmax // hi, vmax // vi)
         padded.append(_pad_replicate(p, mcus_y * 8 * vi, mcus_x * 8 * hi))
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -481,6 +506,22 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _check_integer_upsampling(comps) -> None:
+    """Factors 1..4 decode when every component's upsampling ratio to
+    the max factor is an integer (4:4:4, 4:2:2, 4:2:0, 4:1:1, 4:1:0 —
+    everything real encoders emit). Fractional ratios (e.g. 3-vs-2)
+    would need box resampling and stay a named gate."""
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    for _cid, _tq, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"fractional chroma upsampling unsupported (factors "
+                f"{hi}x{vi} against a {hmax}x{vmax} grid — integer "
+                f"ratios decode)"
+            )
+
+
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG (4:4:4 / 4:2:2 / 4:2:0) to uint8
     pixels — (h, w) for grayscale, (h, w, 3) RGB otherwise."""
@@ -552,12 +593,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 hi, vi = hv >> 4, hv & 0xF
-                if hi not in (1, 2) or vi not in (1, 2):
-                    raise NotImplementedError(
-                        f"sampling factors {hi}x{vi} unsupported "
-                        f"(4:4:4, 4:2:2 and 4:2:0 decode — factors 1..2)"
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"corrupt JPEG: sampling factors {hi}x{vi} "
+                        f"(the spec range is 1..4)"
                     )
                 comps.append((cid, tq, hi, vi))
+            _check_integer_upsampling(comps)
             sof = (h, w, comps)
             precision = prec
         elif marker == 0xC2:  # SOF2 progressive — own multi-scan walk
@@ -823,11 +865,13 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 hi, vi = hv >> 4, hv & 0xF
-                if hi not in (1, 2) or vi not in (1, 2):
-                    raise NotImplementedError(
-                        f"sampling factors {hi}x{vi} unsupported"
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"corrupt JPEG: sampling factors {hi}x{vi} "
+                        f"(the spec range is 1..4)"
                     )
                 comps.append((cid, tq, hi, vi))
+            _check_integer_upsampling(comps)
             sof = (h, w, comps)
             hmax = max(hi for _, _, hi, _ in comps)
             vmax = max(vi for _, _, _, vi in comps)
@@ -1017,10 +1061,7 @@ def _quantized_planes(px, quality, subsample, precision=8):
     qlum = _quality_scale(LUM_Q, quality)
     qchr = _quality_scale(CHR_Q, quality)
     qtbls = [qlum] if gray else [qlum, qchr]
-    ncomp = len(planes)
-    samp = [(1, 1)] * ncomp
-    if subsample:
-        samp = [(2, 2), (1, 1), (1, 1)]
+    samp = _subsample_factors(subsample, gray)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
@@ -1029,12 +1070,8 @@ def _quantized_planes(px, quality, subsample, precision=8):
     coefs = []
     for ci, p in enumerate(planes):
         hi, vi = samp[ci]
-        if subsample and ci > 0:
-            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
-            p = _pad_replicate(p, ph2, pw2)
-            p = (
-                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
-            ) / 4.0
+        if ci > 0 and (hmax, vmax) != (1, 1):
+            p = _chroma_average(p, h, w, hmax // hi, vmax // vi)
         p = _pad_replicate(p, mcus_y * 8 * vi, mcus_x * 8 * hi)
         by, bx = mcus_y * vi, mcus_x * hi
         blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - half
