@@ -165,12 +165,20 @@ def test_tiff_fax_gates_and_validation():
         encode_tiff(px, compression="g4")
     with pytest.raises(ValueError, match="striped"):
         encode_tiff(px, compression="g4", bit_depth=1, tile_size=16)
-    # 2-D Group 3 gates by name: set T4Options bit 0 on a real G3 file
+    # uncompressed-mode Group 3 gates by name (2-D G3 decodes since
+    # late r09): set T4Options bit 1 on a real G3 file
     f = bytearray(encode_tiff(px, compression="g3", bit_depth=1))
     i = bytes(f).find(struct.pack("<HHI", 292, 4, 1))
-    struct.pack_into("<I", f, i + 8, 1)
-    with pytest.raises(NotImplementedError, match="2-D"):
+    struct.pack_into("<I", f, i + 8, 2)
+    with pytest.raises(NotImplementedError, match="uncompressed-mode Group 3"):
         decode_tiff_pixels(bytes(f))
+    # a 1-D stream relabeled 2-D misparses the tag bits: corrupt, not
+    # a gate
+    f2 = bytearray(encode_tiff(px, compression="g3", bit_depth=1))
+    i = bytes(f2).find(struct.pack("<HHI", 292, 4, 1))
+    struct.pack_into("<I", f2, i + 8, 1)
+    with pytest.raises(ValueError, match="fax stream"):
+        decode_tiff_pixels(bytes(f2))
     # uncompressed-mode G4 gates by name
     g = bytearray(encode_tiff(px, compression="g4", bit_depth=1))
     i = bytes(g).find(struct.pack("<HHI", 293, 4, 1))
@@ -209,3 +217,52 @@ def test_g4_backward_vertical_is_corrupt():
     row2 = "1" + "0000010"
     with pytest.raises(ValueError, match="vertical out of range"):
         decode_fax(_bits_to_bytes(row1 + row2), 8, 2, "g4")
+
+
+# ---------------------------------------------------------------------------
+# T.4 two-dimensional (g3-2d) — late r09
+# ---------------------------------------------------------------------------
+
+
+class TestG32D:
+    def test_roundtrip_random_densities_and_k(self):
+        rng = np.random.default_rng(17)
+        for density in (0.05, 0.3, 0.7):
+            bits = (rng.random((14, 51)) < density).astype(np.uint8)
+            for k in (1, 2, 4, 100):
+                out = decode_fax(
+                    encode_fax(bits, "g3-2d", k=k), 51, 14, "g3-2d")
+                assert np.array_equal(out, bits), (density, k)
+
+    def test_tag_bits_split_1d_and_2d_lines(self):
+        """With K=2, every other line is 1-D: the stream must contain
+        both tag values (read back by walking EOLs)."""
+        rng = np.random.default_rng(3)
+        bits = (rng.random((6, 40)) < 0.4).astype(np.uint8)
+        payload = encode_fax(bits, "g3-2d", k=2)
+        # K=1 (all 1-D) differs from K=large (mostly 2-D)
+        all_1d = encode_fax(bits, "g3-2d", k=1)
+        mostly_2d = encode_fax(bits, "g3-2d", k=100)
+        assert payload != all_1d and payload != mostly_2d
+        # 2-D coding of correlated rows is smaller than 1-D
+        corr = np.tile((rng.random(60) < 0.4).astype(np.uint8), (20, 1))
+        assert len(encode_fax(corr, "g3-2d", k=100)) < len(
+            encode_fax(corr, "g3-2d", k=1)
+        )
+
+    def test_tiff_g3_2d_end_to_end(self):
+        rng = np.random.default_rng(29)
+        bits = (rng.random((22, 31)) < 0.4).astype(np.uint8)
+        f = encode_tiff(bits[:, :, None], compression="g3-2d", bit_depth=1)
+        assert np.array_equal(decode_tiff_pixels(f).squeeze(), bits)
+        from vector_lake_spark.tiff import probe_tiff
+
+        assert probe_tiff(f)["pages"][0]["compression"] == "ccitt-g3-2d"
+        # multi-strip: each strip restarts its own 1-D reference
+        f2 = encode_tiff(bits[:, :, None], compression="g3-2d",
+                         bit_depth=1, rows_per_strip=5)
+        assert np.array_equal(decode_tiff_pixels(f2).squeeze(), bits)
+
+    def test_k_validation(self):
+        with pytest.raises(ValueError, match="K factor"):
+            encode_fax(np.zeros((2, 4), dtype=np.uint8), "g3-2d", k=0)

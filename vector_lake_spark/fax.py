@@ -11,7 +11,10 @@ other MinIsWhite page). Code streams are MSB-first.
   starts on a byte boundary (the TIFF byte-aligned variant).
 - ``g3``  — Group 3 one-dimensional (TIFF compression 3, T4Options
   bit 0 clear): MH rows, each prefixed by an EOL (000000000001),
-  optionally fill-padded. 2-D G3 and uncompressed mode gate by name
+  optionally fill-padded. ``g3-2d`` is the T.4 two-dimensional (MR)
+  extension (T4Options bit 0): EOL + tag bit per line, 2-D lines coded
+  against the previous line with the same pass/vertical/horizontal
+  modes as T.6, a 1-D line every K. Uncompressed mode gates by name
   in the TIFF layer.
 - ``g4``  — Group 4 / MMR (TIFF compression 4): fully two-dimensional
   pass / horizontal / vertical coding against the previous row, the
@@ -336,30 +339,51 @@ def decode_fax(
             ref = _g4_decode_row(rd, ref, w)
             out[y] = _changes_to_row(ref, w)
         return out
+    if scheme == "g3-2d":
+        # T.4 2-D: EOL + tag bit per line; tag 1 -> 1-D, tag 0 -> 2-D
+        ref: list[int] = []
+        for y in range(rows):
+            _read_eol(rd)
+            if rd.read_bit():
+                row = _decode_mh_row(rd, w)
+                out[y] = row
+                ref = _row_changes(row)
+            else:
+                ref = _g4_decode_row(rd, ref, w)
+                out[y] = _changes_to_row(ref, w)
+        return out
     if scheme not in ("mh", "g3"):
         raise ValueError(f"unknown fax scheme {scheme!r}")
     for y in range(rows):
         if scheme == "mh":
             rd.align_byte()  # TIFF compression 2: byte-aligned rows
         else:  # g3 1-D: EOL (with optional fill 0s) before every row
-            zeros = 0
-            while True:
-                if rd.read_bit():
-                    if zeros < 11:
-                        raise ValueError(
-                            "corrupt fax stream: expected EOL before row"
-                        )
-                    break
-                zeros += 1
+            _read_eol(rd)
         out[y] = _decode_mh_row(rd, w)
     return out
 
 
-def encode_fax(bits: np.ndarray, scheme: str) -> bytes:
+def _read_eol(rd: _BitReader) -> None:
+    """Consume one EOL (>= 11 zero bits then a 1, optionally
+    fill-padded with extra zeros)."""
+    zeros = 0
+    while True:
+        if rd.read_bit():
+            if zeros < 11:
+                raise ValueError(
+                    "corrupt fax stream: expected EOL before row"
+                )
+            return
+        zeros += 1
+
+
+def encode_fax(bits: np.ndarray, scheme: str, k: int = 2) -> bytes:
     """Encode a (rows, w) uint8 array (0 = white / 1 = black) as one
     independently-coded block. ``mh`` byte-aligns every row (TIFF
-    compression 2); ``g3`` prefixes every row with an EOL; ``g4``
-    codes 2-D against the previous row and terminates with EOFB."""
+    compression 2); ``g3`` prefixes every row with an EOL; ``g3-2d``
+    is T.4 two-dimensional coding (EOL + tag bit per line, a 1-D line
+    every ``k``); ``g4`` codes 2-D against the previous row and
+    terminates with EOFB."""
     bits = np.asarray(bits, dtype=np.uint8)
     if bits.ndim != 2:
         raise ValueError("encode_fax expects a (rows, w) bit array")
@@ -373,57 +397,90 @@ def encode_fax(bits: np.ndarray, scheme: str) -> bytes:
                 bw.align_byte()
             else:
                 bw.write_str(_EOL)
-            row = bits[y]
-            pos = 0
-            white = True
-            changes = _row_changes(row) + [w]
-            for nxt in changes:
-                if nxt == pos and white:
-                    # row starts black: emit the zero-length white run
-                    _write_run(bw, 0, True)
-                    white = False
-                    continue
-                _write_run(bw, nxt - pos, white)
-                pos = nxt
-                white = not white
+            _encode_1d_row(bw, bits[y], w)
+        return bw.flush()
+    if scheme == "g3-2d":
+        # T.4 two-dimensional (MR): every line is EOL + a tag bit — 1
+        # means the NEXT line is 1-D coded, 0 means 2-D coded against
+        # the previous line. Every k-th line is 1-D (the error-bound
+        # K factor; K=2 standard, K=4 fine resolution).
+        if k < 1:
+            raise ValueError("g3-2d K factor must be >= 1")
+        ref: list[int] = []
+        for y in range(rows):
+            bw.write_str(_EOL)
+            if y % k == 0:
+                bw.write_str("1")
+                _encode_1d_row(bw, bits[y], w)
+                ref = _row_changes(bits[y])
+            else:
+                bw.write_str("0")
+                cur = _row_changes(bits[y])
+                _encode_2d_row(bw, cur, ref, w)
+                ref = cur
         return bw.flush()
     if scheme != "g4":
         raise ValueError(f"unknown fax scheme {scheme!r}")
-    ref: list[int] = []
+    ref = []
     for y in range(rows):
         cur = _row_changes(bits[y])
-        a0 = -1
-        color = 0
-        ci = 0  # index into cur of the next change > a0
-        while True:
-            a1 = cur[ci] if ci < len(cur) else w
-            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-            i = 0
-            n = len(ref)
-            while i < n and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < n else w
-            b2 = ref[i + 1] if i + 1 < n else w
-            if b2 < a1:
-                bw.write_str("0001")  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bw.write_str(
-                    {0: "1", 1: "011", -1: "010", 2: "000011",
-                     -2: "000010", 3: "0000011", -3: "0000010"}[a1 - b1]
-                )
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:  # horizontal
-                bw.write_str("001")
-                start = 0 if a0 < 0 else a0
-                _write_run(bw, a1 - start, color == 0)
-                _write_run(bw, a2 - a1, color != 0)
-                a0 = a2
-                ci += 2
-            if a0 >= w:
-                break
+        _encode_2d_row(bw, cur, ref, w)
         ref = cur
     bw.write_str(_EOL + _EOL)  # EOFB per T.6
     return bw.flush()
+
+
+def _encode_1d_row(bw: _BitWriter, row: np.ndarray, w: int) -> None:
+    """One MH-coded line: alternating run lengths from the changes."""
+    pos = 0
+    white = True
+    changes = _row_changes(row) + [w]
+    for nxt in changes:
+        if nxt == pos and white:
+            # row starts black: emit the zero-length white run
+            _write_run(bw, 0, True)
+            white = False
+            continue
+        _write_run(bw, nxt - pos, white)
+        pos = nxt
+        white = not white
+
+
+def _encode_2d_row(
+    bw: _BitWriter, cur: list[int], ref: list[int], w: int
+) -> None:
+    """One 2-D-coded line (pass/vertical/horizontal modes) against the
+    reference line's changing elements — shared by T.6 (every line) and
+    T.4 2-D (tagged lines)."""
+    a0 = -1
+    color = 0
+    ci = 0  # index into cur of the next change > a0
+    while True:
+        a1 = cur[ci] if ci < len(cur) else w
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+        i = 0
+        n = len(ref)
+        while i < n and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < n else w
+        b2 = ref[i + 1] if i + 1 < n else w
+        if b2 < a1:
+            bw.write_str("0001")  # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bw.write_str(
+                {0: "1", 1: "011", -1: "010", 2: "000011",
+                 -2: "000010", 3: "0000011", -3: "0000010"}[a1 - b1]
+            )
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:  # horizontal
+            bw.write_str("001")
+            start = 0 if a0 < 0 else a0
+            _write_run(bw, a1 - start, color == 0)
+            _write_run(bw, a2 - a1, color != 0)
+            a0 = a2
+            ci += 2
+        if a0 >= w:
+            break

@@ -8579,8 +8579,11 @@ def q_mm_tiff_roundtrip(spark, sf):
                 if r.m == 5:
                     # the bilevel mode sweeps the CCITT fax schemes
                     # (striped per spec) with PackBits as the k=3 tiled
-                    # representative
+                    # representative; the otherwise-inert predictor
+                    # flag splits G3 between 1-D and T.4 2-D (late r09)
                     comp = ("ccitt-rle", "g3", "g4", "packbits")[r.k]
+                    if r.k == 1 and r.pred:
+                        comp = "g3-2d"
                     if r.k != 3:
                         ts = None
                 f = encode_tiff(
@@ -8665,8 +8668,10 @@ SELECT media_id,
                  WHEN m = 4 THEN 3
                  WHEN m = 5 THEN 0 ELSE 1 END AS INT) AS photometric,
        CASE WHEN m = 5 THEN
-              CASE k WHEN 0 THEN 'ccitt-rle' WHEN 1 THEN 'ccitt-g3'
-                     WHEN 2 THEN 'ccitt-g4' ELSE 'packbits' END
+              CASE WHEN k = 0 THEN 'ccitt-rle'
+                   WHEN k = 1 AND pred THEN 'ccitt-g3-2d'
+                   WHEN k = 1 THEN 'ccitt-g3'
+                   WHEN k = 2 THEN 'ccitt-g4' ELSE 'packbits' END
             ELSE
               CASE k WHEN 0 THEN 'none' WHEN 1 THEN 'packbits'
                      WHEN 2 THEN 'lzw' ELSE 'deflate' END

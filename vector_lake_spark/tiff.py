@@ -32,7 +32,7 @@ covers the baseline subset real scanners emit:
   one-dimensional, EOL-prefixed rows) and 4 (Group 4 / T.6 MMR, fully
   two-dimensional) — the compressions of patent/book scan corpora.
 
-Named gates: 2-D / uncompressed-mode Group 3, uncompressed-mode
+Named gates: uncompressed-mode Group 3, uncompressed-mode
 Group 4, tiled fax, JPEG-in-TIFF, sub-byte palette indices. The
 matching writer (`encode_tiff`, all seven compressions, striped or
 tiled, 1/2/4/8/16-bit, palette, planar, MinIsWhite) exists for
@@ -126,7 +126,11 @@ def probe_tiff(payload: bytes) -> dict:
                 "height": tags.get(257, [None])[0],
                 "bits_per_sample": tags.get(258, [1]),
                 "samples_per_pixel": tags.get(277, [1])[0],
-                "compression": _COMPRESSION_NAMES.get(comp, str(comp)),
+                "compression": (
+                    "ccitt-g3-2d"
+                    if comp == 3 and tags.get(292, [0])[0] & 1
+                    else _COMPRESSION_NAMES.get(comp, str(comp))
+                ),
                 "photometric": tags.get(262, [None])[0],
                 "n_strips": len(tags.get(273, [])),
                 "rows_per_strip": tags.get(278, [None])[0],
@@ -373,10 +377,10 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             raise ValueError(
                 "corrupt TIFF: CCITT compression on a non-bilevel page"
             )
-        if comp == 3 and tags.get(292, [0])[0] & 0b11:
+        if comp == 3 and tags.get(292, [0])[0] & 0b10:
             raise NotImplementedError(
-                "2-D / uncompressed Group 3 (T4Options bits 0-1) is a "
-                "named gate (1-D G3 decodes)"
+                "uncompressed-mode Group 3 (T4Options bit 1) is a named "
+                "gate (1-D and 2-D G3 decode)"
             )
         if comp == 4 and tags.get(293, [0])[0] & 0b10:
             raise NotImplementedError(
@@ -474,6 +478,8 @@ def _decode_striped(
         from vector_lake_spark.fax import decode_fax
 
         scheme = {2: "mh", 3: "g3", 4: "g4"}[comp]
+        if comp == 3 and tags.get(292, [0])[0] & 1:
+            scheme = "g3-2d"  # T.4 two-dimensional coding
         parts = []
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             rows = min(rps, h - i * rps)
@@ -643,11 +649,13 @@ def encode_tiff(
         raise ValueError("planar configuration applies to 3-sample pages")
     comp_id = {
         "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
-        "ccitt-rle": 2, "g3": 3, "g4": 4,
+        "ccitt-rle": 2, "g3": 3, "g3-2d": 3, "g4": 4,
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
     fax_scheme = {2: "mh", 3: "g3", 4: "g4"}.get(comp_id)
+    if compression == "g3-2d":
+        fax_scheme = "g3-2d"
     if fax_scheme:
         if bit_depth != 1:
             raise ValueError("CCITT compressions apply to 1-bit pages")
@@ -761,7 +769,8 @@ def encode_tiff(
     if planar:
         short(284, 2)
     if comp_id == 3:
-        long_(292, 0)  # T4Options: 1-D, no fill, no uncompressed
+        # T4Options: bit 0 = 2-D coding; no fill, no uncompressed
+        long_(292, 1 if fax_scheme == "g3-2d" else 0)
     elif comp_id == 4:
         long_(293, 0)  # T6Options: no uncompressed mode
     if tiled:
