@@ -555,3 +555,43 @@ def test_new_gates_and_validation():
     struct.pack_into("<I", g, idx + 4, 5)  # claim 5 strips over 3 planes
     with pytest.raises(ValueError, match="divisible"):
         decode_tiff_pixels(bytes(g))
+
+
+class TestSubBytePalette:
+    """Late r09: palette pages with 1/2/4-bit indices (the spec sizes
+    the ColorMap to 3*2^depth) — GIF-era scanned assets use these."""
+
+    def test_roundtrip_all_depths_compressions_layouts(self):
+        rng = np.random.default_rng(6)
+        for depth in (1, 2, 4):
+            n = 1 << depth
+            cm = rng.integers(0, 65536, (n, 3)).astype(np.uint16)
+            idx = rng.integers(0, n, (13, 21, 1)).astype(np.uint8)
+            for comp in ("none", "packbits", "lzw", "deflate"):
+                for tiled in (None, 16):
+                    f = encode_tiff(idx, compression=comp, colormap=cm,
+                                    bit_depth=depth, tile_size=tiled)
+                    out = decode_tiff_pixels(f)
+                    assert np.array_equal(out, cm[idx[:, :, 0]])
+
+    def test_colormap_sized_to_depth(self):
+        cm = np.arange(12, dtype=np.uint16).reshape(4, 3)
+        idx = np.zeros((4, 4, 1), dtype=np.uint8)
+        f = encode_tiff(idx, colormap=cm, bit_depth=2)
+        page = probe_tiff(f)["pages"][0]
+        assert page["bits_per_sample"] == [2]
+        assert page["photometric"] == 3
+        # undersized ColorMap is corrupt at decode
+        import struct as _s
+
+        g = bytearray(f)
+        i = bytes(g).find(_s.pack("<HHI", 320, 3, 12))
+        _s.pack_into("<I", g, i + 4, 6)  # claim 3x2 entries
+        with pytest.raises(ValueError, match="ColorMap"):
+            decode_tiff_pixels(bytes(g))
+
+    def test_bad_palette_depth_rejected(self):
+        cm = np.zeros((16, 3), dtype=np.uint16)
+        with pytest.raises(ValueError, match="bit_depth"):
+            encode_tiff(np.zeros((2, 2, 1), dtype=np.uint8),
+                        colormap=cm, bit_depth=3)

@@ -395,9 +395,9 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
         )
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
-    if photo == 3 and (spp != 1 or depth != 8):
+    if photo == 3 and (spp != 1 or depth not in (1, 2, 4, 8)):
         raise NotImplementedError(
-            "palette TIFF decodes for 8-bit single-sample indices only"
+            "palette TIFF decodes for 1/2/4/8-bit single-sample indices"
         )
     if predictor not in (1, 2):
         raise ValueError(f"corrupt TIFF: predictor {predictor}")
@@ -438,11 +438,12 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
         px = (((1 << depth) - 1) - px).astype(px.dtype)
     elif photo == 3:  # palette: indices → the ColorMap's 16-bit RGB
         cmap = tags.get(320)
-        if not cmap or len(cmap) != 3 * 256:
+        n = 1 << depth  # the spec sizes the ColorMap to 3 * 2^depth
+        if not cmap or len(cmap) != 3 * n:
             raise ValueError(
-                "corrupt TIFF: palette page without a 3x256 ColorMap"
+                f"corrupt TIFF: palette page without a 3x{n} ColorMap"
             )
-        lut = np.asarray(cmap, dtype=np.uint16).reshape(3, 256)
+        lut = np.asarray(cmap, dtype=np.uint16).reshape(3, n)
         px = lut.T[px[:, :, 0]]  # (h, w, 3) uint16
     return px
 
@@ -628,11 +629,13 @@ def encode_tiff(
             raise ValueError("palette pixels must be (h, w[, 1]) uint8 indices")
         if px.max(initial=0) >= cm.shape[0]:
             raise ValueError("palette index exceeds colormap length")
-        if bit_depth is not None or min_is_white:
-            raise ValueError("palette pages are 8-bit photometric-3 only")
+        if min_is_white:
+            raise ValueError("palette pages are photometric-3 only")
+        if bit_depth is not None and bit_depth not in (1, 2, 4, 8):
+            raise ValueError("palette bit_depth must be 1, 2, 4 or 8")
     depth = bit_depth or (16 if px.dtype == np.uint16 else 8)
     if bit_depth is not None:
-        if bit_depth not in (1, 2, 4):
+        if bit_depth not in (1, 2, 4) and colormap is None:
             raise ValueError("bit_depth must be 1, 2 or 4")
         if px.dtype != np.uint8 or px.shape[2] != 1:
             raise ValueError("sub-byte pages are single-sample uint8")
@@ -757,10 +760,11 @@ def encode_tiff(
     short(259, comp_id)
     if colormap is not None:
         short(262, 3)  # palette
-        lut = np.zeros((3, 256), dtype=np.uint16)
+        n = 1 << depth  # ColorMap is 3 * 2^depth entries per the spec
+        lut = np.zeros((3, n), dtype=np.uint16)
         cm = np.asarray(colormap, dtype=np.uint16)
         lut[:, : cm.shape[0]] = cm.T
-        entries.append((320, 3, 768, None, [int(v) for v in lut.ravel()]))
+        entries.append((320, 3, 3 * n, None, [int(v) for v in lut.ravel()]))
     else:
         # RGB / MinIsWhite / MinIsBlack
         short(262, 2 if spp == 3 else (0 if min_is_white else 1))
