@@ -642,3 +642,23 @@ class TestWideSampling:
         with pytest.raises(ValueError, match="subsample"):
             encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8),
                         subsample="444x")
+
+
+def test_single_component_frames_ignore_declared_factors():
+    """T.81: a single-component scan is non-interleaved — the declared
+    sampling factors only matter relative to siblings, so a grayscale
+    frame claiming 3x3 (or 2x2) factors must decode identically to the
+    1x1 layout (r09 review: the widened factor range must not scramble
+    single-component block order)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    base = encode_jpeg(img, 100)
+    for hv in (0x22, 0x33, 0x44):
+        f = bytearray(base)
+        i = bytes(f).find(b"\xff\xc0")
+        f[i + 11] = hv
+        assert np.array_equal(decode_jpeg_pixels(bytes(f)), img), hex(hv)
+
+
+def test_gray_input_still_validates_subsample_mode():
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), subsample="441")

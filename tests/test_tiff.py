@@ -595,3 +595,17 @@ class TestSubBytePalette:
         with pytest.raises(ValueError, match="bit_depth"):
             encode_tiff(np.zeros((2, 2, 1), dtype=np.uint8),
                         colormap=cm, bit_depth=3)
+
+
+def test_oversized_colormap_and_palette8_predictor():
+    """r09 review: a colormap larger than the index space raises a
+    named error (not a numpy broadcast crash), and bit_depth=8 palette
+    pages accept the predictor exactly like default-depth ones."""
+    with pytest.raises(ValueError, match="index space"):
+        encode_tiff(np.zeros((2, 2, 1), dtype=np.uint8),
+                    colormap=np.zeros((16, 3), dtype=np.uint16),
+                    bit_depth=2)
+    cm = np.arange(768, dtype=np.uint16).reshape(256, 3)
+    idx = np.arange(4, dtype=np.uint8).reshape(2, 2, 1)
+    f = encode_tiff(idx, colormap=cm, bit_depth=8, predictor=True)
+    assert np.array_equal(decode_tiff_pixels(f), cm[idx[:, :, 0]])

@@ -252,13 +252,13 @@ _SUBSAMPLE_LUMA = {
 
 
 def _subsample_factors(subsample, gray):
-    if gray:
-        return [(1, 1)]
     if subsample not in _SUBSAMPLE_LUMA:
         raise ValueError(
             f"subsample must be False/True/'420'/'422'/'411', "
             f"got {subsample!r}"
         )
+    if gray:
+        return [(1, 1)]
     lh, lv = _SUBSAMPLE_LUMA[subsample]
     return [(lh, lv), (1, 1), (1, 1)]
 
@@ -306,6 +306,11 @@ def encode_jpeg(
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("degenerate image")
+    if subsample not in _SUBSAMPLE_LUMA:
+        raise ValueError(
+            f"subsample must be False/True/'420'/'422'/'411', "
+            f"got {subsample!r}"
+        )
     if gray:
         subsample = False
 
@@ -523,7 +528,7 @@ def _check_integer_upsampling(comps) -> None:
 
 
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG (4:4:4 / 4:2:2 / 4:2:0) to uint8
+    """Decode a baseline JPEG (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1) to uint8
     pixels — (h, w) for grayscale, (h, w, 3) RGB otherwise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -599,6 +604,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         f"(the spec range is 1..4)"
                     )
                 comps.append((cid, tq, hi, vi))
+            if ncomp == 1:
+                # T.81: a single-component scan is NON-interleaved — one
+                # data unit per MCU in raster order over the component's
+                # own ceil grid; the declared factors only matter
+                # relative to siblings, so normalize them away
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             _check_integer_upsampling(comps)
             sof = (h, w, comps)
             precision = prec
@@ -871,6 +882,10 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                         f"(the spec range is 1..4)"
                     )
                 comps.append((cid, tq, hi, vi))
+            if ncomp == 1:
+                # single-component frames are non-interleaved (see the
+                # sequential walk) — factors normalize to 1x1
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             _check_integer_upsampling(comps)
             sof = (h, w, comps)
             hmax = max(hi for _, _, hi, _ in comps)

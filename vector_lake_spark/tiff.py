@@ -32,7 +32,8 @@ covers the baseline subset real scanners emit:
   one-dimensional, EOL-prefixed rows) and 4 (Group 4 / T.6 MMR, fully
   two-dimensional) — the compressions of patent/book scan corpora.
 
-Named gates: uncompressed-mode Group 3, uncompressed-mode
+Named gates (sub-byte palette closed late r09): uncompressed-mode
+Group 3, uncompressed-mode
 Group 4, tiled fax, JPEG-in-TIFF, sub-byte palette indices. The
 matching writer (`encode_tiff`, all seven compressions, striped or
 tiled, 1/2/4/8/16-bit, palette, planar, MinIsWhite) exists for
@@ -633,9 +634,14 @@ def encode_tiff(
             raise ValueError("palette pages are photometric-3 only")
         if bit_depth is not None and bit_depth not in (1, 2, 4, 8):
             raise ValueError("palette bit_depth must be 1, 2, 4 or 8")
+        if cm.shape[0] > 1 << (bit_depth or 8):
+            raise ValueError(
+                f"colormap has {cm.shape[0]} entries — more than the "
+                f"{bit_depth or 8}-bit index space"
+            )
     depth = bit_depth or (16 if px.dtype == np.uint16 else 8)
-    if bit_depth is not None:
-        if bit_depth not in (1, 2, 4) and colormap is None:
+    if bit_depth is not None and bit_depth < 8:
+        if bit_depth not in (1, 2, 4):
             raise ValueError("bit_depth must be 1, 2 or 4")
         if px.dtype != np.uint8 or px.shape[2] != 1:
             raise ValueError("sub-byte pages are single-sample uint8")
@@ -656,9 +662,9 @@ def encode_tiff(
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
-    fax_scheme = {2: "mh", 3: "g3", 4: "g4"}.get(comp_id)
-    if compression == "g3-2d":
-        fax_scheme = "g3-2d"
+    fax_scheme = {
+        "ccitt-rle": "mh", "g3": "g3", "g3-2d": "g3-2d", "g4": "g4",
+    }.get(compression)
     if fax_scheme:
         if bit_depth != 1:
             raise ValueError("CCITT compressions apply to 1-bit pages")
