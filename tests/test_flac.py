@@ -313,4 +313,8 @@ def test_audio_dispatch_through_spark(spark):
     assert got[2]["sample_rate"] == 22050 and got[2]["n_channels"] == 2
     assert got[2]["rms"] == 70.0 and got[2]["n_samples"] == 150
     with pytest.raises(NotImplementedError, match="unrecognized audio"):
+        _decode_audio(b"Qfmt....")
+    # an Ogg magic is RECOGNIZED since late r09: a truncated page is
+    # corrupt (ValueError), a valid stream names its codec gate
+    with pytest.raises(ValueError, match="truncated Ogg"):
         _decode_audio(b"OggS....")
