@@ -32,7 +32,8 @@ covers the baseline subset real scanners emit:
   one-dimensional, EOL-prefixed rows) and 4 (Group 4 / T.6 MMR, fully
   two-dimensional) — the compressions of patent/book scan corpora.
 
-Named gates (sub-byte palette closed late r09): uncompressed-mode
+Named gates (sub-byte palette and new-style JPEG-in-TIFF closed late
+r09): old-style JPEG (comp 6, spec-deprecated), uncompressed-mode
 Group 3, uncompressed-mode
 Group 4, tiled fax, JPEG-in-TIFF, sub-byte palette indices. The
 matching writer (`encode_tiff`, all seven compressions, striped or
@@ -389,12 +390,28 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             )
         if 322 in tags or 323 in tags or 324 in tags:
             raise NotImplementedError("tiled CCITT fax pages are a named gate")
+    elif comp == 7:  # new-style JPEG-in-TIFF (TIFF-TN2)
+        if depth != 8:
+            raise NotImplementedError(
+                "JPEG-in-TIFF decodes 8-bit samples only"
+            )
+        if 322 in tags or 323 in tags or 324 in tags:
+            raise NotImplementedError("tiled JPEG-in-TIFF is a named gate")
+        if tags.get(284, [1])[0] == 2:
+            raise ValueError(
+                "corrupt TIFF: JPEG compression with planar configuration"
+            )
     elif comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {_COMPRESSION_NAMES.get(comp, comp)} is a "
-            f"named gate (none/LZW/PackBits/Deflate/CCITT decode natively)"
+            f"named gate (none/LZW/PackBits/Deflate/CCITT/JPEG decode "
+            f"natively)"
         )
-    if photo not in (0, 1, 2, 3):
+    if photo == 6 and comp != 7:
+        raise NotImplementedError(
+            "YCbCr photometric is only supported inside JPEG-in-TIFF"
+        )
+    if photo not in (0, 1, 2, 3) and not (photo == 6 and comp == 7):
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
     if photo == 3 and (spp != 1 or depth not in (1, 2, 4, 8)):
         raise NotImplementedError(
@@ -476,6 +493,45 @@ def _decode_striped(
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("corrupt TIFF: missing/mismatched strip tables")
     rps = tags.get(278, [h])[0] or h
+    if comp == 7:  # JPEG strips are whole (abbreviated) JPEG streams
+        from vector_lake_spark.jpeg import decode_jpeg_pixels
+
+        # TIFF-TN2: shared tables live in the JPEGTables field (tag
+        # 347, an SOI..EOI stream of DQT/DHT segments); each strip is
+        # then SOI + frame/scan and merges as tables[:-2] + strip[2:]
+        jtables = tags.get(347)
+        prefix = None
+        if jtables:
+            tb = bytes(jtables)
+            if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+                raise ValueError("corrupt TIFF: malformed JPEGTables field")
+            prefix = tb[:-2]
+        parts = []
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - i * rps)
+            if rows <= 0:
+                raise ValueError("corrupt TIFF: more strips than rows")
+            strip = payload[off : off + cnt]
+            if len(strip) < cnt:
+                raise ValueError("corrupt TIFF: strip data out of range")
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError("corrupt TIFF: JPEG strip without SOI")
+            stream = prefix + strip[2:] if prefix else strip
+            px1 = decode_jpeg_pixels(stream)
+            if px1.ndim == 2:
+                px1 = px1[:, :, None]
+            if px1.shape[1] != w or px1.shape[0] < rows:
+                raise ValueError(
+                    "corrupt TIFF: JPEG strip geometry disagrees with "
+                    "the IFD"
+                )
+            parts.append(px1[:rows])
+        px = np.concatenate(parts, axis=0)
+        if px.shape[0] != h or px.shape[2] != spp:
+            raise ValueError(
+                "corrupt TIFF: JPEG strips cover a different page shape"
+            )
+        return px.astype(dtype.str[-2:])
     if comp in (2, 3, 4):  # fax strips decode row-structured, not bytewise
         from vector_lake_spark.fax import decode_fax
 
@@ -658,13 +714,22 @@ def encode_tiff(
         raise ValueError("planar configuration applies to 3-sample pages")
     comp_id = {
         "none": 1, "packbits": 32773, "lzw": 5, "deflate": 8,
-        "ccitt-rle": 2, "g3": 3, "g3-2d": 3, "g4": 4,
+        "ccitt-rle": 2, "g3": 3, "g3-2d": 3, "g4": 4, "jpeg": 7,
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"unsupported compression {compression!r}")
     fax_scheme = {
         "ccitt-rle": "mh", "g3": "g3", "g3-2d": "g3-2d", "g4": "g4",
     }.get(compression)
+    if comp_id == 7:
+        if depth != 8 or colormap is not None or min_is_white or planar:
+            raise ValueError(
+                "JPEG-in-TIFF writes 8-bit chunky gray/RGB pages only"
+            )
+        if predictor:
+            raise ValueError("JPEG compression has no horizontal predictor")
+        if tile_size is not None:
+            raise ValueError("JPEG-in-TIFF pages are striped here")
     if fax_scheme:
         if bit_depth != 1:
             raise ValueError("CCITT compressions apply to 1-bit pages")
@@ -733,7 +798,18 @@ def encode_tiff(
             1, min(h, 8192 // max(1, _row_bytes(w, 1 if planar else spp, depth)))
         )
         strips = []
-        if fax_scheme:
+        if comp_id == 7:
+            from vector_lake_spark.jpeg import encode_jpeg
+
+            strips = [
+                encode_jpeg(
+                    px[r0 : r0 + rps, :, 0] if spp == 1
+                    else px[r0 : r0 + rps],
+                    quality=100,
+                )
+                for r0 in range(0, h, rps)
+            ]
+        elif fax_scheme:
             from vector_lake_spark.fax import encode_fax
 
             strips = [
@@ -772,8 +848,11 @@ def encode_tiff(
         lut[:, : cm.shape[0]] = cm.T
         entries.append((320, 3, 3 * n, None, [int(v) for v in lut.ravel()]))
     else:
-        # RGB / MinIsWhite / MinIsBlack
-        short(262, 2 if spp == 3 else (0 if min_is_white else 1))
+        # RGB (YCbCr inside JPEG strips) / MinIsWhite / MinIsBlack
+        if comp_id == 7 and spp == 3:
+            short(262, 6)
+        else:
+            short(262, 2 if spp == 3 else (0 if min_is_white else 1))
     entries.append((offsets_tag, 4, len(strips), None, []))  # patched below
     short(277, spp)
     if planar:
