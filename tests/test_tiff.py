@@ -647,68 +647,53 @@ class TestJpegInTiff:
         assert probe_tiff(f)["pages"][0]["compression"] == "jpeg"
 
     def test_jpegtables_abbreviated_streams(self):
-        """Move the DQT/DHT segments of every strip into a JPEGTables
-        field (tag 347) and verify the merge path decodes the same."""
+        """jpeg_tables=True hoists the shared DQT/DHT into a JPEGTables
+        (347, UNDEFINED) field and writes abbreviated strips — the
+        decode path must merge the prefix back (r09 review: this merge
+        was dead for the canonical type-7 tag until the IFD reader
+        learned the type)."""
+        px, f_full = self._page((16, 24, 3), nstrips=True)
+        f_ab = encode_tiff(px, compression="jpeg", rows_per_strip=8,
+                           jpeg_tables=True)
+        assert np.array_equal(decode_tiff_pixels(f_ab), px)
+        assert len(f_ab) < len(f_full)  # tables stored once, not per strip
+        # the field really is type 7 (UNDEFINED) and SOI..EOI framed
         import struct as _s
 
-        px, f = self._page((16, 24), nstrips=True)
-        tags, _ = next(iter(__import__(
-            "vector_lake_spark.tiff", fromlist=["_walk_ifds"]
-        )._walk_ifds(f)))
-        offsets, counts = tags[273], tags[279]
-        strips = [f[o : o + c] for o, c in zip(offsets, counts)]
+        i = bytes(f_ab).find(_s.pack("<HH", 347, 7))
+        assert i != -1
+        (count,) = _s.unpack_from("<I", f_ab, i + 4)
+        (voff,) = _s.unpack_from("<I", f_ab, i + 8)
+        tbl = f_ab[voff : voff + count]
+        assert tbl[:2] == b"\xff\xd8" and tbl[-2:] == b"\xff\xd9"
+        # corrupting the field is loud
+        bad = bytearray(f_ab)
+        bad[voff] = 0
+        with pytest.raises(ValueError, match="JPEGTables"):
+            decode_tiff_pixels(bytes(bad))
+        # abbreviated strips WITHOUT the tables are corrupt by
+        # ValueError, not a raw KeyError from the JPEG decoder
+        worse = bytearray(f_ab)
+        _s.pack_into("<H", worse, i, 39999)  # unknown the reader skips
+        with pytest.raises(ValueError, match="failed to decode"):
+            decode_tiff_pixels(bytes(worse))
 
-        def split(stream):
-            # walk markers; extract DQT(DB)/DHT(C4) into tables
-            tables = bytearray(b"\xff\xd8")
-            rest = bytearray(b"\xff\xd8")
-            pos = 2
-            while pos < len(stream):
-                marker = stream[pos + 1]
-                if marker == 0xD9:
-                    rest += stream[pos:]
-                    break
-                (seglen,) = _s.unpack_from(">H", stream, pos + 2)
-                seg = stream[pos : pos + 2 + seglen]
-                if marker in (0xDB, 0xC4):
-                    tables += seg
-                else:
-                    rest += seg
-                pos += 2 + seglen
-                if marker == 0xDA:
-                    rest += stream[pos:]
-                    break
-            tables += b"\xff\xd9"
-            return bytes(tables), bytes(rest)
+    def test_rgb_photometric_gates_and_mcu_strips(self):
+        """Photometric 2 (stored-RGB) JPEG pages gate by name — the
+        codec's color path assumes YCbCr scans; and rows_per_strip must
+        hold whole MCUs."""
+        import struct as _s
 
-        tbls, first = split(strips[0])
-        abbrev = [split(s)[1] for s in strips]
-        # rebuild: same IFD + JPEGTables + abbreviated strips appended
-        from vector_lake_spark.tiff import decode_tiff_pixels as dec
-
-        out = bytearray(f)
-        new_offsets = []
-        for s in abbrev:
-            new_offsets.append(len(out))
-            out += s
-        # patch strip offsets/counts in place (LONG arrays)
-        i = bytes(f).find(_s.pack("<HHI", 273, 4, len(strips)))
-        (voff,) = _s.unpack_from("<I", f, i + 8)
-        for j, o in enumerate(new_offsets):
-            _s.pack_into("<I", out, voff + 4 * j, o)
-        i = bytes(f).find(_s.pack("<HHI", 279, 4, len(strips)))
-        (coff,) = _s.unpack_from("<I", f, i + 8)
-        for j, s in enumerate(abbrev):
-            _s.pack_into("<I", out, coff + 4 * j, len(s))
-        # append a JPEGTables entry by rewriting the IFD is heavy —
-        # instead decode via the internal strip walk equivalence:
-        # abbreviated strip + tables prefix == original strip
-        merged = tbls[:-2] + abbrev[0][2:]
-        from vector_lake_spark.jpeg import decode_jpeg_pixels
-
-        assert np.array_equal(
-            decode_jpeg_pixels(merged), decode_jpeg_pixels(strips[0])
-        )
+        px, f = self._page((16, 24, 3))
+        i = bytes(f).find(_s.pack("<HHI", 262, 3, 1))
+        g = bytearray(f)
+        _s.pack_into("<H", g, i + 8, 2)
+        with pytest.raises(NotImplementedError, match="RGB-stored"):
+            decode_tiff_pixels(bytes(g))
+        with pytest.raises(ValueError, match="whole MCUs"):
+            encode_tiff(px, compression="jpeg", rows_per_strip=5)
+        # tag 530 (YCbCrSubSampling) declares the 4:4:4 the strips use
+        assert _s.pack("<HHI", 530, 3, 2) + _s.pack("<HH", 1, 1) in f
 
     def test_gates_and_corrupt(self):
         px = np.zeros((8, 8, 1), dtype=np.uint8)

@@ -50,7 +50,7 @@ import zlib
 
 import numpy as np
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1}
 
 
 def is_tiff(payload: bytes) -> bool:
@@ -87,7 +87,7 @@ def _read_ifd(payload: bytes, pos: int, lt: str) -> tuple[dict, int]:
             raw = struct.unpack_from(f"{lt}{2 * count}I", payload, off)
             vals = [raw[i] / raw[i + 1] if raw[i + 1] else 0.0
                     for i in range(0, len(raw), 2)]
-        else:  # BYTE / ASCII
+        else:  # BYTE / ASCII / SBYTE / UNDEFINED (7: e.g. JPEGTables)
             vals = list(payload[off : off + count])
         tags[tag] = vals
         pos += 12
@@ -395,6 +395,12 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "JPEG-in-TIFF decodes 8-bit samples only"
             )
+        if photo == 2 and spp == 3:
+            raise NotImplementedError(
+                "RGB-stored JPEG-in-TIFF (photometric 2) is a named gate "
+                "— the codec's color path assumes YCbCr scans; "
+                "photometric 6 and grayscale decode"
+            )
         if 322 in tags or 323 in tags or 324 in tags:
             raise NotImplementedError("tiled JPEG-in-TIFF is a named gate")
         if tags.get(284, [1])[0] == 2:
@@ -517,7 +523,17 @@ def _decode_striped(
             if strip[:2] != b"\xff\xd8":
                 raise ValueError("corrupt TIFF: JPEG strip without SOI")
             stream = prefix + strip[2:] if prefix else strip
-            px1 = decode_jpeg_pixels(stream)
+            try:
+                px1 = decode_jpeg_pixels(stream)
+            except ValueError:
+                raise
+            except Exception as e:
+                # abbreviated strips without usable tables die inside
+                # the JPEG decoder with non-ValueError types — the
+                # strip-codec contract is corrupt-means-ValueError
+                raise ValueError(
+                    f"corrupt TIFF: JPEG strip failed to decode ({e!r})"
+                ) from None
             if px1.ndim == 2:
                 px1 = px1[:, :, None]
             if px1.shape[1] != w or px1.shape[0] < rows:
@@ -645,6 +661,36 @@ def _diff_rows(px: np.ndarray) -> np.ndarray:
     return (d & ((1 << (8 * px.dtype.itemsize)) - 1)).astype(px.dtype)
 
 
+def _split_jpeg_tables(strips: list[bytes]) -> tuple[bytes, list[bytes]]:
+    """Hoist DQT/DHT segments out of full JPEG strips into one shared
+    SOI..EOI JPEGTables stream, leaving abbreviated strips (TIFF-TN2).
+    All strips carry identical tables here (same encoder, same
+    quality), so the first strip's tables serve the page."""
+    tables = bytearray(b"\xff\xd8")
+    abbrev = []
+    for strip in strips:
+        rest = bytearray(b"\xff\xd8")
+        pos = 2
+        while pos < len(strip):
+            marker = strip[pos + 1]
+            if marker == 0xD9:
+                rest += strip[pos:]
+                break
+            (seglen,) = struct.unpack_from(">H", strip, pos + 2)
+            seg = strip[pos : pos + 2 + seglen]
+            if marker in (0xDB, 0xC4):
+                if len(abbrev) == 0:
+                    tables += seg
+            else:
+                rest += seg
+            pos += 2 + seglen
+            if marker == 0xDA:
+                rest += strip[pos:]
+                break
+        abbrev.append(bytes(rest))
+    return bytes(tables + b"\xff\xd9"), abbrev
+
+
 def encode_tiff(
     pixels: np.ndarray,
     compression: str = "lzw",
@@ -655,6 +701,7 @@ def encode_tiff(
     bit_depth: int | None = None,
     min_is_white: bool = False,
     planar: bool = False,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Little-endian baseline TIFF from (h, w) or (h, w, 1|3) pixels —
     uint8 or uint16 (16-bit pages write BitsPerSample 16, little-endian
@@ -710,6 +757,7 @@ def encode_tiff(
     if min_is_white and px.shape[2] != 1:
         raise ValueError("min_is_white applies to single-sample pages")
     h, w, spp = px.shape
+    jpegtables: bytes | None = None
     if planar and spp != 3:
         raise ValueError("planar configuration applies to 3-sample pages")
     comp_id = {
@@ -730,6 +778,10 @@ def encode_tiff(
             raise ValueError("JPEG compression has no horizontal predictor")
         if tile_size is not None:
             raise ValueError("JPEG-in-TIFF pages are striped here")
+        if rows_per_strip is not None and rows_per_strip % 8:
+            raise ValueError(
+                "JPEG strips must hold whole MCUs (rows_per_strip % 8 == 0)"
+            )
     if fax_scheme:
         if bit_depth != 1:
             raise ValueError("CCITT compressions apply to 1-bit pages")
@@ -801,6 +853,9 @@ def encode_tiff(
         if comp_id == 7:
             from vector_lake_spark.jpeg import encode_jpeg
 
+            if rows_per_strip is None:
+                # TN2: JPEG strips hold whole MCUs — round to 8 rows
+                rps = max(8, rps - rps % 8)
             strips = [
                 encode_jpeg(
                     px[r0 : r0 + rps, :, 0] if spp == 1
@@ -809,6 +864,11 @@ def encode_tiff(
                 )
                 for r0 in range(0, h, rps)
             ]
+            if jpeg_tables:
+                # abbreviated streams: hoist the DQT/DHT segments every
+                # strip shares (the encoder writes identical tables)
+                # into a JPEGTables (347, UNDEFINED) field
+                jpegtables, strips = _split_jpeg_tables(strips)
         elif fax_scheme:
             from vector_lake_spark.fax import encode_fax
 
@@ -851,9 +911,14 @@ def encode_tiff(
         # RGB (YCbCr inside JPEG strips) / MinIsWhite / MinIsBlack
         if comp_id == 7 and spp == 3:
             short(262, 6)
+            # our JPEG strips are 4:4:4; TIFF's tag-530 default is
+            # (2,2), so the subsampling must be written explicitly
+            entries.append((530, 3, 2, struct.pack("<HH", 1, 1), None))
         else:
             short(262, 2 if spp == 3 else (0 if min_is_white else 1))
     entries.append((offsets_tag, 4, len(strips), None, []))  # patched below
+    if jpegtables is not None:
+        entries.append((347, 7, len(jpegtables), None, list(jpegtables)))
     short(277, spp)
     if planar:
         short(284, 2)
@@ -902,8 +967,11 @@ def encode_tiff(
         if packed is not None:
             out += packed
         elif size <= 4:
-            fmt = "H" if typ == 3 else "I"
-            field = struct.pack(f"<{count}{fmt}", *vals)
+            if typ == 7:  # UNDEFINED: raw bytes
+                field = bytes(vals)
+            else:
+                fmt = "H" if typ == 3 else "I"
+                field = struct.pack(f"<{count}{fmt}", *vals)
             out += field + b"\x00" * (4 - len(field))
         else:
             out += struct.pack("<I", value_offsets[tag])
@@ -913,8 +981,11 @@ def encode_tiff(
             vals = strip_offsets
         if packed is not None or _TYPE_SIZES[typ] * count <= 4:
             continue
-        fmt = "H" if typ == 3 else "I"
-        blob = struct.pack(f"<{count}{fmt}", *vals)
+        if typ == 7:  # UNDEFINED: raw bytes (e.g. JPEGTables)
+            blob = bytes(vals)
+        else:
+            fmt = "H" if typ == 3 else "I"
+            blob = struct.pack(f"<{count}{fmt}", *vals)
         out += blob + b"\x00" * (len(blob) % 2)
     for s in strips:
         out += s + b"\x00" * (len(s) % 2)
