@@ -700,8 +700,6 @@ class TestJpegInTiff:
         with pytest.raises(ValueError, match="8-bit"):
             encode_tiff(np.zeros((8, 8, 1), dtype=np.uint16),
                         compression="jpeg")
-        with pytest.raises(ValueError, match="striped"):
-            encode_tiff(px, compression="jpeg", tile_size=16)
         with pytest.raises(ValueError, match="predictor"):
             encode_tiff(px, compression="jpeg", predictor=True)
         # a strip without SOI is corrupt by name
@@ -713,3 +711,34 @@ class TestJpegInTiff:
         f[off] = 0x00
         with pytest.raises(ValueError, match="SOI"):
             decode_tiff_pixels(bytes(f))
+
+
+def test_tiled_jpeg_in_tiff_roundtrip():
+    """Late r09: tiled JPEG-in-TIFF (the pyramidal-TIFF layout) — each
+    tile is its own JPEG stream, ragged edges padded to full tiles and
+    cropped back. Dims stay 8-aligned so q100 DC-exactness holds right
+    up to the crop."""
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+    px = np.repeat(np.repeat(base, 8, 0), 8, 1)  # 40x56, ragged 16-tiles
+    for jt in (False, True):
+        f = encode_tiff(px, compression="jpeg", tile_size=16,
+                        jpeg_tables=jt)
+        assert np.array_equal(decode_tiff_pixels(f), px), jt
+        page = probe_tiff(f)["pages"][0]
+        assert page["compression"] == "jpeg"
+        assert page["n_tiles"] == 3 * 4
+    # gray variant through the same path
+    g = np.repeat(np.repeat(
+        rng.integers(0, 256, (5, 3)).astype(np.uint8), 8, 0), 8, 1)
+    f = encode_tiff(g[:, :, None], compression="jpeg", tile_size=16,
+                    jpeg_tables=True)
+    assert np.array_equal(decode_tiff_pixels(f)[:, :, 0], g)
+    # a tile whose stream geometry disagrees with the IFD is corrupt
+    import struct as _s
+
+    bad = bytearray(encode_tiff(px, compression="jpeg", tile_size=16))
+    i = bytes(bad).find(_s.pack("<HH", 322, 3))
+    _s.pack_into("<H", bad, i + 8, 32)  # claim 32-wide tiles
+    with pytest.raises(ValueError):
+        decode_tiff_pixels(bytes(bad))

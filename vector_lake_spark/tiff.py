@@ -32,9 +32,9 @@ covers the baseline subset real scanners emit:
   one-dimensional, EOL-prefixed rows) and 4 (Group 4 / T.6 MMR, fully
   two-dimensional) — the compressions of patent/book scan corpora.
 
-Named gates (sub-byte palette and new-style JPEG-in-TIFF closed late
-r09): old-style JPEG (comp 6, spec-deprecated), uncompressed-mode
-Group 3, uncompressed-mode
+Named gates (sub-byte palette and new-style JPEG-in-TIFF — striped
+AND tiled — closed late r09): old-style JPEG (comp 6,
+spec-deprecated), uncompressed-mode Group 3, uncompressed-mode
 Group 4, tiled fax, JPEG-in-TIFF, sub-byte palette indices. The
 matching writer (`encode_tiff`, all seven compressions, striped or
 tiled, 1/2/4/8/16-bit, palette, planar, MinIsWhite) exists for
@@ -401,8 +401,6 @@ def decode_tiff_pixels(payload: bytes) -> np.ndarray:
                 "— the codec's color path assumes YCbCr scans; "
                 "photometric 6 and grayscale decode"
             )
-        if 322 in tags or 323 in tags or 324 in tags:
-            raise NotImplementedError("tiled JPEG-in-TIFF is a named gate")
         if tags.get(284, [1])[0] == 2:
             raise ValueError(
                 "corrupt TIFF: JPEG compression with planar configuration"
@@ -490,6 +488,40 @@ def _rows_to_array(
     )
 
 
+def _jpeg_tables_prefix(tags: dict) -> bytes | None:
+    """TIFF-TN2: shared tables live in the JPEGTables field (tag 347,
+    an SOI..EOI stream of DQT/DHT segments); abbreviated blocks merge
+    as tables[:-2] + block[2:]."""
+    jtables = tags.get(347)
+    if not jtables:
+        return None
+    tb = bytes(jtables)
+    if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+        raise ValueError("corrupt TIFF: malformed JPEGTables field")
+    return tb[:-2]
+
+
+def _decode_jpeg_block(block: bytes, prefix: bytes | None, kind: str):
+    """One comp-7 strip/tile through the native JPEG codec, corrupt
+    inputs normalized to the strip-codec ValueError contract."""
+    from vector_lake_spark.jpeg import decode_jpeg_pixels
+
+    if block[:2] != b"\xff\xd8":
+        raise ValueError(f"corrupt TIFF: JPEG {kind} without SOI")
+    stream = prefix + block[2:] if prefix else block
+    try:
+        px1 = decode_jpeg_pixels(stream)
+    except ValueError:
+        raise
+    except Exception as e:
+        # blocks without usable tables die inside the JPEG decoder
+        # with non-ValueError types
+        raise ValueError(
+            f"corrupt TIFF: JPEG {kind} failed to decode ({e!r})"
+        ) from None
+    return px1 if px1.ndim == 3 else px1[:, :, None]
+
+
 def _decode_striped(
     payload: bytes, tags: dict, w: int, h: int, spp: int, comp: int,
     predictor: int, dtype: np.dtype, depth: int,
@@ -500,18 +532,7 @@ def _decode_striped(
         raise ValueError("corrupt TIFF: missing/mismatched strip tables")
     rps = tags.get(278, [h])[0] or h
     if comp == 7:  # JPEG strips are whole (abbreviated) JPEG streams
-        from vector_lake_spark.jpeg import decode_jpeg_pixels
-
-        # TIFF-TN2: shared tables live in the JPEGTables field (tag
-        # 347, an SOI..EOI stream of DQT/DHT segments); each strip is
-        # then SOI + frame/scan and merges as tables[:-2] + strip[2:]
-        jtables = tags.get(347)
-        prefix = None
-        if jtables:
-            tb = bytes(jtables)
-            if tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
-                raise ValueError("corrupt TIFF: malformed JPEGTables field")
-            prefix = tb[:-2]
+        prefix = _jpeg_tables_prefix(tags)
         parts = []
         for i, (off, cnt) in enumerate(zip(offsets, counts)):
             rows = min(rps, h - i * rps)
@@ -520,22 +541,7 @@ def _decode_striped(
             strip = payload[off : off + cnt]
             if len(strip) < cnt:
                 raise ValueError("corrupt TIFF: strip data out of range")
-            if strip[:2] != b"\xff\xd8":
-                raise ValueError("corrupt TIFF: JPEG strip without SOI")
-            stream = prefix + strip[2:] if prefix else strip
-            try:
-                px1 = decode_jpeg_pixels(stream)
-            except ValueError:
-                raise
-            except Exception as e:
-                # abbreviated strips without usable tables die inside
-                # the JPEG decoder with non-ValueError types — the
-                # strip-codec contract is corrupt-means-ValueError
-                raise ValueError(
-                    f"corrupt TIFF: JPEG strip failed to decode ({e!r})"
-                ) from None
-            if px1.ndim == 2:
-                px1 = px1[:, :, None]
+            px1 = _decode_jpeg_block(strip, prefix, "strip")
             if px1.shape[1] != w or px1.shape[0] < rows:
                 raise ValueError(
                     "corrupt TIFF: JPEG strip geometry disagrees with "
@@ -614,12 +620,22 @@ def _decode_tiled(
     px = np.empty((h, w, spp), dtype=base)
     # every tile is full-size; edges are padded
     expected = th * _row_bytes(tw, spp, depth)
+    jpeg_prefix = _jpeg_tables_prefix(tags) if comp == 7 else None
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         block = payload[off : off + cnt]
         if len(block) < cnt:
             raise ValueError("corrupt TIFF: tile data out of range")
-        raw = _decode_block(block, comp, expected, "tile")
-        tile = _rows_to_array(raw, th, tw, spp, dtype, depth)
+        if comp == 7:
+            tile = _decode_jpeg_block(block, jpeg_prefix, "tile")
+            if tile.shape[:2] != (th, tw) or tile.shape[2] != spp:
+                raise ValueError(
+                    "corrupt TIFF: JPEG tile geometry disagrees with "
+                    "the IFD"
+                )
+            tile = tile.astype(base)
+        else:
+            raw = _decode_block(block, comp, expected, "tile")
+            tile = _rows_to_array(raw, th, tw, spp, dtype, depth)
         if predictor == 2:
             # differencing restarts at every TILE row (tiles compress
             # independently), so the cumsum runs per tile, pre-crop
@@ -776,8 +792,6 @@ def encode_tiff(
             )
         if predictor:
             raise ValueError("JPEG compression has no horizontal predictor")
-        if tile_size is not None:
-            raise ValueError("JPEG-in-TIFF pages are striped here")
         if rows_per_strip is not None and rows_per_strip % 8:
             raise ValueError(
                 "JPEG strips must hold whole MCUs (rows_per_strip % 8 == 0)"
@@ -843,7 +857,17 @@ def encode_tiff(
                         # differencing restarts per tile: each tile
                         # compresses (and decodes) independently
                         tile = _diff_rows(tile)
-                    strips.append(pack_block(block_bytes(tile)))
+                    if comp_id == 7:
+                        from vector_lake_spark.jpeg import encode_jpeg
+
+                        strips.append(encode_jpeg(
+                            tile[:, :, 0] if spp == 1 else tile,
+                            quality=100,
+                        ))
+                    else:
+                        strips.append(pack_block(block_bytes(tile)))
+        if comp_id == 7 and jpeg_tables:
+            jpegtables, strips = _split_jpeg_tables(strips)
         rps = None
     else:
         rps = rows_per_strip or max(
