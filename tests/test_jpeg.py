@@ -492,6 +492,30 @@ class Test12BitProgressive:
             with pytest.raises(ValueError, match="DQT"):
                 decode_jpeg_pixels(bytes(cut))
 
+    def test_truncated_8bit_dqt_is_valueerror(self):
+        """r09 advice: the 8-bit (Pq=0) DQT guard was missing — a body
+        shorter than 65 bytes leaked IndexError from direct callers; it
+        must raise the same ValueError contract as the 16-bit case, in
+        both the sequential and progressive walks."""
+        import struct
+
+        from vector_lake_spark.jpeg import encode_jpeg_progressive
+
+        for f in (
+            encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), quality=100),
+            encode_jpeg_progressive(
+                np.full((8, 8), 9, dtype=np.uint8), quality=100
+            ),
+        ):
+            i = f.find(b"\xff\xdb")
+            (seglen,) = struct.unpack_from(">H", f, i + 2)
+            assert seglen == 67  # Pq=0 body: id byte + 64 entries
+            # shorten the segment body mid-table
+            cut = bytearray(f[: i + 4 + 40] + f[i + 2 + seglen :])
+            struct.pack_into(">H", cut, i + 2, 2 + 1 + 39)
+            with pytest.raises(ValueError, match="truncated 8-bit DQT"):
+                decode_jpeg_pixels(bytes(cut))
+
 
 # ---------------------------------------------------------------------------
 # Lossless (SOF3) — late r09: Annex H DPCM, exact on arbitrary content

@@ -288,18 +288,76 @@ def test_vmjpeg_blockgroup_form_decodes():
     assert [px[0, 0] for _, px in out] == [77, 99]
 
 
-def test_laced_blocks_gate_by_name():
-    p = bytearray(_mjpeg_mkv(values=(50,)))
-    # find the SimpleBlock INSIDE the cluster (a bare 0xa3 search hits
-    # the EBML magic's last byte)
-    i = bytes(p).find(b"\xa3", bytes(p).find(b"\x1f\x43\xb6\x75"))
-    # block body starts after id + size vint: set lacing bits in flags
+def _laced_mjpeg_mkv(values, lacing, w=24, h=16, fps=3):
+    import numpy as np
+
+    from vector_lake_spark.jpeg import encode_jpeg
+
+    frames = [
+        encode_jpeg(np.full((h, w), v, dtype=np.uint8), 100) for v in values
+    ]
+    return (
+        encode_mkv_mjpeg(frames, fps=fps, width=w, height=h, lacing=lacing),
+        frames,
+    )
+
+
+@pytest.mark.parametrize("lacing", ["xiph", "ebml", "fixed"])
+def test_laced_blocks_decode(lacing):
+    """r10 closes the lacing gate: all three schemes round-trip through
+    one laced SimpleBlock — the probe counts FRAMES (not blocks, r09
+    advice) and every laced frame decodes pixel-exact. Fixed lacing
+    uses identical frames (equal JPEG sizes by construction); Xiph/EBML
+    use differing content so the size tables are non-trivial (24×16
+    q100 JPEGs are >255 bytes, so Xiph exercises its 0xFF runs)."""
+    values = (99, 99, 99) if lacing == "fixed" else (10, 120, 250)
+    p, frames = _laced_mjpeg_mkv(values, lacing)
+    info = probe_mkv(p)
+    assert info["n_clusters"] == 1
+    assert info["n_blocks"] == 3  # laced frames counted via lace header
+    assert info["blocks_by_track"] == {1: 3}
+    _, out = decode_mkv_frames(p)
+    assert [px[0, 0] for _, px in out] == list(values)
+    assert all(px.shape == (16, 24) for _, px in out)
+    # selective decode indexes across lace boundaries
+    _, sampled = decode_mkv_frames(p, [2])
+    assert sampled[0][0] == 2 and sampled[0][1][0, 0] == values[2]
+
+
+def test_laced_corruption_raises():
+    import numpy as np
+
+    from vector_lake_spark.jpeg import encode_jpeg
+    from vector_lake_spark.mkv import _block_frame_slices, _laced_block_body
+
+    a = encode_jpeg(np.full((16, 24), 7, dtype=np.uint8), 100)
+    b = encode_jpeg(np.full((16, 24), 200, dtype=np.uint8), 100)
+    # muxer refuses fixed lacing over unequal frames
+    if len(a) != len(b):
+        with pytest.raises(ValueError, match="equal-size"):
+            _laced_block_body([a, b], "fixed")
+    # fixed lacing whose payload does not divide evenly: lace count byte
+    # says 2 frames, 7 payload bytes remain
+    body = bytes([1]) + b"\x00" * 7
+    with pytest.raises(ValueError, match="does not divide"):
+        _block_frame_slices(body, 0, len(body), 0x04)
+    # truncated Xiph size table (run byte 0xFF then nothing)
+    with pytest.raises(ValueError, match="truncated Xiph"):
+        _block_frame_slices(bytes([1, 255]), 0, 2, 0x02)
+    # Xiph size overrunning the block payload
+    with pytest.raises(ValueError, match="overruns"):
+        _block_frame_slices(bytes([1, 200]) + b"\x00" * 10, 0, 12, 0x02)
+    # a lace size byte inflated in a real muxed file surfaces as corrupt
+    p2, _frames = _laced_mjpeg_mkv((10, 120, 250), "xiph")
+    i = p2.find(b"\xa3", p2.find(b"\x1f\x43\xb6\x75"))
     from vector_lake_spark.mkv import _read_vint
 
-    _, body_start, _ = _read_vint(bytes(p), i + 1, keep_marker=False)
-    p[body_start + 3] |= 0x06  # EBML lacing
-    with pytest.raises(NotImplementedError, match="laced"):
-        decode_mkv_frames(bytes(p))
+    _, body_start, _ = _read_vint(p2, i + 1, keep_marker=False)
+    bad = bytearray(p2)
+    # first Xiph size byte after trackno(1)+ts(2)+flags(1)+count(1)
+    bad[body_start + 5] = 0xFE  # inflate a lace run byte
+    with pytest.raises(ValueError):
+        decode_mkv_frames(bytes(bad))
 
 
 def test_extract_video_frames_mkv(spark):

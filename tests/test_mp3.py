@@ -109,6 +109,23 @@ def test_magic():
     assert not is_mp3(b"")
 
 
+def test_coincidental_header_is_not_mp3():
+    """r09 advice: one valid 4-byte header in arbitrary binary must not
+    route into the probe (which then reports 'corrupt'); is_mp3 wants a
+    second consecutive header or exactly one complete frame to EOF."""
+    one_frame = mux_mp3_frames(1, "1", 3, 9, 0)
+    assert is_mp3(one_frame)  # single COMPLETE frame still routes
+    assert is_mp3(one_frame + b"TAG" + bytes(125))  # ± ID3v1 trailer
+    # a valid header followed by non-MPEG garbage is not MPEG audio
+    assert not is_mp3(one_frame[:4] + b"not mpeg payload at all")
+    # nor a header whose single frame is truncated
+    assert not is_mp3(one_frame[:-7])
+    from vector_lake_spark.multimodal import _decode_audio
+
+    with pytest.raises(NotImplementedError, match="unrecognized audio"):
+        _decode_audio(one_frame[:4] + b"not mpeg payload at all")
+
+
 def test_muxer_validation():
     with pytest.raises(ValueError, match="version"):
         mux_mp3_frames(1, "3")

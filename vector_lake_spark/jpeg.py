@@ -563,6 +563,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                     raise ValueError(f"corrupt JPEG: DQT precision {pq}")
                 tbl = np.zeros((8, 8), dtype=np.int64)
                 if pq == 0:
+                    if bpos + 65 > len(body):
+                        raise ValueError(
+                            "corrupt JPEG: truncated 8-bit DQT segment"
+                        )
                     for i, (r, c) in enumerate(ZIGZAG):
                         tbl[r, c] = body[bpos + 1 + i]
                     bpos += 65
@@ -843,6 +847,10 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                     raise ValueError(f"corrupt JPEG: DQT precision {pq}")
                 tbl = np.zeros((8, 8), dtype=np.int64)
                 if pq == 0:
+                    if bpos + 65 > len(body):
+                        raise ValueError(
+                            "corrupt JPEG: truncated 8-bit DQT segment"
+                        )
                     for i, (r, c) in enumerate(ZIGZAG):
                         tbl[r, c] = body[bpos + 1 + i]
                     bpos += 65

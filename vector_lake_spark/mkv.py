@@ -125,6 +125,106 @@ def _elements(payload: bytes, pos: int, end: int):
         pos = body_end
 
 
+def _block_frame_slices(
+    payload: bytes, p: int, be: int, flags: int
+) -> list[tuple[int, int]]:
+    """Frame (start, end) slices of one (Simple)Block body whose
+    timestamp/flags header ends at ``p``. Un-laced blocks are one frame;
+    laced blocks (Matroska §"Lacing": flags bits 0x06 — 0x02 Xiph,
+    0x04 fixed, 0x06 EBML) carry a lace count byte (frames − 1) and a
+    size table for all frames but the last:
+
+    - **Xiph**: each size is a run of 0xFF bytes plus a final byte <255
+      (the values sum) — the Ogg lacing scheme.
+    - **EBML**: the first size is a plain unsigned VINT; each later one
+      is a SIGNED-VINT delta against the previous size (bias
+      2^(7·len−1) − 1, RFC 8794 §4).
+    - **fixed**: no table; the remaining bytes divide evenly.
+
+    The last frame always takes the remainder. Closed in r10 (was a
+    named gate): lacing is ubiquitous in real WebM audio tracks, and
+    the arithmetic is pure VINT/byte work."""
+    if not flags & 0x06:
+        return [(p, be)]
+    if p >= be:
+        raise ValueError("corrupt Matroska: laced block missing lace count")
+    n_frames = payload[p] + 1
+    p += 1
+    mode = flags & 0x06
+    sizes: list[int] = []
+    if mode == 0x02:  # Xiph lacing
+        for _ in range(n_frames - 1):
+            size = 0
+            while True:
+                if p >= be:
+                    raise ValueError(
+                        "corrupt Matroska: truncated Xiph lace size table"
+                    )
+                b = payload[p]
+                p += 1
+                size += b
+                if b < 255:
+                    break
+            sizes.append(size)
+    elif mode == 0x06:  # EBML lacing
+        if n_frames >= 2:
+            first, p, _ = _read_vint(payload, p, keep_marker=False)
+            prev = first
+            sizes.append(first)
+            for _ in range(n_frames - 2):
+                raw, p, ln = _read_vint(payload, p, keep_marker=False)
+                prev += raw - ((1 << (7 * ln - 1)) - 1)  # signed-VINT bias
+                if prev < 0:
+                    raise ValueError(
+                        "corrupt Matroska: negative EBML lace size"
+                    )
+                sizes.append(prev)
+            if p > be:
+                raise ValueError(
+                    "corrupt Matroska: EBML lace table overruns block"
+                )
+    else:  # 0x04 fixed-size lacing: no table
+        total = be - p
+        if total % n_frames:
+            raise ValueError(
+                "corrupt Matroska: fixed lacing does not divide the "
+                f"block payload ({total} bytes / {n_frames} frames)"
+            )
+        sizes = [total // n_frames] * (n_frames - 1)
+    out: list[tuple[int, int]] = []
+    for sz in sizes:
+        if p + sz > be:
+            raise ValueError("corrupt Matroska: lace size overruns block")
+        out.append((p, p + sz))
+        p += sz
+    out.append((p, be))
+    return out
+
+
+def _block_track_and_frames(
+    payload: bytes, bs: int, be: int
+) -> tuple[int, int, int, int]:
+    """(track_number, n_frames, body_pos, flags) of a (Simple)Block at
+    [bs, be): the VINT track number, then int16 relative timestamp,
+    then the flags byte whose lacing bits determine the frame count
+    (laced blocks carry frames−1 in the next byte — r09 advice: the
+    counting pass must not report a laced block as one frame)."""
+    tno, p, _ = _read_vint(payload, bs, keep_marker=False)
+    if p + 3 > be:
+        raise ValueError(
+            "corrupt Matroska: block body ends before its "
+            "timestamp/flags header"
+        )
+    flags = payload[p + 2]
+    if flags & 0x06:
+        if p + 4 > be:
+            raise ValueError(
+                "corrupt Matroska: laced block missing lace count"
+            )
+        return tno, payload[p + 3] + 1, p + 3, flags
+    return tno, 1, p + 3, flags
+
+
 def _uint(payload: bytes, s: int, e: int) -> int:
     v = 0
     for i in range(s, e):
@@ -210,25 +310,30 @@ def probe_mkv(payload: bytes) -> dict:
                     n_clusters += 1
                     for cid, cs, ce in _elements(payload, ss, se):
                         if cid == 0xA3:  # SimpleBlock
-                            n_blocks += 1
-                            tno, _, _ = _read_vint(
-                                payload, cs, keep_marker=False
+                            # laced blocks count every frame they carry
+                            # (r09 advice; the lace count byte is part
+                            # of the header, no payload read)
+                            tno, nf, _, _ = _block_track_and_frames(
+                                payload, cs, ce
                             )
+                            n_blocks += nf
                             blocks_by_track[tno] = (
-                                blocks_by_track.get(tno, 0) + 1
+                                blocks_by_track.get(tno, 0) + nf
                             )
                         elif cid == 0xA0:  # BlockGroup wraps a Block
-                            for gid, gs, _ge in _elements(payload, cs, ce):
+                            for gid, gs, ge in _elements(payload, cs, ce):
                                 if gid == 0xA1:
                                     # real muxers wrap most blocks in
                                     # BlockGroups — they count as frames
                                     # exactly like SimpleBlocks
-                                    n_blocks += 1
-                                    tno, _, _ = _read_vint(
-                                        payload, gs, keep_marker=False
+                                    tno, nf, _, _ = (
+                                        _block_track_and_frames(
+                                            payload, gs, ge
+                                        )
                                     )
+                                    n_blocks += nf
                                     blocks_by_track[tno] = (
-                                        blocks_by_track.get(tno, 0) + 1
+                                        blocks_by_track.get(tno, 0) + nf
                                     )
     if doc_type is None:
         raise ValueError("corrupt Matroska: EBML header without DocType")
@@ -265,13 +370,61 @@ def _el(eid: bytes, body: bytes) -> bytes:
     return eid + _vint(len(body)) + body
 
 
+def _svint(delta: int) -> bytes:
+    """Signed VINT (RFC 8794 §4, used by EBML lacing size deltas):
+    value + bias encoded as a marker VINT, bias = 2^(7·len−1) − 1 for
+    the shortest length that holds the delta."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= delta <= bias:
+            return ((delta + bias) | (1 << (7 * length))).to_bytes(
+                length, "big"
+            )
+    raise ValueError("EBML lace delta too large for an 8-byte VINT")
+
+
+def _laced_block_body(frames: list[bytes], lacing: str) -> bytes:
+    """SimpleBlock body carrying ALL ``frames`` under one lacing scheme:
+    track-1 VINT, zero relative timestamp, keyframe flag with the
+    lacing bits set, lace count (frames − 1), the per-mode size table
+    for every frame but the last, then the concatenated frames."""
+    mode = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}[lacing]
+    table = b""
+    if lacing == "xiph":
+        for f in frames[:-1]:
+            sz = len(f)
+            table += b"\xff" * (sz // 255) + bytes([sz % 255])
+    elif lacing == "ebml":
+        if len(frames) >= 2:
+            table = _vint(len(frames[0]))
+            for prev, f in zip(frames, frames[1:-1]):
+                table += _svint(len(f) - len(prev))
+    else:  # fixed: sizes must already be equal, no table
+        if len({len(f) for f in frames}) > 1:
+            raise ValueError(
+                "fixed lacing requires equal-size frames "
+                f"(got {sorted({len(f) for f in frames})})"
+            )
+    return (
+        b"\x81"
+        + struct.pack(">hB", 0, 0x80 | mode)
+        + bytes([len(frames) - 1])
+        + table
+        + b"".join(frames)
+    )
+
+
 def _el_uint(eid: bytes, value: int) -> bytes:
     n = max(1, (value.bit_length() + 7) // 8)
     return _el(eid, value.to_bytes(n, "big"))
 
 
 def encode_mkv_mjpeg(
-    frames: list[bytes], fps: int, width: int, height: int
+    frames: list[bytes],
+    fps: int,
+    width: int,
+    height: int,
+    lacing: str | None = None,
 ) -> bytes:
     """Assemble already-encoded JPEG frames into a minimal Matroska file
     (RFC 8794 EBML + the public Matroska element registry): EBML header
@@ -279,7 +432,10 @@ def encode_mkv_mjpeg(
     Tracks{video TrackEntry, CodecID V_MJPEG}, one Cluster of keyframe
     SimpleBlocks}. Duration is written as an exact integer millisecond
     count (n_frames*1000//fps) so the probe's float math round-trips it
-    losslessly. Counterpart of ``encode_avi_mjpeg``/``encode_mp4_mjpeg``
+    losslessly. ``lacing`` (r10: "xiph" | "ebml" | "fixed") packs ALL
+    frames into ONE laced SimpleBlock — how real WebM muxers batch
+    audio and how the laced-decode path gets fixture coverage.
+    Counterpart of ``encode_avi_mjpeg``/``encode_mp4_mjpeg``
     for the container-probe oracle; NOT a general-purpose muxer."""
     if not frames:
         raise ValueError("need at least one frame")
@@ -314,46 +470,40 @@ def encode_mkv_mjpeg(
         + video,
     )
     tracks = _el(b"\x16\x54\xae\x6b", track)
-    blocks = b""
-    for i, frame in enumerate(frames):
-        ts = i * 1000 // fps
-        if ts > 0x7FFF:
-            raise ValueError(
-                "relative block timestamp overflows int16; split clusters"
+    if lacing is not None:
+        blocks = _el(b"\xa3", _laced_block_body(frames, lacing))
+    else:
+        blocks = b""
+        for i, frame in enumerate(frames):
+            ts = i * 1000 // fps
+            if ts > 0x7FFF:
+                raise ValueError(
+                    "relative block timestamp overflows int16; "
+                    "split clusters"
+                )
+            # SimpleBlock: track VINT, int16 relative timestamp,
+            # keyframe flag
+            blocks += _el(
+                b"\xa3", b"\x81" + struct.pack(">hB", ts, 0x80) + frame
             )
-        # SimpleBlock: track VINT, int16 relative timestamp, keyframe flag
-        blocks += _el(
-            b"\xa3", b"\x81" + struct.pack(">hB", ts, 0x80) + frame
-        )
     cluster = _el(b"\x1f\x43\xb6\x75", _el_uint(b"\xe7", 0) + blocks)
     segment = _el(b"\x18\x53\x80\x67", info + tracks + cluster)
     return header + segment
 
 
 def _video_block_slices(payload: bytes, track_no: int) -> list[tuple[int, int]]:
-    """(offset, end) of every un-laced (Simple)Block payload belonging to
-    ``track_no``, cluster order. Laced blocks raise by name — the repo's
-    V_MJPEG writer (and typical intraframe muxing) is one frame per
-    block; EBML/Xiph/fixed lacing is real work this decoder does not
-    fake."""
+    """(offset, end) of every frame payload belonging to ``track_no``,
+    cluster/block/lace order. Laced blocks (EBML/Xiph/fixed) expand into
+    one slice per laced frame (r10 — was a named gate): the size tables
+    are pure VINT/byte arithmetic, so every frame in a laced V_MJPEG
+    block is as independently decodable as an un-laced one."""
     slices: list[tuple[int, int]] = []
 
     def block_slice(bs: int, be: int) -> None:
-        tno, p, _ = _read_vint(payload, bs, keep_marker=False)
+        tno, _nf, p, flags = _block_track_and_frames(payload, bs, be)
         if tno != track_no:
             return
-        if p + 3 > be:
-            raise ValueError(
-                "corrupt Matroska: block body ends before its "
-                "timestamp/flags header"
-            )
-        flags = payload[p + 2]  # int16 relative timestamp, then flags
-        if flags & 0x06:
-            raise NotImplementedError(
-                "laced Matroska blocks unsupported (EBML/Xiph/fixed "
-                "lacing) — one-frame-per-block streams decode"
-            )
-        slices.append((p + 3, be))
+        slices.extend(_block_frame_slices(payload, p, be, flags))
 
     for eid, s, e in _elements(payload, 0, len(payload)):
         if eid != 0x18538067:  # Segment

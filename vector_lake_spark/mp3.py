@@ -110,14 +110,29 @@ def _skip_id3v2(b: bytes) -> int:
 
 
 def is_mp3(payload: bytes) -> bool:
-    """Magic check: a valid MPEG frame header at 0, or after an ID3v2
-    tag. An ID3 tag alone is NOT enough — AAC/AIFF files carry ID3 tags
-    in the wild, and classifying them as MPEG audio would misroute a
-    well-formed-but-unsupported format as corrupt."""
+    """Magic check: a valid MPEG frame header at 0 (or after an ID3v2
+    tag), CONFIRMED by the stream structure — either a second valid
+    header exactly one frame later, or the payload ending at the first
+    frame boundary (single-frame file, optionally with an ID3v1
+    trailer). An ID3 tag alone is NOT enough — AAC/AIFF files carry ID3
+    tags in the wild — and a single coincidental 4-byte sync is not
+    enough either (r09 advice): 11 set bits + valid indices occur in
+    arbitrary binaries often enough that routing on one header sends
+    unrecognized formats into the probe's corrupt-stream ValueError
+    instead of the unrecognized-payload NotImplementedError contract."""
     if payload is None or len(payload) < 4:
         return False
     b = bytes(payload)
-    return _parse_header(b, _skip_id3v2(b)) is not None
+    pos = _skip_id3v2(b)
+    first = _parse_header(b, pos)
+    if first is None:
+        return False
+    nxt = pos + first["frame_bytes"]
+    if nxt == len(b) or (
+        nxt == len(b) - 128 and b[nxt : nxt + 3] == b"TAG"
+    ):
+        return True  # exactly one complete frame (± ID3v1 trailer)
+    return _parse_header(b, nxt) is not None
 
 
 def probe_mp3(payload: bytes) -> dict:

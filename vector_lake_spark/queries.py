@@ -9143,7 +9143,10 @@ def q_mm_ogg_probe(spark, sf):
     params = d.select(
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") % 2 == 0).alias("opus"),
-        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+        # channels decorrelated from the codec bit (r09 advice: with
+        # channels = doc_id%2+1 Opus was always mono and Vorbis always
+        # stereo, so Opus-stereo / Vorbis-mono ID parsing never ran)
+        ((F.col("doc_id") / 2).cast("long") % 2 + 1).cast("int").alias("channels"),
         (F.col("n_chars") % 4).cast("int").alias("rate_idx"),
         (F.col("n_chars") % 12 + 2).cast("int").alias("n_audio"),
         (F.col("doc_id") % 300 + 10).cast("int").alias("pkt_bytes"),
@@ -9221,7 +9224,7 @@ SQL_MM_OGG_PROBE = """
 WITH p AS (
   SELECT doc_id AS media_id,
          doc_id % 2 = 0 AS opus,
-         doc_id % 2 + 1 AS channels,
+         (doc_id // 2) % 2 + 1 AS channels,
          n_chars % 4 AS rate_idx,
          n_chars % 12 + 2 AS n_audio,
          doc_id % 300 + 10 AS pkt_bytes,
