@@ -144,6 +144,8 @@ HEADLINE = [
     # late r09: audio-probe pair (route-without-decode for crawl audio)
     "mm_mp3_probe",
     "mm_ogg_probe",
+    # r10: perceptual image near-dup (dHash -> banded-Hamming pairs)
+    "mm_image_neardup",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

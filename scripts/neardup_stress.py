@@ -29,7 +29,10 @@ REPLICAS = int(os.environ.get("STRESS_REPLICAS", "100"))
 # corpus/(shards*2^bits) rows -- at 200k near-identical rows that candidate
 # set exceeds local disk (measured: spill ENOSPC at >80 GB). Deep bands
 # (band_bits=6) cut bucket width 16x and the same corpus completes locally.
-BAND_BITS = int(os.environ.get("STRESS_BAND_BITS", "6"))
+# "auto" = the r10 registry default (band_bits=None -> ann.auto_band_bits
+# sizes the width from the corpus: 2 at <=16k rows, 6 at 200k)
+_bb_env = os.environ.get("STRESS_BAND_BITS", "auto")
+BAND_BITS = None if _bb_env == "auto" else int(_bb_env)
 
 spark = get_spark("neardup_stress")
 spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,87 @@
+"""EXIF probe (`vector_lake_spark.exif`): writer/prober round trips in
+both byte orders, the bare-JPEG and bare-TIFF paths, corrupt inputs,
+and coexistence with the JPEG decoder (an APP1 segment must not change
+pixels)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vector_lake_spark.exif import (
+    build_exif_tiff,
+    insert_exif_app1,
+    probe_exif,
+)
+from vector_lake_spark.jpeg import decode_jpeg_pixels, encode_jpeg
+
+
+def _tagged(bo="II", ori=6):
+    blob = build_exif_tiff(
+        ori, 4032, 3024, "2024:05:17 10:11:12", "2024:05:17 09:10:11", bo
+    )
+    jpeg = encode_jpeg(np.full((16, 16), 40, dtype=np.uint8), 90)
+    return insert_exif_app1(jpeg, blob), blob
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_roundtrip_both_byte_orders(bo):
+    tagged, blob = _tagged(bo)
+    expected = {
+        "has_exif": True,
+        "byte_order": bo,
+        "orientation": 6,
+        "width": 4032,
+        "height": 3024,
+        "datetime": "2024:05:17 10:11:12",
+        "datetime_original": "2024:05:17 09:10:11",
+    }
+    assert probe_exif(tagged) == expected  # JPEG APP1 path
+    assert probe_exif(blob) == expected  # bare TIFF-blob path
+
+
+def test_app1_does_not_disturb_pixel_decode():
+    tagged, _ = _tagged()
+    plain = encode_jpeg(np.full((16, 16), 40, dtype=np.uint8), 90)
+    assert np.array_equal(
+        decode_jpeg_pixels(tagged), decode_jpeg_pixels(plain)
+    )
+
+
+def test_jpeg_without_exif_reports_absence():
+    plain = encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), 90)
+    info = probe_exif(plain)
+    assert info["has_exif"] is False
+    assert info["orientation"] is None and info["datetime"] is None
+
+
+def test_real_tiff_file_without_exif_tags():
+    """A plain image TIFF (tiff.py writer) has an IFD0 but none of the
+    EXIF tags — has_exif is True (there IS a parseable IFD), fields
+    None."""
+    from vector_lake_spark.tiff import encode_tiff
+
+    t = encode_tiff(np.full((8, 8), 60, dtype=np.uint8))
+    info = probe_exif(t)
+    assert info["has_exif"] is True and info["orientation"] is None
+
+
+def test_non_image_payload_gates():
+    with pytest.raises(ValueError, match="JPEG or TIFF"):
+        probe_exif(b"GIF89a......")
+
+
+def test_corrupt_exif_blob_raises():
+    jpeg = encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), 90)
+    bad = insert_exif_app1(jpeg, b"XX" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="byte-order"):
+        probe_exif(bad)
+    bad2 = insert_exif_app1(jpeg, b"II" + struct.pack("<H", 43) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="magic"):
+        probe_exif(bad2)
+
+
+def test_oversized_blob_refused():
+    jpeg = encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), 90)
+    with pytest.raises(ValueError, match="too large"):
+        insert_exif_app1(jpeg, b"II" + b"\x00" * 0x10000)

@@ -1,0 +1,180 @@
+"""Perceptual hashing (`operators/imagehash`) + banded-Hamming pairs
+(`operators/binary.hamming_neardup_pairs`): hash determinism across
+codecs, exact box resampling, the pigeonhole-exactness of the banded
+join vs a brute-force reference, and the fixture's closed-form parity
+(render → encode → real decode → hash == formula)."""
+
+import numpy as np
+import pytest
+
+from vector_lake_spark.operators.imagehash import (
+    _box_resample,
+    ahash64,
+    decode_image_gray,
+    dhash64,
+    image_signatures,
+)
+
+
+def _rand_gray(rng, h=32, w=36):
+    return rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+
+
+def test_box_resample_exact_on_dividing_dims():
+    rng = np.random.RandomState(7)
+    grid = rng.randint(0, 256, size=(8, 9)).astype(np.float64)
+    up = np.kron(grid, np.ones((4, 2)))
+    assert np.array_equal(_box_resample(up, 8, 9), grid)
+
+
+def test_box_resample_non_dividing_shape():
+    rng = np.random.RandomState(8)
+    g = _rand_gray(rng, 33, 41).astype(np.float64)
+    out = _box_resample(g, 8, 9)
+    assert out.shape == (8, 9)
+    # every cell is a mean of real pixels: inside the sample range
+    assert out.min() >= g.min() and out.max() <= g.max()
+
+
+def test_dhash_bit_layout():
+    # strictly increasing rows -> every comparison true -> all 64 bits
+    grid = np.tile(np.arange(9, dtype=np.float64) * 10, (8, 1))
+    assert dhash64(grid) == -1  # all-ones in signed int64
+    # strictly decreasing -> no bits; flat -> ties are 0
+    assert dhash64(grid[:, ::-1]) == 0
+    assert dhash64(np.full((8, 9), 5.0)) == 0
+    # exactly one comparison true: row 2, x 3 -> bit 2*8+3
+    g = np.full((8, 9), 50.0)
+    g[2, 4] = 60.0  # g[2,4] > g[2,3] AND g[2,5] < g[2,4] (bit 2*8+4 off)
+    g[2, 5] = 50.0
+    got = dhash64(g)
+    assert got == (1 << 19), hex(got)
+
+
+def test_ahash_mean_threshold():
+    g = np.full((8, 8), 10.0)
+    g[0, 0] = 250.0  # one bright cell above the mean
+    assert ahash64(g) == 1
+    assert ahash64(np.full((8, 8), 7.0)) == 0  # flat: nothing strictly >
+
+
+def test_hashes_survive_lossless_codecs_identically():
+    """The same pixels through GIF and TIFF (both lossless here) must
+    produce the identical signature — the hash sees pixels, not bytes."""
+    from vector_lake_spark.gif import encode_gif
+    from vector_lake_spark.tiff import encode_tiff
+
+    rng = np.random.RandomState(11)
+    gray = (rng.randint(0, 32, size=(16, 18)) * 8).astype(np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    sig_direct = dhash64(gray.astype(np.float64))
+    sig_gif = dhash64(decode_image_gray(encode_gif(rgb)))
+    sig_tiff = dhash64(decode_image_gray(encode_tiff(gray)))
+    assert sig_direct == sig_gif == sig_tiff
+
+
+def test_decode_image_gray_unknown_magic_gates():
+    with pytest.raises(NotImplementedError, match="unrecognized image"):
+        decode_image_gray(b"\x00\x01\x02\x03 not an image")
+
+
+def test_fixture_closed_form_parity_sweep():
+    """The mm_image_neardup contract: render → GIF encode → REAL decode
+    → dHash must equal the oracle's closed-form signature, for a sweep
+    covering every group and several members."""
+    from vector_lake_spark.gif import encode_gif
+    from vector_lake_spark.queries import (
+        _dhash_fixture_sig,
+        _render_dhash_grid,
+    )
+
+    for doc_id in list(range(40)) + [40, 85, 163, 247, 361, 499, 1234]:
+        sig = _dhash_fixture_sig(doc_id)
+        assert 0 <= sig < (1 << 63)  # bit 63 clear by construction
+        img = np.kron(
+            _render_dhash_grid(sig), np.ones((2, 2), dtype=np.uint8)
+        )
+        payload = encode_gif(np.repeat(img[:, :, None], 3, axis=2))
+        assert dhash64(decode_image_gray(payload)) == sig
+
+
+def _brute_pairs(sigs, radius):
+    out = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= radius:
+                out.add((a, b, d))
+    return out
+
+
+@pytest.mark.parametrize("radius,n_bands", [(3, 8), (7, 8), (1, 4)])
+def test_banded_pairs_equal_brute_force(spark, radius, n_bands):
+    """radius < n_bands ⇒ pigeonhole exactness: the banded join must
+    emit exactly the brute-force pair set. Corpus is engineered to hold
+    clusters at several distances plus far-apart noise."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    rng = np.random.RandomState(13)
+    sigs = {}
+    base = int(rng.randint(0, 1 << 62))
+    for i in range(30):
+        # clusters of ids perturbing 0..9 random bit positions
+        flips = rng.choice(64, size=i % 10, replace=False)
+        v = base
+        for f in flips:
+            v ^= 1 << int(f)
+        sigs[i] = v
+    for i in range(30, 60):  # independent noise
+        sigs[i] = int(rng.randint(0, 1 << 63))
+    want = _brute_pairs(sigs, radius)
+    df = spark.createDataFrame(
+        [(k, v - (1 << 64) if v >= (1 << 63) else v)
+         for k, v in sigs.items()],
+        "media_id long, sig long",
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in hamming_neardup_pairs(
+            df, radius=radius, n_bands=n_bands
+        ).collect()
+    }
+    assert got == want
+
+
+def test_banded_pairs_validation():
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    with pytest.raises(ValueError, match="divide 64"):
+        hamming_neardup_pairs(None, radius=2, n_bands=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_neardup_pairs(None, radius=8, n_bands=8)
+
+
+def test_image_signatures_operator(spark):
+    """(id, payload) → (id, sig) through one Arrow stage; ahash and
+    dhash kinds both route."""
+    from vector_lake_spark.gif import encode_gif
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for i in range(6):
+        gray = (rng.randint(0, 32, size=(16, 18)) * 8).astype(np.uint8)
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        rows.append((i, bytearray(encode_gif(rgb)), gray))
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], "media_id long, payload binary"
+    )
+    got = {
+        r.media_id: r.sig
+        for r in image_signatures(df, kind="dhash").collect()
+    }
+    for i, _p, gray in rows:
+        assert got[i] == dhash64(gray.astype(np.float64))
+    got_a = {
+        r.media_id: r.sig
+        for r in image_signatures(df, kind="ahash").collect()
+    }
+    for i, _p, gray in rows:
+        assert got_a[i] == ahash64(gray.astype(np.float64))

@@ -214,3 +214,36 @@ def test_banded_neardup_bucket_cap(spark):
     assert capped <= full
     # every blob-internal pair sits only in 40-row buckets -> suppressed
     assert not any(a < 100 and b < 100 for a, b in capped)
+
+
+def test_auto_band_bits_density_rule():
+    """r10 (VERDICT r09 #2): the corpus-sized band width. At oracle
+    scales it must resolve to the static-oracle floor (2), on the r09
+    cliff corpus (200k rows, 16 shards) to the measured-safe 6, and it
+    must never fall below the floor or grow without bound."""
+    from vector_lake_spark.operators.ann import auto_band_bits
+
+    assert auto_band_bits(0, 16) == 2
+    assert auto_band_bits(500, 16) == 2      # sf0.01
+    assert auto_band_bits(5_000, 16) == 2    # sf0.1
+    assert auto_band_bits(16_384, 16) == 2   # exactly at the floor edge
+    assert auto_band_bits(200_000, 16) == 6  # the measured cliff corpus
+    assert auto_band_bits(2_000_000, 16) == 9
+    assert auto_band_bits(10**12, 16) == 16  # ceiling
+
+
+def test_auto_band_bits_is_default_in_registry(spark):
+    """The registry entries pass band_bits=None; at test scale the auto
+    rule must reproduce the fixed-width pair set exactly (the oracle
+    contract depends on it)."""
+    from vector_lake_spark import queries as Q
+    from vector_lake_spark.operators.ann import lsh_neardup_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(threshold=Q.NEARDUP_COS_THRESHOLD, n_bands=Q.NEARDUP_N_BANDS,
+              carry_vectors=True)
+    auto = {(r.id_a, r.id_b) for r in
+            lsh_neardup_pairs(df, Q.H4, band_bits=None, **kw).collect()}
+    fixed = {(r.id_a, r.id_b) for r in
+             lsh_neardup_pairs(df, Q.H4, band_bits=2, **kw).collect()}
+    assert auto == fixed and auto

@@ -955,6 +955,37 @@ def test_neardup_bucket_cap_exchange_economy(spark):
     assert len(narrow_key_ex) >= 2, ex
 
 
+def test_image_neardup_shuffles_signatures_not_pixels(spark):
+    """mm_image_neardup's scale contract (VERDICT r09 #1): the decoded
+    pixels and the encoded payloads live and die inside the Arrow
+    stages — no exchange ever carries the payload column; the pair
+    join (broadcast disabled = the 100 TB shape) is an equi-join on
+    (band, bkey) with exactly one hash exchange per side, and the
+    documents scan is pruned to doc_id."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = Q.q_mm_image_neardup(spark, SF)
+        simple = plan_string(df, "simple")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    bucket_ex = [
+        sec.split("\n")[0]
+        for sec in simple.split("Exchange ")[1:]
+        if sec.startswith("hashpartitioning")
+    ]
+    assert len(bucket_ex) == 2, simple  # one per join side (AQE reuses)
+    for head in bucket_ex:
+        assert "band" in head and "bkey" in head, head
+    for sec in simple.split("Exchange ")[1:]:
+        assert "payload" not in sec.split("\n")[0], sec.split("\n")[0]
+    read_schema = simple.split("ReadSchema")[1].split("\n")[0]
+    assert "struct<doc_id:bigint>" in read_schema, read_schema
+
+
 def test_mp3_probe_single_arrow_stage_no_shuffle(spark):
     """mm_mp3_probe: the audio-probe entry keeps the per-row codec
     contract — one Arrow stage, no hash exchange, document text pruned

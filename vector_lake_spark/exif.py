@@ -1,0 +1,199 @@
+"""EXIF metadata probe — JPEG APP1 and TIFF IFD0/Exif-IFD, probe-only.
+
+Real pipelines rotate images by EXIF orientation BEFORE hashing or
+training (a dHash of a sideways image will not match its upright twin),
+and dedup stages read capture timestamps and pixel dimensions without
+decoding a single MCU. EXIF is just a TIFF structure: a JPEG APP1
+segment whose body is ``Exif\\0\\0`` + a complete byte-order-tagged TIFF
+(IFD0 with Orientation 0x0112 / DateTime 0x0132 and an Exif-IFD pointer
+0x8769 whose IFD carries PixelXDimension 0xA002 / PixelYDimension
+0xA003 / DateTimeOriginal 0x9003). ``tiff._read_ifd`` already parses
+both byte orders, so this module is a marker walk plus two IFD reads —
+no new binary machinery (VERDICT r09 #7).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from vector_lake_spark.tiff import _read_ifd, is_tiff
+
+_ORIENTATION = 0x0112
+_DATETIME = 0x0132
+_EXIF_IFD = 0x8769
+_PIXEL_X = 0xA002
+_PIXEL_Y = 0xA003
+_DATETIME_ORIGINAL = 0x9003
+
+
+def _exif_app1_body(payload: bytes) -> bytes | None:
+    """The TIFF blob inside a JPEG's APP1 Exif segment, or None. Walks
+    markers up to SOS only — EXIF precedes entropy data by spec."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # SOS / EOI: no EXIF past here
+            return None
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return body[6:]
+        pos += 2 + seglen
+    return None
+
+
+def _ascii_tag(vals: list) -> str | None:
+    if not vals:
+        return None
+    return bytes(vals).split(b"\x00", 1)[0].decode("ascii", "replace")
+
+
+def probe_exif(payload: bytes) -> dict:
+    """Orientation / pixel dimensions / timestamps from a JPEG's APP1
+    Exif segment or a TIFF's IFD0 — header arithmetic only, no pixel
+    read. Returns ``has_exif=False`` (other fields None) for payloads
+    without EXIF rather than raising: at table scale absence is data,
+    not an error."""
+    out = {
+        "has_exif": False,
+        "byte_order": None,
+        "orientation": None,
+        "width": None,
+        "height": None,
+        "datetime": None,
+        "datetime_original": None,
+    }
+    if payload[:2] == b"\xff\xd8":
+        tiff_blob = _exif_app1_body(bytes(payload))
+        if tiff_blob is None:
+            return out
+    elif is_tiff(bytes(payload)):
+        tiff_blob = bytes(payload)
+    else:
+        raise ValueError("probe_exif expects a JPEG or TIFF payload")
+    if len(tiff_blob) < 8 or tiff_blob[:2] not in (b"II", b"MM"):
+        raise ValueError("corrupt EXIF: bad TIFF byte-order mark")
+    lt = "<" if tiff_blob[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(lt + "H", tiff_blob, 2)
+    if magic != 42:
+        raise ValueError("corrupt EXIF: TIFF magic != 42")
+    (ifd0_off,) = struct.unpack_from(lt + "I", tiff_blob, 4)
+    ifd0, _next = _read_ifd(tiff_blob, ifd0_off, lt)
+    out["has_exif"] = True
+    out["byte_order"] = "II" if lt == "<" else "MM"
+    if _ORIENTATION in ifd0:
+        out["orientation"] = int(ifd0[_ORIENTATION][0])
+    if _DATETIME in ifd0:
+        out["datetime"] = _ascii_tag(ifd0[_DATETIME])
+    if _EXIF_IFD in ifd0:
+        exif_ifd, _ = _read_ifd(tiff_blob, int(ifd0[_EXIF_IFD][0]), lt)
+        if _PIXEL_X in exif_ifd:
+            out["width"] = int(exif_ifd[_PIXEL_X][0])
+        if _PIXEL_Y in exif_ifd:
+            out["height"] = int(exif_ifd[_PIXEL_Y][0])
+        if _DATETIME_ORIGINAL in exif_ifd:
+            out["datetime_original"] = _ascii_tag(
+                exif_ifd[_DATETIME_ORIGINAL]
+            )
+    return out
+
+
+def _ifd_entry(lt, tag, typ, count, value_bytes, data_off):
+    """One 12-byte IFD entry; values > 4 bytes go to the data area."""
+    if len(value_bytes) <= 4:
+        return (
+            struct.pack(lt + "HHI", tag, typ, count)
+            + value_bytes.ljust(4, b"\x00"),
+            b"",
+            data_off,
+        )
+    return (
+        struct.pack(lt + "HHI", tag, typ, count)
+        + struct.pack(lt + "I", data_off),
+        value_bytes,
+        data_off + len(value_bytes) + (len(value_bytes) & 1),
+    )
+
+
+def build_exif_tiff(
+    orientation: int,
+    width: int,
+    height: int,
+    datetime: str,
+    datetime_original: str,
+    byte_order: str = "II",
+) -> bytes:
+    """A minimal, spec-layout EXIF TIFF blob (IFD0 + Exif IFD) in either
+    byte order — the writer half of the probe's oracle gate."""
+    lt = "<" if byte_order == "II" else ">"
+    dt = datetime.encode("ascii") + b"\x00"
+    dto = datetime_original.encode("ascii") + b"\x00"
+
+    def _ifd(entries, ifd_off):
+        """entries: list of (tag, typ, count, value_bytes); returns the
+        serialized IFD (+ its spill data) with offsets resolved."""
+        n = len(entries)
+        data_off = ifd_off + 2 + 12 * n + 4
+        body = struct.pack(lt + "H", n)
+        spill = b""
+        for tag, typ, count, vb in entries:
+            ent, extra, data_off = _ifd_entry(lt, tag, typ, count, vb, data_off)
+            body += ent
+            spill += extra + (b"\x00" if len(extra) & 1 else b"")
+        return body, spill, data_off
+
+    # layout: header(8) | IFD0 | IFD0 spill | ExifIFD | spill
+    ifd0_off = 8
+    # IFD0 needs the Exif-IFD offset before Exif IFD is placed: compute
+    # IFD0's span first with a placeholder, then patch.
+    ifd0_entries = [
+        (_ORIENTATION, 3, 1, struct.pack(lt + "H", orientation)),
+        (_DATETIME, 2, len(dt), dt),
+        (_EXIF_IFD, 4, 1, struct.pack(lt + "I", 0)),  # patched below
+    ]
+    body0, spill0, after0 = _ifd(ifd0_entries, ifd0_off)
+    exif_off = after0
+    ifd0_entries[2] = (_EXIF_IFD, 4, 1, struct.pack(lt + "I", exif_off))
+    body0, spill0, _ = _ifd(ifd0_entries, ifd0_off)
+    exif_entries = [
+        (_DATETIME_ORIGINAL, 2, len(dto), dto),
+        (_PIXEL_X, 4, 1, struct.pack(lt + "I", width)),
+        (_PIXEL_Y, 4, 1, struct.pack(lt + "I", height)),
+    ]
+    bodyE, spillE, _ = _ifd(exif_entries, exif_off)
+    header = (
+        (b"II" if lt == "<" else b"MM")
+        + struct.pack(lt + "H", 42)
+        + struct.pack(lt + "I", ifd0_off)
+    )
+    # an IFD body is count + entries + next-IFD pointer (0), then spill
+    blob = header + body0 + struct.pack(lt + "I", 0) + spill0
+    assert len(blob) == exif_off, (len(blob), exif_off)
+    blob += bodyE + struct.pack(lt + "I", 0) + spillE
+    return blob
+
+
+def insert_exif_app1(jpeg: bytes, tiff_blob: bytes) -> bytes:
+    """Splice an APP1 Exif segment right after SOI — where cameras put
+    it (before any DQT/SOF)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    body = b"Exif\x00\x00" + tiff_blob
+    if len(body) + 2 > 0xFFFF:
+        raise ValueError("EXIF blob too large for one APP1 segment")
+    return (
+        jpeg[:2]
+        + b"\xff\xe1"
+        + struct.pack(">H", len(body) + 2)
+        + body
+        + jpeg[2:]
+    )

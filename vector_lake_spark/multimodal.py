@@ -188,11 +188,13 @@ def _png_samples(rows, w, ch, depth):
     return vals[:, : w * ch]
 
 
-def decode_png(payload: bytes) -> dict:
-    """REAL decode of a PNG (grayscale / RGB / palette / RGBA) with
-    pure stdlib ``zlib`` + numpy: chunk walk, DEFLATE inflate, full
-    scanline filter reconstruction (None/Sub/Up/Average/Paeth), then
-    dimensions + per-channel means.
+def decode_png_pixels(payload: bytes):
+    """REAL decode of a PNG (grayscale / RGB / palette / RGBA) to its
+    pixel array — (h, w, ch) float64 in the file's native sample domain
+    (palette resolved to RGB) — with pure stdlib ``zlib`` + numpy:
+    chunk walk, DEFLATE inflate, full scanline filter reconstruction
+    (None/Sub/Up/Average/Paeth). Split out of ``decode_png`` in r10 so
+    perceptual hashing (``operators/imagehash.py``) can reach pixels.
 
     r08 closed the format gates: EVERY legal IHDR combination decodes —
     bit depths 1/2/4 (gray + palette, MSB-first unpacking), 8, and 16
@@ -269,6 +271,19 @@ def decode_png(payload: bytes) -> dict:
         ch = 3
     else:
         px = samp.reshape(h, w, ch).astype(np.float64)
+    return px
+
+
+def decode_png(payload: bytes) -> dict:
+    """Stats-shaped PNG decode (dimensions + per-channel means) over
+    ``decode_png_pixels``. Channel means are reported in the file's
+    native sample domain (0..65535 for 16-bit, 0..2^d-1 for shallow
+    grays) — the same raw-domain stance as ``decode_wav``'s
+    width-dependent RMS. Illegal depth/color combos are corrupt input
+    (ValueError), not NotImplementedError (r08 closed every legal IHDR
+    combination: depths 1/2/4/8/16 and Adam7 interlacing)."""
+    px = decode_png_pixels(payload)
+    h, w, ch = px.shape
     if ch == 1:
         mr = mg = mb = float(px.mean())
     else:  # RGB / RGBA (alpha excluded from the channel means)
@@ -401,8 +416,9 @@ def _decode_wav_ext(payload: bytes) -> dict:
     float (3), A-law (6), μ-law (7), and WAVE_FORMAT_EXTENSIBLE
     (0xFFFE, resolved through the SubFormat GUID's leading tag —
     including extensible INTEGER PCM, the form multichannel/24-bit
-    encoders emit). Anything else (ADPCM variants, MP3-in-WAV …)
-    raises a named NotImplementedError."""
+    encoders emit), and IMA/DVI ADPCM (0x0011 — ``adpcm.py``, r10).
+    Anything else (MS ADPCM, MP3-in-WAV …) raises a named
+    NotImplementedError."""
     import struct
 
     import numpy as np
@@ -411,6 +427,7 @@ def _decode_wav_ext(payload: bytes) -> dict:
         raise ValueError("not a RIFF/WAVE payload")
     fmt = None
     data = None
+    fact_frames = None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -422,12 +439,16 @@ def _decode_wav_ext(payload: bytes) -> dict:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt /data chunk")
     if len(fmt) < 16:
         raise ValueError(f"WAV fmt chunk too short ({len(fmt)} bytes)")
-    tag, n_channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt)
+    tag, n_channels, rate, _br, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt
+    )
     if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
         if len(fmt) < 26:
             raise ValueError("extensible WAV fmt chunk too short")
@@ -457,10 +478,21 @@ def _decode_wav_ext(payload: bytes) -> dict:
             raise ValueError(f"integer-PCM WAV with {bits}-bit samples")
         samples = _pcm_samples(data, bits // 8)
         codec = "pcm"
+    elif tag == 0x11:  # IMA/DVI ADPCM (r10 — was a named gate)
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV with {bits}-bit nibbles")
+        from vector_lake_spark.adpcm import ima_adpcm_decode
+
+        samples = ima_adpcm_decode(data, n_channels, block_align)
+        if fact_frames is not None:
+            # the spec's fact chunk carries the true frame count; the
+            # final block may be zero-padded past it
+            samples = samples[: fact_frames * n_channels]
+        codec = "ima_adpcm"
     else:
         raise NotImplementedError(
             f"WAV format tag {tag} unsupported (integer PCM, IEEE float, "
-            f"G.711 A-law/μ-law decode natively)"
+            f"G.711 A-law/μ-law and IMA ADPCM decode natively)"
         )
     if n_channels < 1:
         raise ValueError("WAV with zero channels")

@@ -88,6 +88,37 @@ def lsh_topk(
     return topk_cosine(pruned, query, k, vec_col=vec_col, id_col=id_col)
 
 
+def auto_band_bits(
+    n_rows: int,
+    n_shards: int,
+    target_density: int = 256,
+    floor: int = 2,
+    ceiling: int = 16,
+) -> int:
+    """Corpus-sized band width for ``lsh_neardup_pairs`` — the density
+    rule from its docstring made executable (VERDICT r09 #2): expected
+    rows per (shard, band, key) bucket is n / (n_shards · 2^band_bits),
+    and the bucket join's candidate count grows with density², so size
+    2^band_bits to hold density at ``target_density``:
+
+        band_bits = max(floor, ceil(log2(n / (n_shards · D))))
+
+    At the driver's oracle scales this resolves to the shallow ``floor``
+    (sf0.01: 500 rows → 2; sf0.1: 5 000 → 2 — recall at the low test
+    threshold is preserved and the static SQL oracles stay exact), and
+    on the measured r09 cliff corpus (200 000 rows, 16 shards) it
+    resolves to 6 — the config measured at 216 s where the fixed
+    band_bits=2 default took 2 038 s (SCALE.md, semantic-dedup rung)."""
+    import math
+
+    if n_rows <= 0:
+        return floor
+    density = n_rows / (n_shards * target_density)
+    if density <= 1:
+        return floor
+    return min(ceiling, max(floor, math.ceil(math.log2(density))))
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     hyperplanes: np.ndarray,
@@ -95,7 +126,7 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bands: int = 0,
-    band_bits: int = 0,
+    band_bits: int | None = 0,
     band_seed: int = 137,
     carry_vectors: bool = False,
     max_bucket_size: int | None = None,
@@ -178,6 +209,14 @@ def lsh_neardup_pairs(
         make_band_hyperplanes,
         shard_id_expr,
     )
+
+    if n_bands and band_bits is None:
+        # auto-size the band width from the corpus (r10, VERDICT r09 #2):
+        # one count job — cheap against the banded join it protects, and
+        # at 100 TB a count over parquet footers is metadata work. The
+        # seeded hyperplanes depend only on the RESULT, so the pair set
+        # stays a deterministic function of (corpus, seed).
+        band_bits = auto_band_bits(df.count(), 2 ** len(hyperplanes))
 
     base = df.select(
         F.col(id_col).alias("id"),

@@ -100,6 +100,96 @@ def hamming_expr(sig_cols: Sequence[str], qsig: Sequence[int]) -> Column:
     return hamming_from_exprs([F.col(c) for c in sig_cols], qsig)
 
 
+def hamming_neardup_pairs(
+    df: DataFrame,
+    radius: int,
+    sig_col: str = "sig",
+    id_col: str = "media_id",
+    n_bands: int = 8,
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose single-int64 signatures are within
+    Hamming ``radius`` — the pair-generation half of the perceptual
+    near-dup stack (``operators/imagehash`` produces the signatures).
+
+    Banding (r10): the 64-bit signature splits into ``n_bands`` equal
+    bit bands; a pair is a candidate iff it agrees EXACTLY on at least
+    one band, then XOR + bit_count re-checks the true distance. By
+    pigeonhole, a pair at distance d < n_bands cannot disagree in every
+    band, so for ``radius < n_bands`` this is EXACT — identical output
+    to the quadratic all-pairs join — while the join key (band, 8-bit
+    key) bounds bucket sizes by corpus/256 per band regardless of skew.
+    This is the same banded-equi-join shape as ``ann.lsh_neardup_pairs``
+    but with a recall *guarantee* instead of an LSH probability (sign
+    bands are the signature itself, not a random projection).
+
+    Shuffle economy: signatures are 8 bytes, so they ride the band join
+    (no second join to re-attach payloads); each pair is emitted at its
+    FIRST matching band (earlier-band keys must differ — the residual
+    predicate from ann.py), so no dedup exchange is needed. One hash
+    exchange of n_bands × (id, sig, key) rows total."""
+    if not 0 < n_bands <= 64 or 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if radius >= n_bands:
+        raise ValueError(
+            f"radius {radius} >= n_bands {n_bands}: the pigeonhole "
+            f"guarantee needs radius < n_bands (raise n_bands or use "
+            f"an LSH strategy for lossy recall)"
+        )
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    sig = F.col(sig_col)
+    keys = df.select(
+        F.col(id_col).alias("id"),
+        sig.alias("s"),
+        F.array(
+            *[
+                F.shiftrightunsigned(sig, b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                for b in range(n_bands)
+            ]
+        ).alias("bkeys"),
+    ).select(
+        "id",
+        "s",
+        "bkeys",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_bands)])
+        ).alias("band"),
+    ).select(
+        "id", "s", "band",
+        F.element_at("bkeys", F.col("band") + 1).alias("bkey"),
+        "bkeys",
+    )
+    a = keys.select(
+        F.col("id").alias("id_a"), F.col("s").alias("sa"),
+        "band", "bkey", F.col("bkeys").alias("bka"),
+    )
+    b = keys.select(
+        F.col("id").alias("id_b"), F.col("s").alias("sb"),
+        "band", "bkey", F.col("bkeys").alias("bkb"),
+    )
+    from functools import reduce
+
+    first_match = reduce(
+        lambda acc, j: acc
+        & (
+            (F.col("band") <= F.lit(j))
+            | (F.element_at("bka", j + 1) != F.element_at("bkb", j + 1))
+        ),
+        range(n_bands - 1),
+        F.col("id_a") < F.col("id_b"),
+    )
+    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(first_match)
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= radius)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def _write_sidecar(spark, location: str, meta: dict) -> None:
     """The ONE sidecar serialization path (build and _write_meta both
     route here — the IVF bootstrap-drift lesson, ann.py:502)."""

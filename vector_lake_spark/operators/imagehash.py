@@ -1,0 +1,182 @@
+"""Perceptual image signatures (dHash / aHash) and the Spark operator
+that computes them — the image leg of the near-duplicate family.
+
+A 100 TB curation pipeline (LAION/DataComp-style) needs image-level
+near-dup BEFORE any embedding model runs: two crops/re-encodes of the
+same picture should collapse under a cheap integer signature. The
+classic answer is a difference hash (dHash): area-downsample the
+grayscale image to a 9×8 grid, compare horizontal neighbors, and pack
+the 64 "is the right pixel brighter" bits into one int64. Re-encoding,
+scaling and small noise perturb few bits, so near-dups sit at small
+Hamming distance — which the banded-Hamming pair machinery
+(``operators/binary.hamming_neardup_pairs``) turns into an equi-join
+problem: with 8 bands of 8 bits, any pair within distance ≤ 7 MUST
+agree on at least one whole band (pigeonhole), so banded candidates +
+exact XOR/bit_count re-check is EXACT at those radii — not an
+approximation like hyperplane LSH.
+
+Scale posture: pixels never leave the Arrow stage — the decoder and
+the hash both run inside one ``mapInPandas`` and only (id, int64
+signature) rows shuffle. The reference has no image operators at all
+(SURVEY §2.B multimodal); decoders are this repo's own
+(gif/jpeg/tiff/png/vp8l modules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+
+def _to_gray(px: np.ndarray) -> np.ndarray:
+    """(h, w[, ch]) array in any sample domain → (h, w) float64 luma.
+    Integer-coefficient Rec.601 luma for color; alpha ignored."""
+    a = np.asarray(px, dtype=np.float64)
+    if a.ndim == 2:
+        return a
+    if a.ndim == 3:
+        if a.shape[2] == 1:
+            return a[:, :, 0]
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        return (299 * r + 587 * g + 114 * b) / 1000.0
+    raise ValueError(f"expected 2-D or 3-D pixel array, got {a.shape}")
+
+
+def _box_resample(gray: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Area (box) downsample to (rows, cols). Exact block means when the
+    dimensions divide (the fixture path: 2× upscaled grids reduce back
+    to their exact cell values); otherwise each output cell averages
+    the input cells its box overlaps, weighted by overlap — plain
+    summed-area arithmetic, no external resampler."""
+    h, w = gray.shape
+    if h % rows == 0 and w % cols == 0:
+        return gray.reshape(rows, h // rows, cols, w // cols).mean(
+            axis=(1, 3)
+        )
+    # integral-image area averaging for non-dividing geometries
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    ys = np.linspace(0, h, rows + 1)
+    xs = np.linspace(0, w, cols + 1)
+
+    def _area(y0, y1, x0, x1):
+        # fractional-box area sum via the integral image on the integer
+        # grid plus linear edge interpolation is overkill for a hash;
+        # snap to nearest integer boundaries (standard for dHash)
+        y0i, y1i = int(round(y0)), max(int(round(y1)), int(round(y0)) + 1)
+        x0i, x1i = int(round(x0)), max(int(round(x1)), int(round(x0)) + 1)
+        y1i, x1i = min(y1i, h), min(x1i, w)
+        s = ii[y1i, x1i] - ii[y0i, x1i] - ii[y1i, x0i] + ii[y0i, x0i]
+        return s / ((y1i - y0i) * (x1i - x0i))
+
+    out = np.empty((rows, cols), dtype=np.float64)
+    for r in range(rows):
+        for c in range(cols):
+            out[r, c] = _area(ys[r], ys[r + 1], xs[c], xs[c + 1])
+    return out
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash: 9×8 box downsample, bit (y*8 + x) set iff
+    grid[y, x+1] > grid[y, x] (strict; ties are 0). Returns a SIGNED
+    int64 (bit 63 = row 7's last comparison) — Hamming distance via
+    XOR + popcount is two's-complement safe on both Spark and DuckDB."""
+    grid = _box_resample(_to_gray(px), 8, 9)
+    bits = grid[:, 1:] > grid[:, :-1]  # (8, 8), row-major
+    v = 0
+    for p in np.flatnonzero(bits.reshape(-1)):
+        v |= 1 << int(p)
+    # two's complement into int64 range
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def ahash64(px: np.ndarray) -> int:
+    """Average hash: 8×8 box downsample, bit (y*8 + x) set iff the cell
+    is strictly brighter than the grid mean. Coarser than dHash (global
+    mean shifts under exposure changes) but catches flat-region dups
+    dHash misses; the pair machinery is identical."""
+    grid = _box_resample(_to_gray(px), 8, 8)
+    bits = grid > grid.mean()
+    v = 0
+    for p in np.flatnonzero(bits.reshape(-1)):
+        v |= 1 << int(p)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def decode_image_gray(payload: bytes) -> np.ndarray:
+    """Magic-dispatched pixel decode → (h, w) float64 luma, over the
+    repo's own codecs (the pixels-level twin of
+    ``multimodal._decode_image``'s stats dispatch): GIF, PNG, JPEG,
+    lossless WebP, TIFF and BMP."""
+    b = bytes(payload)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from vector_lake_spark.gif import decode_gif_pixels
+
+        return _to_gray(decode_gif_pixels(b))
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        from vector_lake_spark.multimodal import decode_png_pixels
+
+        return _to_gray(decode_png_pixels(b))
+    if b[:2] == b"\xff\xd8":
+        from vector_lake_spark.jpeg import decode_jpeg_pixels
+
+        return _to_gray(decode_jpeg_pixels(b))
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from vector_lake_spark.vp8l import decode_webp_pixels
+
+        return _to_gray(decode_webp_pixels(b)["pixels"])
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from vector_lake_spark.tiff import decode_tiff_pixels
+
+        return _to_gray(decode_tiff_pixels(b))
+    if b[:2] == b"BM":
+        from vector_lake_spark.multimodal import decode_bmp
+
+        # decode_bmp is stats-shaped; BMP rows are trivial enough to
+        # slice here (uncompressed 24-bit, bottom-up, 4-byte padded)
+        import struct
+
+        off, = struct.unpack_from("<I", b, 10)
+        w, h = struct.unpack_from("<ii", b, 18)
+        if h < 0:
+            raise ValueError("top-down BMP unsupported in gray dispatch")
+        row = (w * 3 + 3) & ~3
+        px = np.frombuffer(
+            b, dtype=np.uint8, count=h * row, offset=off
+        ).reshape(h, row)[::-1, : w * 3].reshape(h, w, 3)
+        return _to_gray(px[:, :, ::-1])  # BGR → RGB
+    raise NotImplementedError(
+        "unrecognized image payload for perceptual hashing (GIF, PNG, "
+        "JPEG, lossless WebP, TIFF and BMP decode natively)"
+    )
+
+
+def image_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    kind: str = "dhash",
+) -> DataFrame:
+    """(id, payload) → (id, sig int64) perceptual signatures through ONE
+    Arrow ``mapInPandas`` stage: decode + downsample + hash per row,
+    pixels never serialized out of Python. Downstream, feed
+    ``binary.hamming_neardup_pairs`` (exact at radius < n_bands) or the
+    ``vec_topk_hamming`` XOR kernel for query-time lookup."""
+    import pandas as pd
+
+    hasher = {"dhash": dhash64, "ahash": ahash64}[kind]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            sigs = [
+                hasher(decode_image_gray(p)) for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": pd.array(sigs, "int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} long, sig long"
+    )

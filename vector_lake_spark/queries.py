@@ -70,6 +70,13 @@ NEARDUP_COS_THRESHOLD = 0.35  # max pairwise sim in testdata ≈ 0.46
 # (measured at sf0.01: 38/40 pairs). At a production threshold (≥0.8) use
 # deeper bands (band_bits 6-8) for ~30x candidate reduction — ann.py.
 NEARDUP_N_BANDS = 8
+# The band width the ORACLES bake into their SQL. The Spark queries pass
+# band_bits=None (r10) so ann.auto_band_bits sizes the width from the
+# corpus; at every scale the driver/oracle runs at (n ≤ 16·256·2^2 =
+# 16 384 rows) the rule resolves to exactly this floor, keeping the
+# static SQL and the Spark plan in lockstep. Only past ~16k rows do the
+# two diverge — by design: that is the measured cliff where fixed
+# 2-bit bands go quadratic (SCALE.md, semantic-dedup mult100 rung).
 NEARDUP_BAND_BITS = 2
 NEARDUP_BANDS = lsh_mod.make_band_hyperplanes(
     DIM, NEARDUP_N_BANDS, NEARDUP_BAND_BITS
@@ -455,7 +462,11 @@ def q_vec_neardup_lsh(spark, sf):
         H4,
         threshold=NEARDUP_COS_THRESHOLD,
         n_bands=NEARDUP_N_BANDS,
-        band_bits=NEARDUP_BAND_BITS,
+        # r10 (VERDICT r09 #2): band width auto-sizes from the corpus —
+        # ann.auto_band_bits resolves to NEARDUP_BAND_BITS (=2) at every
+        # oracle scale (≤ 16·256·4 rows), so the static SQL stays exact,
+        # and to the measured-safe 6 on the 200k cliff corpus
+        band_bits=None,
         carry_vectors=True,
     )
 
@@ -511,7 +522,9 @@ def q_vec_semantic_dedup(spark, sf):
         H4,
         threshold=NEARDUP_COS_THRESHOLD,
         n_bands=NEARDUP_N_BANDS,
-        band_bits=NEARDUP_BAND_BITS,
+        band_bits=None,  # auto-sized (r10): =2 at oracle scales, =6 on
+        # the r09 mult100 cliff corpus — fixes the measured 2038 s
+        # quadratic without touching the sf0.01/sf0.1 pair sets
         carry_vectors=True,  # dense candidates at this threshold — see
         # q_vec_neardup_lsh and SCALE.md "Near-dup at 200k rows"
     )
@@ -7740,7 +7753,12 @@ def q_mm_container_probe(spark, sf):
     The oracle recomputes every probed integer arithmetically, so a
     green hash proves RIFF, ISO-BMFF and EBML mux+probe each agree
     with an independent derivation, plus `probe_media`'s container
-    naming, codec naming and decodability routing."""
+    naming, codec naming and decodability routing. r10 widens the
+    Matroska leg with a lacing factor ((doc_id//3)%4: un-laced, Xiph,
+    EBML, fixed — all frames in ONE laced SimpleBlock): the probed
+    integers are unchanged BY SPEC, so the same oracle hash now also
+    proves the lace-count frame arithmetic (a laced block counted as
+    one frame would shift n_frames and duration and go red)."""
     from vector_lake_spark.avi import encode_avi_mjpeg
     from vector_lake_spark.jpeg import encode_jpeg
     from vector_lake_spark.mkv import encode_mkv_mjpeg
@@ -7754,6 +7772,7 @@ def q_mm_container_probe(spark, sf):
         (F.col("doc_id") % 3 + 2).cast("int").alias("fps"),
         (F.col("doc_id") % 200).cast("int").alias("shade"),
         (F.col("doc_id") % 3).cast("int").alias("kind"),
+        ((F.col("doc_id") / 3).cast("long") % 4).cast("int").alias("lace"),
     )
 
     def mux(it):
@@ -7761,6 +7780,7 @@ def q_mm_container_probe(spark, sf):
         import pandas as pd
 
         muxers = [encode_avi_mjpeg, encode_mp4_mjpeg, encode_mkv_mjpeg]
+        lacings = (None, "xiph", "ebml", "fixed")
         tile_cache: dict = {}
         for pdf in it:
             rows = []
@@ -7770,7 +7790,15 @@ def q_mm_container_probe(spark, sf):
                         np.full((8, 8), r.shade, dtype=np.uint8), 100
                     )
                 frame = tile_cache[r.shade]
-                payload = muxers[r.kind]([frame] * r.n_frames, r.fps, 8, 8)
+                if r.kind == 2:
+                    payload = encode_mkv_mjpeg(
+                        [frame] * r.n_frames, r.fps, 8, 8,
+                        lacing=lacings[r.lace],
+                    )
+                else:
+                    payload = muxers[r.kind](
+                        [frame] * r.n_frames, r.fps, 8, 8
+                    )
                 rows.append((r.media_id, payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -8013,8 +8041,9 @@ def q_mm_wav_depths(spark, sf):
     formats the stdlib `wave` module refuses: G.711 μ-law and A-law
     (`g711.py`, cross-checked bit-exact against stdlib `audioop` over
     the complete code/sample domain) and IEEE float 32/64, through the
-    manual RIFF walk (`multimodal._decode_wav_ext`). Per document,
-    doc_id%8 picks the mode; a ±amp square wave is muxed and the REAL
+    manual RIFF walk (`multimodal._decode_wav_ext`) — and, r10, IMA
+    ADPCM (`adpcm.py`, tag 0x0011). Per document,
+    doc_id%9 picks the mode; a ±amp square wave is muxed and the REAL
     `decode_wav` reads it back, the emitted codec string coming from
     the decoder, not the parameters. Amplitude choices keep every RMS
     closed-form: integer modes scale past 16 bits (proving the wide
@@ -8024,13 +8053,18 @@ def q_mm_wav_depths(spark, sf):
     formula), floats use base_amp/64 (exact in float32 and at 6-decimal
     rounding). A square wave's RMS is exactly its amplitude, so a green
     hash proves bias handling, sign-extension, both companders and both
-    float widths all invert the writer at table scale."""
+    float widths all invert the writer at table scale. The ADPCM mode
+    crafts the nibble stream itself (±1 deltas at step index 0 — the
+    step table's exact-decode regime), so the reconstructed triangle
+    wave and its RMS are closed-form even though the codec is lossy in
+    general; the fact-chunk trim of the padded final block is part of
+    what the hash proves."""
     from vector_lake_spark.multimodal import decode_wav, encode_wav_ext
 
     d = _t(spark, sf, "documents")
     params = d.select(
         F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % 8).cast("int").alias("mode"),
+        (F.col("doc_id") % 9).cast("int").alias("mode"),
         (F.col("doc_id") % 100 + 1).cast("int").alias("base_amp"),
         ((F.col("doc_id") / 8).cast("long") % 8).cast("int").alias("seg"),
         (F.col("n_chars") % 16).cast("int").alias("quant"),
@@ -8086,7 +8120,7 @@ def q_mm_wav_depths(spark, sf):
                     ).astype(np.int16)
                     payload = encode_wav_ext(sq, 8000, "alaw")
                     bits = 8
-                else:  # IEEE float 32/64, amplitude exact in both
+                elif r.mode in (6, 7):  # IEEE float 32/64
                     famp = r.base_amp / 64.0
                     sq = np.where(
                         np.arange(r.n_samples) % 2 == 0, famp, -famp
@@ -8094,6 +8128,26 @@ def q_mm_wav_depths(spark, sf):
                     fmt = "float32" if r.mode == 6 else "float64"
                     payload = encode_wav_ext(sq, 8000, fmt)
                     bits = 32 if r.mode == 6 else 64
+                else:  # mode 8: IMA ADPCM triangle via crafted nibbles
+                    import struct as _st
+
+                    from vector_lake_spark.adpcm import mux_ima_adpcm_wav
+
+                    P = r.base_amp * 16
+                    n = r.n_samples
+                    u = (n - 1) // 2
+                    dn = n - 1 - u
+                    n_nib = ((n - 1 + 7) // 8) * 8
+                    nibs = [1] * u + [9] * dn + [0] * (n_nib - (n - 1))
+                    packed = bytes(
+                        nibs[i] | (nibs[i + 1] << 4)
+                        for i in range(0, n_nib, 2)
+                    )
+                    block = _st.pack("<hBB", P, 0, 0) + packed
+                    payload = mux_ima_adpcm_wav(
+                        block, 8000, 1, 4 + n_nib // 2, n
+                    )
+                    bits = 4
                 out = decode_wav(payload)
                 rows.append(
                     (
@@ -8125,23 +8179,42 @@ def q_mm_wav_depths(spark, sf):
 SQL_MM_WAV_DEPTHS = """
 WITH p AS (
   SELECT doc_id AS media_id,
-         doc_id % 8 AS mode,
+         doc_id % 9 AS mode,
          (doc_id % 100) + 1 AS base_amp,
          (doc_id // 8) % 8 AS seg,
          n_chars % 16 AS quant,
          ((n_chars % 50) + 10) * 2 AS n
   FROM documents
+),
+t AS (
+  -- IMA ADPCM triangle (mode 8): predictor P, (n-1)//2 +1 steps then
+  -- -1 steps; sum of squares via S2(x) = x(x+1)(2x+1)/6 piecewise
+  SELECT *,
+         base_amp * 16 AS P,
+         (n - 1) // 2 AS u,
+         n - 1 - (n - 1) // 2 AS dn
+  FROM p
+),
+t2 AS (
+  SELECT *,
+         ((P+u)*(P+u+1)*(2*(P+u)+1)) // 6
+           - ((P-1)*P*(2*(P-1)+1)) // 6
+           + ((P+u-1)*(P+u)*(2*(P+u-1)+1)) // 6
+           - ((P+u-dn-1)*(P+u-dn)*(2*(P+u-dn-1)+1)) // 6 AS ss
+  FROM t
 )
 SELECT media_id,
        CASE WHEN mode < 4 THEN 'pcm'
             WHEN mode = 4 THEN 'ulaw'
             WHEN mode = 5 THEN 'alaw'
             WHEN mode = 6 THEN 'float32'
-            ELSE 'float64' END AS codec,
+            WHEN mode = 7 THEN 'float64'
+            ELSE 'ima_adpcm' END AS codec,
        CAST(CASE WHEN mode < 4 THEN (mode + 1) * 8
                  WHEN mode < 6 THEN 8
                  WHEN mode = 6 THEN 32
-                 ELSE 64 END AS INT) AS bits,
+                 WHEN mode = 7 THEN 64
+                 ELSE 4 END AS INT) AS bits,
        CAST(n AS BIGINT) AS n_samples,
        CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
        CAST(CASE
@@ -8150,9 +8223,10 @@ SELECT media_id,
             WHEN mode = 4 THEN ((quant * 8 + 132) << seg) - 132
             WHEN mode = 5 THEN CASE WHEN seg = 0 THEN quant * 16 + 8
                  ELSE (quant * 16 + 264) << (seg - 1) END
-            ELSE base_amp / 64.0
+            WHEN mode < 8 THEN base_amp / 64.0
+            ELSE round(sqrt(CAST(ss AS DOUBLE) / n), 6)
             END AS DOUBLE) AS rms
-FROM p
+FROM t2
 """
 
 
@@ -9619,6 +9693,256 @@ FROM (
 SQL_PIPE_CRAWL_E2E = _sql_pipe_crawl_e2e()
 
 
+def _dhash_fixture_sig(doc_id: int) -> int:
+    """Closed-form target dHash for the image near-dup fixture (r10).
+
+    Near-dup groups: g = doc_id % 40 shares a 63-bit base signature
+    (bit 63 forced 0 so both engines' signed-int64 arithmetic never
+    overflows); member m = doc_id // 40 flips the first 3*(m//2)
+    positions of a group-specific flip sequence. Because each member's
+    flip set is a PREFIX of the next, the Hamming distance between
+    members is exactly |3*(ma//2) - 3*(mb//2)| — pairs of consecutive
+    members are exact dups (distance 0), then 3, 6, ... — a controlled
+    distance ladder the banded-Hamming join must reproduce."""
+    g = doc_id % 40
+    m = doc_id // 40
+    mix = (g * g * 13) % 251
+    base = 0
+    for k in range(8):
+        byte = (g * 37 + k * 101 + mix) % 256
+        if k == 7:
+            byte %= 128  # keep bit 63 clear
+        base |= byte << (8 * k)
+    mask = 0
+    for i in range(3 * (m // 2)):
+        mask |= 1 << ((g * 11 + i * 17) % 63)  # 17 ⟂ 63: distinct
+    return base ^ mask
+
+
+def _render_dhash_grid(sig: int):
+    """9x8 grayscale grid whose dHash is exactly ``sig``: each row walks
+    from 128 in ±8 steps, so grid[y, x+1] > grid[y, x] iff bit y*8+x is
+    set (strictly — ties impossible). Values stay in [64, 192]."""
+    import numpy as np
+
+    grid = np.zeros((8, 9), dtype=np.uint8)
+    for y in range(8):
+        v = 128
+        grid[y][0] = v
+        for x in range(8):
+            v = v + 8 if (sig >> (y * 8 + x)) & 1 else v - 8
+            grid[y][x + 1] = v
+    return grid
+
+
+def q_mm_image_neardup(spark, sf):
+    """Perceptual image near-duplicate pairs — the image leg of the
+    dedup family (r10, VERDICT r09 #1). Per document a REAL image is
+    rendered (the 2x-upscaled dHash grid above), encoded to GIF
+    (lossless palette codec, gif.py), decoded back through the native
+    codec and perceptually hashed inside ONE Arrow stage
+    (operators/imagehash.image_signatures: decode -> box downsample ->
+    dHash; pixels never leave Python). The 8-byte signatures then run
+    the banded-Hamming pair join (operators/binary.
+    hamming_neardup_pairs): 8 bands x 8 bits, so every pair within
+    radius 7 is found EXACTLY (pigeonhole), per-bucket size is bounded
+    by corpus/256 per band, and the only exchange is n_bands narrow
+    (id, sig, key) rows. The oracle reproduces the signatures
+    closed-form (encode -> decode -> downsample is exact by
+    construction) and brute-forces the pair set, which equals the
+    banded result because radius < n_bands."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+    from vector_lake_spark.operators.imagehash import image_signatures
+
+    d = _t(spark, sf, "documents")
+    params = d.select(F.col("doc_id").alias("media_id"))
+
+    def mux(it):
+        import numpy as np
+        import pandas as pd
+
+        from vector_lake_spark.gif import encode_gif
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["media_id"]:
+                grid = _render_dhash_grid(_dhash_fixture_sig(int(doc_id)))
+                img = np.kron(grid, np.ones((2, 2), dtype=np.uint8))
+                payloads.append(
+                    encode_gif(np.repeat(img[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    media = params.mapInPandas(
+        mux, schema="media_id long, payload binary"
+    )
+    sigs = image_signatures(media, kind="dhash")
+    return hamming_neardup_pairs(sigs, radius=7, id_col="media_id")
+
+
+def _sql_mm_image_neardup() -> str:
+    # the 8 base bytes of _dhash_fixture_sig, inlined with their
+    # place-value multipliers (byte 7 is %128 so sigs stay < 2^63)
+    byte_terms = " + ".join(
+        f"((g*37 + {k*101} + (g*g*13) % 251) % {128 if k == 7 else 256})"
+        f" * {1 << (8 * k)}"
+        for k in range(8)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 40 AS g, 3 * ((doc_id // 40) // 2) AS nf
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         xor(
+           CAST({byte_terms} AS BIGINT),
+           COALESCE(CAST(list_sum(list_transform(range(nf), i ->
+             CAST(1 AS BIGINT) << CAST((g*11 + i*17) % 63 AS INT)
+           )) AS BIGINT), 0)
+         ) AS sig
+  FROM p
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
+"""
+
+
+SQL_MM_IMAGE_NEARDUP = _sql_mm_image_neardup()
+
+
+def q_mm_exif_probe(spark, sf):
+    """EXIF orientation/dimension/timestamp probe at table scale (r10,
+    VERDICT r09 #7). Per document a real JPEG is encoded (jpeg.py) and
+    an APP1 Exif segment — a complete byte-order-tagged TIFF with IFD0
+    (Orientation, DateTime, Exif-IFD pointer) and an Exif IFD
+    (PixelX/YDimension, DateTimeOriginal) — is spliced after SOI
+    (exif.py, layout hand-built from the public EXIF/TIFF spec);
+    `probe_exif` walks it back through `tiff._read_ifd`, alternating
+    II/MM byte orders across the sweep. One doc in ten carries NO EXIF
+    (has_exif=false, NULL fields): at crawl scale absence is data, and
+    the oracle hashes that path too. Orientation is what a real
+    pipeline applies BEFORE perceptual hashing (mm_image_neardup) —
+    this probe is the metadata half of that rotate-then-hash stage. No
+    pixel is ever decoded; header arithmetic only."""
+    from vector_lake_spark.exif import (
+        build_exif_tiff,
+        insert_exif_app1,
+        probe_exif,
+    )
+
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8 + 1).cast("int").alias("ori"),
+        ((F.col("doc_id") % 300 + 5) * 16).cast("int").alias("w"),
+        ((F.col("n_chars") % 200 + 4) * 12).cast("int").alias("h"),
+        (F.col("doc_id") % 12 + 1).cast("int").alias("mo"),
+        (F.col("doc_id") % 28 + 1).cast("int").alias("dy"),
+        (F.col("n_chars") % 24).cast("int").alias("hh"),
+        (F.col("n_chars") % 60).cast("int").alias("mi"),
+        (F.col("doc_id") % 60).cast("int").alias("ss"),
+        ((F.col("doc_id") + F.col("n_chars")) % 24).cast("int").alias("hh2"),
+        (F.col("doc_id") % 2 == 0).alias("ii"),
+        (F.col("doc_id") % 10 == 9).alias("bare"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from vector_lake_spark.jpeg import encode_jpeg
+
+        base_jpeg = encode_jpeg(np.full((16, 16), 40, dtype=np.uint8), 90)
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.bare:
+                    payload = base_jpeg
+                else:
+                    dt = f"2024:{r.mo:02d}:{r.dy:02d} {r.hh:02d}:{r.mi:02d}:{r.ss:02d}"
+                    dto = f"2024:{r.mo:02d}:{r.dy:02d} {r.hh2:02d}:{r.mi:02d}:{r.ss:02d}"
+                    payload = insert_exif_app1(
+                        base_jpeg,
+                        build_exif_tiff(
+                            r.ori, r.w, r.h, dt, dto,
+                            "II" if r.ii else "MM",
+                        ),
+                    )
+                info = probe_exif(payload)
+                rows.append(
+                    (
+                        r.media_id,
+                        info["has_exif"],
+                        info["byte_order"],
+                        info["orientation"],
+                        info["width"],
+                        info["height"],
+                        info["datetime"],
+                        info["datetime_original"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "has_exif", "byte_order", "orientation",
+                    "width", "height", "datetime", "datetime_original",
+                ],
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    return params.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, has_exif boolean, byte_order string, "
+            "orientation int, width int, height int, datetime string, "
+            "datetime_original string"
+        ),
+    )
+
+
+SQL_MM_EXIF_PROBE = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 8 + 1 AS ori,
+         (doc_id % 300 + 5) * 16 AS w,
+         (n_chars % 200 + 4) * 12 AS h,
+         doc_id % 12 + 1 AS mo,
+         doc_id % 28 + 1 AS dy,
+         n_chars % 24 AS hh,
+         n_chars % 60 AS mi,
+         doc_id % 60 AS ss,
+         (doc_id + n_chars) % 24 AS hh2,
+         doc_id % 2 = 0 AS ii,
+         doc_id % 10 = 9 AS bare
+  FROM documents
+)
+SELECT media_id,
+       NOT bare AS has_exif,
+       CASE WHEN bare THEN NULL
+            WHEN ii THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(CASE WHEN bare THEN NULL ELSE ori END AS INT) AS orientation,
+       CAST(CASE WHEN bare THEN NULL ELSE w END AS INT) AS width,
+       CAST(CASE WHEN bare THEN NULL ELSE h END AS INT) AS height,
+       CASE WHEN bare THEN NULL
+            ELSE printf('2024:%02d:%02d %02d:%02d:%02d', mo, dy, hh, mi, ss)
+            END AS datetime,
+       CASE WHEN bare THEN NULL
+            ELSE printf('2024:%02d:%02d %02d:%02d:%02d', mo, dy, hh2, mi, ss)
+            END AS datetime_original
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9661,6 +9985,8 @@ _BASE_QUERIES = {
     "mm_rle8_roundtrip": q_mm_rle8_roundtrip,
     "mm_mp3_probe": q_mm_mp3_probe,
     "mm_ogg_probe": q_mm_ogg_probe,
+    "mm_image_neardup": q_mm_image_neardup,
+    "mm_exif_probe": q_mm_exif_probe,
     "pipe_url_dedup": q_pipe_url_dedup,
     "text_gopher_rules": q_text_gopher_rules,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
@@ -9866,28 +10192,27 @@ _LAST_DRIVER_ROUND = _last_driver_rounds()
 # _FRONTLOAD pins names to the very front of the window, AHEAD of
 # never-checked entries — used when the implementation neighborhood of an
 # already-checked entry was rewritten and the evidence must be refreshed
-# this round regardless of age. r09 pins the six entries over the shingle
-# join whose default df-cap changed (NGRAM_MAX_SHINGLE_FREQ 1000 → the
-# operator default 64 — a no-op at sf0.01 where max df is 7, but the
-# evidence must re-attach to the new code), plus the two codec entries
-# whose modules took r08-advice hardening (flac.py rate validation,
-# webp.py empty-ANMF guard). See docs/ROTATION.md for the policy.
+# this round regardless of age. r10 pins the six entries whose code (or
+# oracle values) changed this round:
+#   - mm_wav_depths: matrix widened doc_id%8 → %9 (IMA ADPCM mode —
+#     adpcm.py; every row's mode shifted, oracle values changed)
+#   - mm_container_probe: Matroska leg gained the lacing factor and the
+#     probe now counts laced frames (mkv.py lacing decode, r10)
+#   - mm_ogg_probe: channel count decorrelated from the codec bit
+#     (r09 advice; oracle values changed)
+#   - mm_mp3_probe: is_mp3 now requires a second consecutive header
+#     (r09 advice; routing neighborhood changed, values unchanged)
+#   - vec_neardup_lsh / vec_semantic_dedup: band_bits=None auto-sizing
+#     (ann.auto_band_bits; resolves to the old width at oracle scales,
+#     but the evidence must re-attach to the new code)
+# See docs/ROTATION.md for the policy.
 _FRONTLOAD: tuple[str, ...] = (
-    "dedup_ngram_jaccard",
-    "dedup_jaccard_deep",
-    "dedup_containment",
-    "dedup_clusters",
-    "pipe_contamination",
-    "pipe_dedup_report",
-    "mm_flac_roundtrip",
-    "mm_webp_anim",
-    # late-r09 rewrites under already-green entries: the WAV entry grew
-    # the G.711/IEEE-float modes (g711.py, _decode_wav_ext), and the
-    # container-probe entry's decodability routing changed (V_MJPEG
-    # Matroska blocks decode natively now) — both must re-attach their
-    # evidence to the new code this round
     "mm_wav_depths",
     "mm_container_probe",
+    "mm_ogg_probe",
+    "mm_mp3_probe",
+    "vec_neardup_lsh",
+    "vec_semantic_dedup",
 )
 
 QUERIES = dict(
@@ -9930,6 +10255,8 @@ ORACLES = {
     "mm_rle8_roundtrip": SQL_MM_RLE8_ROUNDTRIP,
     "mm_mp3_probe": SQL_MM_MP3_PROBE,
     "mm_ogg_probe": SQL_MM_OGG_PROBE,
+    "mm_image_neardup": SQL_MM_IMAGE_NEARDUP,
+    "mm_exif_probe": SQL_MM_EXIF_PROBE,
     "pipe_url_dedup": SQL_PIPE_URL_DEDUP,
     "text_gopher_rules": SQL_TEXT_GOPHER_RULES,
     "pipe_crawl_e2e": SQL_PIPE_CRAWL_E2E,
