@@ -178,3 +178,58 @@ def test_image_signatures_operator(spark):
     }
     for i, _p, gray in rows:
         assert got_a[i] == ahash64(gray.astype(np.float64))
+
+
+@pytest.mark.parametrize("n_blocks", [8, 9, 10])
+def test_block_combination_tables_equal_brute_force(spark, n_blocks):
+    """The generalized Manku-style construction: any block count gives
+    the IDENTICAL exact pair set — more blocks only re-shapes cost
+    (C(b, b-radius) tables of wider keys)."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    rng = np.random.RandomState(23)
+    sigs = {}
+    base = int(rng.randint(0, 1 << 62))
+    for i in range(40):
+        flips = rng.choice(64, size=i % 9, replace=False)
+        v = base
+        for f in flips:
+            v ^= 1 << int(f)
+        sigs[i] = v
+    for i in range(40, 70):
+        sigs[i] = int(rng.randint(0, 1 << 63))
+    want = _brute_pairs(sigs, 7)
+    df = spark.createDataFrame(
+        [(k, v - (1 << 64) if v >= (1 << 63) else v)
+         for k, v in sigs.items()],
+        "media_id long, sig long",
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in hamming_neardup_pairs(
+            df, radius=7, n_blocks=n_blocks
+        ).collect()
+    }
+    assert got == want
+
+
+def test_auto_hamming_blocks_rule():
+    """Auto block count, calibrated to the measured ladder: minimal
+    (radius+1) everywhere it was measured fastest — including 2M rows
+    at radius 7 (311 s, candidate-bound but still the best shape) and
+    radius 3 (6.4 s) — stepping up only past the candidate budget
+    (~13 min of codegen probing), which on 64-bit signatures means
+    radius ≥ 6 at ≥10M uniform rows."""
+    import math
+
+    from vector_lake_spark.operators.binary import auto_hamming_blocks
+
+    assert auto_hamming_blocks(0, 7) == 8
+    assert auto_hamming_blocks(500, 7) == 8        # sf0.01
+    assert auto_hamming_blocks(200_000, 7) == 8    # measured: 6.5 s
+    assert auto_hamming_blocks(2_000_000, 7) == 8  # measured: 311 s
+    assert auto_hamming_blocks(2_000_000, 3) == 4  # measured: 6.4 s
+    assert auto_hamming_blocks(20_000_000, 7) > 8  # past the budget
+    # block count never exceeds the table cap
+    b = auto_hamming_blocks(10**9, 7)
+    assert math.comb(b, b - 7) <= 64

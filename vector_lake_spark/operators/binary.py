@@ -100,55 +100,157 @@ def hamming_expr(sig_cols: Sequence[str], qsig: Sequence[int]) -> Column:
     return hamming_from_exprs([F.col(c) for c in sig_cols], qsig)
 
 
+def _block_layout(n_blocks: int) -> list[tuple[int, int]]:
+    """(bit offset, width) of each of ``n_blocks`` contiguous blocks
+    covering the 64 signature bits; widths differ by at most one."""
+    widths = [
+        64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+        for i in range(n_blocks)
+    ]
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
+
+
+def auto_hamming_blocks(
+    n_rows: int,
+    radius: int,
+    max_tables: int = 64,
+    cand_budget: float = 2e11,
+) -> int:
+    """Corpus-sized block count for ``hamming_neardup_pairs`` — the
+    Hamming twin of ``ann.auto_band_bits``, calibrated by MEASUREMENT,
+    not just the uniform model. With ``b`` blocks a pair within
+    ``radius`` shares at least t = b − radius whole blocks
+    (pigeonhole); the join runs one table per t-combination: C(b, t)
+    tables of ~t·(64/b)-bit keys, and every b yields the SAME exact
+    result set — b only moves cost between two terms:
+
+    - candidate probes: ≈ C(b,t)·n²/2^(t·64/b) XOR+popcount checks,
+      which whole-stage codegen streams at ~2.5·10⁸/s on local[32]
+      (measured: radius 7 minimal at 2.18M uniform rows = 7.4·10¹⁰
+      candidates → 311 s, exactly this rate);
+    - table shuffle: each exploded row carries the C(b,t)-long key
+      array into a sorted exchange, so tables are SUPER-linearly
+      expensive (measured: radius 7, b=9 at 218k rows = 36 tables ran
+      21× SLOWER than minimal despite 14× fewer candidates; radius 3,
+      b=5 at 2.18M was 1.8× slower than minimal).
+
+    So: stay MINIMAL (b = radius+1) until the candidate count itself
+    exceeds ``cand_budget`` (~13 min of probing on this box), then add
+    blocks only as far as the table cap allows. On 64-bit signatures
+    this bites only for radius ≥ 6 at ≥10M uniform rows — the regime
+    where the honest guidance is a wider signature (256-bit pHash) or
+    a smaller radius, both of which collapse the cost exponentially
+    (radius 3 at 2.18M rows: 6.4 s)."""
+    import math
+
+    if n_rows <= 0:
+        return radius + 1
+    b = radius + 1
+    while True:
+        t = b - radius
+        key_bits = t * (64 // b)
+        exp_cand = math.comb(b, t) * n_rows * (
+            n_rows / (2 ** min(key_bits, 62))
+        )
+        if exp_cand <= cand_budget:
+            return b
+        if math.comb(b + 1, t + 1) > max_tables:
+            return b
+        b += 1
+
+
 def hamming_neardup_pairs(
     df: DataFrame,
     radius: int,
     sig_col: str = "sig",
     id_col: str = "media_id",
-    n_bands: int = 8,
+    n_bands: int | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs whose single-int64 signatures are within
     Hamming ``radius`` — the pair-generation half of the perceptual
     near-dup stack (``operators/imagehash`` produces the signatures).
+    EXACT at any configuration: identical output to the quadratic
+    all-pairs join, by pigeonhole.
 
-    Banding (r10): the 64-bit signature splits into ``n_bands`` equal
-    bit bands; a pair is a candidate iff it agrees EXACTLY on at least
-    one band, then XOR + bit_count re-checks the true distance. By
-    pigeonhole, a pair at distance d < n_bands cannot disagree in every
-    band, so for ``radius < n_bands`` this is EXACT — identical output
-    to the quadratic all-pairs join — while the join key (band, 8-bit
-    key) bounds bucket sizes by corpus/256 per band regardless of skew.
-    This is the same banded-equi-join shape as ``ann.lsh_neardup_pairs``
-    but with a recall *guarantee* instead of an LSH probability (sign
-    bands are the signature itself, not a random projection).
+    Construction (r10, the block-combination scheme from the public
+    simhash-dedup literature): the 64 bits split into ``n_blocks``
+    contiguous blocks; a pair within ``radius`` can have flipped bits
+    in at most ``radius`` blocks, so it agrees EXACTLY on at least
+    t = n_blocks − radius whole blocks — and therefore on at least one
+    of the C(n_blocks, t) t-block combinations. Each combination is one
+    equi-join table keyed by the concatenated block values; XOR +
+    bit_count re-checks the true distance on candidates.
+
+    ``n_blocks`` trades shuffle volume against bucket width: the
+    minimum (radius+1, single-block keys) is cheapest per row but its
+    keys are only 64/(radius+1) bits — per-bucket density grows with
+    corpus size and the join goes quadratic on large corpora (measured:
+    311 s at 2M rows for radius 7). More blocks multiply the tables,
+    C(b, t), but widen keys exponentially. Default (None) auto-sizes
+    from one corpus count (``auto_hamming_blocks``); ``n_bands`` is the
+    legacy spelling of the minimal config (n_bands = radius+1 blocks,
+    one block per table) kept for callers pinning that shape.
 
     Shuffle economy: signatures are 8 bytes, so they ride the band join
     (no second join to re-attach payloads); each pair is emitted at its
-    FIRST matching band (earlier-band keys must differ — the residual
+    FIRST matching table (earlier-table keys must differ — the residual
     predicate from ann.py), so no dedup exchange is needed. One hash
-    exchange of n_bands × (id, sig, key) rows total."""
-    if not 0 < n_bands <= 64 or 64 % n_bands:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    if radius >= n_bands:
+    exchange of n_tables × (id, sig, key) rows per side."""
+    from itertools import combinations
+
+    if n_bands is not None:
+        if not 0 < n_bands <= 64 or 64 % n_bands:
+            raise ValueError(f"n_bands must divide 64, got {n_bands}")
+        if radius >= n_bands:
+            raise ValueError(
+                f"radius {radius} >= n_bands {n_bands}: the pigeonhole "
+                f"guarantee needs radius < n_bands (raise n_bands or "
+                f"use an LSH strategy for lossy recall)"
+            )
+        n_blocks = n_bands
+    if n_blocks is None:
+        n_blocks = auto_hamming_blocks(df.count(), radius)
+    if radius >= n_blocks:
         raise ValueError(
-            f"radius {radius} >= n_bands {n_bands}: the pigeonhole "
-            f"guarantee needs radius < n_bands (raise n_bands or use "
-            f"an LSH strategy for lossy recall)"
+            f"radius {radius} >= n_blocks {n_blocks}: the pigeonhole "
+            f"guarantee needs radius < n_blocks"
         )
-    band_bits = 64 // n_bands
-    mask = (1 << band_bits) - 1
+    layout = _block_layout(n_blocks)
+    t = n_blocks - radius
+    tables = list(combinations(range(n_blocks), t))
+    if len(tables) > 256:
+        raise ValueError(
+            f"C({n_blocks}, {t}) = {len(tables)} join tables — raise "
+            f"radius granularity or lower n_blocks (cap 256)"
+        )
     sig = F.col(sig_col)
+
+    def _table_key(combo) -> Column:
+        """Concatenated block values of one combination, packed into a
+        single BIGINT (total selected width < 64 whenever radius ≥ 1)."""
+        key = F.lit(0).cast("long")
+        shift = 0
+        for bi in combo:
+            off, w = layout[bi]
+            block = (
+                F.shiftrightunsigned(sig, off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .cast("long")
+            )
+            key = key.bitwiseOR(F.shiftleft(block, shift))
+            shift += w
+        return key
+
+    n_bands = len(tables)
     keys = df.select(
         F.col(id_col).alias("id"),
         sig.alias("s"),
-        F.array(
-            *[
-                F.shiftrightunsigned(sig, b * band_bits)
-                .bitwiseAND(F.lit(mask))
-                .cast("long")
-                for b in range(n_bands)
-            ]
-        ).alias("bkeys"),
+        F.array(*[_table_key(c) for c in tables]).alias("bkeys"),
     ).select(
         "id",
         "s",
