@@ -144,8 +144,11 @@ HEADLINE = [
     # late r09: audio-probe pair (route-without-decode for crawl audio)
     "mm_mp3_probe",
     "mm_ogg_probe",
-    # r10: perceptual image near-dup (dHash -> banded-Hamming pairs)
+    # r10: perceptual image near-dup (dHash -> banded-Hamming pairs),
+    # EXIF probe, and the composed rotate-before-hash pipeline
     "mm_image_neardup",
+    "mm_exif_probe",
+    "mm_image_orient",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

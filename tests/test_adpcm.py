@@ -92,13 +92,68 @@ def test_validation_errors():
         ima_adpcm_decode(struct.pack("<hBB", 0, 99, 0) + b"\x00" * 4, 1, 8)
     with pytest.raises(ValueError, match="multiple of 8"):
         ima_adpcm_encode(np.zeros(16, dtype=np.int64), 1, 10)
-    # unsupported sibling (MS ADPCM, tag 2) still gates by name
-    fmt_chunk = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 256, 4)
+    # unsupported sibling (MP3-in-WAV, tag 0x55) still gates by name
+    fmt_chunk = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 256, 0)
     wav = (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_chunk) + 8)
         + b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
         + b"data" + struct.pack("<I", 0)
     )
-    with pytest.raises(NotImplementedError, match="format tag 2"):
+    with pytest.raises(NotImplementedError, match="format tag 85"):
         decode_wav(wav)
+
+
+def test_ms_adpcm_roundtrip_and_wav():
+    """MS ADPCM (r10): encode→decode tracking on a smooth signal, the
+    two verbatim header samples, stereo per-nibble interleave, and the
+    WAV path through decode_wav with fact-chunk trim."""
+    from vector_lake_spark.adpcm import (
+        ms_adpcm_decode,
+        ms_adpcm_encode,
+        mux_ms_adpcm_wav,
+    )
+
+    t = np.arange(3000)
+    sig = (np.sin(t / 40.0) * 9000).astype(np.int64)
+    data, ba = ms_adpcm_encode(sig, 1, 500)
+    dec = ms_adpcm_decode(data, 1, ba, 500)[: len(sig)]
+    # the first two samples of every block are stored verbatim
+    assert dec[0] == sig[0] and dec[1] == sig[1]
+    rms_err = float(np.sqrt(((dec - sig) ** 2).mean()))
+    assert rms_err < 200
+    # stereo
+    st = np.empty(4000, dtype=np.int64)
+    st[0::2] = (np.sin(t[:2000] / 30.0) * 6000).astype(np.int64)
+    st[1::2] = (np.cos(t[:2000] / 50.0) * 2000).astype(np.int64)
+    data2, ba2 = ms_adpcm_encode(st, 2, 500)
+    dec2 = ms_adpcm_decode(data2, 2, ba2, 500)[: len(st)]
+    for c in (0, 1):
+        assert float(np.sqrt(((dec2[c::2] - st[c::2]) ** 2).mean())) < 200
+    # full WAV path with a non-block-aligned frame count
+    n = 1234
+    data3, ba3 = ms_adpcm_encode(sig[:n], 1, 500)
+    wav = mux_ms_adpcm_wav(data3, 22050, 1, ba3, n)
+    info = decode_wav(wav)
+    assert info["codec"] == "ms_adpcm" and info["n_samples"] == n
+    assert info["sample_rate"] == 22050
+
+
+def test_ms_adpcm_exact_regime():
+    """At the delta floor (16) with coefficient pair 0, nibbles ±1 step
+    by exactly ±16 and the delta stays pinned — the closed-form regime
+    the mm_wav_depths oracle uses (MS_ADAPT[1] = MS_ADAPT[15] = 230,
+    and 16·230//256 = 14 clamps back to 16)."""
+    import struct as _st
+
+    from vector_lake_spark.adpcm import ms_adpcm_decode
+
+    P = 1000
+    nibs = [1, 1, 1, 15, 15, 0]  # +16 +16 +16 -16 -16 +0
+    packed = bytes(
+        [(nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)]
+    )
+    block = bytes([0]) + _st.pack("<h", 16) + _st.pack("<h", P)         + _st.pack("<h", P) + packed
+    dec = ms_adpcm_decode(block, 1, len(block), 8)
+    assert list(dec) == [P, P, P + 16, P + 32, P + 48, P + 32, P + 16,
+                         P + 16]

@@ -199,8 +199,13 @@ class TestExtWav:
         base = bytearray(
             encode_wav_ext(np.zeros(4, dtype=np.int16), 8000, "ulaw")
         )
-        struct.pack_into("<H", base, 20, 0x11)  # IMA ADPCM
-        with pytest.raises(NotImplementedError, match="format tag 17"):
+        struct.pack_into("<H", base, 20, 0x55)  # MP3-in-WAV
+        with pytest.raises(NotImplementedError, match="format tag 85"):
+            decode_wav(bytes(base))
+        # ADPCM tags decode since r10; a re-tagged G.711 stream (8-bit
+        # "nibbles") is corrupt input for them, not a gate
+        struct.pack_into("<H", base, 20, 0x11)
+        with pytest.raises(ValueError, match="8-bit nibbles"):
             decode_wav(bytes(base))
 
     def test_corrupt_riff_is_valueerror(self):

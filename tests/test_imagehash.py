@@ -233,3 +233,57 @@ def test_auto_hamming_blocks_rule():
     # block count never exceeds the table cap
     b = auto_hamming_blocks(10**9, 7)
     assert math.comb(b, b - 7) <= 64
+
+
+def test_apply_exif_orientation_all_cases():
+    """Each of the 8 EXIF cases must invert its INVERSE_ORIENTATION
+    twin exactly, and the quarter-rotations must change the shape."""
+    from vector_lake_spark.operators.imagehash import (
+        INVERSE_ORIENTATION,
+        apply_exif_orientation,
+    )
+
+    g = np.arange(6 * 8, dtype=np.float64).reshape(6, 8)
+    for o in range(1, 9):
+        stored = apply_exif_orientation(g, INVERSE_ORIENTATION[o])
+        if o in (5, 6, 7, 8):
+            assert stored.shape == (8, 6)
+        assert np.array_equal(apply_exif_orientation(stored, o), g)
+    # 3-channel arrays keep their channel axis
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    assert apply_exif_orientation(rgb, 6).shape == (8, 6, 3)
+    with pytest.raises(ValueError, match="1..8"):
+        apply_exif_orientation(g, 9)
+
+
+def test_orientation_tagged_tiff_hash_pipeline():
+    """The mm_image_orient contract end-to-end off-Spark: store the
+    upright fixture inverse-rotated + tagged, then probe → decode →
+    correct → hash must return the closed-form signature for every
+    orientation."""
+    from vector_lake_spark.exif import probe_exif
+    from vector_lake_spark.operators.imagehash import (
+        INVERSE_ORIENTATION,
+        apply_exif_orientation,
+    )
+    from vector_lake_spark.queries import (
+        _dhash_fixture_sig,
+        _render_dhash_grid,
+    )
+    from vector_lake_spark.tiff import encode_tiff
+
+    for doc_id in range(16):  # covers orientations 1..8 twice
+        ori = doc_id % 8 + 1
+        sig = _dhash_fixture_sig(doc_id)
+        upright = np.kron(
+            _render_dhash_grid(sig), np.ones((2, 2), dtype=np.uint8)
+        )
+        stored = apply_exif_orientation(upright, INVERSE_ORIENTATION[ori])
+        payload = encode_tiff(np.ascontiguousarray(stored), orientation=ori)
+        got_ori = probe_exif(payload)["orientation"] or 1
+        assert got_ori == ori
+        px = apply_exif_orientation(decode_image_gray(payload), got_ori)
+        assert dhash64(px) == sig
+        if ori in (5, 6, 7, 8):
+            # hashing WITHOUT correction would be wrong by construction
+            assert dhash64(decode_image_gray(payload)) != sig

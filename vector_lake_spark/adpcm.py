@@ -175,6 +175,172 @@ def ima_adpcm_encode(
     return bytes(out), block_align
 
 
+# ---------------------------------------------------------------------------
+# MS ADPCM (WAV format tag 0x0002) — the other ubiquitous ADPCM (r10)
+# ---------------------------------------------------------------------------
+#
+# Public spec (Microsoft WAVE format documentation): 7 predefined
+# predictor-coefficient pairs; per block and channel a header carries
+# (coefficient index, initial delta, the first TWO samples verbatim);
+# each subsequent sample decodes as
+#     pred   = (s1*c1 + s2*c2) // 256
+#     sample = clamp(pred + signed4(nibble) * delta)
+#     delta  = max(16, delta * ADAPT[nibble & 0xF] // 256)
+# Stereo interleaves per NIBBLE (left sample, right sample, ...).
+
+MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+            (460, -208), (392, -232)]
+MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+            768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_signed4(n: int) -> int:
+    return n - 16 if n >= 8 else n
+
+
+def ms_adpcm_decode(
+    data: bytes, n_channels: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """Decode an MS ADPCM WAV ``data`` chunk to interleaved int16
+    samples. Header layout per block: predictor index byte per channel,
+    then int16 delta per channel, then int16 sample1 per channel, then
+    int16 sample2 per channel (sample2 is the OLDER sample: output
+    order is sample2, sample1, then the nibble stream)."""
+    if n_channels < 1:
+        raise ValueError("ADPCM WAV with zero channels")
+    hdr = 7 * n_channels
+    if block_align <= hdr:
+        raise ValueError(
+            f"MS ADPCM block align {block_align} too small for its "
+            f"{hdr}-byte header"
+        )
+    out_ch: list[list[int]] = [[] for _ in range(n_channels)]
+    pos = 0
+    while pos + hdr <= len(data):
+        block = data[pos : pos + block_align]
+        pos += block_align
+        preds, deltas, s1s, s2s = [], [], [], []
+        for c in range(n_channels):
+            p = block[c]
+            if p >= len(MS_COEFS):
+                raise ValueError(
+                    f"corrupt MS ADPCM: predictor index {p} out of range"
+                )
+            preds.append(p)
+        off = n_channels
+        for lst in (deltas, s1s, s2s):
+            for c in range(n_channels):
+                (v,) = struct.unpack_from("<h", block, off)
+                lst.append(v)
+                off += 2
+        for c in range(n_channels):
+            out_ch[c].append(s2s[c])
+            out_ch[c].append(s1s[c])
+        nibbles = []
+        for byte in block[off:]:
+            nibbles.append(byte >> 4)  # MS packs HIGH nibble first
+            nibbles.append(byte & 0xF)
+        want = max(0, samples_per_block - 2) * n_channels
+        for i, n in enumerate(nibbles[:want]):
+            c = i % n_channels  # stereo interleaves per nibble
+            c1, c2 = MS_COEFS[preds[c]]
+            pred = (s1s[c] * c1 + s2s[c] * c2) >> 8
+            samp = pred + _ms_signed4(n) * deltas[c]
+            samp = max(-32768, min(32767, samp))
+            s2s[c], s1s[c] = s1s[c], samp
+            deltas[c] = max(16, deltas[c] * MS_ADAPT[n] // 256)
+            out_ch[c].append(samp)
+    n_frames = min(len(ch) for ch in out_ch)
+    inter = np.empty(n_frames * n_channels, dtype=np.int64)
+    for c in range(n_channels):
+        inter[c::n_channels] = out_ch[c][:n_frames]
+    return inter
+
+
+def ms_adpcm_encode(
+    samples, n_channels: int = 1, samples_per_block: int = 500
+) -> tuple[bytes, int]:
+    """Greedy MS ADPCM encoder (coefficient pair 0 — pure first-order
+    prediction — which the spec always includes): returns (data,
+    block_align). Frames per block must be even-nibble aligned:
+    (samples_per_block − 2) · n_channels nibbles fill whole bytes."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.size % n_channels:
+        raise ValueError("sample count not a multiple of channel count")
+    if (samples_per_block - 2) * n_channels % 2:
+        raise ValueError("samples_per_block leaves a half-filled byte")
+    frames = x.reshape(-1, n_channels)
+    hdr = 7 * n_channels
+    block_align = hdr + (samples_per_block - 2) * n_channels // 2
+    out = bytearray()
+    for b0 in range(0, len(frames), samples_per_block):
+        blk = frames[b0 : b0 + samples_per_block]
+        if len(blk) < samples_per_block:
+            blk = np.vstack(
+                [blk, np.tile(blk[-1], (samples_per_block - len(blk), 1))]
+            )
+        deltas = [256] * n_channels
+        s2 = [int(blk[0, c]) for c in range(n_channels)]
+        s1 = [int(blk[1, c]) for c in range(n_channels)]
+        for c in range(n_channels):
+            out += bytes([0])  # coefficient pair 0
+        for vals in (deltas, s1, s2):
+            for c in range(n_channels):
+                out += struct.pack("<h", vals[c])
+        nibbles = []
+        for t in range(2, samples_per_block):
+            for c in range(n_channels):
+                target = int(blk[t, c])
+                pred = s1[c]  # pair 0: (256, 0)
+                n = max(-8, min(7, round((target - pred) / deltas[c])))
+                n &= 0xF
+                samp = pred + _ms_signed4(n) * deltas[c]
+                samp = max(-32768, min(32767, samp))
+                s2[c], s1[c] = s1[c], samp
+                deltas[c] = max(16, deltas[c] * MS_ADAPT[n] // 256)
+                nibbles.append(n)
+        for i in range(0, len(nibbles), 2):
+            out += bytes([(nibbles[i] << 4) | nibbles[i + 1]])
+    return bytes(out), block_align
+
+
+def mux_ms_adpcm_wav(
+    data: bytes,
+    rate: int,
+    n_channels: int,
+    block_align: int,
+    n_frames: int,
+) -> bytes:
+    """RIFF/WAVE wrapper for an MS ADPCM stream: fmt tag 0x0002 with
+    the samples-per-block + coefficient-table extension, plus the fact
+    chunk."""
+    spb = (block_align - 7 * n_channels) * 2 // n_channels + 2
+    ext = struct.pack("<H", spb) + struct.pack("<H", len(MS_COEFS))
+    for c1, c2 in MS_COEFS:
+        ext += struct.pack("<hh", c1, c2)
+    fmt_chunk = struct.pack(
+        "<HHIIHHH",
+        0x0002,
+        n_channels,
+        rate,
+        rate * block_align // spb,
+        block_align,
+        4,
+        len(ext),
+    ) + ext
+    fact = struct.pack("<I", n_frames)
+    pad = b"\x00" if len(data) & 1 else b""
+    out = bytearray(b"RIFF")
+    out += struct.pack(
+        "<I", 4 + 8 + len(fmt_chunk) + 8 + len(fact) + 8 + len(data) + len(pad)
+    )
+    out += b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(data)) + data + pad
+    return bytes(out)
+
+
 def mux_ima_adpcm_wav(
     data: bytes,
     rate: int,

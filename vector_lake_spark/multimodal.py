@@ -489,10 +489,23 @@ def _decode_wav_ext(payload: bytes) -> dict:
             # final block may be zero-padded past it
             samples = samples[: fact_frames * n_channels]
         codec = "ima_adpcm"
+    elif tag == 0x02:  # MS ADPCM (r10 — was a named gate)
+        if bits != 4:
+            raise ValueError(f"MS ADPCM WAV with {bits}-bit nibbles")
+        if len(fmt) < 20:
+            raise ValueError("MS ADPCM fmt chunk missing samplesPerBlock")
+        # extension starts after the 16-byte base + 2-byte cbSize
+        (spb,) = struct.unpack_from("<H", fmt, 18)
+        from vector_lake_spark.adpcm import ms_adpcm_decode
+
+        samples = ms_adpcm_decode(data, n_channels, block_align, spb)
+        if fact_frames is not None:
+            samples = samples[: fact_frames * n_channels]
+        codec = "ms_adpcm"
     else:
         raise NotImplementedError(
             f"WAV format tag {tag} unsupported (integer PCM, IEEE float, "
-            f"G.711 A-law/μ-law and IMA ADPCM decode natively)"
+            f"G.711 A-law/μ-law, IMA and MS ADPCM decode natively)"
         )
     if n_channels < 1:
         raise ValueError("WAV with zero channels")
@@ -555,7 +568,12 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload column.
+    """Arrow-batched feature extraction over the binary payload column —
+    a deterministic byte-fold STAND-IN for a model forward pass (keeps
+    embedding-shaped pipelines testable end-to-end; it is NOT a
+    perceptual signature). For real content-level image identity use
+    ``operators/imagehash.image_signatures`` (dHash/aHash over decoded
+    pixels, r10) feeding ``binary.hamming_neardup_pairs``.
 
     Projects (media_id, payload) only — column pruning drops the rest of
     the row before the Python boundary."""

@@ -105,6 +105,41 @@ def ahash64(px: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def apply_exif_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Correct pixels to upright per the EXIF/TIFF Orientation tag
+    (1..8) — the rotate-BEFORE-hash step: a sideways image's dHash
+    will not match its upright twin, so curation pipelines normalize
+    orientation first (``exif.probe_exif`` reads the tag). Cases per
+    the public EXIF spec: 1 normal, 2 flip-H, 3 rotate 180, 4 flip-V,
+    5 transpose (main diagonal), 6 rotate 90 CW, 7 transverse
+    (anti-diagonal), 8 rotate 270 CW. Works on (h, w) and
+    (h, w, ch)."""
+    o = int(orientation or 1)
+    if o == 1:
+        return px
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1, :]
+    if o == 5:
+        return np.swapaxes(px, 0, 1)
+    if o == 6:
+        return np.rot90(px, -1)
+    if o == 7:
+        return np.swapaxes(px, 0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.rot90(px, 1)
+    raise ValueError(f"EXIF orientation {o} out of range 1..8")
+
+
+# the transform that UNDOES each orientation (how a fixture stores an
+# upright scene so that apply_exif_orientation recovers it): every case
+# is self-inverse except the two quarter-rotations, which swap
+INVERSE_ORIENTATION = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
+
 def decode_image_gray(payload: bytes) -> np.ndarray:
     """Magic-dispatched pixel decode → (h, w) float64 luma, over the
     repo's own codecs (the pixels-level twin of

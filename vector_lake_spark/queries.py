@@ -8041,9 +8041,10 @@ def q_mm_wav_depths(spark, sf):
     formats the stdlib `wave` module refuses: G.711 μ-law and A-law
     (`g711.py`, cross-checked bit-exact against stdlib `audioop` over
     the complete code/sample domain) and IEEE float 32/64, through the
-    manual RIFF walk (`multimodal._decode_wav_ext`) — and, r10, IMA
-    ADPCM (`adpcm.py`, tag 0x0011). Per document,
-    doc_id%9 picks the mode; a ±amp square wave is muxed and the REAL
+    manual RIFF walk (`multimodal._decode_wav_ext`) — and, r10, BOTH
+    common ADPCM families (`adpcm.py`: IMA/DVI tag 0x0011 and MS tag
+    0x0002). Per document,
+    doc_id%10 picks the mode; a ±amp square wave is muxed and the REAL
     `decode_wav` reads it back, the emitted codec string coming from
     the decoder, not the parameters. Amplitude choices keep every RMS
     closed-form: integer modes scale past 16 bits (proving the wide
@@ -8053,18 +8054,19 @@ def q_mm_wav_depths(spark, sf):
     formula), floats use base_amp/64 (exact in float32 and at 6-decimal
     rounding). A square wave's RMS is exactly its amplitude, so a green
     hash proves bias handling, sign-extension, both companders and both
-    float widths all invert the writer at table scale. The ADPCM mode
-    crafts the nibble stream itself (±1 deltas at step index 0 — the
-    step table's exact-decode regime), so the reconstructed triangle
-    wave and its RMS are closed-form even though the codec is lossy in
-    general; the fact-chunk trim of the padded final block is part of
-    what the hash proves."""
+    float widths all invert the writer at table scale. The ADPCM modes
+    craft their nibble streams directly in each codec's exact-decode
+    regime (IMA: ±1 deltas at step index 0; MS: ±16 deltas at the
+    pinned delta floor with coefficient pair 0), so the reconstructed
+    triangles and their RMS are closed-form even though the codecs are
+    lossy in general; the fact-chunk trim of padded final blocks is
+    part of what the hash proves."""
     from vector_lake_spark.multimodal import decode_wav, encode_wav_ext
 
     d = _t(spark, sf, "documents")
     params = d.select(
         F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % 9).cast("int").alias("mode"),
+        (F.col("doc_id") % 10).cast("int").alias("mode"),
         (F.col("doc_id") % 100 + 1).cast("int").alias("base_amp"),
         ((F.col("doc_id") / 8).cast("long") % 8).cast("int").alias("seg"),
         (F.col("n_chars") % 16).cast("int").alias("quant"),
@@ -8128,7 +8130,7 @@ def q_mm_wav_depths(spark, sf):
                     fmt = "float32" if r.mode == 6 else "float64"
                     payload = encode_wav_ext(sq, 8000, fmt)
                     bits = 32 if r.mode == 6 else 64
-                else:  # mode 8: IMA ADPCM triangle via crafted nibbles
+                elif r.mode == 8:  # IMA ADPCM triangle, crafted nibbles
                     import struct as _st
 
                     from vector_lake_spark.adpcm import mux_ima_adpcm_wav
@@ -8146,6 +8148,31 @@ def q_mm_wav_depths(spark, sf):
                     block = _st.pack("<hBB", P, 0, 0) + packed
                     payload = mux_ima_adpcm_wav(
                         block, 8000, 1, 4 + n_nib // 2, n
+                    )
+                    bits = 4
+                else:  # mode 9: MS ADPCM triangle at the delta floor
+                    import struct as _st
+
+                    from vector_lake_spark.adpcm import mux_ms_adpcm_wav
+
+                    P = r.base_amp * 16
+                    n = r.n_samples  # always even: u == dn below
+                    u = (n - 2) // 2
+                    # high nibble first; +16 climb then -16 descent
+                    nibs = [1] * u + [15] * u
+                    packed = bytes(
+                        (nibs[i] << 4) | nibs[i + 1]
+                        for i in range(0, len(nibs), 2)
+                    )
+                    block = (
+                        bytes([0])  # coefficient pair 0
+                        + _st.pack("<h", 16)  # delta at the floor
+                        + _st.pack("<h", P)  # s1
+                        + _st.pack("<h", P)  # s2
+                        + packed
+                    )
+                    payload = mux_ms_adpcm_wav(
+                        block, 8000, 1, 7 + len(packed), n
                     )
                     bits = 4
                 out = decode_wav(payload)
@@ -8179,7 +8206,7 @@ def q_mm_wav_depths(spark, sf):
 SQL_MM_WAV_DEPTHS = """
 WITH p AS (
   SELECT doc_id AS media_id,
-         doc_id % 9 AS mode,
+         doc_id % 10 AS mode,
          (doc_id % 100) + 1 AS base_amp,
          (doc_id // 8) % 8 AS seg,
          n_chars % 16 AS quant,
@@ -8188,11 +8215,14 @@ WITH p AS (
 ),
 t AS (
   -- IMA ADPCM triangle (mode 8): predictor P, (n-1)//2 +1 steps then
-  -- -1 steps; sum of squares via S2(x) = x(x+1)(2x+1)/6 piecewise
+  -- -1 steps; MS ADPCM triangle (mode 9): two verbatim P samples then
+  -- (n-2)/2 +16 steps and as many -16 steps (n is always even).
+  -- Sums of squares via S2(x) = x(x+1)(2x+1)/6 piecewise
   SELECT *,
          base_amp * 16 AS P,
          (n - 1) // 2 AS u,
-         n - 1 - (n - 1) // 2 AS dn
+         n - 1 - (n - 1) // 2 AS dn,
+         (n - 2) // 2 AS mu
   FROM p
 ),
 t2 AS (
@@ -8200,7 +8230,10 @@ t2 AS (
          ((P+u)*(P+u+1)*(2*(P+u)+1)) // 6
            - ((P-1)*P*(2*(P-1)+1)) // 6
            + ((P+u-1)*(P+u)*(2*(P+u-1)+1)) // 6
-           - ((P+u-dn-1)*(P+u-dn)*(2*(P+u-dn-1)+1)) // 6 AS ss
+           - ((P+u-dn-1)*(P+u-dn)*(2*(P+u-dn-1)+1)) // 6 AS ss,
+         (2 + 2*mu)*P*P + 32*P*mu*mu
+           + 256*((mu*(mu+1)*(2*mu+1)) // 6
+                  + ((mu-1)*mu*(2*mu-1)) // 6) AS ss_ms
   FROM t
 )
 SELECT media_id,
@@ -8209,7 +8242,8 @@ SELECT media_id,
             WHEN mode = 5 THEN 'alaw'
             WHEN mode = 6 THEN 'float32'
             WHEN mode = 7 THEN 'float64'
-            ELSE 'ima_adpcm' END AS codec,
+            WHEN mode = 8 THEN 'ima_adpcm'
+            ELSE 'ms_adpcm' END AS codec,
        CAST(CASE WHEN mode < 4 THEN (mode + 1) * 8
                  WHEN mode < 6 THEN 8
                  WHEN mode = 6 THEN 32
@@ -8224,7 +8258,8 @@ SELECT media_id,
             WHEN mode = 5 THEN CASE WHEN seg = 0 THEN quant * 16 + 8
                  ELSE (quant * 16 + 264) << (seg - 1) END
             WHEN mode < 8 THEN base_amp / 64.0
-            ELSE round(sqrt(CAST(ss AS DOUBLE) / n), 6)
+            WHEN mode = 8 THEN round(sqrt(CAST(ss AS DOUBLE) / n), 6)
+            ELSE round(sqrt(CAST(ss_ms AS DOUBLE) / n), 6)
             END AS DOUBLE) AS rms
 FROM t2
 """
@@ -9943,6 +9978,102 @@ FROM p
 """
 
 
+def q_mm_image_orient(spark, sf):
+    """Rotate-before-hash: the composed orientation-aware perceptual
+    pipeline (r10 — mm_exif_probe's metadata driving mm_image_neardup's
+    hash). Per document the upright fixture image (closed-form dHash,
+    see q_mm_image_neardup) is stored INVERSE-rotated under one of the
+    eight EXIF orientations and written as a real TIFF whose IFD
+    carries Orientation tag 274 (`encode_tiff(orientation=...)`).
+    The operator then does what a curation pipeline must: probe the
+    tag (`probe_exif`), decode the pixels, correct them upright
+    (`imagehash.apply_exif_orientation`), and hash. A green oracle
+    hash proves every orientation case inverts exactly through a real
+    file format — hash the stored pixels directly and orientations
+    5-8 would not even have the right grid shape. One Arrow stage,
+    no shuffle; the signature is the only thing that leaves Python."""
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8 + 1).cast("int").alias("ori"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from vector_lake_spark.exif import probe_exif
+        from vector_lake_spark.operators.imagehash import (
+            INVERSE_ORIENTATION,
+            apply_exif_orientation,
+            decode_image_gray,
+            dhash64,
+        )
+        from vector_lake_spark.tiff import encode_tiff
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                sig = _dhash_fixture_sig(int(r.media_id))
+                upright = np.kron(
+                    _render_dhash_grid(sig),
+                    np.ones((2, 2), dtype=np.uint8),
+                )
+                stored = apply_exif_orientation(
+                    upright, INVERSE_ORIENTATION[r.ori]
+                )
+                payload = encode_tiff(
+                    np.ascontiguousarray(stored), orientation=r.ori
+                )
+                # the pipeline under test: probe -> decode -> correct
+                # -> hash (all against the real bytes)
+                info = probe_exif(payload)
+                ori = info["orientation"] or 1
+                px = apply_exif_orientation(
+                    decode_image_gray(payload), ori
+                )
+                rows.append((r.media_id, ori, dhash64(px)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "orientation", "sig"]
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    return params.mapInPandas(
+        batches, schema="media_id long, orientation int, sig long"
+    )
+
+
+def _sql_mm_image_orient() -> str:
+    byte_terms = " + ".join(
+        f"((g*37 + {k*101} + (g*g*13) % 251) % {128 if k == 7 else 256})"
+        f" * {1 << (8 * k)}"
+        for k in range(8)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 8 + 1 AS ori,
+         doc_id % 40 AS g,
+         3 * ((doc_id // 40) // 2) AS nf
+  FROM documents
+)
+SELECT media_id,
+       CAST(ori AS INT) AS orientation,
+       xor(
+         CAST({byte_terms} AS BIGINT),
+         COALESCE(CAST(list_sum(list_transform(range(nf), i ->
+           CAST(1 AS BIGINT) << CAST((g*11 + i*17) % 63 AS INT)
+         )) AS BIGINT), 0)
+       ) AS sig
+FROM p
+"""
+
+
+SQL_MM_IMAGE_ORIENT = _sql_mm_image_orient()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9987,6 +10118,7 @@ _BASE_QUERIES = {
     "mm_ogg_probe": q_mm_ogg_probe,
     "mm_image_neardup": q_mm_image_neardup,
     "mm_exif_probe": q_mm_exif_probe,
+    "mm_image_orient": q_mm_image_orient,
     "pipe_url_dedup": q_pipe_url_dedup,
     "text_gopher_rules": q_text_gopher_rules,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
@@ -10257,6 +10389,7 @@ ORACLES = {
     "mm_ogg_probe": SQL_MM_OGG_PROBE,
     "mm_image_neardup": SQL_MM_IMAGE_NEARDUP,
     "mm_exif_probe": SQL_MM_EXIF_PROBE,
+    "mm_image_orient": SQL_MM_IMAGE_ORIENT,
     "pipe_url_dedup": SQL_PIPE_URL_DEDUP,
     "text_gopher_rules": SQL_TEXT_GOPHER_RULES,
     "pipe_crawl_e2e": SQL_PIPE_CRAWL_E2E,

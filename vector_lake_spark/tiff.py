@@ -718,6 +718,7 @@ def encode_tiff(
     min_is_white: bool = False,
     planar: bool = False,
     jpeg_tables: bool = False,
+    orientation: int = 1,
 ) -> bytes:
     """Little-endian baseline TIFF from (h, w) or (h, w, 1|3) pixels —
     uint8 or uint16 (16-bit pages write BitsPerSample 16, little-endian
@@ -732,8 +733,11 @@ def encode_tiff(
     padded to byte boundaries). ``min_is_white`` writes photometric 0
     (samples stored inverted so decode returns ``pixels`` unchanged —
     the fax/scan polarity). ``planar`` writes PlanarConfiguration 2
-    (plane-major strip/tile tables). The writer side for provable round
-    trips, not a general archiver."""
+    (plane-major strip/tile tables). ``orientation`` (r10) writes the
+    EXIF/TIFF Orientation tag 274 when not 1 — metadata only, pixel
+    layout is unchanged (readers correct at display time; see
+    ``imagehash.apply_exif_orientation``). The writer side for provable
+    round trips, not a general archiver."""
     px = np.asarray(pixels)
     if px.dtype not in (np.uint8, np.uint16):
         raise ValueError("encode_tiff expects uint8 or uint16 pixels")
@@ -960,6 +964,10 @@ def encode_tiff(
         entries.append((279, 4, len(strips), None, [len(s) for s in strips]))
     if predictor:
         short(317, 2)
+    if orientation != 1:
+        if not 1 <= int(orientation) <= 8:
+            raise ValueError(f"orientation {orientation} out of range 1..8")
+        short(274, int(orientation))
     entries.sort(key=lambda e: e[0])
     n = len(entries)
     ifd_off = 8
