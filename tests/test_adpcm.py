@@ -157,3 +157,10 @@ def test_ms_adpcm_exact_regime():
     dec = ms_adpcm_decode(block, 1, len(block), 8)
     assert list(dec) == [P, P, P + 16, P + 32, P + 48, P + 32, P + 16,
                          P + 16]
+
+
+def test_ms_adpcm_encoder_needs_two_frames():
+    from vector_lake_spark.adpcm import ms_adpcm_encode
+
+    with pytest.raises(ValueError, match="two frames"):
+        ms_adpcm_encode(np.zeros(1, dtype=np.int64), 1, 500)

@@ -287,3 +287,29 @@ def test_orientation_tagged_tiff_hash_pipeline():
         if ori in (5, 6, 7, 8):
             # hashing WITHOUT correction would be wrong by construction
             assert dhash64(decode_image_gray(payload)) != sig
+
+
+def test_hash_of_images_smaller_than_the_grid():
+    """Review fix: an image smaller than the 8x9/8x8 hash grid must
+    hash (cells repeat pixels) rather than divide by zero."""
+    rng = np.random.RandomState(31)
+    tiny = rng.randint(0, 256, size=(4, 5)).astype(np.float64)
+    assert isinstance(dhash64(tiny), int)
+    assert isinstance(ahash64(tiny), int)
+    assert dhash64(np.ones((1, 1))) == 0  # single pixel: all ties
+
+
+def test_radius_zero_single_block_exact_dups(spark):
+    """Review fix: radius 0 with the minimal single-table config keys
+    on the whole signature (a 64-bit mask literal would overflow);
+    result is the exact-duplicate pair set."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    rows = [(0, 7), (1, 7), (2, -9000000000000000000), (3, 7),
+            (4, -9000000000000000000)]
+    df = spark.createDataFrame(rows, "media_id long, sig long")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in hamming_neardup_pairs(df, radius=0, n_blocks=1).collect()
+    }
+    assert got == {(0, 1, 0), (0, 3, 0), (1, 3, 0), (2, 4, 0)}

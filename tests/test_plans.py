@@ -986,6 +986,24 @@ def test_image_neardup_shuffles_signatures_not_pixels(spark):
     assert "struct<doc_id:bigint>" in read_schema, read_schema
 
 
+def test_exif_and_orient_single_arrow_stage_no_shuffle(spark):
+    """mm_exif_probe and mm_image_orient (r10): per-row header/codec
+    work stays in ONE Arrow stage with no hash exchange, and the
+    documents scan is pruned to the param columns (text never read)."""
+    import re
+
+    for q in (Q.q_mm_exif_probe, Q.q_mm_image_orient):
+        df = q(spark, SF)
+        plan = plan_string(df)
+        nodes = set(
+            re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", plan)
+        )
+        assert len(nodes) == 1, plan
+        simple = plan_string(df, "simple")
+        assert "hashpartitioning" not in simple, simple
+        assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]
+
+
 def test_mp3_probe_single_arrow_stage_no_shuffle(spark):
     """mm_mp3_probe: the audio-probe entry keeps the per-row codec
     contract — one Arrow stage, no hash exchange, document text pruned

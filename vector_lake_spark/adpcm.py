@@ -270,6 +270,11 @@ def ms_adpcm_encode(
     if (samples_per_block - 2) * n_channels % 2:
         raise ValueError("samples_per_block leaves a half-filled byte")
     frames = x.reshape(-1, n_channels)
+    if len(frames) < 2:
+        raise ValueError(
+            "MS ADPCM needs at least two frames (the block header "
+            "stores the first two samples verbatim)"
+        )
     hdr = 7 * n_channels
     block_align = hdr + (samples_per_block - 2) * n_channels // 2
     out = bytearray()

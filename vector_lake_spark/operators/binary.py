@@ -232,11 +232,15 @@ def hamming_neardup_pairs(
 
     def _table_key(combo) -> Column:
         """Concatenated block values of one combination, packed into a
-        single BIGINT (total selected width < 64 whenever radius ≥ 1)."""
+        single BIGINT (total selected width < 64 whenever radius ≥ 1;
+        the radius-0 single-block case IS the signature — a 64-bit mask
+        literal would overflow a long, so return it directly)."""
         key = F.lit(0).cast("long")
         shift = 0
         for bi in combo:
             off, w = layout[bi]
+            if w >= 64:
+                return sig.cast("long")
             block = (
                 F.shiftrightunsigned(sig, off)
                 .bitwiseAND(F.lit((1 << w) - 1))

@@ -64,10 +64,14 @@ def _box_resample(gray: np.ndarray, rows: int, cols: int) -> np.ndarray:
     def _area(y0, y1, x0, x1):
         # fractional-box area sum via the integral image on the integer
         # grid plus linear edge interpolation is overkill for a hash;
-        # snap to nearest integer boundaries (standard for dHash)
-        y0i, y1i = int(round(y0)), max(int(round(y1)), int(round(y0)) + 1)
-        x0i, x1i = int(round(x0)), max(int(round(x1)), int(round(x0)) + 1)
-        y1i, x1i = min(y1i, h), min(x1i, w)
+        # snap to nearest integer boundaries (standard for dHash). The
+        # clamps keep every box at least one real pixel even when the
+        # image is SMALLER than the hash grid (cells then repeat pixels
+        # instead of dividing by zero).
+        y0i = min(int(round(y0)), h - 1)
+        x0i = min(int(round(x0)), w - 1)
+        y1i = min(max(int(round(y1)), y0i + 1), h)
+        x1i = min(max(int(round(x1)), x0i + 1), w)
         s = ii[y1i, x1i] - ii[y0i, x1i] - ii[y1i, x0i] + ii[y0i, x0i]
         return s / ((y1i - y0i) * (x1i - x0i))
 
