@@ -85,3 +85,22 @@ def test_oversized_blob_refused():
     jpeg = encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), 90)
     with pytest.raises(ValueError, match="too large"):
         insert_exif_app1(jpeg, b"II" + b"\x00" * 0x10000)
+
+
+def test_extract_exif_operator(spark):
+    """The Arrow operator: tagged JPEG → full row; untagged JPEG →
+    has_exif=false; non-image payload → NULL row (route-don't-crash)."""
+    from vector_lake_spark.multimodal import extract_exif
+
+    tagged, _ = _tagged("MM", ori=3)
+    plain = encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), 90)
+    df = spark.createDataFrame(
+        [(1, bytearray(tagged)), (2, bytearray(plain)),
+         (3, bytearray(b"not an image at all"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_exif(df).collect()}
+    assert rows[1].has_exif is True and rows[1].orientation == 3
+    assert rows[1].byte_order == "MM" and rows[1].width == 4032
+    assert rows[2].has_exif is False and rows[2].orientation is None
+    assert rows[3].has_exif is None and rows[3].datetime is None

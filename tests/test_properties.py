@@ -932,3 +932,110 @@ def test_lossless_jpeg_roundtrip_property(h, w, predictor, precision, rgb, seed)
     )
     assert out.dtype == dt
     assert np.array_equal(out, px)
+
+
+# --- r10: lacing, ADPCM and perceptual-hash properties ----------------------
+
+
+@given(
+    st.lists(st.integers(1, 700), min_size=1, max_size=8),
+    st.sampled_from(["xiph", "ebml"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_lacing_roundtrip_arbitrary_frame_sizes(sizes, lacing):
+    """Any frame-size sequence must survive mux → slice through Xiph
+    and EBML lacing (fixed lacing requires equal sizes and is covered
+    separately) — sizes crossing the 255-run and multi-byte-VINT
+    boundaries included."""
+    from vector_lake_spark.mkv import _block_frame_slices, _laced_block_body
+
+    frames = [bytes([i & 0xFF]) * n for i, n in enumerate(sizes)]
+    body = _laced_block_body(frames, lacing)
+    # body: tno VINT (1) + ts (2) + flags (1), then lacing
+    flags = body[3]
+    slices = _block_frame_slices(body, 4, len(body), flags)
+    assert [body[a:b] for a, b in slices] == frames
+
+
+@given(st.integers(1, 100), st.integers(2, 64))
+@settings(max_examples=30, deadline=None)
+def test_fixed_lacing_roundtrip(n_frames, size):
+    from vector_lake_spark.mkv import _block_frame_slices, _laced_block_body
+
+    frames = [bytes([i & 0xFF]) * size for i in range(n_frames)]
+    body = _laced_block_body(frames, "fixed")
+    slices = _block_frame_slices(body, 4, len(body), body[3])
+    assert [body[a:b] for a, b in slices] == frames
+
+
+@given(
+    st.lists(st.integers(-30000, 30000), min_size=2, max_size=600),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=25, deadline=None)
+def test_ima_adpcm_bounded_and_deterministic(samples, n_channels):
+    """IMA ADPCM on ARBITRARY int16 signals: decode(encode(x)) is
+    int16-bounded, deterministic, and every block's first sample is
+    exact (the header re-seeds the predictor)."""
+    import numpy as np
+
+    from vector_lake_spark.adpcm import ima_adpcm_decode, ima_adpcm_encode
+
+    x = np.asarray(samples, dtype=np.int64)
+    if len(x) % n_channels:
+        x = x[: len(x) - (len(x) % n_channels)]
+    if len(x) < n_channels:
+        return
+    data, ba = ima_adpcm_encode(x, n_channels, 65)
+    dec = ima_adpcm_decode(data, n_channels, ba)
+    dec2 = ima_adpcm_decode(data, n_channels, ba)
+    assert np.array_equal(dec, dec2)
+    assert dec.min() >= -32768 and dec.max() <= 32767
+    spb = 65
+    frames = x.reshape(-1, n_channels)
+    for c in range(n_channels):
+        for b0 in range(0, len(frames), spb):
+            assert dec[b0 * n_channels + c] == frames[b0, c]
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=2, max_size=600))
+@settings(max_examples=25, deadline=None)
+def test_ms_adpcm_bounded_and_seeded(samples):
+    """MS ADPCM: int16-bounded output; the two verbatim header samples
+    of every block are exact on arbitrary content."""
+    import numpy as np
+
+    from vector_lake_spark.adpcm import ms_adpcm_decode, ms_adpcm_encode
+
+    x = np.asarray(samples, dtype=np.int64)
+    data, ba = ms_adpcm_encode(x, 1, 66)
+    dec = ms_adpcm_decode(data, 1, ba, 66)
+    assert dec.min() >= -32768 and dec.max() <= 32767
+    for b0 in range(0, len(x), 66):
+        assert dec[b0] == x[b0]
+        if b0 + 1 < len(x):
+            assert dec[b0 + 1] == x[b0 + 1]
+
+
+@given(
+    st.integers(0, (1 << 63) - 1),
+    st.lists(st.integers(0, 63), min_size=0, max_size=6, unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_dhash_render_roundtrip_property(base, flips):
+    """ANY 63-bit signature (bit 63 clear) survives render → box
+    downsample → dHash — the fixture construction is total, not just
+    correct on the registry's formula outputs."""
+    import numpy as np
+
+    from vector_lake_spark.operators.imagehash import dhash64
+    from vector_lake_spark.queries import _render_dhash_grid
+
+    sig = base & ((1 << 63) - 1)
+    for f in flips:
+        if f < 63:
+            sig ^= 1 << f
+    sig &= (1 << 63) - 1
+    grid = _render_dhash_grid(sig)
+    up = np.kron(grid, np.ones((3, 2), dtype=np.uint8))  # non-square scale
+    assert dhash64(up.astype(np.float64)) == sig

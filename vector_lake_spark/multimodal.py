@@ -937,6 +937,45 @@ def extract_webp_features(df: DataFrame) -> DataFrame:
     return _extract_image_stats(df, decode_webp)
 
 
+EXIF_SCHEMA = (
+    "media_id long, has_exif boolean, byte_order string, orientation int, "
+    "width int, height int, datetime string, datetime_original string"
+)
+
+
+def extract_exif(df: DataFrame) -> DataFrame:
+    """EXIF metadata over the binary payload column (r10): JPEG APP1 /
+    TIFF IFD walk via ``exif.probe_exif`` through one Arrow stage —
+    header arithmetic only, no pixel decode, so the per-row cost is
+    O(header) regardless of image size. Payloads without EXIF yield
+    has_exif=false rather than erroring (absence is data at crawl
+    scale); non-JPEG/TIFF payloads yield has_exif=NULL (the column
+    contract mirrors ``probe_media``'s route-don't-crash stance)."""
+    from vector_lake_spark.exif import probe_exif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "has_exif", "byte_order", "orientation", "width", "height",
+            "datetime", "datetime_original",
+        ]
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = probe_exif(bytes(payload))
+                except ValueError:
+                    d = dict.fromkeys(cols)
+                rows.append((mid, *(d[c] for c in cols)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", *cols]
+            ).astype({"orientation": "Int32", "width": "Int32",
+                      "height": "Int32"})
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=EXIF_SCHEMA
+    )
+
+
 def _decode_audio(payload: bytes) -> dict:
     """Magic-dispatched audio decode: WAV (all four integer PCM widths,
     IEEE float 32/64, G.711 A-law/μ-law) and FLAC (``flac.py`` — full
