@@ -14,7 +14,11 @@ Layout:
   operators/   composite operators (LSH routing, top-k, dedup, events, ANN)
   store.py     the vector-lake store lifecycle (add/persist/load/query)
   streaming/   Structured Streaming variants of the event operators
-  multimodal.py  binary-column (image/audio/video) plumbing with stub codecs
+  multimodal.py  binary-column (image/audio/video) plumbing over the
+                 repo's own real codecs (jpeg/gif/tiff/fax/webp/vp8l/
+                 png/bmp, wav incl. G.711+ADPCM, flac; avi/mp4/mkv
+                 containers; mp3/ogg probes; exif metadata) and the
+                 perceptual-hash operators (operators/imagehash)
 """
 
 from vector_lake_spark.store import SparkVectorLake, SparkPartition

@@ -7,9 +7,12 @@ the METADATA pass — docType (matroska/webm), segment duration, per-track
 codec id / dimensions / audio params, and cluster/block counts (total
 and per track) — all without touching a byte of frame payload. Since
 late r09, intraframe **V_MJPEG tracks DECODE for real** too
-(``decode_mkv_frames``: un-laced (Simple)Block payloads are whole JPEG
-frames through the native codec — the same sampled-decode economics as
-MJPEG-in-AVI); Matroska's common codecs (V_VP8/VP9/AV1,
+(``decode_mkv_frames``: (Simple)Block payloads are whole JPEG frames
+through the native codec — the same sampled-decode economics as
+MJPEG-in-AVI), and since r10 that includes **laced blocks** (Xiph/
+EBML/fixed size tables parsed in both the counting pass and the
+frame slicer — lacing is ubiquitous in real WebM); Matroska's common
+codecs (V_VP8/VP9/AV1,
 V_MPEG4/ISO/AVC, A_OPUS, A_VORBIS) stay gated BY NAME — they are
 interframe/entropy codecs outside this repo's real-decode set, and an
 honest NotImplementedError beats a fake.

@@ -344,12 +344,13 @@ def decode_wav(payload: bytes) -> dict:
     beyond PCM decode too (late r09, via the manual RIFF walk the
     stdlib ``wave`` module refuses): IEEE float 32/64 (tag 3), A-law
     (tag 6) and μ-law (tag 7, both G.711 — ``g711.py``, expanded to
-    16-bit linear before the RMS), plus WAVE_FORMAT_EXTENSIBLE
-    wrapping any of those. RMS is computed on the raw samples of
-    whatever domain the file carries (bias-corrected for 8-bit,
-    [-1, 1] floats for tag 3, 16-bit linear for G.711), so the value
-    is format-dependent by design — it reports THIS file's amplitude,
-    not a normalized loudness."""
+    16-bit linear before the RMS), both common ADPCM families (r10 —
+    IMA/DVI tag 0x11 and MS tag 0x02, ``adpcm.py``, fact-chunk frame
+    trim), plus WAVE_FORMAT_EXTENSIBLE wrapping any of those. RMS is
+    computed on the raw samples of whatever domain the file carries
+    (bias-corrected for 8-bit, [-1, 1] floats for tag 3, 16-bit linear
+    for G.711/ADPCM), so the value is format-dependent by design — it
+    reports THIS file's amplitude, not a normalized loudness."""
     import io
     import wave
 

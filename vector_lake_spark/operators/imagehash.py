@@ -205,7 +205,12 @@ def image_signatures(
     ``vec_topk_hamming`` XOR kernel for query-time lookup."""
     import pandas as pd
 
-    hasher = {"dhash": dhash64, "ahash": ahash64}[kind]
+    try:
+        hasher = {"dhash": dhash64, "ahash": ahash64}[kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown signature kind {kind!r} (dhash, ahash)"
+        ) from None
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:

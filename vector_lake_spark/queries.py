@@ -9885,7 +9885,10 @@ def q_mm_exif_probe(spark, sf):
         (F.col("n_chars") % 60).cast("int").alias("mi"),
         (F.col("doc_id") % 60).cast("int").alias("ss"),
         ((F.col("doc_id") + F.col("n_chars")) % 24).cast("int").alias("hh2"),
-        (F.col("doc_id") % 2 == 0).alias("ii"),
+        # byte order decorrelated from the orientation axis (doc_id%8):
+        # with doc_id%2 the odd orientations would never sweep MM —
+        # the mm_ogg_probe correlation lesson (r09 advice) applied here
+        ((F.col("doc_id") / 8).cast("long") % 2 == 0).alias("ii"),
         (F.col("doc_id") % 10 == 9).alias("bare"),
     )
 
@@ -9957,7 +9960,7 @@ WITH p AS (
          n_chars % 60 AS mi,
          doc_id % 60 AS ss,
          (doc_id + n_chars) % 24 AS hh2,
-         doc_id % 2 = 0 AS ii,
+         (doc_id // 8) % 2 = 0 AS ii,
          doc_id % 10 = 9 AS bare
   FROM documents
 )
