@@ -423,3 +423,18 @@ def test_mixed_codec_video_tracks_sample_the_mjpeg_one(spark):
     assert [r["mean_r"] for r in out] == [10.0, 200.0]
     probe = probe_media(df).collect()[0]
     assert probe["decodable"] is True
+
+
+def test_ebml_lace_table_truncated_at_payload_end():
+    """Review fix: an EBML lace table cut exactly at the payload end
+    must raise the corrupt-stream ValueError, not IndexError."""
+    from vector_lake_spark.mkv import _block_frame_slices
+
+    # body: lace count 2 (3 frames) then nothing — table truncated
+    body = bytes([2])
+    with pytest.raises(ValueError, match="truncated EBML"):
+        _block_frame_slices(body, 0, len(body), 0x06)
+    # one VINT present, second missing
+    body2 = bytes([2, 0x85])
+    with pytest.raises(ValueError, match="truncated EBML"):
+        _block_frame_slices(body2, 0, len(body2), 0x06)

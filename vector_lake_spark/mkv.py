@@ -171,10 +171,18 @@ def _block_frame_slices(
             sizes.append(size)
     elif mode == 0x06:  # EBML lacing
         if n_frames >= 2:
+            if p >= be:
+                raise ValueError(
+                    "corrupt Matroska: truncated EBML lace size table"
+                )
             first, p, _ = _read_vint(payload, p, keep_marker=False)
             prev = first
             sizes.append(first)
             for _ in range(n_frames - 2):
+                if p >= be:
+                    raise ValueError(
+                        "corrupt Matroska: truncated EBML lace size table"
+                    )
                 raw, p, ln = _read_vint(payload, p, keep_marker=False)
                 prev += raw - ((1 << (7 * ln - 1)) - 1)  # signed-VINT bias
                 if prev < 0:
