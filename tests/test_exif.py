@@ -104,3 +104,25 @@ def test_extract_exif_operator(spark):
     assert rows[1].byte_order == "MM" and rows[1].width == 4032
     assert rows[2].has_exif is False and rows[2].orientation is None
     assert rows[3].has_exif is None and rows[3].datetime is None
+
+
+def test_malformed_payloads_raise_valueerror_not_indexerror():
+    """r10 review: fill-byte runs to EOF and blobs truncated at the
+    next-IFD pointer must surface as the ValueError contract (the
+    operator's route-don't-crash handler catches exactly that)."""
+    from vector_lake_spark.multimodal import extract_exif  # noqa: F401
+
+    info = probe_exif(b"\xff\xd8\xff\xff\xff\xff")  # fill bytes to EOF
+    assert info["has_exif"] is False
+    # TIFF blob cut right before the next-IFD pointer
+    blob = build_exif_tiff(1, 10, 10, "a", "b")
+    for cut in (9, 10, 12, 20):
+        try:
+            probe_exif(blob[:cut])
+        except ValueError:
+            pass  # the contract
+    # and through the operator: corrupt EXIF inside a valid JPEG
+    jpeg = encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), 90)
+    bad = insert_exif_app1(jpeg, blob[:12])
+    with pytest.raises(ValueError):
+        probe_exif(bad)

@@ -313,3 +313,16 @@ def test_radius_zero_single_block_exact_dups(spark):
         for r in hamming_neardup_pairs(df, radius=0, n_blocks=1).collect()
     }
     assert got == {(0, 1, 0), (0, 3, 0), (1, 3, 0), (2, 4, 0)}
+
+
+def test_bmp_dispatch_validates_format():
+    """r10 review: non-24bpp BMPs must hit decode_bmp's named gate, not
+    silently hash garbage."""
+    import struct
+
+    hdr = bytearray(b"BM" + bytes(12))
+    hdr += struct.pack("<IiiHHII", 40, 4, 4, 1, 32, 0, 64)  # 32bpp
+    hdr += bytes(80)
+    struct.pack_into("<I", hdr, 10, 54)
+    with pytest.raises(NotImplementedError, match="24-bit BMP"):
+        decode_image_gray(bytes(hdr))

@@ -150,3 +150,14 @@ def test_id3_tagged_non_mpeg_is_not_mp3():
     from vector_lake_spark.multimodal import _decode_audio
     with pytest.raises(NotImplementedError, match="unrecognized audio"):
         _decode_audio(id3 + adts_aac)
+
+
+def test_single_frame_recognized_trailers():
+    """r10 review: one-frame files ending in APEv2/Lyrics3 tags or
+    encoder null padding must still route as MPEG audio; arbitrary
+    garbage after the frame must not."""
+    one = mux_mp3_frames(1, "1", 3, 9, 0)
+    assert is_mp3(one + b"APETAGEX" + bytes(24))
+    assert is_mp3(one + b"LYRICSBEGIN" + b"whatever")
+    assert is_mp3(one + bytes(413))  # null padding
+    assert not is_mp3(one + b"random trailing garbage")

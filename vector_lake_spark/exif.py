@@ -37,6 +37,8 @@ def _exif_app1_body(payload: bytes) -> bytes | None:
             return None
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1  # fill bytes
+        if pos + 4 > len(payload):
+            return None  # nothing but fill bytes to the end
         marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -87,23 +89,31 @@ def probe_exif(payload: bytes) -> dict:
     if magic != 42:
         raise ValueError("corrupt EXIF: TIFF magic != 42")
     (ifd0_off,) = struct.unpack_from(lt + "I", tiff_blob, 4)
-    ifd0, _next = _read_ifd(tiff_blob, ifd0_off, lt)
-    out["has_exif"] = True
-    out["byte_order"] = "II" if lt == "<" else "MM"
-    if _ORIENTATION in ifd0:
-        out["orientation"] = int(ifd0[_ORIENTATION][0])
-    if _DATETIME in ifd0:
-        out["datetime"] = _ascii_tag(ifd0[_DATETIME])
-    if _EXIF_IFD in ifd0:
-        exif_ifd, _ = _read_ifd(tiff_blob, int(ifd0[_EXIF_IFD][0]), lt)
-        if _PIXEL_X in exif_ifd:
-            out["width"] = int(exif_ifd[_PIXEL_X][0])
-        if _PIXEL_Y in exif_ifd:
-            out["height"] = int(exif_ifd[_PIXEL_Y][0])
-        if _DATETIME_ORIGINAL in exif_ifd:
-            out["datetime_original"] = _ascii_tag(
-                exif_ifd[_DATETIME_ORIGINAL]
-            )
+    try:
+        ifd0, _next = _read_ifd(tiff_blob, ifd0_off, lt)
+        out["has_exif"] = True
+        out["byte_order"] = "II" if lt == "<" else "MM"
+        if _ORIENTATION in ifd0:
+            out["orientation"] = int(ifd0[_ORIENTATION][0])
+        if _DATETIME in ifd0:
+            out["datetime"] = _ascii_tag(ifd0[_DATETIME])
+        if _EXIF_IFD in ifd0:
+            exif_ifd, _ = _read_ifd(tiff_blob, int(ifd0[_EXIF_IFD][0]), lt)
+            if _PIXEL_X in exif_ifd:
+                out["width"] = int(exif_ifd[_PIXEL_X][0])
+            if _PIXEL_Y in exif_ifd:
+                out["height"] = int(exif_ifd[_PIXEL_Y][0])
+            if _DATETIME_ORIGINAL in exif_ifd:
+                out["datetime_original"] = _ascii_tag(
+                    exif_ifd[_DATETIME_ORIGINAL]
+                )
+    except (struct.error, IndexError) as e:
+        # _read_ifd guards its entry table, but a blob truncated right
+        # at the next-IFD pointer (or a wild Exif-IFD offset) can still
+        # hit a raw unpack — normalize to the ValueError contract so
+        # the operator's route-don't-crash batch handler sees one
+        # exception type (review r10)
+        raise ValueError(f"corrupt EXIF: {e}") from None
     return out
 
 

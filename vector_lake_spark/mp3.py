@@ -128,11 +128,23 @@ def is_mp3(payload: bytes) -> bool:
     if first is None:
         return False
     nxt = pos + first["frame_bytes"]
-    if nxt == len(b) or (
-        nxt == len(b) - 128 and b[nxt : nxt + 3] == b"TAG"
-    ):
-        return True  # exactly one complete frame (± ID3v1 trailer)
-    return _parse_header(b, nxt) is not None
+    if nxt > len(b):
+        return False  # the one claimed frame is itself truncated
+    if nxt == len(b):
+        return True  # exactly one complete frame
+    if _parse_header(b, nxt) is not None:
+        return True  # second consecutive frame header
+    # single-frame files end in a recognized trailer in the wild:
+    # ID3v1 (exactly 128 bytes), APEv2 (header or footer preamble),
+    # Lyrics3, or encoder null padding — none of which occur after a
+    # COINCIDENTAL sync in arbitrary binaries (r10 review: the strict
+    # ID3v1-only rule misrouted APEv2-tagged one-frame files)
+    tail = b[nxt:]
+    if tail[:3] == b"TAG" and len(tail) == 128:
+        return True
+    if tail[:8] == b"APETAGEX" or tail[:11] == b"LYRICSBEGIN":
+        return True
+    return not tail.strip(b"\x00")  # pure null padding
 
 
 def probe_mp3(payload: bytes) -> dict:

@@ -173,8 +173,11 @@ def decode_image_gray(payload: bytes) -> np.ndarray:
     if b[:2] == b"BM":
         from vector_lake_spark.multimodal import decode_bmp
 
-        # decode_bmp is stats-shaped; BMP rows are trivial enough to
-        # slice here (uncompressed 24-bit, bottom-up, 4-byte padded)
+        # decode_bmp is stats-shaped but owns the format validation
+        # (uncompressed 24-bit only — 32bpp/palette/compressed raise
+        # its named gates instead of silently hashing garbage, review
+        # r10); after it accepts, the row slicing here is safe
+        decode_bmp(b)
         import struct
 
         off, = struct.unpack_from("<I", b, 10)

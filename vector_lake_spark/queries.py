@@ -9817,7 +9817,13 @@ def q_mm_image_neardup(spark, sf):
         mux, schema="media_id long, payload binary"
     )
     sigs = image_signatures(media, kind="dhash")
-    return hamming_neardup_pairs(sigs, radius=7, id_col="media_id")
+    # n_blocks pinned to the minimal config the docstring describes:
+    # the auto default would fire a count() job that re-runs the whole
+    # codec chain (review r10) — and resolves to 8 at every registry
+    # scale anyway. At 100 TB, persist the signatures and let auto size.
+    return hamming_neardup_pairs(
+        sigs, radius=7, id_col="media_id", n_blocks=8
+    )
 
 
 def _sql_mm_image_neardup() -> str:
@@ -9837,8 +9843,10 @@ s AS (
   SELECT doc_id,
          xor(
            CAST({byte_terms} AS BIGINT),
-           COALESCE(CAST(list_sum(list_transform(range(nf), i ->
-             CAST(1 AS BIGINT) << CAST((g*11 + i*17) % 63 AS INT)
+           COALESCE(CAST(list_sum(list_transform(
+             list_distinct(list_transform(range(nf),
+                           i -> CAST((g*11 + i*17) % 63 AS INT))),
+             p -> CAST(1 AS BIGINT) << p
            )) AS BIGINT), 0)
          ) AS sig
   FROM p
@@ -10066,8 +10074,10 @@ SELECT media_id,
        CAST(ori AS INT) AS orientation,
        xor(
          CAST({byte_terms} AS BIGINT),
-         COALESCE(CAST(list_sum(list_transform(range(nf), i ->
-           CAST(1 AS BIGINT) << CAST((g*11 + i*17) % 63 AS INT)
+         COALESCE(CAST(list_sum(list_transform(
+           list_distinct(list_transform(range(nf),
+                         i -> CAST((g*11 + i*17) % 63 AS INT))),
+           p -> CAST(1 AS BIGINT) << p
          )) AS BIGINT), 0)
        ) AS sig
 FROM p
@@ -10329,8 +10339,8 @@ _LAST_DRIVER_ROUND = _last_driver_rounds()
 # already-checked entry was rewritten and the evidence must be refreshed
 # this round regardless of age. r10 pins the six entries whose code (or
 # oracle values) changed this round:
-#   - mm_wav_depths: matrix widened doc_id%8 → %9 (IMA ADPCM mode —
-#     adpcm.py; every row's mode shifted, oracle values changed)
+#   - mm_wav_depths: matrix widened doc_id%8 → %10 (IMA + MS ADPCM
+#     modes — adpcm.py; every row's mode shifted, oracle values changed)
 #   - mm_container_probe: Matroska leg gained the lacing factor and the
 #     probe now counts laced frames (mkv.py lacing decode, r10)
 #   - mm_ogg_probe: channel count decorrelated from the codec bit
