@@ -149,6 +149,11 @@ HEADLINE = [
     "mm_image_neardup",
     "mm_exif_probe",
     "mm_image_orient",
+    # r11: wide (256-bit) perceptual signatures, the composed image
+    # curation pipeline, and the audio fingerprint near-dup leg
+    "mm_image_neardup_wide",
+    "pipe_image_dedup_e2e",
+    "mm_audio_neardup",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

@@ -326,3 +326,132 @@ def test_bmp_dispatch_validates_format():
     struct.pack_into("<I", hdr, 10, 54)
     with pytest.raises(NotImplementedError, match="24-bit BMP"):
         decode_image_gray(bytes(hdr))
+
+
+def _bmp24(px_rows, top_down=False):
+    """Minimal 24-bit BMP from (h, w, 3) RGB rows; ``top_down`` writes
+    a negative-height header with rows in top-to-bottom order."""
+    import struct
+
+    h, w, _ = px_rows.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    order = px_rows if top_down else px_rows[::-1]
+    for row in order:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([int(b), int(g), int(r)])  # BGR on disk
+        line += bytes(stride - len(line))
+        body += line
+    hdr_h = -h if top_down else h
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(body),
+                    2835, 2835, 0, 0)
+    return bytes(header + body)
+
+
+def test_bmp_top_down_decodes_same_as_bottom_up():
+    """r10 advice: a negative-height (top-down) BMP is well-formed per
+    the spec — it must decode to the SAME pixels as its bottom-up twin,
+    not raise."""
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(6, 5, 3)).astype(np.uint8)
+    up = decode_image_gray(_bmp24(px, top_down=False))
+    down = decode_image_gray(_bmp24(px, top_down=True))
+    assert np.array_equal(up, down)
+    assert up.shape == (6, 5)
+
+
+def _brute_pairs_wide(sigs, radius):
+    out = set()
+    ids = sorted(sigs)
+    m = (1 << 64) - 1
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = sum(
+                bin((x ^ y) & m).count("1")
+                for x, y in zip(sigs[a], sigs[b])
+            )
+            if d <= radius:
+                out.add((a, b, d))
+    return out
+
+
+@pytest.mark.parametrize("radius,n_blocks", [(7, 8), (3, 4), (10, 11), (1, 4)])
+def test_wide_banded_pairs_equal_brute_force(spark, radius, n_blocks):
+    """r11 (VERDICT r10 #4): the multi-long path must be pigeonhole-
+    exact at every configuration, like the 64-bit path — including
+    n_blocks > radius+1 (combination tables with array keys) and
+    radius+1 < total_bits/64 (the min_blocks floor)."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    rng = np.random.RandomState(29)
+    sigs = {}
+    base = [int(rng.randint(0, 1 << 62)) for _ in range(4)]
+    for i in range(25):
+        flips = rng.choice(256, size=i % 13, replace=False)
+        v = list(base)
+        for f in flips:
+            v[int(f) // 64] ^= 1 << (int(f) % 64)
+        sigs[i] = v
+    for i in range(25, 50):
+        sigs[i] = [int(rng.randint(0, 1 << 63)) for _ in range(4)]
+    want = _brute_pairs_wide(sigs, radius)
+    to_signed = lambda x: x - (1 << 64) if x >= (1 << 63) else x
+    df = spark.createDataFrame(
+        [(k, [to_signed(x) for x in v]) for k, v in sigs.items()],
+        "media_id long, sig array<long>",
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in hamming_neardup_pairs(
+            df, radius=radius, n_blocks=n_blocks, n_longs=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_wide_banded_pairs_validation():
+    from vector_lake_spark.operators.binary import (
+        auto_hamming_blocks,
+        hamming_neardup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="legacy"):
+        hamming_neardup_pairs(None, radius=3, n_bands=4, n_longs=4)
+    with pytest.raises(ValueError, match="fit one int64"):
+        hamming_neardup_pairs(None, radius=1, n_blocks=2, n_longs=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_neardup_pairs(None, radius=8, n_blocks=8, n_longs=4)
+    # the wide auto sizer floors at total_bits/64 even for tiny radius
+    assert auto_hamming_blocks(0, 1, total_bits=256, min_blocks=4) == 4
+    assert (
+        auto_hamming_blocks(10**7, 7, total_bits=256, min_blocks=4) == 8
+    )  # 32-bit keys: minimal survives 10M rows where 64-bit could not
+
+
+def test_dhash256_from_rendered_grid():
+    """A 17-wide walk grid whose comparisons encode a known 256-bit
+    pattern must hash back to exactly that pattern."""
+    from vector_lake_spark.operators.imagehash import dhash256
+
+    rng = np.random.RandomState(7)
+    want_bits = rng.randint(0, 2, size=256)
+    grid = np.zeros((16, 17), dtype=np.uint8)
+    for y in range(16):
+        v = 128
+        grid[y][0] = v
+        for x in range(16):
+            v = v + 4 if want_bits[y * 16 + x] else v - 4
+            grid[y][x + 1] = v
+    img = np.kron(grid, np.ones((2, 2), dtype=np.uint8))
+    got = dhash256(img)
+    want = []
+    for j in range(4):
+        v = 0
+        for p in range(64):
+            if want_bits[64 * j + p]:
+                v |= 1 << p
+        want.append(v - (1 << 64) if v >= (1 << 63) else v)
+    assert got == want

@@ -247,3 +247,28 @@ def test_auto_band_bits_is_default_in_registry(spark):
     fixed = {(r.id_a, r.id_b) for r in
              lsh_neardup_pairs(df, Q.H4, band_bits=2, **kw).collect()}
     assert auto == fixed and auto
+
+
+def test_testdata_scales_under_static_oracle_ceiling():
+    """r11 (ADVICE r10): the registry entries that pass band_bits=None
+    (vec_neardup_lsh, vec_semantic_dedup, the k-NN graph family) are
+    compared against STATIC SQL oracles that bake band_bits=2. The auto
+    rule returns 2 for corpora ≤ 16·256·4 = 16,384 rows, so the
+    contract is exact only under that ceiling — this test enforces it
+    against every parquet scale the driver can run, turning the latent
+    silent-divergence trap into a loud failure if a larger sf family
+    ever ships."""
+    import duckdb
+
+    from vector_lake_spark.operators.ann import auto_band_bits
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert n <= 16_384, (
+            f"sf{sf} embeddings has {n} rows: past the band_bits=2 "
+            f"static-oracle ceiling — parameterize the oracles or "
+            f"re-pin the band width before trusting CORRECTNESS"
+        )
+        assert auto_band_bits(n, 16) == 2

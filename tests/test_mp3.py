@@ -126,6 +126,32 @@ def test_coincidental_header_is_not_mp3():
         _decode_audio(one_frame[:4] + b"not mpeg payload at all")
 
 
+def test_truncated_real_mp3_routes_to_corrupt():
+    """r10 advice: damage to a REAL MP3 is the probe's corrupt-stream
+    ValueError, not the dispatcher's unrecognized NotImplementedError.
+    Two shapes: (a) first frame overruns the payload but an ID3v2 tag
+    vouches for the format; (b) one complete frame + a <4-byte
+    sync-prefix fragment of frame 2. A bare coincidental sync with an
+    overrunning frame (no ID3v2) stays NOT-mp3."""
+    tagged = mux_mp3_frames(2, "1", 3, 9, 0, id3v2_bytes=10)
+    one_plus = mux_mp3_frames(1, "1", 3, 9, 0)
+    # (a) cut inside the first frame, behind the ID3v2 tag
+    cut = tagged[: 10 + 10 + 20]  # id3 header(10)+pad(10)+20 frame bytes
+    assert is_mp3(cut)
+    with pytest.raises(ValueError):
+        probe_mp3(cut)
+    # (b) complete frame + 2-byte valid sync prefix of frame 2
+    frag = one_plus + b"\xff\xfb"
+    assert is_mp3(frag)
+    with pytest.raises(ValueError):
+        probe_mp3(frag)
+    # a complete frame + 2 bytes that are NOT a sync prefix: not MPEG
+    assert not is_mp3(one_plus + b"\xff\x1b")
+    # bare overrunning sync without ID3v2 evidence: not MPEG
+    bare = mux_mp3_frames(1, "1", 3, 9, 0)
+    assert not is_mp3(bare[:-7])
+
+
 def test_muxer_validation():
     with pytest.raises(ValueError, match="version"):
         mux_mp3_frames(1, "3")

@@ -333,6 +333,25 @@ def test_q2_broadcasts_dims_and_no_cartesian(spark):
     assert "CartesianProduct" not in p
 
 
+def test_q2_part_filter_below_offer_aggregate(spark):
+    """r11 (VERDICT r10 #6): the p_size/p_type filter must reach the
+    offer aggregate's INPUT — a broadcast left-semi join against the
+    filtered partkeys sits below every HashAggregate, so the (part,
+    supplier) shuffle carries only qualifying parts."""
+    df = Q.q_q2_min_cost_supplier(spark, SF)
+    # the offers subtree plans twice (best-agg branch + re-join branch);
+    # in BOTH, the partial (l_partkey, l_suppkey) HashAggregate must sit
+    # immediately above the LeftSemi — i.e. the aggregate's input is the
+    # part-filtered lineitem, not the full fact table
+    lines = plan_string(df).split("\n\n")[0].splitlines()
+    semis = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    assert semis, "\n".join(lines)
+    for i in semis:
+        assert any(
+            "HashAggregate" in lines[j] for j in range(max(0, i - 3), i)
+        ), "\n".join(lines[max(0, i - 3) : i + 1])
+
+
 def test_q9_broadcasts_three_dims_one_fact_shuffle(spark):
     """Q9's five-table join: part/supplier/nation all broadcast — the
     only non-broadcast join is lineitem x orders on the order key."""
@@ -1045,3 +1064,103 @@ def test_ogg_probe_single_arrow_stage_no_shuffle(spark):
     simple = plan_string(df, "simple")
     assert "hashpartitioning" not in simple, simple
     assert "text" not in simple.split("ReadSchema")[-1].split("\n")[0]
+
+
+def test_image_neardup_wide_shuffles_sig_arrays_not_pixels(spark):
+    """mm_image_neardup_wide (r11): same contract as the 64-bit entry —
+    payloads never leave the Arrow stages; the pair join's exchanges
+    carry only (band, bkey array, sig array) rows on (band, bkey)
+    keys."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = Q.q_mm_image_neardup_wide(spark, SF)
+        simple = plan_string(df, "simple")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    bucket_ex = [
+        sec.split("\n")[0]
+        for sec in simple.split("Exchange ")[1:]
+        if sec.startswith("hashpartitioning")
+    ]
+    assert len(bucket_ex) == 2, simple  # one per join side (AQE reuses)
+    for head in bucket_ex:
+        assert "band" in head and "bkey" in head, head
+    for sec in simple.split("Exchange ")[1:]:
+        assert "payload" not in sec.split("\n")[0], sec.split("\n")[0]
+    read_schema = simple.split("ReadSchema")[1].split("\n")[0]
+    assert "struct<doc_id:bigint>" in read_schema, read_schema
+
+
+def test_image_dedup_e2e_single_arrow_stage_then_narrow(spark):
+    """pipe_image_dedup_e2e (r11): the whole curation prelude — EXIF
+    probe, rotate upright, dHash — is ONE Arrow stage with no exchange
+    and a doc_id-pruned scan; the pair join over it exchanges only
+    (band, bkey)-keyed signature rows. (The CC contraction past it is
+    localCheckpoint-cut, its edges are (int, int) rows — pinned by the
+    cc tests.)"""
+    import re
+
+    sigs = Q._image_dedup_sigs(spark, SF)
+    p = plan_string(sigs)
+    nodes = set(re.findall(r"\((\d+)\) (?:ArrowEvalPython|MapInPandas)", p))
+    assert len(nodes) == 1, p
+    simple = plan_string(sigs, "simple")
+    assert "hashpartitioning" not in simple, simple
+    read_schema = simple.split("ReadSchema")[1].split("\n")[0]
+    assert "struct<doc_id:bigint>" in read_schema, read_schema
+
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pairs = hamming_neardup_pairs(
+            sigs, radius=7, id_col="media_id", n_blocks=8
+        )
+        simple = plan_string(pairs, "simple")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    bucket_ex = [
+        sec.split("\n")[0]
+        for sec in simple.split("Exchange ")[1:]
+        if sec.startswith("hashpartitioning")
+    ]
+    assert len(bucket_ex) == 2, simple
+    for head in bucket_ex:
+        assert "band" in head and "bkey" in head, head
+
+
+def test_audio_neardup_shuffles_signatures_not_samples(spark):
+    """mm_audio_neardup (r11): WAV bytes and PCM samples live and die
+    inside the Arrow stage — no exchange carries a payload; the pair
+    join exchanges only (band, bkey)-keyed int64 signature rows, and
+    the documents scan is pruned to doc_id."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = Q.q_mm_audio_neardup(spark, SF)
+        simple = plan_string(df, "simple")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    bucket_ex = [
+        sec.split("\n")[0]
+        for sec in simple.split("Exchange ")[1:]
+        if sec.startswith("hashpartitioning")
+    ]
+    assert len(bucket_ex) == 2, simple
+    for head in bucket_ex:
+        assert "band" in head and "bkey" in head, head
+    for sec in simple.split("Exchange ")[1:]:
+        assert "payload" not in sec.split("\n")[0], sec.split("\n")[0]
+    read_schema = simple.split("ReadSchema")[1].split("\n")[0]
+    assert "struct<doc_id:bigint>" in read_schema, read_schema

@@ -119,7 +119,14 @@ def is_mp3(payload: bytes) -> bool:
     enough either (r09 advice): 11 set bits + valid indices occur in
     arbitrary binaries often enough that routing on one header sends
     unrecognized formats into the probe's corrupt-stream ValueError
-    instead of the unrecognized-payload NotImplementedError contract."""
+    instead of the unrecognized-payload NotImplementedError contract.
+
+    Truncation accounting (r11, ADVICE r10): a damaged-but-real MP3 —
+    first frame overrunning the payload behind an ID3v2 tag, or a
+    complete frame followed by a <4-byte sync-prefix fragment of frame
+    2 — IS MP3 for routing purposes, so ``probe_mp3`` reports it as a
+    corrupt stream rather than the dispatcher calling it an
+    unrecognized format."""
     if payload is None or len(payload) < 4:
         return False
     b = bytes(payload)
@@ -129,11 +136,27 @@ def is_mp3(payload: bytes) -> bool:
         return False
     nxt = pos + first["frame_bytes"]
     if nxt > len(b):
-        return False  # the one claimed frame is itself truncated
+        # the one claimed frame overruns the payload. A REAL crawl MP3
+        # truncated mid-download looks exactly like this, and routing
+        # it to NotImplementedError('unrecognized') misclassifies
+        # damage as format novelty (r10 advice). But a coincidental
+        # 4-byte sync in an arbitrary binary also often "overruns", so
+        # accept only with independent MP3 evidence: an ID3v2 tag
+        # preceded the header (pos > 0 ⇒ the file SAID it was MPEG
+        # audio). Bare coincidental syncs stay unrecognized.
+        return pos > 0
     if nxt == len(b):
         return True  # exactly one complete frame
     if _parse_header(b, nxt) is not None:
         return True  # second consecutive frame header
+    tail = b[nxt:]
+    if len(tail) < 4 and tail[:1] == b"\xff" and (
+        len(tail) < 2 or (tail[1] & 0xE0) == 0xE0
+    ):
+        # a <4-byte fragment that is a valid sync PREFIX: frame 2 cut
+        # off mid-header — truncated real MP3, route to the probe's
+        # corrupt-stream ValueError (r10 advice)
+        return True
     # single-frame files end in a recognized trailer in the wild:
     # ID3v1 (exactly 128 bytes), APEv2 (header or footer preamble),
     # Lyrics3, or encoder null padding — none of which occur after a

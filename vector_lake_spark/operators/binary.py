@@ -100,11 +100,14 @@ def hamming_expr(sig_cols: Sequence[str], qsig: Sequence[int]) -> Column:
     return hamming_from_exprs([F.col(c) for c in sig_cols], qsig)
 
 
-def _block_layout(n_blocks: int) -> list[tuple[int, int]]:
+def _block_layout(
+    n_blocks: int, total_bits: int = 64
+) -> list[tuple[int, int]]:
     """(bit offset, width) of each of ``n_blocks`` contiguous blocks
-    covering the 64 signature bits; widths differ by at most one."""
+    covering ``total_bits`` signature bits; widths differ by at most
+    one."""
     widths = [
-        64 // n_blocks + (1 if i < 64 % n_blocks else 0)
+        total_bits // n_blocks + (1 if i < total_bits % n_blocks else 0)
         for i in range(n_blocks)
     ]
     out, off = [], 0
@@ -119,6 +122,8 @@ def auto_hamming_blocks(
     radius: int,
     max_tables: int = 64,
     cand_budget: float = 2e11,
+    total_bits: int = 64,
+    min_blocks: int | None = None,
 ) -> int:
     """Corpus-sized block count for ``hamming_neardup_pairs`` — the
     Hamming twin of ``ann.auto_band_bits``, calibrated by MEASUREMENT,
@@ -144,15 +149,23 @@ def auto_hamming_blocks(
     this bites only for radius ≥ 6 at ≥10M uniform rows — the regime
     where the honest guidance is a wider signature (256-bit pHash) or
     a smaller radius, both of which collapse the cost exponentially
-    (radius 3 at 2.18M rows: 6.4 s)."""
+    (radius 3 at 2.18M rows: 6.4 s).
+
+    r11: generalized to multi-long signatures — ``total_bits`` widens
+    the per-block keys (the whole point of wide signatures: at 256
+    bits, radius 7 minimal blocks carry 32-bit keys, so the 64-bit
+    density cliff at ≥10M rows simply never arrives), and
+    ``min_blocks`` floors the block count (wide paths need every block
+    to fit one int64, i.e. ≥ total_bits/64 blocks)."""
     import math
 
+    floor_b = max(radius + 1, min_blocks or 1)
     if n_rows <= 0:
-        return radius + 1
-    b = radius + 1
+        return floor_b
+    b = floor_b
     while True:
         t = b - radius
-        key_bits = t * (64 // b)
+        key_bits = t * (total_bits // b)
         exp_cand = math.comb(b, t) * n_rows * (
             n_rows / (2 ** min(key_bits, 62))
         )
@@ -170,12 +183,26 @@ def hamming_neardup_pairs(
     id_col: str = "media_id",
     n_bands: int | None = None,
     n_blocks: int | None = None,
+    n_longs: int = 1,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs whose single-int64 signatures are within
-    Hamming ``radius`` — the pair-generation half of the perceptual
-    near-dup stack (``operators/imagehash`` produces the signatures).
-    EXACT at any configuration: identical output to the quadratic
-    all-pairs join, by pigeonhole.
+    """All (id_a < id_b) pairs whose signatures are within Hamming
+    ``radius`` — the pair-generation half of the perceptual near-dup
+    stack (``operators/imagehash`` produces the signatures). EXACT at
+    any configuration: identical output to the quadratic all-pairs
+    join, by pigeonhole.
+
+    ``n_longs`` (r11, VERDICT r10 #4): 1 (default) reads ``sig_col`` as
+    ONE int64 (64-bit signatures, e.g. ``dhash64``); >1 reads it as an
+    ``array<long>`` of that length — 64·n_longs signature bits (e.g.
+    ``dhash256`` → n_longs=4). Wide signatures are the scale answer to
+    the 64-bit radius≥6/≥10M-row cliff the ladder in SCALE.md names:
+    at 256 bits the minimal radius-7 config carries 32-bit block keys
+    (vs 8-bit on dhash64), so expected bucket density stays ~n/2³² and
+    the candidate count never goes quadratic at any realistic corpus.
+    Wide combo keys ride the join as an ``array<long>`` of the
+    combination's block values (one long per block — every block must
+    fit an int64, so n_blocks ≥ total_bits/64; the minimal config
+    satisfies this for radius ≥ 3, and the auto sizer floors there).
 
     Construction (r10, the block-combination scheme from the public
     simhash-dedup literature): the 64 bits split into ``n_blocks``
@@ -193,8 +220,16 @@ def hamming_neardup_pairs(
     311 s at 2M rows for radius 7). More blocks multiply the tables,
     C(b, t), but widen keys exponentially. Default (None) auto-sizes
     from one corpus count (``auto_hamming_blocks``); ``n_bands`` is the
-    legacy spelling of the minimal config (n_bands = radius+1 blocks,
-    one block per table) kept for callers pinning that shape.
+    legacy spelling of ``n_blocks`` (same meaning, stricter validation:
+    must divide 64). NOTE (r11, ADVICE r10): one-table-per-band holds
+    only at the minimal config n_bands == radius+1; pinning
+    n_bands > radius+1 expands to C(n_bands, n_bands−radius)
+    combination tables (e.g. n_bands=8 at radius 3 → C(8,5) = 56
+    tables of 40-bit keys, not 8 single-band tables) — still exact,
+    but a materially larger plan than classic single-band LSH banding.
+    Callers wanting exactly one table per band should pass
+    n_bands = radius+1 (the measured-optimal config anyway — see
+    ``auto_hamming_blocks``).
 
     Shuffle economy: signatures are 8 bytes, so they ride the band join
     (no second join to re-attach payloads); each pair is emitted at its
@@ -203,7 +238,16 @@ def hamming_neardup_pairs(
     exchange of n_tables × (id, sig, key) rows per side."""
     from itertools import combinations
 
+    if n_longs < 1:
+        raise ValueError(f"n_longs must be >= 1, got {n_longs}")
+    total_bits = 64 * n_longs
+    min_blocks = (total_bits + 63) // 64  # every block must fit an int64
     if n_bands is not None:
+        if n_longs > 1:
+            raise ValueError(
+                "n_bands is the 64-bit legacy spelling; pass n_blocks "
+                "for multi-long signatures"
+            )
         if not 0 < n_bands <= 64 or 64 % n_bands:
             raise ValueError(f"n_bands must divide 64, got {n_bands}")
         if radius >= n_bands:
@@ -214,13 +258,21 @@ def hamming_neardup_pairs(
             )
         n_blocks = n_bands
     if n_blocks is None:
-        n_blocks = auto_hamming_blocks(df.count(), radius)
+        n_blocks = auto_hamming_blocks(
+            df.count(), radius, total_bits=total_bits,
+            min_blocks=min_blocks,
+        )
     if radius >= n_blocks:
         raise ValueError(
             f"radius {radius} >= n_blocks {n_blocks}: the pigeonhole "
             f"guarantee needs radius < n_blocks"
         )
-    layout = _block_layout(n_blocks)
+    if n_blocks < min_blocks:
+        raise ValueError(
+            f"n_blocks {n_blocks} < {min_blocks}: every block of a "
+            f"{total_bits}-bit signature must fit one int64"
+        )
+    layout = _block_layout(n_blocks, total_bits)
     t = n_blocks - radius
     tables = list(combinations(range(n_blocks), t))
     if len(tables) > 256:
@@ -230,23 +282,54 @@ def hamming_neardup_pairs(
         )
     sig = F.col(sig_col)
 
+    def _mask(bits: int) -> Column:
+        return F.lit(-1 if bits >= 64 else (1 << bits) - 1).cast("long")
+
+    def _block_value(off: int, w: int) -> Column:
+        """Bits [off, off+w) of the signature as one BIGINT. n_longs==1:
+        shift+mask of the single long. Wide: the block spans at most
+        two adjacent longs of the array (w <= 64 by construction) —
+        logical-shift both and OR the halves."""
+        if n_longs == 1:
+            if w >= 64:
+                return sig.cast("long")
+            return (
+                F.shiftrightunsigned(sig, off)
+                .bitwiseAND(_mask(w))
+                .cast("long")
+            )
+        l0, l1 = off // 64, (off + w - 1) // 64
+        s = off % 64
+        lo = F.element_at(sig, l0 + 1)
+        if l0 == l1:
+            if s == 0 and w == 64:
+                return lo
+            return F.shiftrightunsigned(lo, s).bitwiseAND(_mask(w))
+        low_w = 64 - s
+        hi = F.element_at(sig, l1 + 1)
+        # shiftrightunsigned zero-fills, so the low part needs no mask
+        return F.shiftrightunsigned(lo, s).bitwiseOR(
+            F.shiftleft(hi.bitwiseAND(_mask(w - low_w)), low_w)
+        )
+
     def _table_key(combo) -> Column:
-        """Concatenated block values of one combination, packed into a
-        single BIGINT (total selected width < 64 whenever radius ≥ 1;
-        the radius-0 single-block case IS the signature — a 64-bit mask
-        literal would overflow a long, so return it directly)."""
+        """Join key of one block combination. 64-bit path: the selected
+        blocks packed into a single BIGINT (total selected width < 64
+        whenever radius ≥ 1; the radius-0 single-block case IS the
+        signature — a 64-bit mask literal would overflow a long, so
+        return it directly). Wide path: an array<long> of the selected
+        block values — exact equality, no packing arithmetic."""
+        if n_longs > 1:
+            return F.array(*[_block_value(*layout[bi]) for bi in combo])
         key = F.lit(0).cast("long")
         shift = 0
         for bi in combo:
             off, w = layout[bi]
             if w >= 64:
                 return sig.cast("long")
-            block = (
-                F.shiftrightunsigned(sig, off)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .cast("long")
+            key = key.bitwiseOR(
+                F.shiftleft(_block_value(off, w), shift)
             )
-            key = key.bitwiseOR(F.shiftleft(block, shift))
             shift += w
         return key
 
@@ -286,7 +369,18 @@ def hamming_neardup_pairs(
         range(n_bands - 1),
         F.col("id_a") < F.col("id_b"),
     )
-    dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    if n_longs == 1:
+        dist = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    else:
+        terms = [
+            F.bit_count(
+                F.element_at("sa", j + 1).bitwiseXOR(
+                    F.element_at("sb", j + 1)
+                )
+            )
+            for j in range(n_longs)
+        ]
+        dist = reduce(lambda a, b: a + b, terms).cast("int")
     return (
         a.join(b, ["band", "bkey"])
         .filter(first_match)

@@ -96,6 +96,28 @@ def dhash64(px: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def dhash256(px: np.ndarray) -> list[int]:
+    """Wide difference hash (r11, VERDICT r10 #4): 17×16 box downsample
+    (17 columns, 16 rows), bit (y*16 + x) set iff grid[y, x+1] >
+    grid[y, x] (strict) — 256 bits packed little-endian into FOUR
+    signed int64s (long j holds bits [64j, 64j+64); two's-complement
+    per long, same convention as ``dhash64``). The wide signature is
+    the scale answer to the 64-bit block-key density cliff: fed to
+    ``binary.hamming_neardup_pairs(n_longs=4)``, the minimal radius-7
+    config keys on 32-bit blocks, so per-bucket density stays ~n/2³²
+    at any realistic corpus size (SCALE.md "Image near-dup ladder")."""
+    grid = _box_resample(_to_gray(px), 16, 17)
+    bits = grid[:, 1:] > grid[:, :-1]  # (16, 16), row-major
+    flat = bits.reshape(-1)
+    out = []
+    for j in range(4):
+        v = 0
+        for p in np.flatnonzero(flat[64 * j : 64 * (j + 1)]):
+            v |= 1 << int(p)
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return out
+
+
 def ahash64(px: np.ndarray) -> int:
     """Average hash: 8×8 box downsample, bit (y*8 + x) set iff the cell
     is strictly brighter than the grid mean. Coarser than dHash (global
@@ -182,12 +204,19 @@ def decode_image_gray(payload: bytes) -> np.ndarray:
 
         off, = struct.unpack_from("<I", b, 10)
         w, h = struct.unpack_from("<ii", b, 18)
-        if h < 0:
-            raise ValueError("top-down BMP unsupported in gray dispatch")
+        # negative height = top-down row order (legal per the BMP spec,
+        # and decode_bmp's stats path accepts it) — same pixels, no
+        # bottom-up flip (r11, ADVICE r10: this is a well-formed layout,
+        # not corruption)
+        flip = h > 0
+        h = abs(h)
         row = (w * 3 + 3) & ~3
         px = np.frombuffer(
             b, dtype=np.uint8, count=h * row, offset=off
-        ).reshape(h, row)[::-1, : w * 3].reshape(h, w, 3)
+        ).reshape(h, row)
+        if flip:
+            px = px[::-1]
+        px = px[:, : w * 3].reshape(h, w, 3)
         return _to_gray(px[:, :, ::-1])  # BGR → RGB
     raise NotImplementedError(
         "unrecognized image payload for perceptual hashing (GIF, PNG, "
@@ -201,19 +230,25 @@ def image_signatures(
     id_col: str = "media_id",
     kind: str = "dhash",
 ) -> DataFrame:
-    """(id, payload) → (id, sig int64) perceptual signatures through ONE
+    """(id, payload) → (id, sig) perceptual signatures through ONE
     Arrow ``mapInPandas`` stage: decode + downsample + hash per row,
-    pixels never serialized out of Python. Downstream, feed
-    ``binary.hamming_neardup_pairs`` (exact at radius < n_bands) or the
-    ``vec_topk_hamming`` XOR kernel for query-time lookup."""
+    pixels never serialized out of Python. ``kind``: "dhash"/"ahash"
+    emit one int64 (``sig long``); "dhash256" emits the 4×int64 wide
+    signature (``sig array<long>`` — r11). Downstream, feed
+    ``binary.hamming_neardup_pairs`` (exact at radius < n_blocks;
+    n_longs=4 for dhash256) or the ``vec_topk_hamming`` XOR kernel for
+    query-time lookup."""
     import pandas as pd
 
     try:
-        hasher = {"dhash": dhash64, "ahash": ahash64}[kind]
+        hasher = {
+            "dhash": dhash64, "ahash": ahash64, "dhash256": dhash256,
+        }[kind]
     except KeyError:
         raise ValueError(
-            f"unknown signature kind {kind!r} (dhash, ahash)"
+            f"unknown signature kind {kind!r} (dhash, ahash, dhash256)"
         ) from None
+    wide = kind == "dhash256"
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -221,9 +256,13 @@ def image_signatures(
                 hasher(decode_image_gray(p)) for p in pdf[payload_col]
             ]
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "sig": pd.array(sigs, "int64")}
+                {
+                    id_col: pdf[id_col],
+                    "sig": sigs if wide else pd.array(sigs, "int64"),
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        batches, schema=f"{id_col} long, sig long"
+        batches,
+        schema=f"{id_col} long, sig " + ("array<long>" if wide else "long"),
     )

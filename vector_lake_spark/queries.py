@@ -1133,7 +1133,18 @@ GRAPH_KNN_K = 3
 def _knn_candidate_pairs(spark, sf):
     """Banded-LSH candidate pairs with NO similarity threshold — the
     shared input of the k-NN graph queries. Candidates stay bounded by
-    the banding (never all-pairs); -2.0 passes every non-null cosine."""
+    the banding (never all-pairs); -2.0 passes every non-null cosine.
+
+    band_bits auto-sizes from the corpus (r11, VERDICT r10 #1 — the
+    same fix vec_semantic_dedup got in r10): ann.auto_band_bits
+    resolves to NEARDUP_BAND_BITS (=2) at every oracle scale (≤ 16·256·4
+    rows — tests/test_lsh.py::test_auto_band_bits_oracle_ceiling pins
+    that the sf family stays under the ceiling), so the static SQL
+    oracles of all three graph queries stay exact; on the measured
+    200k-row cliff corpus it resolves to 6 — the config whose mult100
+    rung is in SCALE.md "Similarity graph at 200k rows (registry
+    config)". The r09-measured density cliff ((n/4)² bucket cliques at
+    band_bits=2) can no longer ship by default."""
     from vector_lake_spark.operators.ann import lsh_neardup_pairs
 
     return lsh_neardup_pairs(
@@ -1141,7 +1152,7 @@ def _knn_candidate_pairs(spark, sf):
         H4,
         threshold=-2.0,
         n_bands=NEARDUP_N_BANDS,
-        band_bits=NEARDUP_BAND_BITS,
+        band_bits=None,
         carry_vectors=True,
     )
 
@@ -2989,8 +3000,23 @@ def q_q2_min_cost_supplier(spark, sf):
     decorrelated physical form Catalyst would produce anyway: per-part
     min as a groupBy re-joined on equality. Supplier×nation×region is a
     ~100-row broadcast dim; only the (part, supplier) offer aggregate
-    shuffles, and it shuffles 3 small columns."""
-    li = _t(spark, sf, "lineitem")
+    shuffles, and it shuffles 3 small columns.
+
+    r11 (VERDICT r10 #6): the part filter is pushed BELOW the offer
+    aggregate — lineitem is broadcast-semi-joined against the filtered
+    partkeys before the (part, supplier) groupBy, so the one real
+    shuffle carries only qualifying parts (~1/250 of rows in true
+    TPC-H) instead of filtering after the aggregate ran over ALL parts.
+    Plan-pinned: tests/test_plans.py asserts the semi-join sits below
+    the first HashAggregate."""
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    )
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(
             F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
@@ -3007,9 +3033,6 @@ def q_q2_min_cost_supplier(spark, sf):
         F.broadcast(supp), supply.l_suppkey == supp.s_suppkey
     ).select("l_partkey", "cost", "s_name", "n_name")
     best = offers.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
-    part = _t(spark, sf, "part").filter(
-        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
-    )
     return (
         offers.join(best, "l_partkey")
         .filter(F.col("cost") == F.col("min_cost"))
@@ -9861,6 +9884,173 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 7
 SQL_MM_IMAGE_NEARDUP = _sql_mm_image_neardup()
 
 
+def _dhash_fixture_sig256(doc_id: int) -> list[int]:
+    """Closed-form 256-bit target dHash for the WIDE image near-dup
+    fixture (r11, VERDICT r10 #4) — the 4×int64 twin of
+    ``_dhash_fixture_sig``. Group g = doc_id % 40 shares a base built
+    byte-wise (byte k of long j = (g·37 + (8j+k)·101 + (g²·13)%251) %
+    256, top byte of each long %128 so the SUM construction never
+    overflows a signed long in either engine — flips may still set bit
+    63 via XOR, which both engines handle two's-complement-exactly).
+    Member m = doc_id // 40 flips the first 3·(m//2) positions of the
+    group's stride-19 sequence mod 255 (19 ⟂ 255, so positions are
+    distinct until the 255-cycle wraps; the flip set of each member is
+    a PREFIX of the next, giving the exact distance ladder 0, 3, 6,
+    ...)."""
+    g = doc_id % 40
+    m = doc_id // 40
+    mix = (g * g * 13) % 251
+    longs = []
+    for j in range(4):
+        v = 0
+        for k in range(8):
+            byte = (g * 37 + (8 * j + k) * 101 + mix) % 256
+            if k == 7:
+                byte %= 128
+            v |= byte << (8 * k)
+        longs.append(v)
+    for p in {(g * 11 + i * 19) % 255 for i in range(3 * (m // 2))}:
+        longs[p // 64] ^= 1 << (p % 64)
+    return [v - (1 << 64) if v >= (1 << 63) else v for v in longs]
+
+
+def _render_dhash_grid256(longs: list[int]):
+    """16×17 grayscale grid whose dhash256 is exactly ``longs``: each
+    row walks from 128 in ±4 steps (16 steps ⇒ range [64, 192], strict
+    comparisons, ties impossible)."""
+    import numpy as np
+
+    grid = np.zeros((16, 17), dtype=np.uint8)
+    for y in range(16):
+        v = 128
+        grid[y][0] = v
+        for x in range(16):
+            p = y * 16 + x
+            bit = (longs[p // 64] >> (p % 64)) & 1
+            v = v + 4 if bit else v - 4
+            grid[y][x + 1] = v
+    return grid
+
+
+def q_mm_image_neardup_wide(spark, sf):
+    """Wide-signature perceptual near-dup (r11, VERDICT r10 #4): the
+    256-bit dHash closes the regime SCALE.md's own ladder names as the
+    64-bit cliff (radius ≥ 6 at ≥ 10M rows, where 8-bit block keys go
+    dense). Per document a REAL image is rendered (the 2×-upscaled
+    16×17 walk grid), GIF-encoded, decoded back through the native
+    codec and hashed to 4×int64 inside ONE Arrow stage
+    (image_signatures kind="dhash256"; pixels never leave Python);
+    hamming_neardup_pairs(n_longs=4) then runs the block-combination
+    join at radius 7 with the minimal 8-block config — **32-bit block
+    keys**, so expected bucket density is n/2³² and the pair join
+    stays sparse at any realistic corpus. Oracle: closed-form 4-long
+    signatures + brute-force pairs (equal by pigeonhole)."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+    from vector_lake_spark.operators.imagehash import image_signatures
+
+    d = _t(spark, sf, "documents")
+    params = d.select(F.col("doc_id").alias("media_id"))
+
+    def mux(it):
+        import numpy as np
+        import pandas as pd
+
+        from vector_lake_spark.gif import encode_gif
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["media_id"]:
+                grid = _render_dhash_grid256(
+                    _dhash_fixture_sig256(int(doc_id))
+                )
+                img = np.kron(grid, np.ones((2, 2), dtype=np.uint8))
+                payloads.append(
+                    encode_gif(np.repeat(img[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    media = params.mapInPandas(
+        mux, schema="media_id long, payload binary"
+    )
+    sigs = image_signatures(media, kind="dhash256")
+    # minimal pinned config (the auto default resolves to 8 at every
+    # registry scale and would re-run the codec chain for a count —
+    # the mm_image_neardup lesson); at 100 TB, persist signatures and
+    # let auto size
+    return hamming_neardup_pairs(
+        sigs, radius=7, id_col="media_id", n_blocks=8, n_longs=4
+    )
+
+
+def _sql_mm_image_neardup_wide() -> str:
+    # the 4 closed-form longs, inlined byte-wise with place values
+    # (top byte of each long %128 keeps every BASE below 2^63); flips
+    # applied per long from the stride-19 position sequence mod 255.
+    # A flip at bit 63 of a long is legal — the mask sum runs in
+    # HUGEINT and folds to signed int64 two's complement explicitly
+    # (BIGINT << 63 overflows in DuckDB).
+    flip_cols = ",\n         ".join(
+        f"""COALESCE(list_sum(list_transform(
+           list_filter(pos, p -> p // 64 = {j}),
+           p -> CAST(1 AS HUGEINT) << CAST(p % 64 AS INT)
+         )), 0) AS f{j}"""
+        for j in range(4)
+    )
+    long_cols = []
+    for j in range(4):
+        byte_terms = " + ".join(
+            f"((g*37 + {(8 * j + k) * 101} + (g*g*13) % 251) % "
+            f"{128 if k == 7 else 256}) * {1 << (8 * k)}"
+            for k in range(8)
+        )
+        long_cols.append(
+            f"""xor(
+           CAST({byte_terms} AS BIGINT),
+           CAST(CASE WHEN f{j} >= 9223372036854775808
+                THEN f{j} - 18446744073709551616
+                ELSE f{j} END AS BIGINT)
+         ) AS s{j}"""
+        )
+    longs_sql = ",\n         ".join(long_cols)
+    # bit_count returns TINYINT in DuckDB — the 4-term sum can reach
+    # 256, so widen each term before adding
+    dist = " + ".join(
+        f"CAST(bit_count(xor(a.s{j}, b.s{j})) AS INT)" for j in range(4)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 40 AS g,
+         list_distinct(list_transform(
+           range(3 * ((doc_id // 40) // 2)),
+           i -> CAST((doc_id % 40 * 11 + i * 19) % 255 AS INT)
+         )) AS pos
+  FROM documents
+),
+f AS (
+  SELECT doc_id, g,
+         {flip_cols}
+  FROM p
+),
+s AS (
+  SELECT doc_id,
+         {longs_sql}
+  FROM f
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({dist} AS INT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {dist} <= 7
+"""
+
+
+SQL_MM_IMAGE_NEARDUP_WIDE = _sql_mm_image_neardup_wide()
+
+
 def q_mm_exif_probe(spark, sf):
     """EXIF orientation/dimension/timestamp probe at table scale (r10,
     VERDICT r09 #7). Per document a real JPEG is encoded (jpeg.py) and
@@ -10087,6 +10277,266 @@ FROM p
 SQL_MM_IMAGE_ORIENT = _sql_mm_image_orient()
 
 
+def _image_dedup_sigs(spark, sf):
+    """The Arrow stage of pipe_image_dedup_e2e, exposed for plan
+    pinning: per document the upright fixture image (closed-form dHash,
+    q_mm_image_neardup) is stored INVERSE-rotated as a real TIFF whose
+    IFD carries Orientation tag doc_id%8+1 (the mm_image_orient
+    fixture), and ONE mapInPandas does the full curation prelude —
+    probe the EXIF tag, decode the pixels, correct upright, hash.
+    Pixels and payloads never leave Python; only (media_id, sig int64)
+    rows emerge."""
+    d = _t(spark, sf, "documents")
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8 + 1).cast("int").alias("ori"),
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from vector_lake_spark.exif import probe_exif
+        from vector_lake_spark.operators.imagehash import (
+            INVERSE_ORIENTATION,
+            apply_exif_orientation,
+            decode_image_gray,
+            dhash64,
+        )
+        from vector_lake_spark.tiff import encode_tiff
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                upright = np.kron(
+                    _render_dhash_grid(_dhash_fixture_sig(int(r.media_id))),
+                    np.ones((2, 2), dtype=np.uint8),
+                )
+                stored = apply_exif_orientation(
+                    upright, INVERSE_ORIENTATION[r.ori]
+                )
+                payload = encode_tiff(
+                    np.ascontiguousarray(stored), orientation=r.ori
+                )
+                info = probe_exif(payload)
+                px = apply_exif_orientation(
+                    decode_image_gray(payload), info["orientation"] or 1
+                )
+                rows.append((r.media_id, dhash64(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "sig"])
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    return params.mapInPandas(batches, schema="media_id long, sig long")
+
+
+def q_pipe_image_dedup_e2e(spark, sf):
+    """Composed image-curation dedup pipeline (r11, VERDICT r10 #2) —
+    the image twin of pipe_crawl_e2e: EXIF probe → rotate upright →
+    dHash (ONE Arrow stage, _image_dedup_sigs) → banded-Hamming pair
+    join (radius 7, pigeonhole-exact) → star-contraction connected
+    components → keep-best survivor per cluster (min media_id — the
+    deterministic keep rule; ties impossible) with its duplicate count
+    and surviving signature. This is the LAION-style curation run as
+    one engine invocation: pixels never shuffle (plan-pinned), the
+    only exchanges past the Arrow stage carry (id, sig, key) rows and
+    the CC contraction's (int, int) edges. Oracle: closed-form fixture
+    signatures + brute-force pairs + recursive-CTE min-reachable-id
+    (equal by pigeonhole + CC uniqueness)."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+    from vector_lake_spark.operators.dedup import connected_components_star
+
+    sigs = _image_dedup_sigs(spark, sf)
+    pairs = hamming_neardup_pairs(
+        sigs, radius=7, id_col="media_id", n_blocks=8
+    )
+    cc = connected_components_star(
+        pairs, sigs.select("media_id"), id_col="media_id"
+    )
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_cnt"))
+        .join(sigs, F.col("cluster_id") == F.col("media_id"))
+        .select("media_id", "dup_cnt", "sig")
+    )
+
+
+def _sql_pipe_image_dedup_e2e() -> str:
+    byte_terms = " + ".join(
+        f"((g*37 + {k*101} + (g*g*13) % 251) % {128 if k == 7 else 256})"
+        f" * {1 << (8 * k)}"
+        for k in range(8)
+    )
+    return f"""
+WITH RECURSIVE
+p AS (
+  SELECT doc_id, doc_id % 40 AS g, 3 * ((doc_id // 40) // 2) AS nf
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         xor(
+           CAST({byte_terms} AS BIGINT),
+           COALESCE(CAST(list_sum(list_transform(
+             list_distinct(list_transform(range(nf),
+                           i -> CAST((g*11 + i*17) % 63 AS INT))),
+             p -> CAST(1 AS BIGINT) << p
+           )) AS BIGINT), 0)
+         ) AS sig
+  FROM p
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 7
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b AS a, id_a AS b FROM pairs),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM s
+  UNION
+  SELECT e2.a AS id, reach.r AS r FROM edges e2 JOIN reach ON reach.id = e2.b
+),
+lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT s.doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS dup_cnt,
+       s.sig AS sig
+FROM lab JOIN s ON s.doc_id = lab.cluster_id
+GROUP BY s.doc_id, s.sig
+"""
+
+
+SQL_PIPE_IMAGE_DEDUP_E2E = _sql_pipe_image_dedup_e2e()
+
+
+def _audio_fixture_sig(doc_id: int) -> int:
+    """Closed-form target audio fingerprint (r11, VERDICT r10 #5) —
+    the audio twin of ``_dhash_fixture_sig`` with its own constants so
+    the two fixtures never collide. Group g = doc_id % 40 shares a
+    63-bit base (byte k = (g·53 + k·97 + (g²·29)%241) % 256, top byte
+    %128); member m = doc_id // 40 flips the first 3·(m//2) positions
+    of the group's stride-13 sequence mod 63 (13 ⟂ 63) — prefix-nested
+    flip sets give the exact distance ladder 0, 3, 6, ..."""
+    g = doc_id % 40
+    m = doc_id // 40
+    mix = (g * g * 29) % 241
+    base = 0
+    for k in range(8):
+        byte = (g * 53 + k * 97 + mix) % 256
+        if k == 7:
+            byte %= 128
+        base |= byte << (8 * k)
+    mask = 0
+    for i in range(3 * (m // 2)):
+        mask |= 1 << ((g * 7 + i * 13) % 63)
+    return base ^ mask
+
+
+def _render_audio_pcm(sig: int):
+    """Synthesize 512 int16 PCM samples whose audio fingerprint is
+    exactly ``sig``: the 8×9 walk grid (``_render_dhash_grid`` — the
+    fingerprint IS a dHash of the spectrogram) gives per-(frame, band)
+    levels; each frame is the sum of 9 full-frame cosines at the
+    fingerprint's bins (3..11) with amplitude 2^((level−64)/16 + 4) —
+    adjacent levels differ by ±8, i.e. a 2× energy gap, while int16
+    rounding perturbs a band's 512..4096-amplitude line by ≤32, so the
+    strict comparisons can never flip (worst-case-aligned bound in
+    operators/audiofp docstring). The loudest possible walk sums to
+    ~13.4k < 32767: no clipping at any doc_id."""
+    import numpy as np
+
+    grid = _render_dhash_grid(sig)  # (8, 9) levels in [64, 192]
+    n = np.arange(64)
+    out = np.zeros(512, dtype=np.float64)
+    for f in range(8):
+        seg = np.zeros(64, dtype=np.float64)
+        for b in range(9):
+            amp = 2.0 ** ((int(grid[f][b]) - 64) / 16.0 + 4.0)
+            seg += amp * np.cos(2.0 * np.pi * (3 + b) * n / 64.0)
+        out[f * 64 : (f + 1) * 64] = seg
+    return np.round(out).astype(np.int16)
+
+
+def q_mm_audio_neardup(spark, sf):
+    """Perceptual audio near-duplicate pairs (r11, VERDICT r10 #5) —
+    the audio leg of the dedup family, closing the gap between the WAV
+    decode stack (exact PCM from mm_wav_depths' formats) and the
+    Hamming pair machinery. Per document a REAL 512-sample WAV is
+    synthesized from the closed-form spectral walk above, muxed
+    (audiofp.mux_pcm16_wav), decoded back through the stdlib-PCM walk
+    and fingerprinted (sign-of-adjacent-band-energy over 8 frames × 9
+    FFT bands — Haitsma-Kalker-style, integer-exact by construction)
+    inside ONE Arrow stage: samples never leave Python, only
+    (media_id, int64) rows shuffle. The 8-band block join then finds
+    every pair within Hamming radius 7 EXACTLY (pigeonhole). Oracle:
+    closed-form signatures + brute-force pairs."""
+    from vector_lake_spark.operators.audiofp import (
+        audio_fingerprint64,
+        decode_wav_samples,
+        mux_pcm16_wav,
+    )
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    d = _t(spark, sf, "documents")
+    params = d.select(F.col("doc_id").alias("media_id"))
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["media_id"]:
+                payload = mux_pcm16_wav(
+                    _render_audio_pcm(_audio_fixture_sig(int(doc_id)))
+                )
+                samples, _rate = decode_wav_samples(payload)
+                rows.append((doc_id, audio_fingerprint64(samples)))
+            yield pd.DataFrame(rows, columns=["media_id", "sig"])
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    sigs = params.mapInPandas(batches, schema="media_id long, sig long")
+    return hamming_neardup_pairs(
+        sigs, radius=7, id_col="media_id", n_blocks=8
+    )
+
+
+def _sql_mm_audio_neardup() -> str:
+    byte_terms = " + ".join(
+        f"((g*53 + {k*97} + (g*g*29) % 241) % {128 if k == 7 else 256})"
+        f" * {1 << (8 * k)}"
+        for k in range(8)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 40 AS g, 3 * ((doc_id // 40) // 2) AS nf
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         xor(
+           CAST({byte_terms} AS BIGINT),
+           COALESCE(CAST(list_sum(list_transform(
+             list_distinct(list_transform(range(nf),
+                           i -> CAST((g*7 + i*13) % 63 AS INT))),
+             p -> CAST(1 AS BIGINT) << p
+           )) AS BIGINT), 0)
+         ) AS sig
+  FROM p
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
+"""
+
+
+SQL_MM_AUDIO_NEARDUP = _sql_mm_audio_neardup()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10130,8 +10580,11 @@ _BASE_QUERIES = {
     "mm_mp3_probe": q_mm_mp3_probe,
     "mm_ogg_probe": q_mm_ogg_probe,
     "mm_image_neardup": q_mm_image_neardup,
+    "mm_image_neardup_wide": q_mm_image_neardup_wide,
     "mm_exif_probe": q_mm_exif_probe,
     "mm_image_orient": q_mm_image_orient,
+    "pipe_image_dedup_e2e": q_pipe_image_dedup_e2e,
+    "mm_audio_neardup": q_mm_audio_neardup,
     "pipe_url_dedup": q_pipe_url_dedup,
     "text_gopher_rules": q_text_gopher_rules,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
@@ -10337,27 +10790,22 @@ _LAST_DRIVER_ROUND = _last_driver_rounds()
 # _FRONTLOAD pins names to the very front of the window, AHEAD of
 # never-checked entries — used when the implementation neighborhood of an
 # already-checked entry was rewritten and the evidence must be refreshed
-# this round regardless of age. r10 pins the six entries whose code (or
-# oracle values) changed this round:
-#   - mm_wav_depths: matrix widened doc_id%8 → %10 (IMA + MS ADPCM
-#     modes — adpcm.py; every row's mode shifted, oracle values changed)
-#   - mm_container_probe: Matroska leg gained the lacing factor and the
-#     probe now counts laced frames (mkv.py lacing decode, r10)
-#   - mm_ogg_probe: channel count decorrelated from the codec bit
-#     (r09 advice; oracle values changed)
-#   - mm_mp3_probe: is_mp3 now requires a second consecutive header
-#     (r09 advice; routing neighborhood changed, values unchanged)
-#   - vec_neardup_lsh / vec_semantic_dedup: band_bits=None auto-sizing
-#     (ann.auto_band_bits; resolves to the old width at oracle scales,
-#     but the evidence must re-attach to the new code)
+# this round regardless of age. r11 pins the four entries whose code
+# changed this round:
+#   - graph_knn_edges / graph_knn_mutual / graph_triangles: their shared
+#     candidate stage (_knn_candidate_pairs) now auto-sizes band_bits
+#     (VERDICT r10 #1; resolves to the old width at oracle scales, but
+#     the evidence must re-attach to the new code)
+#   - q2_min_cost_supplier: the part filter pushed below the offer
+#     aggregate (VERDICT r10 #6; same result set, new plan)
+# r10 pinned mm_wav_depths, mm_container_probe, mm_ogg_probe,
+# mm_mp3_probe, vec_neardup_lsh, vec_semantic_dedup (all green r10).
 # See docs/ROTATION.md for the policy.
 _FRONTLOAD: tuple[str, ...] = (
-    "mm_wav_depths",
-    "mm_container_probe",
-    "mm_ogg_probe",
-    "mm_mp3_probe",
-    "vec_neardup_lsh",
-    "vec_semantic_dedup",
+    "graph_knn_edges",
+    "graph_knn_mutual",
+    "graph_triangles",
+    "q2_min_cost_supplier",
 )
 
 QUERIES = dict(
@@ -10401,6 +10849,9 @@ ORACLES = {
     "mm_mp3_probe": SQL_MM_MP3_PROBE,
     "mm_ogg_probe": SQL_MM_OGG_PROBE,
     "mm_image_neardup": SQL_MM_IMAGE_NEARDUP,
+    "mm_image_neardup_wide": SQL_MM_IMAGE_NEARDUP_WIDE,
+    "pipe_image_dedup_e2e": SQL_PIPE_IMAGE_DEDUP_E2E,
+    "mm_audio_neardup": SQL_MM_AUDIO_NEARDUP,
     "mm_exif_probe": SQL_MM_EXIF_PROBE,
     "mm_image_orient": SQL_MM_IMAGE_ORIENT,
     "pipe_url_dedup": SQL_PIPE_URL_DEDUP,
