@@ -94,6 +94,20 @@ def test_non_pcm_gate_is_named():
         decode_wav_samples(payload)
 
 
+def test_corrupt_wav_routes_to_valueerror():
+    """Review r11: damage and format novelty must split per the repo's
+    routing contract — a non-WAV blob or a PCM WAV truncated inside its
+    header is corrupt (ValueError), NOT an unsupported format."""
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        decode_wav_samples(b"RIFFxxxxWAVE" + b"\x01" * 8)
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        decode_wav_samples(b"not a wav at all, definitely")
+    # a real PCM WAV cut inside the header is damage, not novelty
+    good = mux_pcm16_wav(np.zeros(512, dtype=np.int16))
+    with pytest.raises(ValueError, match="corrupt WAV"):
+        decode_wav_samples(good[:20])
+
+
 def test_fixture_closed_form_parity_sweep():
     """The mm_audio_neardup contract: synth → WAV mux → REAL decode →
     fingerprint must equal the oracle's closed-form signature across

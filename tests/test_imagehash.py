@@ -378,7 +378,9 @@ def _brute_pairs_wide(sigs, radius):
     return out
 
 
-@pytest.mark.parametrize("radius,n_blocks", [(7, 8), (3, 4), (10, 11), (1, 4)])
+@pytest.mark.parametrize(
+    "radius,n_blocks", [(7, 8), (3, 4), (10, 11), (1, 4), (0, 4)]
+)
 def test_wide_banded_pairs_equal_brute_force(spark, radius, n_blocks):
     """r11 (VERDICT r10 #4): the multi-long path must be pigeonhole-
     exact at every configuration, like the 64-bit path — including
@@ -403,12 +405,14 @@ def test_wide_banded_pairs_equal_brute_force(spark, radius, n_blocks):
         [(k, [to_signed(x) for x in v]) for k, v in sigs.items()],
         "media_id long, sig array<long>",
     )
-    got = {
-        (r.id_a, r.id_b, r.dist)
-        for r in hamming_neardup_pairs(
-            df, radius=radius, n_blocks=n_blocks, n_longs=4
-        ).collect()
-    }
+    rows = hamming_neardup_pairs(
+        df, radius=radius, n_blocks=n_blocks, n_longs=4
+    ).collect()
+    got = {(r.id_a, r.id_b, r.dist) for r in rows}
+    # each pair must be emitted at EXACTLY its first matching table —
+    # a broken first-match residual on the array keys would duplicate
+    # pairs that agree on several block combinations (review r11)
+    assert len(rows) == len(got), f"{len(rows)} rows vs {len(got)} pairs"
     assert got == want
 
 

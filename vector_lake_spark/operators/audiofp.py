@@ -57,17 +57,40 @@ def decode_wav_samples(payload: bytes):
 
     from vector_lake_spark.multimodal import _pcm_samples
 
+    b = bytes(payload)
     try:
-        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        with wave.open(io.BytesIO(b), "rb") as w:
             n_channels = w.getnchannels()
             rate = w.getframerate()
             frames = w.readframes(w.getnframes())
             width = w.getsampwidth()
     except (wave.Error, EOFError) as e:
-        raise NotImplementedError(
-            "non-integer-PCM WAV in audio fingerprinting (G.711/ADPCM/"
-            "float decode exists in decode_wav; route through it to "
-            "linear PCM first)"
+        # stdlib wave raises the same error family for damage and for
+        # format novelty — split them per the repo's routing contract
+        # (ValueError = corrupt, NotImplementedError = legal-but-
+        # unsupported, the is_mp3 lesson): a well-formed RIFF/WAVE
+        # whose fmt tag is non-PCM is the named gate; everything else
+        # is a corrupt stream
+        import struct
+
+        if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos = 12
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                sz, = struct.unpack_from("<I", b, pos + 4)
+                if cid == b"fmt " and pos + 10 <= len(b):
+                    tag, = struct.unpack_from("<H", b, pos + 8)
+                    if tag != 1:
+                        raise NotImplementedError(
+                            f"non-integer-PCM WAV (format tag {tag}) in "
+                            "audio fingerprinting (G.711/ADPCM/float "
+                            "decode exists in decode_wav; route through "
+                            "it to linear PCM first)"
+                        ) from e
+                    break
+                pos += 8 + sz + (sz & 1)
+        raise ValueError(
+            "corrupt WAV payload for audio fingerprinting"
         ) from e
     samples = _pcm_samples(frames, width).astype(np.float64)
     if n_channels > 1:

@@ -1138,8 +1138,9 @@ def _knn_candidate_pairs(spark, sf):
     band_bits auto-sizes from the corpus (r11, VERDICT r10 #1 — the
     same fix vec_semantic_dedup got in r10): ann.auto_band_bits
     resolves to NEARDUP_BAND_BITS (=2) at every oracle scale (≤ 16·256·4
-    rows — tests/test_lsh.py::test_auto_band_bits_oracle_ceiling pins
-    that the sf family stays under the ceiling), so the static SQL
+    rows — pinned by
+    tests/test_lsh.py::test_testdata_scales_under_static_oracle_ceiling
+    against every shipped sf dir), so the static SQL
     oracles of all three graph queries stay exact; on the measured
     200k-row cliff corpus it resolves to 6 — the config whose mult100
     rung is in SCALE.md "Similarity graph at 200k rows (registry
@@ -10347,7 +10348,11 @@ def q_pipe_image_dedup_e2e(spark, sf):
     from vector_lake_spark.operators.binary import hamming_neardup_pairs
     from vector_lake_spark.operators.dedup import connected_components_star
 
-    sigs = _image_dedup_sigs(spark, sf)
+    # the signature table feeds THREE plan consumers (both pair-join
+    # sides + the survivor attach): checkpoint it lazily so the probe/
+    # decode/hash Arrow stage runs once — the "persist signatures" scale
+    # posture in miniature (SCALE.md, composed image curation e2e)
+    sigs = _image_dedup_sigs(spark, sf).localCheckpoint(eager=False)
     pairs = hamming_neardup_pairs(
         sigs, radius=7, id_col="media_id", n_blocks=8
     )
