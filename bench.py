@@ -150,10 +150,11 @@ HEADLINE = [
     "mm_exif_probe",
     "mm_image_orient",
     # r11: wide (256-bit) perceptual signatures, the composed image
-    # curation pipeline, and the audio fingerprint near-dup leg
+    # curation pipeline, and the audio + video fingerprint near-dup legs
     "mm_image_neardup_wide",
     "pipe_image_dedup_e2e",
     "mm_audio_neardup",
+    "mm_video_neardup",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

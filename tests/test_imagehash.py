@@ -459,3 +459,61 @@ def test_dhash256_from_rendered_grid():
                 v |= 1 << p
         want.append(v - (1 << 64) if v >= (1 << 63) else v)
     assert got == want
+
+
+def test_video_frame_signatures_operator(spark):
+    """(id, payload) → (id, frame_no, sig) through one Arrow stage over
+    a REAL RLE8 AVI; signatures equal hashing the decoded frames
+    directly (the container round trip is lossless)."""
+    from vector_lake_spark.avi import encode_avi_rle8
+    from vector_lake_spark.operators.imagehash import (
+        video_frame_signatures,
+    )
+
+    rng = np.random.RandomState(31)
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    rows, want = [], {}
+    for i in range(4):
+        frames = [
+            (rng.randint(0, 32, size=(16, 18)) * 8).astype(np.uint8)
+            for _ in range(3)
+        ]
+        rows.append((i, bytearray(encode_avi_rle8(frames, pal, fps=5))))
+        for f, fr in enumerate(frames):
+            want[(i, f)] = dhash64(fr.astype(np.float64))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.media_id, r.frame_no): r.sig
+        for r in video_frame_signatures(df).collect()
+    }
+    assert got == want
+
+
+def test_video_signature_dispatch_gates_unknown():
+    from vector_lake_spark.operators.imagehash import (
+        decode_video_frames_gray,
+    )
+
+    with pytest.raises(NotImplementedError, match="unrecognized video"):
+        decode_video_frames_gray(b"\x00\x01not a container", [0])
+
+
+def test_video_fixture_threshold_is_exercised():
+    """The ≥2-of-3 video threshold must have both sides at oracle
+    scale: half-distance-1 members match all 3 frames; half-distance-2
+    members produce a frame-0-only match that the video aggregate
+    rejects."""
+    from vector_lake_spark.queries import _video_fixture_sig
+
+    def dist(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    g = 7
+    # members with half-index 0, 1, 2 in group g: doc_ids g, g+2*40, g+4*40
+    m0, m1, m2 = g, g + 2 * 40, g + 4 * 40
+    d01 = [dist(_video_fixture_sig(m0, f), _video_fixture_sig(m1, f))
+           for f in range(3)]
+    d02 = [dist(_video_fixture_sig(m0, f), _video_fixture_sig(m2, f))
+           for f in range(3)]
+    assert d01 == [3, 4, 5]          # all three frames match at r=7
+    assert d02 == [6, 8, 10]         # only frame 0 matches — video rejected

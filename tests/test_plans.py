@@ -1164,3 +1164,27 @@ def test_audio_neardup_shuffles_signatures_not_samples(spark):
         assert "payload" not in sec.split("\n")[0], sec.split("\n")[0]
     read_schema = simple.split("ReadSchema")[1].split("\n")[0]
     assert "struct<doc_id:bigint>" in read_schema, read_schema
+
+
+def test_video_neardup_shuffles_frame_sigs_not_pixels(spark):
+    """mm_video_neardup (r11): container bytes and pixels live and die
+    inside the Arrow stages; past the (checkpointed) signature table,
+    the per-frame pair joins exchange only (band, bkey)-keyed int64
+    rows and the video aggregate shuffles (id_a, id_b) pairs."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = Q.q_mm_video_neardup(spark, SF)
+        simple = plan_string(df, "simple")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    for sec in simple.split("Exchange ")[1:]:
+        head = sec.split("\n")[0]
+        assert "payload" not in head, head
+        if head.startswith("hashpartitioning"):
+            assert ("band" in head and "bkey" in head) or (
+                "id_a" in head and "id_b" in head
+            ), head

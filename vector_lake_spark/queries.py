@@ -10542,6 +10542,159 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 7
 SQL_MM_AUDIO_NEARDUP = _sql_mm_audio_neardup()
 
 
+def _video_fixture_sig(doc_id: int, frame: int) -> int:
+    """Closed-form per-frame target dHash for the video near-dup
+    fixture (r11). Group g = doc_id % 40 shares a (g, frame)-specific
+    63-bit base (byte k = (g·61 + k·89 + frame·47 + (g²·31)%239) % 256,
+    top byte %128); member m = doc_id // 40 flips the first
+    (3+frame)·(m//2) positions of the (g, frame) stride-11 sequence
+    mod 63 (11 ⟂ 63, prefix-nested). The per-frame flip RATE differs
+    ((3+frame) per half-step), so members at half-distance Δh sit at
+    frame distances 3Δh / 4Δh / 5Δh: Δh ≤ 1 matches all three frames,
+    Δh = 2 matches ONLY frame 0 (6 ≤ 7 < 8, 10) — which is exactly
+    what exercises the ≥2-of-3 video-level threshold: frame-level
+    pairs exist that the video aggregate must reject."""
+    g = doc_id % 40
+    m = doc_id // 40
+    mix = (g * g * 31) % 239
+    base = 0
+    for k in range(8):
+        byte = (g * 61 + k * 89 + frame * 47 + mix) % 256
+        if k == 7:
+            byte %= 128
+        base |= byte << (8 * k)
+    mask = 0
+    for i in range((3 + frame) * (m // 2)):
+        mask |= 1 << ((g * 5 + frame * 3 + i * 11) % 63)
+    return base ^ mask
+
+
+def q_mm_video_neardup(spark, sf):
+    """Perceptual VIDEO near-duplicate pairs (r11) — the video leg of
+    the dedup family, composing the container stack (RLE8 AVI here;
+    the operator dispatches MJPEG-AVI/MP4/Matroska identically) with
+    per-frame dHash and the banded-Hamming machinery. Per document a
+    REAL 3-frame RLE8 AVI is muxed (lossless palette codec, avi.py,
+    gray identity palette) from per-frame closed-form walk grids; ONE
+    Arrow stage decodes the sampled frames and hashes them
+    (imagehash.video_frame_signatures — container bytes and pixels
+    never shuffle), the signature table is checkpointed once, each
+    frame index runs its own exact radius-7 banded join (temporal
+    alignment: re-encodes match frame-for-frame), and video pairs keep
+    ≥ 2 of 3 matching frames. The fixture's per-frame flip rates make
+    the threshold REAL: half-distance-2 members match on frame 0 only
+    and must be rejected by the aggregate. At production frame counts
+    the per-index joins become one group-keyed join ((frame_no, band,
+    bkey) keys) — same semantics, noted for the scale path. Oracle:
+    closed-form per-frame signatures + brute-force frame pairs +
+    HAVING count ≥ 2."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+    from vector_lake_spark.operators.imagehash import (
+        video_frame_signatures,
+    )
+
+    d = _t(spark, sf, "documents")
+    params = d.select(F.col("doc_id").alias("media_id"))
+
+    def mux(it):
+        import numpy as np
+        import pandas as pd
+
+        from vector_lake_spark.avi import encode_avi_rle8
+
+        pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["media_id"]:
+                frames = [
+                    np.kron(
+                        _render_dhash_grid(
+                            _video_fixture_sig(int(doc_id), f)
+                        ),
+                        np.ones((2, 2), dtype=np.uint8),
+                    )
+                    for f in range(3)
+                ]
+                payloads.append(encode_avi_rle8(frames, pal, fps=10))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    media = params.mapInPandas(
+        mux, schema="media_id long, payload binary"
+    )
+    sigs = video_frame_signatures(
+        media, frame_indices=(0, 1, 2)
+    ).localCheckpoint(eager=False)
+    frame_pairs = [
+        hamming_neardup_pairs(
+            sigs.filter(F.col("frame_no") == f).select("media_id", "sig"),
+            radius=7,
+            id_col="media_id",
+            n_blocks=8,
+        )
+        for f in range(3)
+    ]
+    return (
+        reduce(_DF.unionAll, frame_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames_matched"),
+            F.min("dist").cast("int").alias("min_dist"),
+        )
+        .filter(F.col("n_frames_matched") >= 2)
+    )
+
+
+def _sql_mm_video_neardup() -> str:
+    byte_terms = " + ".join(
+        f"((g*61 + {k*89} + f*47 + (g*g*31) % 239) % "
+        f"{128 if k == 7 else 256}) * {1 << (8 * k)}"
+        for k in range(8)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 40 AS g, (doc_id // 40) // 2 AS h, f
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS f)
+),
+s AS (
+  SELECT doc_id, f,
+         xor(
+           CAST({byte_terms} AS BIGINT),
+           COALESCE(CAST(list_sum(list_transform(
+             list_distinct(list_transform(range((3 + f) * h),
+                           i -> CAST((g*5 + f*3 + i*11) % 63 AS INT))),
+             p -> CAST(1 AS BIGINT) << p
+           )) AS BIGINT), 0)
+         ) AS sig
+  FROM p
+),
+fp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sig, b.sig)) AS dist
+  FROM s a JOIN s b ON a.f = b.f AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 7
+)
+SELECT id_a, id_b,
+       CAST(count(*) AS BIGINT) AS n_frames_matched,
+       CAST(min(dist) AS INT) AS min_dist
+FROM fp GROUP BY id_a, id_b
+HAVING count(*) >= 2
+"""
+
+
+SQL_MM_VIDEO_NEARDUP = _sql_mm_video_neardup()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -10590,6 +10743,7 @@ _BASE_QUERIES = {
     "mm_image_orient": q_mm_image_orient,
     "pipe_image_dedup_e2e": q_pipe_image_dedup_e2e,
     "mm_audio_neardup": q_mm_audio_neardup,
+    "mm_video_neardup": q_mm_video_neardup,
     "pipe_url_dedup": q_pipe_url_dedup,
     "text_gopher_rules": q_text_gopher_rules,
     "pipe_crawl_e2e": q_pipe_crawl_e2e,
@@ -10857,6 +11011,7 @@ ORACLES = {
     "mm_image_neardup_wide": SQL_MM_IMAGE_NEARDUP_WIDE,
     "pipe_image_dedup_e2e": SQL_PIPE_IMAGE_DEDUP_E2E,
     "mm_audio_neardup": SQL_MM_AUDIO_NEARDUP,
+    "mm_video_neardup": SQL_MM_VIDEO_NEARDUP,
     "mm_exif_probe": SQL_MM_EXIF_PROBE,
     "mm_image_orient": SQL_MM_IMAGE_ORIENT,
     "pipe_url_dedup": SQL_PIPE_URL_DEDUP,
