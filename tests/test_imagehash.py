@@ -517,3 +517,23 @@ def test_video_fixture_threshold_is_exercised():
            for f in range(3)]
     assert d01 == [3, 4, 5]          # all three frames match at r=7
     assert d02 == [6, 8, 10]         # only frame 0 matches — video rejected
+
+
+def test_video_shorter_than_sampling_plan_is_data():
+    """r11 review follow-through: a 2-frame clip sampled at (0, 1, 2)
+    yields its 2 real frames instead of IndexError — clip length
+    variation is data at crawl scale, not corruption."""
+    from vector_lake_spark.avi import encode_avi_rle8
+    from vector_lake_spark.operators.imagehash import (
+        decode_video_frames_gray,
+    )
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    frames = [
+        np.full((8, 10), 50, dtype=np.uint8),
+        np.full((8, 10), 90, dtype=np.uint8),
+    ]
+    payload = encode_avi_rle8(frames, pal, fps=5)
+    got = decode_video_frames_gray(payload, [0, 1, 2])
+    assert [f for f, _ in got] == [0, 1]
+    assert np.allclose(got[0][1], 50.0) and np.allclose(got[1][1], 90.0)

@@ -1039,3 +1039,72 @@ def test_dhash_render_roundtrip_property(base, flips):
     grid = _render_dhash_grid(sig)
     up = np.kron(grid, np.ones((3, 2), dtype=np.uint8))  # non-square scale
     assert dhash64(up.astype(np.float64)) == sig
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),  # flip position
+        ),
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=11),  # radius
+)
+@settings(max_examples=60, deadline=None)
+def test_wide_block_pigeonhole_property(seed, flips, radius):
+    """Driver-side property of the wide (4×int64) block decomposition:
+    for ANY 256-bit pair within `radius`, at least one of the
+    C(b, b−radius) block combinations agrees exactly — the pigeonhole
+    guarantee `hamming_neardup_pairs(n_longs=4)` builds its equi-join
+    on, checked against the same layout arithmetic the operator uses."""
+    from itertools import combinations
+
+    from vector_lake_spark.operators.binary import _block_layout
+
+    rng = np.random.RandomState(seed)
+    a = [int(rng.randint(0, 1 << 63)) for _ in range(4)]
+    b = list(a)
+    for (pos,) in flips[: radius if radius else 0]:
+        b[pos // 64] ^= 1 << (pos % 64)
+    dist = sum(
+        bin((x ^ y) & ((1 << 64) - 1)).count("1") for x, y in zip(a, b)
+    )
+    assert dist <= radius
+    n_blocks = max(radius + 1, 4)
+    layout = _block_layout(n_blocks, 256)
+
+    def block_val(sig, off, w):
+        total = 0
+        for j in range(4):
+            total |= (sig[j] & ((1 << 64) - 1)) << (64 * j)
+        return (total >> off) & ((1 << w) - 1)
+
+    t = n_blocks - radius
+    agrees = [
+        block_val(a, *layout[i]) == block_val(b, *layout[i])
+        for i in range(n_blocks)
+    ]
+    assert any(
+        all(agrees[i] for i in combo)
+        for combo in combinations(range(n_blocks), t)
+    )
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.floats(min_value=0.05, max_value=20.0, allow_nan=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_audio_fingerprint_gain_invariance_property(doc_id, gain):
+    """The sign-of-band-energy fingerprint must be invariant under any
+    uniform gain (energy ordering is scale-free) — over arbitrary
+    fixture walks, not just the unit-test grid."""
+    from vector_lake_spark.operators.audiofp import audio_fingerprint64
+    from vector_lake_spark.queries import (
+        _audio_fixture_sig,
+        _render_audio_pcm,
+    )
+
+    x = _render_audio_pcm(_audio_fixture_sig(doc_id)).astype(np.float64)
+    assert audio_fingerprint64(x) == audio_fingerprint64(x * gain)

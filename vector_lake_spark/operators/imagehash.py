@@ -293,7 +293,18 @@ def decode_video_frames_gray(payload: bytes, frame_indices):
                 "(MJPEG/RLE8 AVI, photo-JPEG MP4 and V_MJPEG Matroska "
                 "decode natively)"
             )
-    _info, frames = dec(b, list(frame_indices))
+    idx = list(frame_indices)
+    try:
+        _info, frames = dec(b, idx)
+    except IndexError:
+        # a video SHORTER than the sampling plan is data, not an error
+        # (crawl clips vary in length): decode what exists and keep the
+        # requested subset. Cost stays bounded — a video that trips
+        # this has fewer frames than max(frame_indices)+1, so "all
+        # frames" is smaller than the requested sample.
+        _info, frames = dec(b, None)
+        wanted = set(idx)
+        frames = [(f, px) for f, px in frames if f in wanted]
     return [(fno, _to_gray(px)) for fno, px in frames]
 
 
