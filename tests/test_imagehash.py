@@ -537,3 +537,40 @@ def test_video_shorter_than_sampling_plan_is_data():
     got = decode_video_frames_gray(payload, [0, 1, 2])
     assert [f for f, _ in got] == [0, 1]
     assert np.allclose(got[0][1], 50.0) and np.allclose(got[1][1], 90.0)
+
+
+def test_grouped_banded_pairs_never_cross_groups(spark):
+    """group_cols (r11): pairs match only within the same group, the
+    group rides to the output, and per-group results equal the
+    per-group brute force — one keyed join, no per-group plan legs."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    rng = np.random.RandomState(41)
+    rows, per_group = [], {0: {}, 1: {}}
+    base = int(rng.randint(0, 1 << 62))
+    for grp in (0, 1):
+        for i in range(25):
+            flips = rng.choice(64, size=i % 9, replace=False)
+            v = base if grp == 0 else base ^ ((1 << 40) - 1)
+            for f in flips:
+                v ^= 1 << int(f)
+            per_group[grp][i] = v
+            rows.append(
+                (grp, i, v - (1 << 64) if v >= (1 << 63) else v)
+            )
+    df = spark.createDataFrame(rows, "grp int, media_id long, sig long")
+    got = {
+        (r.grp, r.id_a, r.id_b, r.dist)
+        for r in hamming_neardup_pairs(
+            df, radius=7, n_blocks=8, group_cols=["grp"]
+        ).collect()
+    }
+    want = set()
+    for grp in (0, 1):
+        for a, b, d in _brute_pairs(per_group[grp], 7):
+            want.add((grp, a, b, d))
+    assert got == want
+    # cross-group leakage would show as pairs whose sigs come from
+    # different bases ~32 bits apart — structurally absent above, but
+    # assert the group column semantics directly too
+    assert all(g in (0, 1) for g, *_ in got)

@@ -184,6 +184,7 @@ def hamming_neardup_pairs(
     n_bands: int | None = None,
     n_blocks: int | None = None,
     n_longs: int = 1,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """All (id_a < id_b) pairs whose signatures are within Hamming
     ``radius`` — the pair-generation half of the perceptual near-dup
@@ -235,7 +236,15 @@ def hamming_neardup_pairs(
     (no second join to re-attach payloads); each pair is emitted at its
     FIRST matching table (earlier-table keys must differ — the residual
     predicate from ann.py), so no dedup exchange is needed. One hash
-    exchange of n_tables × (id, sig, key) rows per side."""
+    exchange of n_tables × (id, sig, key) rows per side.
+
+    ``group_cols`` (r11): extra columns added to the join keys — pairs
+    match only WITHIN the same group and ride through to the output
+    (e.g. ``frame_no`` for temporally-aligned video near-dup, or a
+    language/partition column for partitioned dedup). One grouped join
+    replaces a per-group union of joins: same exact pair set per group
+    by the same pigeonhole argument, one exchange on
+    (group…, band, bkey) instead of one plan leg per group value."""
     from itertools import combinations
 
     if n_longs < 1:
@@ -334,11 +343,14 @@ def hamming_neardup_pairs(
         return key
 
     n_bands = len(tables)
+    groups = list(group_cols)
     keys = df.select(
+        *groups,
         F.col(id_col).alias("id"),
         sig.alias("s"),
         F.array(*[_table_key(c) for c in tables]).alias("bkeys"),
     ).select(
+        *groups,
         "id",
         "s",
         "bkeys",
@@ -346,15 +358,17 @@ def hamming_neardup_pairs(
             F.array(*[F.lit(b) for b in range(n_bands)])
         ).alias("band"),
     ).select(
-        "id", "s", "band",
+        *groups, "id", "s", "band",
         F.element_at("bkeys", F.col("band") + 1).alias("bkey"),
         "bkeys",
     )
     a = keys.select(
+        *groups,
         F.col("id").alias("id_a"), F.col("s").alias("sa"),
         "band", "bkey", F.col("bkeys").alias("bka"),
     )
     b = keys.select(
+        *groups,
         F.col("id").alias("id_b"), F.col("s").alias("sb"),
         "band", "bkey", F.col("bkeys").alias("bkb"),
     )
@@ -382,11 +396,11 @@ def hamming_neardup_pairs(
         ]
         dist = reduce(lambda a, b: a + b, terms).cast("int")
     return (
-        a.join(b, ["band", "bkey"])
+        a.join(b, groups + ["band", "bkey"])
         .filter(first_match)
         .withColumn("dist", dist)
         .filter(F.col("dist") <= radius)
-        .select("id_a", "id_b", "dist")
+        .select(*groups, "id_a", "id_b", "dist")
     )
 
 

@@ -10578,20 +10578,16 @@ def q_mm_video_neardup(spark, sf):
     gray identity palette) from per-frame closed-form walk grids; ONE
     Arrow stage decodes the sampled frames and hashes them
     (imagehash.video_frame_signatures — container bytes and pixels
-    never shuffle), the signature table is checkpointed once, each
-    frame index runs its own exact radius-7 banded join (temporal
-    alignment: re-encodes match frame-for-frame), and video pairs keep
-    ≥ 2 of 3 matching frames. The fixture's per-frame flip rates make
-    the threshold REAL: half-distance-2 members match on frame 0 only
-    and must be rejected by the aggregate. At production frame counts
-    the per-index joins become one group-keyed join ((frame_no, band,
-    bkey) keys) — same semantics, noted for the scale path. Oracle:
+    never shuffle), the signature table is checkpointed once, ONE
+    group-keyed exact radius-7 banded join on (frame_no, band, bkey)
+    matches frames within their frame index only (temporal alignment:
+    re-encodes match frame-for-frame; group_cols — r11, so the plan
+    does not unroll per frame index at production frame counts), and
+    video pairs keep ≥ 2 of 3 matching frames. The fixture's per-frame
+    flip rates make the threshold REAL: half-distance-2 members match
+    on frame 0 only and must be rejected by the aggregate. Oracle:
     closed-form per-frame signatures + brute-force frame pairs +
     HAVING count ≥ 2."""
-    from functools import reduce
-
-    from pyspark.sql import DataFrame as _DF
-
     from vector_lake_spark.operators.binary import hamming_neardup_pairs
     from vector_lake_spark.operators.imagehash import (
         video_frame_signatures,
@@ -10635,18 +10631,15 @@ def q_mm_video_neardup(spark, sf):
     sigs = video_frame_signatures(
         media, frame_indices=(0, 1, 2)
     ).localCheckpoint(eager=False)
-    frame_pairs = [
-        hamming_neardup_pairs(
-            sigs.filter(F.col("frame_no") == f).select("media_id", "sig"),
-            radius=7,
-            id_col="media_id",
-            n_blocks=8,
-        )
-        for f in range(3)
-    ]
+    pairs = hamming_neardup_pairs(
+        sigs,
+        radius=7,
+        id_col="media_id",
+        n_blocks=8,
+        group_cols=["frame_no"],
+    )
     return (
-        reduce(_DF.unionAll, frame_pairs)
-        .groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_frames_matched"),
             F.min("dist").cast("int").alias("min_dist"),
