@@ -574,3 +574,38 @@ def test_grouped_banded_pairs_never_cross_groups(spark):
     # different bases ~32 bits apart — structurally absent above, but
     # assert the group column semantics directly too
     assert all(g in (0, 1) for g, *_ in got)
+
+
+def test_grouped_wide_pairs_compose(spark):
+    """group_cols × n_longs are orthogonal knobs: grouped 4-long
+    signatures match within groups only and equal per-group brute
+    force."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    rng = np.random.RandomState(47)
+    rows, per_group = [], {0: {}, 1: {}}
+    base = [int(rng.randint(0, 1 << 62)) for _ in range(4)]
+    for grp in (0, 1):
+        gbase = list(base) if grp == 0 else [x ^ 0xFFFF for x in base]
+        for i in range(18):
+            flips = rng.choice(256, size=i % 11, replace=False)
+            v = list(gbase)
+            for f in flips:
+                v[int(f) // 64] ^= 1 << (int(f) % 64)
+            per_group[grp][i] = v
+            to_signed = lambda x: x - (1 << 64) if x >= (1 << 63) else x
+            rows.append((grp, i, [to_signed(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "grp int, media_id long, sig array<long>"
+    )
+    got = {
+        (r.grp, r.id_a, r.id_b, r.dist)
+        for r in hamming_neardup_pairs(
+            df, radius=7, n_blocks=8, n_longs=4, group_cols=["grp"]
+        ).collect()
+    }
+    want = set()
+    for grp in (0, 1):
+        for a, b, d in _brute_pairs_wide(per_group[grp], 7):
+            want.add((grp, a, b, d))
+    assert got == want
