@@ -145,3 +145,120 @@ def test_batch_query_dim_mismatch_raises(spark, emb, tmp_path):
     )
     with pytest.raises(Exception, match="query dim != index dim 64"):
         idx.topk_batch(emb, bad, k=5).collect()
+
+
+def test_perceptual_index_roundtrip_and_auto_blocks(spark, tmp_path):
+    """PerceptualIndex (r11): build persists the signature table +
+    sidecar; neardup_pairs over the index equals the inline operator;
+    the auto block count resolves from the SIDECAR (no job re-running
+    any codec chain) to the same value the inline auto would pick."""
+    import numpy as np
+
+    from vector_lake_spark.operators.binary import (
+        PerceptualIndex,
+        auto_hamming_blocks,
+        hamming_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(53)
+    sigs = {}
+    base = int(rng.randint(0, 1 << 62))
+    for i in range(40):
+        v = base
+        for f in rng.choice(64, size=i % 9, replace=False):
+            v ^= 1 << int(f)
+        sigs[i] = v - (1 << 64) if v >= (1 << 63) else v
+    df = spark.createDataFrame(
+        list(sigs.items()), "media_id long, sig long"
+    )
+    loc = str(tmp_path / "pidx")
+    idx = PerceptualIndex.build(spark, loc, df)
+    assert idx.n_rows == 40 and idx.n_longs == 1
+    want = {
+        (r.id_a, r.id_b, r.dist)
+        for r in hamming_neardup_pairs(df, radius=3, n_blocks=4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in idx.neardup_pairs(radius=3).collect()
+    }
+    assert got == want
+    # the sidecar-resolved block count equals the inline auto default
+    assert auto_hamming_blocks(40, 3) == 4
+    # reopen from disk: sidecar is the contract
+    again = PerceptualIndex(spark, loc)
+    assert again.n_rows == 40 and again.id_col == "media_id"
+    assert again.drift()["counts_match_sidecar"]
+
+
+def test_perceptual_index_append_and_drift(spark, tmp_path):
+    from vector_lake_spark.operators.binary import PerceptualIndex
+
+    df1 = spark.createDataFrame(
+        [(i, i * 7) for i in range(10)], "media_id long, sig long"
+    )
+    df2 = spark.createDataFrame(
+        [(i, i * 7) for i in range(10, 15)], "media_id long, sig long"
+    )
+    loc = str(tmp_path / "pidx2")
+    idx = PerceptualIndex.build(spark, loc, df1)
+    assert idx.append(df2) == 5
+    assert idx.n_rows == 15
+    assert idx.drift() == {"total_rows": 15, "counts_match_sidecar": True}
+    # external mutation trips the audit
+    idx.load().limit(3).write.mode("append").parquet(f"{loc}/data")
+    assert not idx.drift()["counts_match_sidecar"]
+
+
+def test_perceptual_index_wide_and_grouped(spark, tmp_path):
+    """n_longs=4 array signatures and persisted group_cols both flow
+    through the index: pairs match within groups only and equal the
+    inline grouped operator."""
+    import numpy as np
+
+    from vector_lake_spark.operators.binary import (
+        PerceptualIndex,
+        hamming_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(59)
+    rows = []
+    base = [int(rng.randint(0, 1 << 62)) for _ in range(4)]
+    for grp in (0, 1):
+        for i in range(12):
+            v = [x ^ (0xAAAA if grp else 0) for x in base]
+            for f in rng.choice(256, size=i % 9, replace=False):
+                v[int(f) // 64] ^= 1 << (int(f) % 64)
+            rows.append(
+                (grp, i,
+                 [x - (1 << 64) if x >= (1 << 63) else x for x in v])
+            )
+    df = spark.createDataFrame(
+        rows, "frame_no int, media_id long, sig array<long>"
+    )
+    loc = str(tmp_path / "pidx3")
+    idx = PerceptualIndex.build(
+        spark, loc, df, n_longs=4, group_cols=["frame_no"]
+    )
+    want = {
+        tuple(r)
+        for r in hamming_neardup_pairs(
+            df, radius=7, n_blocks=8, n_longs=4, group_cols=["frame_no"]
+        ).collect()
+    }
+    got = {tuple(r) for r in idx.neardup_pairs(radius=7).collect()}
+    assert got == want and got
+
+
+def test_perceptual_index_validates_schema(spark, tmp_path):
+    from vector_lake_spark.operators.binary import PerceptualIndex
+
+    df = spark.createDataFrame(
+        [(1, 2)], "media_id long, sig long"
+    )
+    with pytest.raises(ValueError, match="missing columns"):
+        PerceptualIndex.build(
+            spark, str(tmp_path / "x"), df, group_cols=["frame_no"]
+        )
+    with pytest.raises(ValueError, match="expected array<bigint>"):
+        PerceptualIndex.build(spark, str(tmp_path / "y"), df, n_longs=4)
