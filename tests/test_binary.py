@@ -262,3 +262,63 @@ def test_perceptual_index_validates_schema(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="expected array<bigint>"):
         PerceptualIndex.build(spark, str(tmp_path / "y"), df, n_longs=4)
+
+
+def test_perceptual_index_incremental_pairs_concatenate_to_full(
+    spark, tmp_path
+):
+    """Streaming-ingest contract: emitting incremental_pairs per batch
+    (then appending the batch) concatenates to EXACTLY the full-corpus
+    pair set — no pair missed, none duplicated."""
+    import numpy as np
+
+    from vector_lake_spark.operators.binary import (
+        PerceptualIndex,
+        hamming_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(61)
+    sigs = {}
+    base = int(rng.randint(0, 1 << 62))
+    for i in range(60):
+        v = base
+        for f in rng.choice(64, size=i % 9, replace=False):
+            v ^= 1 << int(f)
+        sigs[i] = v - (1 << 64) if v >= (1 << 63) else v
+    rows = list(sigs.items())
+    full_df = spark.createDataFrame(rows, "media_id long, sig long")
+    want = {
+        tuple(r)
+        for r in hamming_neardup_pairs(
+            full_df, radius=3, n_blocks=4
+        ).collect()
+    }
+
+    loc = str(tmp_path / "pidx_inc")
+    idx = PerceptualIndex.build(
+        spark,
+        loc,
+        spark.createDataFrame(rows[:20], "media_id long, sig long"),
+    )
+    got = []
+    for lo, hi in ((20, 40), (40, 60)):
+        batch = spark.createDataFrame(
+            rows[lo:hi], "media_id long, sig long"
+        )
+        got.extend(
+            tuple(r)
+            for r in idx.incremental_pairs(batch, radius=3).collect()
+        )
+        idx.append(batch)
+    # plus the pairs already inside the initial build
+    got.extend(
+        tuple(r)
+        for r in hamming_neardup_pairs(
+            spark.createDataFrame(rows[:20], "media_id long, sig long"),
+            radius=3,
+            n_blocks=4,
+        ).collect()
+    )
+    assert len(got) == len(set(got))  # no pair emitted twice
+    assert set(got) == want
+    assert idx.n_rows == 60

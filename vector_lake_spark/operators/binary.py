@@ -832,3 +832,61 @@ class PerceptualIndex:
             n_longs=self.n_longs,
             group_cols=self.group_cols,
         )
+
+    def incremental_pairs(
+        self,
+        batch_df: DataFrame,
+        radius: int,
+        n_blocks: int | None = None,
+    ) -> DataFrame:
+        """Streaming-ingest near-dup: the pairs a NEW batch introduces —
+        batch×batch plus batch×index, never index×index (those were
+        emitted when their rows arrived). One banded join over the
+        union, then a narrow keep-if-either-id-is-new filter, so
+        incremental output over (arrivals so far) concatenates to
+        exactly the full-corpus pair set (tested). Caller contract:
+        batch ids are not already in the index (the ``append``
+        discipline). Call ``append(batch_df)`` AFTER collecting the
+        pairs — the classic foreachBatch order."""
+        batch = self._validated(
+            batch_df, self.id_col, self.group_cols, self.n_longs
+        ).localCheckpoint(eager=True)
+        n_total = self.n_rows + batch.count()
+        if n_blocks is None:
+            total_bits = 64 * self.n_longs
+            n_blocks = auto_hamming_blocks(
+                n_total,
+                radius,
+                total_bits=total_bits,
+                min_blocks=(total_bits + 63) // 64,
+            )
+        pairs = hamming_neardup_pairs(
+            self.load().unionByName(batch),
+            radius,
+            id_col=self.id_col,
+            n_blocks=n_blocks,
+            n_longs=self.n_longs,
+            group_cols=self.group_cols,
+        )
+        return _mark_new(
+            pairs, batch.select(self.id_col), self.id_col
+        )
+
+
+def _mark_new(pairs: DataFrame, new_ids: DataFrame, id_col: str):
+    """Keep only pairs touching at least one id from ``new_ids`` —
+    narrow (id, flag) left joins, no wide columns."""
+    na = new_ids.select(
+        F.col(id_col).alias("id_a"), F.lit(True).alias("__na")
+    )
+    nb = new_ids.select(
+        F.col(id_col).alias("id_b"), F.lit(True).alias("__nb")
+    )
+    return (
+        pairs.join(na, "id_a", "left")
+        .join(nb, "id_b", "left")
+        .filter(F.col("__na").isNotNull() | F.col("__nb").isNotNull())
+        # USING joins hoist their key columns to the front — restore
+        # the operator's (groups…, id_a, id_b, dist) column order
+        .select(*pairs.columns)
+    )
