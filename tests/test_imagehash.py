@@ -609,3 +609,30 @@ def test_grouped_wide_pairs_compose(spark):
         for a, b, d in _brute_pairs_wide(per_group[grp], 7):
             want.add((grp, a, b, d))
     assert got == want
+
+
+def test_video_frame_signatures_wide_kind(spark):
+    from vector_lake_spark.avi import encode_avi_rle8
+    from vector_lake_spark.operators.imagehash import (
+        dhash256,
+        video_frame_signatures,
+    )
+
+    rng = np.random.RandomState(67)
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    frames = [
+        (rng.randint(0, 32, size=(32, 34)) * 8).astype(np.uint8)
+        for _ in range(2)
+    ]
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_avi_rle8(frames, pal, fps=5)))],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r.media_id, r.frame_no): list(r.sig)
+        for r in video_frame_signatures(
+            df, frame_indices=(0, 1), kind="dhash256"
+        ).collect()
+    }
+    for f, fr in enumerate(frames):
+        assert got[(0, f)] == dhash256(fr.astype(np.float64))

@@ -329,12 +329,15 @@ def video_frame_signatures(
     import pandas as pd
 
     try:
-        hasher = {"dhash": dhash64, "ahash": ahash64}[kind]
+        hasher = {
+            "dhash": dhash64, "ahash": ahash64, "dhash256": dhash256,
+        }[kind]
     except KeyError:
         raise ValueError(
-            f"unknown signature kind {kind!r} (dhash, ahash)"
+            f"unknown signature kind {kind!r} (dhash, ahash, dhash256)"
         ) from None
     idx = list(frame_indices)
+    wide = kind == "dhash256"
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -347,5 +350,7 @@ def video_frame_signatures(
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        batches, schema=f"{id_col} long, frame_no int, sig long"
+        batches,
+        schema=f"{id_col} long, frame_no int, sig "
+        + ("array<long>" if wide else "long"),
     )
