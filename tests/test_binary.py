@@ -322,3 +322,94 @@ def test_perceptual_index_incremental_pairs_concatenate_to_full(
     assert len(got) == len(set(got))  # no pair emitted twice
     assert set(got) == want
     assert idx.n_rows == 60
+
+
+def test_perceptual_ingest_stream_equals_batch(spark, tmp_path):
+    """Structured-Streaming integration (r11): driving signature rows
+    through a real file-source stream (4 micro-batches, foreachBatch)
+    emits exactly the batch operator's pair set, with zero streaming
+    state and replay-safe partitioned writes."""
+    import json as _json
+
+    import numpy as np
+
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+    from vector_lake_spark.streaming.perceptual import PerceptualIngest
+
+    rng = np.random.RandomState(71)
+    sigs = {}
+    base = int(rng.randint(0, 1 << 62))
+    for i in range(80):
+        v = base
+        for f in rng.choice(64, size=i % 9, replace=False):
+            v ^= 1 << int(f)
+        sigs[i] = v - (1 << 64) if v >= (1 << 63) else v
+    full = spark.createDataFrame(
+        list(sigs.items()), "media_id long, sig long"
+    )
+    src = str(tmp_path / "src")
+    full.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ingest = PerceptualIngest(
+        spark,
+        str(tmp_path / "history"),
+        str(tmp_path / "pairs"),
+        radius=3,
+    )
+    q = ingest.run(stream, checkpoint=str(tmp_path / "ckpt"))
+    progs = [
+        _json.loads(p.json) if hasattr(p, "json") else p
+        for p in q.recentProgress
+    ]
+    assert len([p for p in progs if p["numInputRows"] > 0]) >= 4
+    assert all(not p.get("stateOperators") for p in progs)
+
+    want = {
+        tuple(r)
+        for r in hamming_neardup_pairs(
+            full, radius=3, n_blocks=4
+        ).collect()
+    }
+    rows = ingest.pairs().collect()
+    got = {tuple(r) for r in rows}
+    assert len(rows) == len(got)  # no duplicate emissions
+    assert got == want and got
+
+    # history carries one signature row per media id, nothing wider
+    hist = spark.read.parquet(str(tmp_path / "history"))
+    assert hist.count() == 80
+    assert set(hist.columns) == {"media_id", "sig", "ingest_batch"}
+
+
+def test_perceptual_ingest_replay_is_exactly_once(spark, tmp_path):
+    """A replayed micro-batch (same ingest_batch id) must overwrite its
+    earlier attempt — identical pair set, no duplicates, and no
+    self-pairing against its own history partition."""
+    from vector_lake_spark.streaming.perceptual import PerceptualIngest
+
+    ingest = PerceptualIngest(
+        spark,
+        str(tmp_path / "history"),
+        str(tmp_path / "pairs"),
+        radius=3,
+    )
+    b0 = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, -12345)], "media_id long, sig long"
+    )
+    b1 = spark.createDataFrame(
+        [(3, 7), (4, 6)], "media_id long, sig long"
+    )
+    ingest._process(b0, 0)
+    ingest._process(b1, 1)
+    first = sorted(tuple(r) for r in ingest.pairs().collect())
+    ingest._process(b1, 1)  # replay
+    second = sorted(tuple(r) for r in ingest.pairs().collect())
+    assert first == second
+    # sanity: cross-batch pair (0,3,0),(1,3,0) and in-batch (0,1,0) exist
+    ids = {(a, b) for a, b, _ in first}
+    assert {(0, 1), (0, 3), (1, 3)} <= ids
