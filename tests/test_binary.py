@@ -413,3 +413,56 @@ def test_perceptual_ingest_replay_is_exactly_once(spark, tmp_path):
     # sanity: cross-batch pair (0,3,0),(1,3,0) and in-batch (0,1,0) exist
     ids = {(a, b) for a, b, _ in first}
     assert {(0, 1), (0, 3), (1, 3)} <= ids
+
+
+def test_perceptual_ingest_grouped_video_stream(spark, tmp_path):
+    """Grouped streaming ingest (video frames): per-frame-index matching
+    flows through foreachBatch exactly as in batch — stream emissions
+    equal the grouped batch operator over the whole corpus."""
+    import numpy as np
+
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+    from vector_lake_spark.streaming.perceptual import PerceptualIngest
+
+    rng = np.random.RandomState(73)
+    rows = []
+    base = {f: int(rng.randint(0, 1 << 62)) for f in range(2)}
+    for i in range(40):
+        for f in range(2):
+            v = base[f]
+            for p in rng.choice(64, size=i % 7, replace=False):
+                v ^= 1 << int(p)
+            rows.append(
+                (i, f, v - (1 << 64) if v >= (1 << 63) else v)
+            )
+    full = spark.createDataFrame(
+        rows, "media_id long, frame_no int, sig long"
+    )
+    src = str(tmp_path / "src")
+    full.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ingest = PerceptualIngest(
+        spark,
+        str(tmp_path / "history"),
+        str(tmp_path / "pairs"),
+        radius=3,
+        group_cols=["frame_no"],
+    )
+    ingest.run(stream, checkpoint=str(tmp_path / "ckpt"))
+    want = {
+        tuple(r)
+        for r in hamming_neardup_pairs(
+            full,
+            radius=3,
+            n_blocks=4,
+            group_cols=["frame_no"],
+        ).collect()
+    }
+    rows_out = ingest.pairs().collect()
+    got = {tuple(r) for r in rows_out}
+    assert len(rows_out) == len(got)
+    assert got == want and got

@@ -845,8 +845,10 @@ class PerceptualIndex:
         union, then a narrow keep-if-either-id-is-new filter, so
         incremental output over (arrivals so far) concatenates to
         exactly the full-corpus pair set (tested). Caller contract:
-        batch ids are not already in the index (the ``append``
-        discipline). Call ``append(batch_df)`` AFTER collecting the
+        the batch's (group_cols…, id) keys are not already in the
+        index (the ``append`` discipline) — with grouped signatures an
+        id's OTHER groups may already be indexed; newness is tracked at
+        the join grain. Call ``append(batch_df)`` AFTER collecting the
         pairs — the classic foreachBatch order."""
         batch = self._validated(
             batch_df, self.id_col, self.group_cols, self.n_longs
@@ -869,22 +871,37 @@ class PerceptualIndex:
             group_cols=self.group_cols,
         )
         return _mark_new(
-            pairs, batch.select(self.id_col), self.id_col
+            pairs,
+            batch.select(*self.group_cols, self.id_col),
+            self.id_col,
+            group_cols=self.group_cols,
         )
 
 
-def _mark_new(pairs: DataFrame, new_ids: DataFrame, id_col: str):
-    """Keep only pairs touching at least one id from ``new_ids`` —
-    narrow (id, flag) left joins, no wide columns."""
-    na = new_ids.select(
-        F.col(id_col).alias("id_a"), F.lit(True).alias("__na")
-    )
-    nb = new_ids.select(
-        F.col(id_col).alias("id_b"), F.lit(True).alias("__nb")
-    )
+def _mark_new(
+    pairs: DataFrame,
+    new_rows: DataFrame,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+):
+    """Keep only pairs touching at least one NEW row — narrow key-only
+    left joins, no wide columns. Newness is tracked at the JOIN GRAIN,
+    (group_cols…, id), not bare id: with grouped signatures (e.g. video
+    frames) an id's rows may arrive across several batches, and marking
+    by id alone would re-emit its already-emitted pairs from other
+    groups (caught by test_perceptual_ingest_grouped_video_stream).
+    ``distinct`` guards against duplicate key rows multiplying the
+    join."""
+    groups = list(group_cols)
+    na = new_rows.select(
+        *groups, F.col(id_col).alias("id_a"), F.lit(True).alias("__na")
+    ).distinct()
+    nb = new_rows.select(
+        *groups, F.col(id_col).alias("id_b"), F.lit(True).alias("__nb")
+    ).distinct()
     return (
-        pairs.join(na, "id_a", "left")
-        .join(nb, "id_b", "left")
+        pairs.join(na, groups + ["id_a"], "left")
+        .join(nb, groups + ["id_b"], "left")
         .filter(F.col("__na").isNotNull() | F.col("__nb").isNotNull())
         # USING joins hoist their key columns to the front — restore
         # the operator's (groups…, id_a, id_b, dist) column order

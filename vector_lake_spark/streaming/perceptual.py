@@ -92,7 +92,10 @@ class PerceptualIngest:
             group_cols=self.group_cols,
         )
         new_pairs = _mark_new(
-            pairs, batch.select(self.id_col), self.id_col
+            pairs,
+            batch.select(*self.group_cols, self.id_col),
+            self.id_col,
+            group_cols=self.group_cols,
         ).withColumn("ingest_batch", F.lit(int(batch_id)))
         (
             new_pairs.write.mode("overwrite")
