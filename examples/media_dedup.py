@@ -70,9 +70,12 @@ def main():
 
     # 4. streaming ingest: a NEW batch pairs against itself + the index
     batch = spark.createDataFrame(rows[:4], "media_id long, payload binary")
+    # checkpoint once: incremental_pairs and append each consume this
+    # frame, and the decode+hash Arrow stage must run ONCE at ingest —
+    # the posture this example exists to demonstrate (ADVICE r11)
     new_sigs = image_signatures(
         batch.selectExpr("media_id + 1000 AS media_id", "payload")
-    )
+    ).localCheckpoint()
     inc = idx.incremental_pairs(new_sigs, radius=7)
     print("incremental pairs introduced by the new batch:")
     inc.orderBy("id_a", "id_b").show()

@@ -60,9 +60,16 @@ class PerceptualIngest:
         self.group_cols = list(group_cols)
 
     def _history(self, exclude_batch: int) -> DataFrame | None:
-        try:
-            hist = self.spark.read.parquet(self.history_dir)
-        except Exception:
+        # existence probe, not try/except: only genuine path-absence maps
+        # to "no history yet" — a corrupt footer / permission / transient
+        # FS error must PROPAGATE, or the batch would silently emit only
+        # batch×batch pairs and its deterministic overwrite would lose
+        # the batch×history pairs forever (ADVICE r11; the r06-reviewed
+        # probe NearDupIngest already uses)
+        from vector_lake_spark.fsutil import read_if_exists
+
+        hist = read_if_exists(self.spark, self.history_dir)
+        if hist is None:
             return None  # first batch: no history yet
         return hist.filter(
             F.col("ingest_batch") != exclude_batch
@@ -96,7 +103,12 @@ class PerceptualIngest:
             batch.select(*self.group_cols, self.id_col),
             self.id_col,
             group_cols=self.group_cols,
-        ).withColumn("ingest_batch", F.lit(int(batch_id)))
+        ).withColumn(
+            # long, matching NearDupIngest — the two ingest modules must
+            # agree on the schema of the same logical column (ADVICE r11)
+            "ingest_batch",
+            F.lit(int(batch_id)).cast("long"),
+        )
         (
             new_pairs.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -104,7 +116,9 @@ class PerceptualIngest:
             .parquet(self.pairs_dir)
         )
         (
-            batch.withColumn("ingest_batch", F.lit(int(batch_id)))
+            batch.withColumn(
+                "ingest_batch", F.lit(int(batch_id)).cast("long")
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
