@@ -418,8 +418,19 @@ def _decode_wav_ext(payload: bytes) -> dict:
     (0xFFFE, resolved through the SubFormat GUID's leading tag —
     including extensible INTEGER PCM, the form multichannel/24-bit
     encoders emit), and IMA/DVI ADPCM (0x0011 — ``adpcm.py``, r10).
-    Anything else (MS ADPCM, MP3-in-WAV …) raises a named
-    NotImplementedError."""
+    Anything else (MP3-in-WAV …) raises a named NotImplementedError."""
+    samples, rate, n_channels, codec = _decode_wav_ext_samples(payload)
+    n_frames = len(samples) // n_channels
+    return _wav_stats(samples, rate, n_channels, n_frames, codec)
+
+
+def _decode_wav_ext_samples(payload: bytes):
+    """The samples-level half of ``_decode_wav_ext`` (split out r12,
+    VERDICT r11 #2 so the audio fingerprint stack can route non-PCM
+    WAV through the SAME decoders instead of gating them out):
+    returns (interleaved samples ndarray, rate, n_channels, codec) —
+    int64 for the integer codecs (G.711/ADPCM expand to 16-bit linear),
+    float for IEEE-float payloads."""
     import struct
 
     import numpy as np
@@ -510,8 +521,7 @@ def _decode_wav_ext(payload: bytes) -> dict:
         )
     if n_channels < 1:
         raise ValueError("WAV with zero channels")
-    n_frames = len(samples) // n_channels
-    return _wav_stats(samples, rate, n_channels, n_frames, codec)
+    return samples, rate, n_channels, codec
 
 
 def encode_wav_ext(
