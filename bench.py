@@ -155,6 +155,9 @@ HEADLINE = [
     "pipe_image_dedup_e2e",
     "mm_audio_neardup",
     "mm_video_neardup",
+    # r12: long-form (windowed) audio near-dup and the DCT pHash leg
+    "mm_audio_neardup_long",
+    "mm_image_phash",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

@@ -1188,3 +1188,57 @@ def test_video_neardup_shuffles_frame_sigs_not_pixels(spark):
             assert ("band" in head and "bkey" in head) or (
                 "id_a" in head and "id_b" in head
             ), head
+
+
+def test_audio_long_shuffles_window_sigs_not_samples(spark):
+    """mm_audio_neardup_long (r12): WAV payloads and PCM samples live
+    and die inside the Arrow stages; past the (checkpointed) window
+    signature table, the grouped pair join exchanges only
+    (window_no, band, bkey)-keyed int64 rows and the m-of-n aggregate
+    shuffles (id_a, id_b) pairs."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = Q.q_mm_audio_neardup_long(spark, SF)
+        simple = plan_string(df, "simple")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    for sec in simple.split("Exchange ")[1:]:
+        head = sec.split("\n")[0]
+        assert "payload" not in head, head
+        if head.startswith("hashpartitioning"):
+            assert (
+                "window_no" in head and "band" in head and "bkey" in head
+            ) or ("id_a" in head and "id_b" in head), head
+
+
+def test_image_phash_shuffles_signatures_not_pixels(spark):
+    """mm_image_phash (r12): pixels and GIF bytes live and die inside
+    the Arrow stage — the radius-4 pair join exchanges only
+    (band, bkey)-keyed int64 signature rows, and the documents scan is
+    pruned to doc_id."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = Q.q_mm_image_phash(spark, SF)
+        simple = plan_string(df, "simple")
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    bucket_ex = [
+        sec.split("\n")[0]
+        for sec in simple.split("Exchange ")[1:]
+        if sec.startswith("hashpartitioning")
+    ]
+    assert len(bucket_ex) == 2, simple
+    for head in bucket_ex:
+        assert "band" in head and "bkey" in head, head
+    for sec in simple.split("Exchange ")[1:]:
+        assert "payload" not in sec.split("\n")[0], sec.split("\n")[0]
+    read_schema = simple.split("ReadSchema")[1].split("\n")[0]
+    assert "struct<doc_id:bigint>" in read_schema, read_schema

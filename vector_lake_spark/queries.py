@@ -1092,9 +1092,12 @@ def q_dedup_edit_distance(spark, sf):
 
 
 # Shared CTE chain: SimHash fingerprints → 4×15-bit band keys → banded
-# candidates → hamming≤3 pairs. Mirrors simhash_neardup_pairs bit-for-bit;
-# interpolated by BOTH the edit-distance and pagerank oracles so a change
-# to the banding scheme cannot silently diverge between them.
+# candidates → hamming≤3 pairs. The pair SET is band-layout-invariant
+# (pigeonhole-exact for hamming ≤ 3 with ≥4 bands), so this stays a valid
+# oracle for the r12-unified Spark side (simhash_neardup_pairs →
+# binary.hamming_neardup_pairs with auto block sizing over total_bits=60,
+# whose minimal config is exactly these 4×15 bands); interpolated by BOTH
+# the edit-distance and pagerank oracles so they cannot silently diverge.
 _SQL_SIMHASH_BANDED_CTES = f"""fps AS ({SQL_DEDUP_SIMHASH}),
 bands AS (
   SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
@@ -10052,6 +10055,147 @@ WHERE {dist} <= 7
 SQL_MM_IMAGE_NEARDUP_WIDE = _sql_mm_image_neardup_wide()
 
 
+PHASH_COEFF_SUM = 1008.0  # Σ of the 63 AC targets → mean is exactly 16
+
+
+def _phash_fixture_sig(doc_id: int) -> int:
+    """Closed-form target pHash (r12, VERDICT r11 #5). Positions are
+    bit indices v·8+u of the 8×8 DCT block (1..63; 0 is the excluded
+    DC). Group g = doc_id % 40 sets 8 base positions on the ODD pool
+    (2·((g·3 + j·5) % 31) + 1, stride 5 ⟂ 31 → distinct); member depth
+    h = (doc_id // 40) // 2 adds the first 2·h positions of the
+    group's EVEN-pool stride sequence (2·(1 + (g·7 + i·3) % 31),
+    stride 3 ⟂ 31 → distinct until the 31-cycle saturates). Disjoint
+    pools mean depth only ever ADDS bits, so prefix-nested sets give
+    the exact distance ladder 0, 2, 4, … between depths — adjacent
+    depths sit inside the query's radius 4, depth-gap-3 outside."""
+    g = doc_id % 40
+    h = (doc_id // 40) // 2
+    s = {2 * ((g * 3 + j * 5) % 31) + 1 for j in range(8)}
+    s |= {2 * (1 + (g * 7 + i * 3) % 31) for i in range(2 * h)}
+    sig = 0
+    for p in s:
+        sig |= 1 << p
+    return sig
+
+
+def _render_phash_grid(sig: int):
+    """32×32 grayscale grid whose pHash is exactly ``sig``: the grid is
+    128 + a sum of the 2-D DCT basis functions at the hash's set
+    positions, so by orthogonality the 8×8 low-frequency block carries
+    coefficient T = 1008/k at each of the k set positions and ~0
+    elsewhere; the AC mean is then exactly 16 regardless of k, every
+    set coefficient clears it by ≥ 9.8 (k ≤ 39 by construction), and
+    uint8 rounding perturbs an orthonormal coefficient by ≪ 1 — so the
+    strict comparisons can never flip (margin pinned empirically over
+    the whole finite fixture domain in tests/test_imagehash.py).
+    Amplitudes divide by the basis-column norms (√32 for the DC factor,
+    4 otherwise), keeping Σ|amplitude| = 1008/16 = 63 → pixels in
+    [65, 191], no clipping at any doc_id."""
+    import numpy as np
+
+    pos = [p for p in range(1, 64) if (sig >> p) & 1]
+    t = PHASH_COEFF_SUM / len(pos)
+    n = np.arange(32)
+    grid = np.full((32, 32), 128.0)
+    for p in pos:
+        u, v = p % 8, p // 8
+        cu = np.sqrt(32.0) if u == 0 else 4.0
+        cv = np.sqrt(32.0) if v == 0 else 4.0
+        bx = np.cos(np.pi * u * (2 * n + 1) / 64.0)
+        by = np.cos(np.pi * v * (2 * n + 1) / 64.0)
+        grid += (t / (cu * cv)) * np.outer(by, bx)
+    return np.round(grid).astype(np.uint8)
+
+
+def q_mm_image_phash(spark, sf):
+    """DCT-pHash image near-duplicate pairs (r12, VERDICT r11 #5) —
+    the robust-hash leg of the image dedup matrix: dHash/dhash256
+    cover re-encode/resolution; pHash's mean-thresholded low-frequency
+    DCT block additionally survives gamma/tone-curve and mild blur
+    (robustness pinned in tests/test_imagehash.py; this query pins the
+    engine path). Per document a REAL 32×32 image is rendered from the
+    closed-form DCT spectral walk above (the ``dhash256`` pattern in
+    the frequency domain; grid-sized — the non-trivial downsample leg
+    is pinned by the exhaustive 2×-kron parity sweep in
+    tests/test_imagehash.py and in-registry by mm_image_neardup's
+    upscaled fixtures, and skipping it here cuts the dominant GIF
+    codec cost ~4×: measured 13.8 → 3.4 ms/doc single-core), encoded
+    to GIF (lossless, gif.py), decoded
+    back through the native codec, box-resampled and DCT-hashed
+    inside ONE Arrow stage (``image_signatures(kind="phash")`` —
+    pixels never leave Python, only (media_id, int64) rows shuffle).
+    The 5-block pigeonhole join then finds every pair within Hamming
+    radius 4 EXACTLY. Oracle: closed-form signatures + brute-force
+    pairs."""
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+    from vector_lake_spark.operators.imagehash import image_signatures
+
+    d = _t(spark, sf, "documents")
+    params = d.select(F.col("doc_id").alias("media_id"))
+
+    def mux(it):
+        import numpy as np
+        import pandas as pd
+
+        from vector_lake_spark.gif import encode_gif
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["media_id"]:
+                grid = _render_phash_grid(_phash_fixture_sig(int(doc_id)))
+                payloads.append(
+                    encode_gif(np.repeat(grid[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    media = params.mapInPandas(
+        mux, schema="media_id long, payload binary"
+    )
+    sigs = image_signatures(media, kind="phash")
+    # minimal config pinned for the same reason as mm_image_neardup:
+    # auto would fire a count() that re-runs the codec chain, and it
+    # resolves to radius+1 = 5 at every registry scale anyway (12/13-bit
+    # keys). At 100 TB, persist the signatures and let auto size.
+    return hamming_neardup_pairs(
+        sigs, radius=4, id_col="media_id", n_blocks=5
+    )
+
+
+def _sql_mm_image_phash() -> str:
+    return """
+WITH p AS (
+  SELECT doc_id, doc_id % 40 AS g, (doc_id // 40) // 2 AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(
+           list_distinct(list_concat(
+             list_transform(range(8),
+                            j -> 2 * ((g*3 + j*5) % 31) + 1),
+             list_transform(range(2 * h),
+                            i -> 2 * (1 + (g*7 + i*3) % 31))
+           )),
+           q -> CAST(1 AS BIGINT) << CAST(q AS INT)
+         )) AS BIGINT) AS sig
+  FROM p
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 4
+"""
+
+
+SQL_MM_IMAGE_PHASH = _sql_mm_image_phash()
+
+
 def q_mm_exif_probe(spark, sf):
     """EXIF orientation/dimension/timestamp probe at table scale (r10,
     VERDICT r09 #7). Per document a real JPEG is encoded (jpeg.py) and
@@ -10464,23 +10608,72 @@ def _render_audio_pcm(sig: int):
     return np.round(out).astype(np.int16)
 
 
+def _mux_audio_fixture(samples, mode: int) -> bytes:
+    """The mm_audio_neardup codec matrix (widened r12, VERDICT r11 #2):
+    one fixture waveform, four REAL containers, all in their EXACT-
+    decode regime so every leg reproduces the identical samples — and
+    therefore the identical closed-form fingerprint (one oracle for the
+    whole matrix):
+
+    - 0: integer-PCM WAV (stdlib ``wave`` path — the r11 leg);
+    - 1: IEEE float32 WAV (int16 values are exact in float32; the
+      fingerprint is scale-invariant so the float domain needs no
+      rescaling);
+    - 2: IMA ADPCM WAV at samples-per-block=1 — every sample is a
+      block-header int16 LITERAL, the codec's exact-decode regime (the
+      mm_wav_depths pattern): the real tag-0x11 RIFF walk, header
+      parse and fact-chunk trim all run, with zero quantization. The
+      lossy nibble regime is covered by tolerance tests
+      (tests/test_audiofp.py), not the oracle;
+    - 3: FLAC (lossless by construction — ``flac.py`` round-trip)."""
+    import struct
+
+    if mode == 1:
+        import numpy as np
+
+        from vector_lake_spark.multimodal import encode_wav_ext
+
+        return encode_wav_ext(
+            np.asarray(samples, dtype=np.float64), 8000, "float32"
+        )
+    if mode == 2:
+        from vector_lake_spark.adpcm import mux_ima_adpcm_wav
+
+        data = b"".join(
+            struct.pack("<hBB", int(s), 0, 0) for s in samples
+        )
+        return mux_ima_adpcm_wav(data, 8000, 1, 4, len(samples))
+    if mode == 3:
+        from vector_lake_spark.flac import encode_flac
+
+        return encode_flac(samples, 8000, 16)
+    from vector_lake_spark.operators.audiofp import mux_pcm16_wav
+
+    return mux_pcm16_wav(samples)
+
+
 def q_mm_audio_neardup(spark, sf):
-    """Perceptual audio near-duplicate pairs (r11, VERDICT r10 #5) —
-    the audio leg of the dedup family, closing the gap between the WAV
-    decode stack (exact PCM from mm_wav_depths' formats) and the
-    Hamming pair machinery. Per document a REAL 512-sample WAV is
-    synthesized from the closed-form spectral walk above, muxed
-    (audiofp.mux_pcm16_wav), decoded back through the stdlib-PCM walk
-    and fingerprinted (sign-of-adjacent-band-energy over 8 frames × 9
-    FFT bands — Haitsma-Kalker-style, integer-exact by construction)
-    inside ONE Arrow stage: samples never leave Python, only
-    (media_id, int64) rows shuffle. The 8-band block join then finds
-    every pair within Hamming radius 7 EXACTLY (pigeonhole). Oracle:
-    closed-form signatures + brute-force pairs."""
+    """Perceptual audio near-duplicate pairs (r11, VERDICT r10 #5;
+    codec matrix widened r12, VERDICT r11 #2) — the audio leg of the
+    dedup family, closing the gap between the audio decode stack and
+    the Hamming pair machinery. Per document a REAL 512-sample clip is
+    synthesized from the closed-form spectral walk above, muxed into
+    one of FOUR real containers by doc_id%4 (integer-PCM WAV, IEEE
+    float32 WAV, IMA-ADPCM WAV in its exact-decode regime, FLAC —
+    ``_mux_audio_fixture``), decoded back through the REAL magic/tag-
+    dispatched decoders (audiofp.decode_wav_samples — the widened
+    routing under test) and fingerprinted (sign-of-adjacent-band-energy
+    over 8 frames × 9 FFT bands — Haitsma-Kalker-style, integer-exact
+    by construction) inside ONE Arrow stage: samples never leave
+    Python, only (media_id, int64) rows shuffle. The 8-band block join
+    then finds every pair within Hamming radius 7 EXACTLY (pigeonhole).
+    Every leg decodes to identical samples, so near-dup pairs form
+    ACROSS codecs — the actual curation property (a FLAC re-encode of
+    a WAV clip collapses) — and the oracle stays the one closed-form
+    signature table + brute-force pairs."""
     from vector_lake_spark.operators.audiofp import (
         audio_fingerprint64,
         decode_wav_samples,
-        mux_pcm16_wav,
     )
     from vector_lake_spark.operators.binary import hamming_neardup_pairs
 
@@ -10493,8 +10686,9 @@ def q_mm_audio_neardup(spark, sf):
         for pdf in it:
             rows = []
             for doc_id in pdf["media_id"]:
-                payload = mux_pcm16_wav(
-                    _render_audio_pcm(_audio_fixture_sig(int(doc_id)))
+                payload = _mux_audio_fixture(
+                    _render_audio_pcm(_audio_fixture_sig(int(doc_id))),
+                    int(doc_id) % 4,
                 )
                 samples, _rate = decode_wav_samples(payload)
                 rows.append((doc_id, audio_fingerprint64(samples)))
@@ -10540,6 +10734,149 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 7
 
 
 SQL_MM_AUDIO_NEARDUP = _sql_mm_audio_neardup()
+
+
+AUDIO_LONG_WINDOWS = 4
+AUDIO_LONG_MIN_MATCHED = 3
+
+
+def _audio_long_fixture_sig(doc_id: int, window: int) -> int:
+    """Closed-form per-window fingerprint for the LONG-FORM audio
+    fixture (r12, VERDICT r11 #3) — the audio twin of
+    ``_video_fixture_sig`` with its own constants. Group g = doc_id%40
+    shares a per-window 63-bit base; member depth h = (doc_id//40)//2
+    flips the first (2 + 2·window)·h positions of the window's
+    stride-19 sequence mod 63 (19 ⟂ 63 → distinct until wrap).
+    Prefix-nested flips give adjacent depths per-window distances
+    (2, 4, 6, 8) — windows 0..2 inside radius 7, window 3 outside —
+    so adjacent-depth pairs match EXACTLY 3 of 4 windows (the m-of-n
+    threshold is load-bearing), depth-gap-2 pairs match only window 0
+    (4, 8, 12, 16) and are rejected, and same-depth pairs match all
+    4."""
+    g = doc_id % 40
+    h = (doc_id // 40) // 2
+    mix = (g * g * 37) % 233
+    base = 0
+    for k in range(8):
+        byte = (g * 59 + k * 103 + window * 43 + mix) % (
+            128 if k == 7 else 256
+        )
+        base |= byte << (8 * k)
+    mask = 0
+    for i in range((2 + 2 * window) * h):
+        mask |= 1 << ((g * 13 + window * 5 + i * 19) % 63)
+    return base ^ mask
+
+
+def q_mm_audio_neardup_long(spark, sf):
+    """LONG-FORM perceptual audio near-duplicate pairs (r12, VERDICT
+    r11 #3) — whole-recording near-dup, closing the ~64 ms scope limit
+    of ``mm_audio_neardup``: per document a REAL 4-window (2048-sample)
+    PCM WAV is synthesized window-by-window from the closed-form
+    spectral walk, muxed, decoded and fingerprinted PER 512-sample
+    WINDOW (``audiofp.audio_window_signatures``) inside ONE Arrow
+    stage — samples never leave Python, only (media_id, int, int64)
+    rows shuffle. ONE group-keyed exact radius-7 banded join on
+    (window_no, band, bkey) matches windows within their timeline
+    position only (``group_cols`` — the ``mm_video_neardup``
+    temporal-alignment pattern verbatim, window index instead of frame
+    index), and recording pairs keep ≥ 3 of 4 matching windows. The
+    fixture's per-window flip ladder makes the threshold REAL:
+    adjacent-depth members match exactly 3 windows (pass), depth-gap-2
+    members match only window 0 (reject). Oracle: closed-form
+    per-window signatures + brute-force window pairs + HAVING
+    count ≥ 3."""
+    from vector_lake_spark.operators.audiofp import (
+        audio_window_signatures,
+        mux_pcm16_wav,
+    )
+    from vector_lake_spark.operators.binary import hamming_neardup_pairs
+
+    d = _t(spark, sf, "documents")
+    params = d.select(F.col("doc_id").alias("media_id"))
+
+    def mux(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["media_id"]:
+                clip = np.concatenate(
+                    [
+                        _render_audio_pcm(
+                            _audio_long_fixture_sig(int(doc_id), w)
+                        )
+                        for w in range(AUDIO_LONG_WINDOWS)
+                    ]
+                )
+                payloads.append(mux_pcm16_wav(clip))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        params = params.repartition(spread)
+    media = params.mapInPandas(
+        mux, schema="media_id long, payload binary"
+    )
+    sigs = audio_window_signatures(media).localCheckpoint(eager=False)
+    pairs = hamming_neardup_pairs(
+        sigs,
+        radius=7,
+        id_col="media_id",
+        n_blocks=8,
+        group_cols=["window_no"],
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows_matched"),
+            F.min("dist").cast("int").alias("min_dist"),
+        )
+        .filter(F.col("n_windows_matched") >= AUDIO_LONG_MIN_MATCHED)
+    )
+
+
+def _sql_mm_audio_neardup_long() -> str:
+    byte_terms = " + ".join(
+        f"((g*59 + {k*103} + w*43 + (g*g*37) % 233) % "
+        f"{128 if k == 7 else 256}) * {1 << (8 * k)}"
+        for k in range(8)
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 40 AS g, (doc_id // 40) // 2 AS h, w
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS w)
+),
+s AS (
+  SELECT doc_id, w,
+         xor(
+           CAST({byte_terms} AS BIGINT),
+           COALESCE(CAST(list_sum(list_transform(
+             list_distinct(list_transform(range((2 + 2*w) * h),
+                           i -> CAST((g*13 + w*5 + i*19) % 63 AS INT))),
+             p -> CAST(1 AS BIGINT) << p
+           )) AS BIGINT), 0)
+         ) AS sig
+  FROM p
+),
+wp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sig, b.sig)) AS dist
+  FROM s a JOIN s b ON a.w = b.w AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 7
+)
+SELECT id_a, id_b,
+       CAST(count(*) AS BIGINT) AS n_windows_matched,
+       CAST(min(dist) AS INT) AS min_dist
+FROM wp GROUP BY id_a, id_b
+HAVING count(*) >= {AUDIO_LONG_MIN_MATCHED}
+"""
+
+
+SQL_MM_AUDIO_NEARDUP_LONG = _sql_mm_audio_neardup_long()
 
 
 def _video_fixture_sig(doc_id: int, frame: int) -> int:
@@ -10732,10 +11069,12 @@ _BASE_QUERIES = {
     "mm_ogg_probe": q_mm_ogg_probe,
     "mm_image_neardup": q_mm_image_neardup,
     "mm_image_neardup_wide": q_mm_image_neardup_wide,
+    "mm_image_phash": q_mm_image_phash,
     "mm_exif_probe": q_mm_exif_probe,
     "mm_image_orient": q_mm_image_orient,
     "pipe_image_dedup_e2e": q_pipe_image_dedup_e2e,
     "mm_audio_neardup": q_mm_audio_neardup,
+    "mm_audio_neardup_long": q_mm_audio_neardup_long,
     "mm_video_neardup": q_mm_video_neardup,
     "pipe_url_dedup": q_pipe_url_dedup,
     "text_gopher_rules": q_text_gopher_rules,
@@ -10942,22 +11281,37 @@ _LAST_DRIVER_ROUND = _last_driver_rounds()
 # _FRONTLOAD pins names to the very front of the window, AHEAD of
 # never-checked entries — used when the implementation neighborhood of an
 # already-checked entry was rewritten and the evidence must be refreshed
-# this round regardless of age. r11 pins the four entries whose code
-# changed this round:
-#   - graph_knn_edges / graph_knn_mutual / graph_triangles: their shared
-#     candidate stage (_knn_candidate_pairs) now auto-sizes band_bits
-#     (VERDICT r10 #1; resolves to the old width at oracle scales, but
-#     the evidence must re-attach to the new code)
-#   - q2_min_cost_supplier: the part filter pushed below the offer
-#     aggregate (VERDICT r10 #6; same result set, new plan)
-# r10 pinned mm_wav_depths, mm_container_probe, mm_ogg_probe,
-# mm_mp3_probe, vec_neardup_lsh, vec_semantic_dedup (all green r10).
-# See docs/ROTATION.md for the policy.
+# this round regardless of age. r12 pins the entries whose
+# implementation neighborhood changed this round (plus the recorded r11
+# obligation):
+#   - dedup_simhash / dedup_edit_distance / graph_pagerank /
+#     pipe_dedup_report: the SimHash near-dup family — candidates now
+#     ride binary.hamming_neardup_pairs with auto block sizing over
+#     total_bits=60 (VERDICT r11 #1; the minimal config is bit-for-bit
+#     the legacy 4×15 banding at oracle scales, but the evidence must
+#     re-attach to the new code). dedup_simhash/pipe_dedup_report are
+#     the fingerprint/funnel queries the verdict named alongside the
+#     actual pair consumers; pinned with them.
+#   - mm_audio_neardup: codec matrix widened to four containers
+#     (PCM16 / float32 / exact-regime IMA ADPCM / FLAC) over the new
+#     non-PCM routing in audiofp.decode_wav_samples (VERDICT r11 #2).
+#   - mm_image_neardup: recorded r11 obligation (docs/ROTATION.md) —
+#     its newest evidence (r10) predates the late-r11 group_cols
+#     generalization of hamming_neardup_pairs.
+# Budget check: 6 pins + 2 new entries (mm_audio_neardup_long,
+# mm_image_phash) + the 41 r08-dated entries = 49 ≤ 50, so every r08
+# entry clears the window and the post-r12 minimum evidence age is r09.
+# r11 pinned graph_knn_edges/_mutual, graph_triangles,
+# q2_min_cost_supplier (all green r11). r10 pinned mm_wav_depths,
+# mm_container_probe, mm_ogg_probe, mm_mp3_probe, vec_neardup_lsh,
+# vec_semantic_dedup (all green r10). See docs/ROTATION.md.
 _FRONTLOAD: tuple[str, ...] = (
-    "graph_knn_edges",
-    "graph_knn_mutual",
-    "graph_triangles",
-    "q2_min_cost_supplier",
+    "dedup_simhash",
+    "dedup_edit_distance",
+    "graph_pagerank",
+    "pipe_dedup_report",
+    "mm_audio_neardup",
+    "mm_image_neardup",
 )
 
 QUERIES = dict(
@@ -11002,8 +11356,10 @@ ORACLES = {
     "mm_ogg_probe": SQL_MM_OGG_PROBE,
     "mm_image_neardup": SQL_MM_IMAGE_NEARDUP,
     "mm_image_neardup_wide": SQL_MM_IMAGE_NEARDUP_WIDE,
+    "mm_image_phash": SQL_MM_IMAGE_PHASH,
     "pipe_image_dedup_e2e": SQL_PIPE_IMAGE_DEDUP_E2E,
     "mm_audio_neardup": SQL_MM_AUDIO_NEARDUP,
+    "mm_audio_neardup_long": SQL_MM_AUDIO_NEARDUP_LONG,
     "mm_video_neardup": SQL_MM_VIDEO_NEARDUP,
     "mm_exif_probe": SQL_MM_EXIF_PROBE,
     "mm_image_orient": SQL_MM_IMAGE_ORIENT,
