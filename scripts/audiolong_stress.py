@@ -79,10 +79,14 @@ base = (
 planted = base.filter(F.col("media_id") % 50 == 0).selectExpr(
     f"media_id + {N_REC}L AS media_id",
     "window_no",
-    # window w of the twin sits at distance (media_id + w) % 4
+    # window w of the twin sits at distance (media_id + w) % 4; the
+    # CASE guards the d=0 leg — Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0], not empty (review r12), which would plant 2
+    # flips where the model says 0
+    "CASE WHEN (media_id + window_no) % 4 = 0 THEN sig ELSE "
     "aggregate(sequence(1, int((media_id + window_no) % 4)), sig, "
     "(acc, j) -> acc ^ shiftleft(1L, int((media_id * 11 + window_no "
-    "* 5 + j * 17) % 64))) AS sig",
+    "* 5 + j * 17) % 64))) END AS sig",
 )
 sigs = base.unionAll(planted).repartition(64).localCheckpoint(eager=True)
 total = sigs.count()

@@ -750,3 +750,32 @@ def test_phash_rejects_unrelated_images():
     a = phash64(_render_phash_grid(_phash_fixture_sig(0)))
     b = phash64(_render_phash_grid(_phash_fixture_sig(1)))
     assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 4
+
+
+def test_phash_bit63_wraps_through_arrow_stage(spark):
+    """Review r12: bit 63 (coefficient (7,7) > AC mean) is set on ~half
+    of natural images; the hash must wrap two's-complement like every
+    other hasher or the Arrow int64 cast overflows. Pin a payload that
+    sets it and push it through the REAL operator."""
+    from vector_lake_spark.gif import encode_gif
+    from vector_lake_spark.operators.imagehash import (
+        image_signatures,
+        phash64,
+    )
+
+    rng = np.random.RandomState(0)
+    img = None
+    for _ in range(50):
+        cand = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+        if phash64(cand) < 0:  # bit 63 set -> wrapped negative
+            img = cand
+            break
+    assert img is not None, "no bit-63 image found in 50 draws"
+    sig = phash64(img)
+    assert -(1 << 63) <= sig < 0
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(np.repeat(img[:, :, None], 3, axis=2))))],
+        "media_id long, payload binary",
+    )
+    got = image_signatures(df, kind="phash").collect()
+    assert got[0].sig == sig

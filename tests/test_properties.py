@@ -1108,3 +1108,25 @@ def test_audio_fingerprint_gain_invariance_property(doc_id, gain):
 
     x = _render_audio_pcm(_audio_fixture_sig(doc_id)).astype(np.float64)
     assert audio_fingerprint64(x) == audio_fingerprint64(x * gain)
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_phash_int64_range_and_gain_invariance_property(seed):
+    """Every perceptual hasher must return a value in signed-int64
+    range on ARBITRARY pixel content (the r12 review found phash64
+    skipped the two's-complement wrap — bit 63 is set on ~half of
+    natural images), and pHash must be exactly gain-invariant on
+    unrounded float pixels (mean-thresholded AC ordering is
+    scale-free)."""
+    import numpy as np
+
+    from vector_lake_spark.operators.imagehash import phash64
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    v = phash64(img)
+    assert -(1 << 63) <= v < (1 << 63)
+    assert v & 1 == 0  # the DC position never contributes a bit
+    f = img.astype(np.float64)
+    assert phash64(f * 0.25) == phash64(f)

@@ -111,7 +111,17 @@ def decode_wav_samples(payload: bytes):
             ) from e
         samples = np.asarray(samples, dtype=np.float64)
     if n_channels > 1:
-        samples = samples.reshape(-1, n_channels).mean(axis=1)
+        # a dangling partial frame (sample count not divisible by the
+        # channel count — a truncated final frame) trims, mirroring the
+        # stats decoder's n_frames = len // n_channels tolerance
+        # (review r12: reshape would otherwise escape the routing
+        # contract with a raw numpy error)
+        n_frames = samples.size // n_channels
+        samples = (
+            samples[: n_frames * n_channels]
+            .reshape(-1, n_channels)
+            .mean(axis=1)
+        )
     return samples, rate
 
 

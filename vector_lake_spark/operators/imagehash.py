@@ -144,8 +144,8 @@ def phash64(px: np.ndarray) -> int:
     downsample to 32×32 luma, orthonormal 2D DCT-II, keep the 8×8
     low-frequency block, bit (v·8 + u) set iff coefficient (u, v) is
     strictly greater than the MEAN of the block's 63 AC coefficients
-    (DC excluded from both the bits and the threshold — bit 0 is
-    always 0, so hashes stay non-negative int64s). Mean-thresholding
+    (DC excluded from both the bits and the threshold — bit 0, the DC
+    position, is always 0). Mean-thresholding
     AC energy makes the hash invariant to global gain and robust to
     monotone tone curves (gamma) and mild blur, which perturb the
     low-frequency ORDERING far less than they perturb pixel
@@ -161,7 +161,11 @@ def phash64(px: np.ndarray) -> int:
     for p in np.flatnonzero(low.reshape(-1) > mean):
         if p:  # DC never contributes a bit
             v |= 1 << int(p)
-    return v  # bits 1..63 only: always a non-negative int64
+    # two's complement into int64 range, same as every other hasher:
+    # bit 63 is coefficient (7,7) > mean — set on ~half of natural
+    # images (review r12: only the registry fixture keeps it clear, so
+    # without the wrap the Arrow int64 cast overflows in production)
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def ahash64(px: np.ndarray) -> int:

@@ -1075,7 +1075,12 @@ def q_dedup_edit_distance(spark, sf):
     from vector_lake_spark.operators.dedup import simhash_neardup_pairs
 
     d = _t(spark, sf, "documents")
-    cand = simhash_neardup_pairs(d, max_hamming=3)
+    # n_blocks pinned to the minimal config for the registry (review
+    # r12): the auto default fires an eager count() job at plan-build
+    # time, and resolves to 4 at every shipped scale anyway (pinned
+    # through 10M docs by tests/test_simhash.py). At 100 TB, pass the
+    # corpus count as n_rows and let auto size.
+    cand = simhash_neardup_pairs(d, max_hamming=3, n_blocks=4)
     ta = d.select(
         F.col("doc_id").alias("id_a"), normalize_text(F.col("text")).alias("na")
     )
@@ -1268,7 +1273,10 @@ def q_graph_pagerank(spark, sf):
     from vector_lake_spark.operators.graph import pagerank
 
     d = _t(spark, sf, "documents")
-    pairs = simhash_neardup_pairs(d, max_hamming=3)
+    # minimal config pinned for the same reason as dedup_edit_distance
+    # (review r12: no eager count() at plan-build; auto == 4 at every
+    # shipped scale)
+    pairs = simhash_neardup_pairs(d, max_hamming=3, n_blocks=4)
     return pagerank(
         pairs, iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING
     ).withColumnRenamed("id", "doc_id")
