@@ -155,9 +155,11 @@ HEADLINE = [
     "pipe_image_dedup_e2e",
     "mm_audio_neardup",
     "mm_video_neardup",
-    # r12: long-form (windowed) audio near-dup and the DCT pHash leg
+    # r12: long-form (windowed) audio near-dup, the DCT pHash leg, and
+    # the repeated-span duplication audit
     "mm_audio_neardup_long",
     "mm_image_phash",
+    "pipe_span_dedup",
     "dq_lineitem_report",
     "vec_topk_rrf",
     "pipe_token_budget",

@@ -2125,3 +2125,43 @@ def test_ngram_cap_defaults_on(spark):
     assert ngram_jaccard_pairs(
         df, n=3, threshold=0.01, max_shingle_freq=None
     ).count() > 0
+
+
+def test_span_dedup_interval_union_semantics(spark, tmp_path):
+    """pipe_span_dedup (r12): duplicated-span coverage must UNION
+    overlapping shingle footprints, not sum them, and docs without
+    corpus-duplicated shingles zero-fill. Hand-built corpus: a shared
+    8-token boilerplate header (4 duplicated start positions → ONE
+    merged span of 8 tokens) in 3 docs, plus a unique doc."""
+    import pandas as pd
+
+    from vector_lake_spark.queries import q_pipe_span_dedup
+
+    header = "terms of service apply to all visitors here"
+    rows = [
+        (0, header + " alpha beta gamma delta"),
+        (1, header + " epsilon zeta eta theta"),
+        (2, header + " iota kappa lambda mu"),
+        (3, "a wholly unique document about nothing shared at all ok"),
+    ]
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        r.doc_id: r
+        for r in q_pipe_span_dedup(spark, sf).collect()
+    }
+    for i in range(3):
+        r = got[i]
+        assert r.n_tokens == 12
+        # starts 1..4 all duplicated (shared 8-token prefix), overlap
+        # merges to ONE span covering tokens 1..8
+        assert r.n_dup_positions == 4
+        assert r.n_spans == 1
+        assert r.dup_tokens == 8
+        assert abs(r.dup_frac - round(8 / 12, 6)) < 1e-9
+    r = got[3]
+    assert (r.n_dup_positions, r.n_spans, r.dup_tokens, r.dup_frac) == (
+        0, 0, 0, 0.0,
+    )

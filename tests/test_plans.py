@@ -1242,3 +1242,15 @@ def test_image_phash_shuffles_signatures_not_pixels(spark):
         assert "payload" not in sec.split("\n")[0], sec.split("\n")[0]
     read_schema = simple.split("ReadSchema")[1].split("\n")[0]
     assert "struct<doc_id:bigint>" in read_schema, read_schema
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """pipe_span_dedup (r12): shingle text is hashed to 60-bit ints IN
+    the projection, so no exchange carries a text or gram column —
+    shuffles move (doc_id, pos, h) rows and the per-doc aggregates
+    only."""
+    df = Q.q_pipe_span_dedup(spark, SF)
+    simple = plan_string(df, "simple")
+    for sec in simple.split("Exchange ")[1:]:
+        head = sec.split("\n")[0]
+        assert "text" not in head and "gram" not in head, head

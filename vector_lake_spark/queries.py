@@ -1711,6 +1711,181 @@ LIMIT 20
 """
 
 
+SPAN_SHINGLE_N = 5
+SPAN_MIN_DOCS = 3
+
+
+def q_pipe_span_dedup(spark, sf):
+    """Span-level duplication audit (r12, beyond the ask) — the
+    repeated-SPAN half that ``text_boilerplate_ngrams`` names as its
+    downstream step, and the per-document report the
+    dedupe-spans-not-docs curation recipe (C4 / "Deduplicating
+    Training Data" — public literature) needs before trimming: which
+    CONTIGUOUS token ranges of each document are corpus-duplicated
+    boilerplate, and how much of the document they cover. Doc-level
+    dedup misses these entirely (a unique article wrapped in a shared
+    navigation header is not a near-dup of anything).
+
+    Plan, Spark-first at every step: positional 5-token shingles
+    hashed to 60-bit ints IN the projection (fingerprints shuffle,
+    never text — the dedup-family posture); one hash aggregate
+    computes cross-document frequency (count DISTINCT doc_id ≥ 3);
+    one hash join marks duplicated start positions; interval-merging
+    gaps-and-islands (running max of covered-end over a
+    rows-unbounded-preceding window — overlapping spans must UNION,
+    not sum, or coverage double-counts) folds starts into maximal
+    spans; per-doc aggregate + zero-filled left join back to the
+    corpus. Shuffles carry (doc_id, pos, h) rows only. Oracle: the
+    identical construction over DuckDB list/window functions (same
+    md5-based hash, so any hash collision collides identically on
+    both sides)."""
+    from vector_lake_spark.functions.text import (
+        token_count,
+        token_hash60,
+        tokens,
+    )
+
+    n = SPAN_SHINGLE_N
+    d = _t(spark, sf, "documents")
+    spread = _auto_spread_n(spark, d)
+    if spread:
+        d = d.repartition(spread)
+    base = d.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    toks = tokens(F.col("text"))
+    cnt = F.size(toks) - (n - 1)
+    grams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: token_hash60(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pos = d.select(
+        "doc_id", F.posexplode(grams).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    freq = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SPAN_MIN_DOCS)
+        .select("h")
+    )
+    dup = pos.join(freq, "h").select(
+        "doc_id", "pos", (F.col("pos") + (n - 1)).alias("cov_end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("cov_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w))
+    spans = marked.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"),
+        F.max("cov_end").alias("e"),
+        F.count(F.lit(1)).alias("n_starts"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("n_starts").cast("long").alias("n_dup_positions"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+            "n_dup_positions"
+        ),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def _sql_pipe_span_dedup() -> str:
+    n = SPAN_SHINGLE_N
+    toks = O.sql_tokens("text")
+    gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+             i -> {{'pos': i,
+                   'h': {O.sql_token_hash60(gram)}}}
+           )) AS u
+    FROM t
+  )
+),
+freq AS (
+  SELECT h FROM p GROUP BY h
+  HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+),
+dup AS (
+  SELECT p.doc_id, p.pos, p.pos + {n - 1} AS cov_end
+  FROM p JOIN freq ON p.h = freq.h
+),
+marked AS (
+  SELECT doc_id, pos, cov_end,
+         CASE WHEN max(cov_end) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR pos > max(cov_end) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1
+         THEN 1 ELSE 0 END AS new_span
+  FROM dup
+),
+sp AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(cov_end) AS e,
+         count(*) AS n_starts
+  FROM (
+    SELECT doc_id, pos, cov_end,
+           sum(new_span) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS span_id
+    FROM marked
+  )
+  GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(n_starts) AS BIGINT) AS n_dup_positions,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM sp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len({O.sql_tokens('d.text')}) AS BIGINT) AS n_tokens,
+       COALESCE(per_doc.n_dup_positions, 0) AS n_dup_positions,
+       COALESCE(per_doc.n_spans, 0) AS n_spans,
+       COALESCE(per_doc.dup_tokens, 0) AS dup_tokens,
+       round(COALESCE(per_doc.dup_tokens, 0) /
+             greatest(CAST(len({O.sql_tokens('d.text')}) AS DOUBLE), 1.0),
+             6) AS dup_frac
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
+SQL_PIPE_SPAN_DEDUP = _sql_pipe_span_dedup()
+
+
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
@@ -11119,6 +11294,7 @@ _BASE_QUERIES = {
     "text_langid": q_text_langid,
     "text_token_top20": q_text_token_top20,
     "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
+    "pipe_span_dedup": q_pipe_span_dedup,
     "text_bpe_tokens": q_text_bpe_tokens,
     "text_fingerprint": q_text_fingerprint,
     "text_tfidf_top20": q_text_tfidf_top20,
@@ -11306,9 +11482,10 @@ _LAST_DRIVER_ROUND = _last_driver_rounds()
 #   - mm_image_neardup: recorded r11 obligation (docs/ROTATION.md) —
 #     its newest evidence (r10) predates the late-r11 group_cols
 #     generalization of hamming_neardup_pairs.
-# Budget check: 6 pins + 2 new entries (mm_audio_neardup_long,
-# mm_image_phash) + the 41 r08-dated entries = 49 ≤ 50, so every r08
-# entry clears the window and the post-r12 minimum evidence age is r09.
+# Budget check: 6 pins + 3 new entries (mm_audio_neardup_long,
+# mm_image_phash, pipe_span_dedup) + the 41 r08-dated entries = 50
+# exactly, so every r08 entry clears the window and the post-r12
+# minimum evidence age is r09.
 # r11 pinned graph_knn_edges/_mutual, graph_triangles,
 # q2_min_cost_supplier (all green r11). r10 pinned mm_wav_depths,
 # mm_container_probe, mm_ogg_probe, mm_mp3_probe, vec_neardup_lsh,
@@ -11402,6 +11579,7 @@ ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_token_top20": SQL_TEXT_TOKEN_TOP20,
     "text_boilerplate_ngrams": SQL_TEXT_BOILERPLATE_NGRAMS,
+    "pipe_span_dedup": SQL_PIPE_SPAN_DEDUP,
     "text_bpe_tokens": SQL_TEXT_BPE_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "text_tfidf_top20": SQL_TEXT_TFIDF_TOP20,
