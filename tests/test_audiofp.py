@@ -269,3 +269,26 @@ def test_audio_signatures_operator(spark):
     got = {r.media_id: r.sig for r in audio_signatures(df).collect()}
     for i, _ in rows:
         assert got[i] == _audio_fixture_sig(i)
+
+
+def test_truncated_multichannel_frame_trims():
+    """Review r12: a multi-channel non-PCM payload whose sample count
+    is not divisible by the channel count (truncated final frame) must
+    trim the dangling samples — mirroring the stats decoder — not
+    escape as a raw numpy reshape error."""
+    import struct
+
+    vals = [100.0, 300.0, -200.0, 400.0, 500.0, 700.0, 999.0]  # 3.5 frames
+    data = struct.pack("<7f", *vals)
+    fmt = struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 8, 8, 32)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    got, rate = decode_wav_samples(payload)
+    assert rate == 8000
+    # 3 complete stereo frames downmixed; the 7th sample is dropped
+    assert np.allclose(got, [200.0, 100.0, 600.0])

@@ -2165,3 +2165,51 @@ def test_span_dedup_interval_union_semantics(spark, tmp_path):
     assert (r.n_dup_positions, r.n_spans, r.dup_tokens, r.dup_frac) == (
         0, 0, 0, 0.0,
     )
+
+
+def test_strip_duplicated_spans_returns_cleaned_corpus(spark, tmp_path):
+    """strip_duplicated_spans (r12): the trimming half — duplicated
+    spans are REMOVED positionally, clean docs pass through
+    (normalized), and the audit and the trim agree because they share
+    duplicated_spans."""
+    import pandas as pd
+
+    from vector_lake_spark.operators.dedup import strip_duplicated_spans
+    from vector_lake_spark.queries import q_pipe_span_dedup
+
+    header = "terms of service apply to all visitors here"
+    rows = [
+        (0, header + " alpha beta gamma delta"),
+        (1, header + " epsilon zeta eta theta"),
+        (2, header + " iota kappa lambda mu"),
+        (3, "a wholly unique Document about nothing shared at all ok"),
+    ]
+    sf = str(tmp_path)
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{sf}/documents.parquet"
+    )
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r for r in strip_duplicated_spans(df).collect()}
+    assert got[0].text_clean == "alpha beta gamma delta"
+    assert got[1].text_clean == "epsilon zeta eta theta"
+    assert got[2].text_clean == "iota kappa lambda mu"
+    for i in range(3):
+        assert got[i].n_tokens_kept == 4
+    # clean doc: token-normalized passthrough (lowercased join)
+    assert got[3].text_clean == (
+        "a wholly unique document about nothing shared at all ok"
+    )
+    assert got[3].n_tokens_kept == 10
+    # the trim removed exactly what the audit reported: re-audit of the
+    # cleaned corpus finds nothing (tails are all-unique here)
+    import pandas as pd2  # noqa: F401
+    cleaned = pd.DataFrame(
+        [(r.doc_id, r.text_clean) for r in got.values()],
+        columns=["doc_id", "text"],
+    )
+    sf2 = str(tmp_path / "clean")
+    import os
+    os.makedirs(sf2, exist_ok=True)
+    cleaned.to_parquet(f"{sf2}/documents.parquet")
+    audit = q_pipe_span_dedup(spark, sf2).collect()
+    assert all(r.n_spans == 0 for r in audit)

@@ -699,3 +699,131 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def positional_shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(id, pos, h): the 60-bit hash of the n-token shingle STARTING at
+    1-based token position ``pos`` — the positional (non-distinct) twin
+    of ``shingles`` for span-level work (r12). Hashing happens in the
+    projection, so downstream shuffles carry 8-byte ints, never gram
+    text."""
+    toks = tokens(F.col(text_col))
+    cnt = F.size(toks) - (n - 1)
+    grams = F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: token_hash60(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos0", "h")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maximal corpus-duplicated token spans per document (r12 — the
+    dedupe-spans-not-docs recipe from the public C4 / "Deduplicating
+    Training Data" literature): (id, span_id, s, e, n_starts) where
+    tokens [s, e] (1-based, inclusive) are covered by n-token shingles
+    that appear in ≥ ``min_docs`` DISTINCT documents.
+
+    Plan: positional shingle hashes (ONE Arrow-free projection,
+    lazily checkpointed because the frequency aggregate and the mark
+    join cannot share an exchange) → cross-document frequency →
+    duplicated start positions → interval-MERGING gaps-and-islands
+    (running-max window: overlapping shingle footprints union — a
+    plain consecutive-starts grouping would double-count coverage).
+    Shuffles carry (id, pos, h) rows only."""
+    from pyspark.sql import Window
+
+    pos = positional_shingle_hashes(df, text_col, id_col, n)
+    if checkpoint:
+        pos = pos.localCheckpoint(eager=False)
+    freq = (
+        pos.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup = pos.join(freq, "h").select(
+        id_col, "pos", (F.col("pos") + (n - 1)).alias("cov_end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("cov_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "new_span",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w))
+    return marked.groupBy(id_col, "span_id").agg(
+        F.min("pos").alias("s"),
+        F.max("cov_end").alias("e"),
+        F.count(F.lit(1)).alias("n_starts"),
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """The trimming half of the span story (r12): returns
+    (id, text_clean, n_tokens_kept) with every corpus-duplicated span
+    (``duplicated_spans``) REMOVED — the cleaned corpus a curation
+    pipeline actually trains on, not just the audit report
+    (``queries.pipe_span_dedup``).
+
+    ``text_clean`` is the token-level reconstruction (lowercased,
+    single-space joined — the same normalization the shingles saw);
+    span removal is positional, so a document keeps exactly its
+    tokens OUTSIDE every [s, e] interval, in order. Docs with no
+    duplicated spans pass through (normalized) unchanged. NOTE:
+    trimming creates new adjacencies, so a re-audit of the cleaned
+    corpus can in principle surface new (rarer) duplicated grams —
+    one pass removes the mined boilerplate, it does not fixpoint.
+
+    Plan: spans collect to a per-doc array<struct<s,e>> (bounded: ≤
+    n_tokens/2 intervals by maximality) and broadcast-free join back;
+    the keep/drop decision is a pure column expression over the
+    posexploded token list — no Python in the path."""
+    spans = duplicated_spans(df, text_col, id_col, n, min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    toks = tokens(F.col(text_col))
+    joined = df.select(F.col(id_col), toks.alias("toks")).join(
+        per_doc, id_col, "left"
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.coalesce(
+                F.col("spans"),
+                F.array().cast("array<struct<s:long,e:long>>"),
+            ),
+            lambda sp: (sp["s"] <= i + 1) & (i + 1 <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+    )

@@ -1738,14 +1738,13 @@ def q_pipe_span_dedup(spark, sf):
     corpus. Shuffles carry (doc_id, pos, h) rows only. Oracle: the
     identical construction over DuckDB list/window functions (same
     md5-based hash, so any hash collision collides identically on
-    both sides)."""
-    from vector_lake_spark.functions.text import (
-        token_count,
-        token_hash60,
-        tokens,
-    )
+    both sides). The span-detection core lives in
+    ``operators/dedup.duplicated_spans`` (late r12) — the trimming
+    operator ``strip_duplicated_spans`` shares it, so the audit and
+    the cleaned corpus can never disagree about what a span is."""
+    from vector_lake_spark.functions.text import token_count
+    from vector_lake_spark.operators.dedup import duplicated_spans
 
-    n = SPAN_SHINGLE_N
     d = _t(spark, sf, "documents")
     spread = _auto_spread_n(spark, d)
     if spread:
@@ -1753,41 +1752,8 @@ def q_pipe_span_dedup(spark, sf):
     base = d.select(
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
-    toks = tokens(F.col("text"))
-    cnt = F.size(toks) - (n - 1)
-    grams = F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: token_hash60(F.concat_ws(" ", F.slice(toks, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    pos = d.select(
-        "doc_id", F.posexplode(grams).alias("pos0", "h")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
-    freq = (
-        pos.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= SPAN_MIN_DOCS)
-        .select("h")
-    )
-    dup = pos.join(freq, "h").select(
-        "doc_id", "pos", (F.col("pos") + (n - 1)).alias("cov_end")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max("cov_end").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = dup.withColumn(
-        "new_span",
-        F.when(
-            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
-        ).otherwise(0),
-    ).withColumn("span_id", F.sum("new_span").over(w))
-    spans = marked.groupBy("doc_id", "span_id").agg(
-        F.min("pos").alias("s"),
-        F.max("cov_end").alias("e"),
-        F.count(F.lit(1)).alias("n_starts"),
+    spans = duplicated_spans(
+        d, n=SPAN_SHINGLE_N, min_docs=SPAN_MIN_DOCS
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("n_starts").cast("long").alias("n_dup_positions"),
