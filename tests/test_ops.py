@@ -2213,3 +2213,98 @@ def test_strip_duplicated_spans_returns_cleaned_corpus(spark, tmp_path):
     cleaned.to_parquet(f"{sf2}/documents.parquet")
     audit = q_pipe_span_dedup(spark, sf2).collect()
     assert all(r.n_spans == 0 for r in audit)
+
+
+def _span_batch_expect(spark, docs_rows, n=3, min_docs=3):
+    from vector_lake_spark.operators.dedup import duplicated_spans
+
+    full = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    spans = duplicated_spans(full, n=n, min_docs=min_docs)
+    agg = spans.groupBy("doc_id").agg(
+        F.sum("n_starts").cast("long").alias("n_dup_positions"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    out = {}
+    got = {r.doc_id: r for r in agg.collect()}
+    for doc_id, _ in docs_rows:
+        r = got.get(doc_id)
+        out[doc_id] = (
+            (r.n_dup_positions, r.n_spans, r.dup_tokens) if r else (0, 0, 0)
+        )
+    return out
+
+
+def test_span_ingest_stream_equals_batch_with_retroactive_update(
+    spark, tmp_path
+):
+    """SpanDedupIngest (late r12): span reports are corpus-dependent,
+    so a batch can push a gram over the >=3-docs threshold and
+    invalidate an OLD document's report. The upsert contract must
+    converge: at drain, latest-report-per-doc equals the batch audit
+    over the whole corpus — including the retroactively-updated doc —
+    and a replayed micro-batch overwrites to the same state."""
+    import pandas as pd
+
+    from vector_lake_spark.streaming.spans import SpanDedupIngest
+
+    boiler = "terms of service apply here"
+    rows = [
+        (0, boiler + " alpha beta gamma"),      # batch A
+        (1, "nothing shared in this one at all"),
+        (2, boiler + " delta epsilon zeta"),    # batch B
+        (3, boiler + " eta theta iota"),        # batch C -> promotes
+        (4, "another fully unique piece of writing"),
+    ]
+    src = str(tmp_path / "src")
+    import os
+    os.makedirs(src, exist_ok=True)
+    for i, chunk in enumerate([rows[:2], rows[2:3], rows[3:]]):
+        pd.DataFrame(chunk, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/part-{i}.parquet"
+        )
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ingest = SpanDedupIngest(
+        spark,
+        str(tmp_path / "hist"),
+        str(tmp_path / "docs"),
+        str(tmp_path / "reports"),
+        n=3,
+        min_docs=3,
+    )
+    ingest.run(stream, checkpoint=str(tmp_path / "ckpt"))
+    want = _span_batch_expect(spark, rows, n=3, min_docs=3)
+    got = {
+        r.doc_id: (r.n_dup_positions, r.n_spans, r.dup_tokens)
+        for r in ingest.reports().collect()
+    }
+    assert got == want
+    # the boilerplate trio genuinely spans multiple micro-batches, so
+    # at least one member's correct nonzero report was written AFTER
+    # its own ingest batch (the retroactive path, not just new-doc
+    # reporting)
+    assert all(want[d][1] == 1 for d in (0, 2, 3))
+    assert want[1] == (0, 0, 0) and want[4] == (0, 0, 0)
+    # replay the final batch: deterministic overwrite, same state
+    last = max(
+        r.ingest_batch
+        for r in spark.read.parquet(str(tmp_path / "hist"))
+        .select("ingest_batch").distinct().collect()
+    )
+    docs_last = (
+        spark.read.parquet(str(tmp_path / "docs"))
+        .filter(f"ingest_batch = {last}").select("doc_id")
+    )
+    full = spark.createDataFrame(rows, schema)
+    replay = full.join(docs_last, "doc_id", "left_semi")
+    ingest._process(replay, int(last))
+    again = {
+        r.doc_id: (r.n_dup_positions, r.n_spans, r.dup_tokens)
+        for r in ingest.reports().collect()
+    }
+    assert again == want
