@@ -2202,13 +2202,13 @@ def test_strip_duplicated_spans_returns_cleaned_corpus(spark, tmp_path):
     assert got[3].n_tokens_kept == 10
     # the trim removed exactly what the audit reported: re-audit of the
     # cleaned corpus finds nothing (tails are all-unique here)
-    import pandas as pd2  # noqa: F401
+    import os
+
     cleaned = pd.DataFrame(
         [(r.doc_id, r.text_clean) for r in got.values()],
         columns=["doc_id", "text"],
     )
     sf2 = str(tmp_path / "clean")
-    import os
     os.makedirs(sf2, exist_ok=True)
     cleaned.to_parquet(f"{sf2}/documents.parquet")
     audit = q_pipe_span_dedup(spark, sf2).collect()
@@ -2244,6 +2244,8 @@ def test_span_ingest_stream_equals_batch_with_retroactive_update(
     converge: at drain, latest-report-per-doc equals the batch audit
     over the whole corpus — including the retroactively-updated doc —
     and a replayed micro-batch overwrites to the same state."""
+    import os
+
     import pandas as pd
 
     from vector_lake_spark.streaming.spans import SpanDedupIngest
@@ -2257,7 +2259,6 @@ def test_span_ingest_stream_equals_batch_with_retroactive_update(
         (4, "another fully unique piece of writing"),
     ]
     src = str(tmp_path / "src")
-    import os
     os.makedirs(src, exist_ok=True)
     for i, chunk in enumerate([rows[:2], rows[2:3], rows[3:]]):
         pd.DataFrame(chunk, columns=["doc_id", "text"]).to_parquet(
@@ -2308,3 +2309,37 @@ def test_span_ingest_stream_equals_batch_with_retroactive_update(
         for r in ingest.reports().collect()
     }
     assert again == want
+
+
+def test_span_ingest_refuses_reingest_of_existing_doc(spark, tmp_path):
+    """Review r12: span reports derive from corpus-wide gram
+    frequencies, so re-ingesting an existing doc_id would leave the
+    old version's history rows double-counting — the ingest must
+    refuse loudly, while replaying the SAME batch stays allowed (the
+    roster read excludes the batch's own partition)."""
+    import pytest as _pytest
+
+    from vector_lake_spark.streaming.spans import SpanDedupIngest
+
+    ingest = SpanDedupIngest(
+        spark,
+        str(tmp_path / "hist"),
+        str(tmp_path / "docs"),
+        str(tmp_path / "reports"),
+        n=3,
+        min_docs=2,
+    )
+    b1 = spark.createDataFrame(
+        [(0, "one two three four"), (1, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    ingest._process(b1, 0)
+    # replay of batch 0 itself: fine (exactly-once overwrite)
+    ingest._process(b1, 0)
+    # doc 0 arriving again in a LATER batch: refused by name
+    b2 = spark.createDataFrame(
+        [(0, "a revised version of doc zero"), (9, "a brand new doc")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="append-only"):
+        ingest._process(b2, 1)

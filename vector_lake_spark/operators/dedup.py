@@ -76,21 +76,32 @@ def exact_dedup(
     return df.join(survivors, id_col, "left_semi")
 
 
+def _gram_array(toks, n: int, mapper, element_type: str):
+    """n-gram array over a token-list column: ``mapper(i)`` maps the
+    1-based start index to the element (gram text, gram hash, …). The
+    ONE home of the short-text guard: F.sequence(1, 0) would produce a
+    *descending* [1, 0] sequence, so texts with fewer than n tokens
+    must map to an empty list explicitly (shared by the distinct
+    ``shingles`` and the positional span path — review r12)."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), mapper),
+    ).otherwise(F.array().cast(f"array<{element_type}>"))
+
+
 def shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles of the normalized text, as a column
     expression: transform over a token-index sequence, then dedup."""
     toks = tokens(text_col)
-    count = F.size(toks) - (n - 1)
-    # Guard: F.sequence(1, 0) would produce a *descending* [1, 0] sequence,
-    # so short texts must map to an empty gram list explicitly.
-    grams = F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
+    return F.array_distinct(
+        _gram_array(
+            toks,
+            n,
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+            "string",
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -713,14 +724,12 @@ def positional_shingle_hashes(
     projection, so downstream shuffles carry 8-byte ints, never gram
     text."""
     toks = tokens(F.col(text_col))
-    cnt = F.size(toks) - (n - 1)
-    grams = F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: token_hash60(F.concat_ws(" ", F.slice(toks, i, n))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    grams = _gram_array(
+        toks,
+        n,
+        lambda i: token_hash60(F.concat_ws(" ", F.slice(toks, i, n))),
+        "long",
+    )
     return df.select(
         F.col(id_col), F.posexplode(grams).alias("pos0", "h")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
@@ -747,8 +756,6 @@ def duplicated_spans(
     (running-max window: overlapping shingle footprints union — a
     plain consecutive-starts grouping would double-count coverage).
     Shuffles carry (id, pos, h) rows only."""
-    from pyspark.sql import Window
-
     pos = positional_shingle_hashes(df, text_col, id_col, n)
     if checkpoint:
         pos = pos.localCheckpoint(eager=False)
@@ -758,7 +765,24 @@ def duplicated_spans(
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
-    dup = pos.join(freq, "h").select(
+    return spans_from_positions(pos, freq, n, id_col)
+
+
+def spans_from_positions(
+    pos: DataFrame,
+    dup_grams: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The interval-merging island core, over an explicit
+    (id, pos, h) / duplicated-gram-set pair — the ONE home of the span
+    semantics (gap rule, coverage union, n_starts), shared by the
+    batch audit (``duplicated_spans``) and the streaming ingest
+    (``streaming/spans.SpanDedupIngest``) so the two can never
+    diverge about what a span is (review r12)."""
+    from pyspark.sql import Window
+
+    dup = pos.join(dup_grams.select("h"), "h").select(
         id_col, "pos", (F.col("pos") + (n - 1)).alias("cov_end")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -775,6 +799,19 @@ def duplicated_spans(
         F.min("pos").alias("s"),
         F.max("cov_end").alias("e"),
         F.count(F.lit(1)).alias("n_starts"),
+    )
+
+
+def span_report_agg(spans: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_dup_positions, n_spans, dup_tokens) per-document span
+    aggregate — shared by the audit query and the streaming report so
+    the report schema has one definition (review r12)."""
+    return spans.groupBy(id_col).agg(
+        F.sum("n_starts").cast("long").alias("n_dup_positions"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias(
+            "dup_tokens"
+        ),
     )
 
 

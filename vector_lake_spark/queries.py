@@ -1743,7 +1743,10 @@ def q_pipe_span_dedup(spark, sf):
     operator ``strip_duplicated_spans`` shares it, so the audit and
     the cleaned corpus can never disagree about what a span is."""
     from vector_lake_spark.functions.text import token_count
-    from vector_lake_spark.operators.dedup import duplicated_spans
+    from vector_lake_spark.operators.dedup import (
+        duplicated_spans,
+        span_report_agg,
+    )
 
     d = _t(spark, sf, "documents")
     spread = _auto_spread_n(spark, d)
@@ -1755,11 +1758,7 @@ def q_pipe_span_dedup(spark, sf):
     spans = duplicated_spans(
         d, n=SPAN_SHINGLE_N, min_docs=SPAN_MIN_DOCS
     )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.sum("n_starts").cast("long").alias("n_dup_positions"),
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
-    )
+    per_doc = span_report_agg(spans)
     return base.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "n_tokens",

@@ -40,7 +40,14 @@ Posture, shared with the other ingests:
 - Appends only: gram counts never decrease, so threshold crossings are
   monotone (promotions, never demotions) — deletions would need a
   tombstone pass over `history` plus re-reports for demoted grams'
-  docs, which is the same machinery run with the opposite sign.
+  docs, which is the same machinery run with the opposite sign. The
+  same goes for document UPDATES: re-ingesting an existing doc_id
+  would leave the old version's pos rows in history, silently
+  double-counting positions and inflating gram frequencies — so
+  `_process` REFUSES batches containing already-rostered ids (a
+  cheap anti-join against `docs`; replays are exempt because every
+  read excludes the batch's own partition). Route updates through a
+  delete (tombstone) + re-ingest once deletions exist.
 """
 
 from __future__ import annotations
@@ -48,7 +55,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from vector_lake_spark.fsutil import read_if_exists
-from vector_lake_spark.operators.dedup import positional_shingle_hashes
+from vector_lake_spark.operators.dedup import (
+    positional_shingle_hashes,
+    span_report_agg,
+    spans_from_positions,
+)
 
 
 class SpanDedupIngest:
@@ -91,34 +102,17 @@ class SpanDedupIngest:
             .parquet(path)
         )
 
-    def _spans_report(self, pos: DataFrame, dup_grams: DataFrame) -> DataFrame:
-        """(id, n_dup_positions, n_spans, dup_tokens) from positional
-        gram rows and the current duplicated-gram set — the island
-        merge of ``operators/dedup.duplicated_spans``, applied to an
-        explicit pos/freq pair so batch and stream share semantics."""
+    def _zero_fill(self, ids: DataFrame, report: DataFrame) -> DataFrame:
+        """Left-join a span report onto a doc-id roster, zero-filling
+        docs without spans (the one definition of the report row)."""
         id_col = self.id_col
-        dup = pos.join(dup_grams, "h").select(
-            id_col, "pos", (F.col("pos") + (self.n - 1)).alias("cov_end")
-        )
-        w = Window.partitionBy(id_col).orderBy("pos")
-        prev_end = F.max("cov_end").over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
-        )
-        marked = dup.withColumn(
-            "new_span",
-            F.when(
-                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
-            ).otherwise(0),
-        ).withColumn("span_id", F.sum("new_span").over(w))
-        spans = marked.groupBy(id_col, "span_id").agg(
-            F.min("pos").alias("s"),
-            F.max("cov_end").alias("e"),
-            F.count(F.lit(1)).alias("n_starts"),
-        )
-        return spans.groupBy(id_col).agg(
-            F.sum("n_starts").cast("long").alias("n_dup_positions"),
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias(
+        return ids.join(report, id_col, "left").select(
+            id_col,
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
+                "n_dup_positions"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
                 "dup_tokens"
             ),
         )
@@ -130,6 +124,27 @@ class SpanDedupIngest:
         )
         if batch.count() == 0:
             return
+        batch_ids = batch.select(id_col).distinct()
+        roster = self._prior(self.docs_dir, int(batch_id))
+        if roster is not None:
+            # re-ingest guard (review r12): an existing id's old pos
+            # rows would stay in history and silently corrupt both the
+            # gram frequencies and the doc's island merge. Replays are
+            # exempt: the roster read excludes this batch's partition.
+            dupes = [
+                r[0]
+                for r in batch_ids.join(roster, id_col, "left_semi")
+                .limit(5)
+                .collect()
+            ]
+            if dupes:
+                raise ValueError(
+                    f"SpanDedupIngest is append-only: batch {batch_id} "
+                    f"re-ingests already-rostered ids {dupes} — span "
+                    f"reports derive from corpus-wide gram frequencies, "
+                    f"so updates need tombstoned deletion of the old "
+                    f"version's history rows first (docstring)"
+                )
         new_pos = positional_shingle_hashes(
             batch, self.text_col, id_col, self.n
         ).localCheckpoint(eager=True)
@@ -138,8 +153,8 @@ class SpanDedupIngest:
             new_pos if hist_pos is None
             else hist_pos.unionByName(new_pos)
         )
-        # distinct-doc counts before/after this batch; promotions are
-        # the grams whose threshold crossing invalidates OLD reports
+        # the FULL duplicated-gram set (affected docs' spans depend on
+        # every dup gram they hold, not just the batch's grams)
         new_freq = (
             all_pos.groupBy("h")
             .agg(F.countDistinct(id_col).alias("nd"))
@@ -147,40 +162,42 @@ class SpanDedupIngest:
             .select("h")
             .localCheckpoint(eager=True)
         )
-        batch_ids = batch.select(id_col).distinct()
         if hist_pos is None:
             affected_old = None
         else:
+            # promotions: grams whose distinct-doc count crossed the
+            # threshold IN this batch. Only grams PRESENT in the batch
+            # can cross (counts are append-monotone), so the old-count
+            # aggregate is bounded to the batch's gram set by a
+            # semi-join instead of re-counting the whole history
+            # (review r12 — the second full-corpus aggregate was pure
+            # waste).
+            batch_grams = new_pos.select("h").distinct()
             old_freq = (
-                hist_pos.groupBy("h")
+                hist_pos.join(batch_grams, "h", "left_semi")
+                .groupBy("h")
                 .agg(F.countDistinct(id_col).alias("nd"))
                 .filter(F.col("nd") >= self.min_docs)
                 .select("h")
             )
-            promoted = new_freq.join(old_freq, "h", "left_anti")
+            promoted = (
+                new_freq.join(batch_grams, "h", "left_semi")
+                .join(old_freq, "h", "left_anti")
+            )
             affected_old = (
                 hist_pos.join(promoted, "h")
                 .select(id_col)
                 .distinct()
-                .join(batch_ids, id_col, "left_anti")
             )
         affected = (
             batch_ids if affected_old is None
             else batch_ids.unionByName(affected_old).distinct()
         )
         affected_pos = all_pos.join(affected, id_col, "left_semi")
-        report = affected.join(
-            self._spans_report(affected_pos, new_freq), id_col, "left"
-        ).select(
-            id_col,
-            F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
-                "n_dup_positions"
-            ),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
-                "dup_tokens"
-            ),
+        spans = spans_from_positions(
+            affected_pos, new_freq, self.n, id_col
         )
+        report = self._zero_fill(affected, span_report_agg(spans, id_col))
         self._overwrite(report, self.reports_dir, batch_id)
         self._overwrite(new_pos, self.history_dir, batch_id)
         self._overwrite(batch_ids, self.docs_dir, batch_id)
@@ -214,13 +231,4 @@ class SpanDedupIngest:
             .filter(F.col("rn") == 1)
             .drop("rn", "ingest_batch")
         )
-        return docs.join(latest, id_col, "left").select(
-            id_col,
-            F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias(
-                "n_dup_positions"
-            ),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
-                "dup_tokens"
-            ),
-        )
+        return self._zero_fill(docs, latest)
