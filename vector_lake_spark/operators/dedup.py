@@ -839,8 +839,16 @@ def strip_duplicated_spans(
 
     Plan: spans collect to a per-doc array<struct<s,e>> (bounded: ≤
     n_tokens/2 intervals by maximality) and broadcast-free join back;
-    the keep/drop decision is a pure column expression over the
-    posexploded token list — no Python in the path."""
+    the keep/drop decision is a pure column expression (per-token
+    `exists` over the doc's merged spans) — no Python in the path.
+    Measured at the 500k-doc saturation rung (SCALE.md): 39.7 s on a
+    well-partitioned input; a span-wise array-surgery variant (fold
+    over the few spans masking slots to NULL via same-length slices)
+    measured SLOWER (45.8 s) despite the prettier complexity story, so
+    the simple predicate stays. The 489 s first measurement was the
+    single-file input-skew artifact (one straggler task tokenizing
+    most of the corpus — the known local-mode artifact), not the
+    predicate."""
     spans = duplicated_spans(df, text_col, id_col, n, min_docs)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("s", "e")).alias("spans")
