@@ -1254,3 +1254,142 @@ def test_span_dedup_shuffles_hashes_not_text(spark):
     for sec in simple.split("Exchange ")[1:]:
         head = sec.split("\n")[0]
         assert "text" not in head and "gram" not in head, head
+
+
+def _canon_analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().canonicalized().toString()
+
+
+def _canon_optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+
+
+def test_lit_vector_expr_identical(spark):
+    """lit_vector builds via ONE F.expr parse (r12 optimization) — the
+    parsed array literal must be the identical expression to the
+    per-element F.lit construction, bit for bit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.functions.vectors import lit_vector
+
+    vals = list(np.random.RandomState(7).randn(64)) + [1e-310, -0.0, 1.5e300]
+    df = spark.range(1)
+    slow = df.select(F.array(*[F.lit(float(v)) for v in vals]).alias("a"))
+    fast = df.select(lit_vector(vals).alias("a"))
+    assert _canon_analyzed(slow) == _canon_analyzed(fast)
+
+
+def test_shard_id_sql_matches_dsl(spark):
+    """shard_id_expr's SQL-fragment fast path (r12) builds the identical
+    expression to the Column DSL path — plan and results."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.functions.vectors import to_double_array
+    from vector_lake_spark.operators import lsh as L
+
+    H = L.make_hyperplanes(64, 4)
+    emb = Q._t(spark, SF, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    dsl = emb.select(L.shard_id_expr(v, H).alias("s"))
+    sql = emb.select(
+        L.shard_id_expr("CAST(`embedding` AS ARRAY<DOUBLE>)", H).alias("s")
+    )
+    assert _canon_analyzed(dsl) == _canon_analyzed(sql)
+    assert (
+        dsl.exceptAll(sql).limit(1).count() == 0
+        and sql.exceptAll(dsl).limit(1).count() == 0
+    )
+
+
+def test_sql_kernel_builders_match_dsl(spark):
+    """sql_dot / sql_norm / sql_cosine_similarity (r12) parse to the
+    identical trees as the Column combinators they replace."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.functions.vectors import (
+        cosine_similarity,
+        dot,
+        lit_vector,
+        norm,
+        sql_cosine_similarity,
+        sql_dot,
+        sql_norm,
+        sql_vector_lit,
+        to_double_array,
+    )
+
+    emb = Q._t(spark, SF, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    q = list(Q.QUERY_VEC)
+    vs = "CAST(`embedding` AS ARRAY<DOUBLE>)"
+    pairs = [
+        (dot(v, lit_vector(q)), F.expr(sql_dot(vs, sql_vector_lit(q)))),
+        (norm(v), F.expr(sql_norm(vs))),
+        (
+            cosine_similarity(v, lit_vector(q)),
+            F.expr(sql_cosine_similarity(vs, sql_vector_lit(q))),
+        ),
+    ]
+    for dsl_col, sql_col in pairs:
+        a = emb.select(dsl_col.alias("x"))
+        b = emb.select(sql_col.alias("x"))
+        assert _canon_analyzed(a) == _canon_analyzed(b)
+
+
+def test_pq_adc_codes_expr_matches_dsl(spark):
+    """pq_adc_codes_expr (r12, single-parse) must optimize to the
+    identical plan as the composed DSL pq_adc_expr(pq_codes_expr(v))
+    and produce identical values."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.functions.vectors import to_double_array
+    from vector_lake_spark.operators.pq import (
+        pq_adc_codes_expr,
+        pq_adc_expr,
+        pq_codes_expr,
+    )
+
+    emb = Q._t(spark, SF, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    dsl = emb.select(
+        "vec_id", pq_adc_expr(pq_codes_expr(v), Q.QUERY_VEC).alias("adc")
+    )
+    sql = emb.select(
+        "vec_id", pq_adc_codes_expr(Q.EMB_SPARK, Q.QUERY_VEC).alias("adc")
+    )
+    assert _canon_optimized(dsl) == _canon_optimized(sql)
+    assert (
+        dsl.exceptAll(sql).limit(1).count() == 0
+        and sql.exceptAll(dsl).limit(1).count() == 0
+    )
+
+
+def test_simhash_sql_matches_dsl(spark):
+    """simhash's SQL-text aggregates/repack (r12) build the identical
+    expressions to the Column DSL they replaced — plan and results."""
+    from pyspark.sql import functions as F
+
+    from vector_lake_spark.functions.text import token_hash60, tokens
+    from vector_lake_spark.operators.dedup import SIMHASH_BITS, simhash
+
+    d = Q._t(spark, SF, "documents")
+    fast = simhash(d)
+    tok = d.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    ).withColumn("h", token_hash60(F.col("tok")))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            F.col(f"s{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    slow = per_doc.select(F.col("doc_id"), sim.alias("simhash"))
+    assert _canon_analyzed(slow) == _canon_analyzed(fast)

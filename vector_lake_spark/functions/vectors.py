@@ -14,6 +14,7 @@ bug). We implement the documented intent: similarity, maximized.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, functions as F
@@ -24,10 +25,56 @@ def to_double_array(col: Column | str) -> Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
 
 
+def sql_double_lit(x: float) -> str:
+    """Spark-SQL double literal that parses to the bit-identical double:
+    ``repr(float)`` is the shortest round-trip decimal, the ``D`` suffix
+    forces DoubleType (bare decimals parse as DECIMAL in Spark SQL)."""
+    return repr(float(x)) + "D"
+
+
 def lit_vector(values: Sequence[float]) -> Column:
     """A literal array<double> column from Python floats (broadcast to executors
-    as part of the plan — no shuffle, no closure serialization per row)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    as part of the plan — no shuffle, no closure serialization per row).
+
+    Built as ONE ``F.expr`` parse of an ``array(…D, …)`` literal rather
+    than per-element ``F.lit`` calls: each ``F.lit``/``F.array`` is a
+    py4j round-trip (~0.3 ms), so a 64-dim literal costs ~20 ms the old
+    way and the literal-heavy plans (LSH hyperplane banks, PQ/IVF
+    codebooks) spent 1-2 s per query *construction* — charged to every
+    bench run (r12 optimization, guide §5 driver work). The parsed tree
+    is the identical CreateArray-of-Literal expression (proven bit-exact
+    for the shortest-roundtrip literals; pinned by
+    tests/test_plans.py::test_lit_vector_expr_identical)."""
+    vals = [float(v) for v in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(map(sql_double_lit, vals)) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def sql_vector_lit(values: Sequence[float]) -> str:
+    """Spark-SQL text of ``lit_vector(values)``."""
+    return "array(" + ",".join(sql_double_lit(v) for v in values) + ")"
+
+
+def sql_dot(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL text of ``dot`` — identical tree after one parse
+    (the DSL construction is ~22 ms of py4j calls per invocation)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sql_norm(a_sql: str) -> str:
+    return f"sqrt({sql_dot(a_sql, a_sql)})"
+
+
+def sql_cosine_similarity(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL text of ``cosine_similarity`` (same tree, one parse)."""
+    return (
+        f"try_divide({sql_dot(a_sql, b_sql)}, "
+        f"{sql_norm(a_sql)} * {sql_norm(b_sql)})"
+    )
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -81,7 +81,10 @@ def lsh_topk(
     probes = multiprobe_shards(query, hyperplanes, n_probes)
     if shard_col is None:
         df = df.withColumn(
-            "__shard", lsh_mod.shard_id_expr(to_double_array(F.col(vec_col)), hyperplanes)
+            "__shard",
+            lsh_mod.shard_id_expr(
+                f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", hyperplanes
+            ),
         )
         shard_col = "__shard"
     pruned = df.filter(F.col(shard_col).isin(probes))
@@ -221,7 +224,7 @@ def lsh_neardup_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("v"),
-    ).withColumn("shard", shard_id_expr(F.col("v"), hyperplanes))
+    ).withColumn("shard", shard_id_expr("`v`", hyperplanes))
     base = base.withColumn("nv", norm(F.col("v")))
 
     sim = F.round(
@@ -265,7 +268,7 @@ def lsh_neardup_pairs(
         "id",
         "shard",
         F.array(
-            *[shard_id_expr(F.col("v"), bands[bi]) for bi in range(n_bands)]
+            *[shard_id_expr("`v`", bands[bi]) for bi in range(n_bands)]
         ).alias("bkeys"),
     ).select(
         "id",

@@ -214,19 +214,23 @@ def simhash(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     ).withColumn("h", token_hash60(F.col("tok")))
+    # the 60 per-bit aggregates and the 60-term repack are built as SQL
+    # text parsed in one call each (r12 optimization): the per-Column
+    # construction was ~1 s of py4j round-trips per query build; the
+    # parsed trees are expression-identical (pinned by
+    # tests/test_plans.py::test_simhash_sql_matches_dsl)
     aggs = [
-        F.sum(
-            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{b}")
+        F.expr(f"sum((((shiftright(`h`, {b}) & 1) * 2) - 1))").alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
     per_doc = tok.groupBy(id_col).agg(*aggs)
-    sim = F.lit(0).cast("long")
+    sim = "CAST(0 AS BIGINT)"
     for b in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        sim = (
+            f"({sim} + CASE WHEN (`s{b}` > 0) THEN CAST({2 ** b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
         )
-    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+    return per_doc.select(F.col(id_col), F.expr(sim).alias("simhash"))
 
 
 def simhash_neardup_pairs(

@@ -25,7 +25,7 @@ import math
 import numpy as np
 from pyspark.sql import Column, functions as F
 
-from vector_lake_spark.functions.vectors import dot, lit_vector
+from vector_lake_spark.functions.vectors import dot, lit_vector, sql_double_lit
 
 
 def num_hashes_for(approx_shards: int) -> int:
@@ -47,13 +47,44 @@ def make_hyperplanes(dim: int, num_hashes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).randn(num_hashes, dim)
 
 
-def shard_id_expr(vec: Column, hyperplanes: np.ndarray) -> Column:
+def spark_shard_id_sql(vec_sql: str, hyperplanes: np.ndarray) -> str:
+    """Spark-SQL text computing the identical shard id over a vector
+    expressed as a SQL fragment — the single-parse fast path of
+    ``shard_id_expr`` (r12 optimization): the per-``F.lit``/``dot``
+    construction of the same tree costs ~90 ms of py4j round-trips per
+    hyperplane bank and is charged to every query construction; one
+    ``F.expr`` parse of this text is <1 ms and yields the identical
+    analyzed plan (pinned by tests/test_plans.py::test_shard_id_sql_
+    matches_dsl)."""
+    nh = len(hyperplanes)
+    out = "CAST(0 AS BIGINT)"
+    for j, row in enumerate(hyperplanes):
+        arr = "array(" + ",".join(sql_double_lit(v) for v in row) + ")"
+        d = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        out = (
+            f"({out} + CAST(({d}) > 0 AS BIGINT) * "
+            f"CAST({2 ** (nh - 1 - j)} AS BIGINT))"
+        )
+    return out
+
+
+def shard_id_expr(vec: Column | str, hyperplanes: np.ndarray) -> Column:
     """shard_id as a native column expression (MSB-first sign bits → int).
 
     Each hyperplane is inlined as a literal array — Catalyst treats it as a
     constant, so the whole hash runs inside whole-stage codegen with no
     Python round-trip and no shuffle.
+
+    ``vec`` may be a Column (legacy DSL construction) or a SQL fragment
+    string (e.g. ``"CAST(`embedding` AS ARRAY<DOUBLE>)"``) — the string
+    form builds the identical expression in ONE ``F.expr`` parse instead
+    of hundreds of py4j calls (see ``spark_shard_id_sql``).
     """
+    if isinstance(vec, str):
+        return F.expr(spark_shard_id_sql(vec, hyperplanes))
     nh = len(hyperplanes)
     out = F.lit(0).cast("long")
     for j, row in enumerate(hyperplanes):

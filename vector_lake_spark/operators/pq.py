@@ -33,6 +33,7 @@ from functools import reduce
 
 from pyspark.sql import Column, functions as F
 
+from vector_lake_spark.functions.vectors import sql_double_lit
 from vector_lake_spark.operators.ann import SCORE_DECIMALS
 from vector_lake_spark.operators.pq_codebooks import (
     PQ_CODEBOOKS,
@@ -57,11 +58,18 @@ def pq_code_expr(vec: Column, m: int) -> Column:
     is dim-ascending, matching the left-associative `+` chain in
     ``sql_pq_code`` term-for-term."""
     sub = F.slice(vec, m * PQ_SUB + 1, PQ_SUB)
-    book = F.array(
-        *[
-            F.array(*[F.lit(v) for v in PQ_CODEBOOKS[m][k]])
+    # ONE F.expr parse for the 16×8 codebook literal: the per-element
+    # F.lit/F.array construction was ~1 s of py4j round-trips per query
+    # build (r12 optimization; see functions.vectors.lit_vector)
+    book = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(sql_double_lit(v) for v in PQ_CODEBOOKS[m][k])
+            + ")"
             for k in range(PQ_K)
-        ]
+        )
+        + ")"
     )
     dists = F.transform(
         book,
@@ -81,6 +89,53 @@ def pq_codes_expr(vec: Column) -> Column:
     """Full PQ code word: array<int> of PQ_M codes (persist as the
     stored representation — 8 small ints per vector)."""
     return F.array(*[pq_code_expr(vec, m) for m in range(PQ_M)])
+
+
+def spark_sql_pq_code(vec_sql: str, m: int) -> str:
+    """Spark-SQL text of ``pq_code_expr`` over a vector SQL fragment —
+    the single-parse fast path (r12 optimization): the DSL construction
+    costs ~50 ms of py4j round-trips per subspace, charged to every
+    query build; this text parses in one call to the identical
+    expression (equivalence pinned by tests/test_pq.py)."""
+    sub = f"slice({vec_sql}, {m * PQ_SUB + 1}, {PQ_SUB})"
+    book = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(sql_double_lit(v) for v in PQ_CODEBOOKS[m][k])
+            + ")"
+            for k in range(PQ_K)
+        )
+        + ")"
+    )
+    dists = (
+        f"transform({book}, c -> round(aggregate("
+        f"zip_with({sub}, c, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        f"(acc, x) -> acc + x), {SCORE_DECIMALS}))"
+    )
+    return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+
+
+def spark_sql_pq_adc(vec_sql: str, query: Sequence[float]) -> str:
+    """Spark-SQL text of ``pq_adc_expr(pq_codes_expr(vec), query)`` with
+    the code extraction pre-folded (``codes[m]`` over the literal code
+    array is what Catalyst's SimplifyExtractValueOps folds to anyway):
+    same optimized plan, one parse instead of ~2 s of py4j calls."""
+    lut = _lut(query)
+    terms = [
+        f"element_at(array("
+        + ",".join(sql_double_lit(v) for v in lut[m])
+        + f"), {spark_sql_pq_code(vec_sql, m)} + 1)"
+        for m in range(PQ_M)
+    ]
+    chain = reduce(lambda a, b: f"({a} + {b})", terms)
+    return f"round({chain}, {SCORE_DECIMALS})"
+
+
+def pq_adc_codes_expr(vec_sql: str, query: Sequence[float]) -> Column:
+    """``pq_adc_expr(pq_codes_expr(vec), query)`` built in ONE ``F.expr``
+    parse — the construction fast path for the query registry."""
+    return F.expr(spark_sql_pq_adc(vec_sql, query))
 
 
 def _lut(query: Sequence[float]) -> list[list[float]]:
@@ -113,7 +168,10 @@ def pq_adc_expr(codes: Column, query: Sequence[float]) -> Column:
     lut = _lut(query)
     terms = [
         F.element_at(
-            F.array(*[F.lit(v) for v in lut[m]]), codes[m] + F.lit(1)
+            F.expr(
+                "array(" + ",".join(sql_double_lit(v) for v in lut[m]) + ")"
+            ),
+            codes[m] + F.lit(1),
         )
         for m in range(PQ_M)
     ]

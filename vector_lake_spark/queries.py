@@ -31,7 +31,12 @@ from vector_lake_spark.functions.text import (
     tokens,
     url_domain,
 )
-from vector_lake_spark.functions.vectors import dot, norm, to_double_array
+from vector_lake_spark.functions.vectors import (
+    dot,
+    lit_vector,
+    norm,
+    to_double_array,
+)
 from vector_lake_spark.operators import lsh as lsh_mod
 from vector_lake_spark.operators.ann import lsh_topk, multiprobe_shards
 from vector_lake_spark.operators.dedup import (
@@ -61,6 +66,9 @@ H4 = lsh_mod.make_hyperplanes(DIM, 4)
 ANN_PROBES = multiprobe_shards(QUERY_VEC, H4, n_probes=2)
 
 EMB = "CAST(embedding AS DOUBLE[])"
+# Spark-SQL twin of EMB for the single-parse expression builders (r12):
+# identical tree to to_double_array(F.col("embedding"))
+EMB_SPARK = "CAST(`embedding` AS ARRAY<DOUBLE>)"
 QV = lsh_mod.sql_lit_list(QUERY_VEC)
 
 NEARDUP_COS_THRESHOLD = 0.35  # max pairwise sim in testdata ≈ 0.46
@@ -227,7 +235,7 @@ def q_lsh_shard_assign(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return emb.select(
         "vec_id",
-        lsh_mod.shard_id_expr(to_double_array(F.col("embedding")), H8).alias("shard_id"),
+        lsh_mod.shard_id_expr(EMB_SPARK, H8).alias("shard_id"),
     )
 
 
@@ -298,7 +306,7 @@ def q_ann_lsh_recall(spark, sf):
         .limit(K)
     )
     sharded = emb.select(
-        "vec_id", lsh_mod.shard_id_expr(v, H4).alias("shard")
+        "vec_id", lsh_mod.shard_id_expr(EMB_SPARK, H4).alias("shard")
     )
     # ONE exact top-k and ONE shard-assignment pass: each top-k row
     # carries its shard through a single k-row join, and the three
@@ -735,7 +743,7 @@ def q_hybrid_topk(spark, sf):
         F.col("vec_id").alias("doc_id"),
         # same cosine kernel as topk_cosine (query norm precomputed)
         F.try_divide(
-            dot(v, F.array(*[F.lit(float(x)) for x in QUERY_VEC])),
+            dot(v, lit_vector(QUERY_VEC)),
             norm(v) * F.lit(math.sqrt(sum(x * x for x in QUERY_VEC))),
         ).alias("cos"),
     )
@@ -5730,11 +5738,10 @@ def q_vec_topk_pq(spark, sf):
     the cascade hash-checks end to end; recall vs the exact top-k is
     measured and floor-pinned in tests/test_pq.py."""
     from vector_lake_spark.functions.vectors import cosine_similarity, lit_vector
-    from vector_lake_spark.operators.pq import pq_adc_expr, pq_codes_expr
+    from vector_lake_spark.operators.pq import pq_adc_codes_expr
 
     emb = _t(spark, sf, "embeddings")
-    v = to_double_array(F.col("embedding"))
-    adc = pq_adc_expr(pq_codes_expr(v), QUERY_VEC)
+    adc = pq_adc_codes_expr(EMB_SPARK, QUERY_VEC)
     cands = (
         emb.select("vec_id", "embedding", adc.alias("adc"))
         .orderBy(F.col("adc").desc(), F.col("vec_id"))
@@ -5789,7 +5796,7 @@ def q_ann_ivfpq_topk(spark, sf):
         nearest_centroids,
     )
     from vector_lake_spark.operators.ivf_centroids import IVF_CENTROIDS
-    from vector_lake_spark.operators.pq import pq_adc_expr, pq_codes_expr
+    from vector_lake_spark.operators.pq import pq_adc_codes_expr
 
     emb = _t(spark, sf, "embeddings")
     v = to_double_array(F.col("embedding"))
@@ -5797,7 +5804,7 @@ def q_ann_ivfpq_topk(spark, sf):
     pruned = emb.withColumn(
         "centroid_id", assign_centroid_expr(v, IVF_CENTROIDS)
     ).filter(F.col("centroid_id").isin([int(i) for i in probes]))
-    adc = pq_adc_expr(pq_codes_expr(v), QUERY_VEC)
+    adc = pq_adc_codes_expr(EMB_SPARK, QUERY_VEC)
     cands = (
         pruned.select("vec_id", "embedding", adc.alias("adc"))
         .orderBy(F.col("adc").desc(), F.col("vec_id"))
@@ -6189,27 +6196,33 @@ def q_vec_maxsim_topk(spark, sf):
     vectors); real multi-vector corpora store `array<array<float>>` and
     the expression transfers unchanged via `transform`."""
     from vector_lake_spark.functions.vectors import (
-        cosine_similarity,
-        lit_vector,
+        sql_cosine_similarity,
+        sql_vector_lit,
     )
 
     emb = _t(spark, sf, "embeddings")
-    v = to_double_array(F.col("embedding"))
+    # the 16-cosine scorer as ONE F.expr parse (r12 optimization): the
+    # per-Column DSL construction was ~1.2 s of py4j round-trips per
+    # query build; the parsed tree is expression-identical (pinned by
+    # tests/test_plans.py::test_sql_kernel_builders_match_dsl)
     doc_slices = [
-        F.slice(v, t * MAXSIM_SUB + 1, MAXSIM_SUB) for t in range(MAXSIM_T)
+        f"slice({EMB_SPARK}, {t * MAXSIM_SUB + 1}, {MAXSIM_SUB})"
+        for t in range(MAXSIM_T)
     ]
     terms = []
     for qi in range(MAXSIM_T):
         qslice = QUERY_VEC[qi * MAXSIM_SUB : (qi + 1) * MAXSIM_SUB]
         terms.append(
-            F.greatest(
-                *[
-                    F.round(cosine_similarity(d, lit_vector(qslice)), 6)
-                    for d in doc_slices
-                ]
+            "greatest("
+            + ", ".join(
+                f"round({sql_cosine_similarity(d, sql_vector_lit(qslice))}, 6)"
+                for d in doc_slices
             )
+            + ")"
         )
-    score = F.round(reduce(lambda a, b: a + b, terms), 6)
+    score = F.expr(
+        f"round({reduce(lambda a, b: f'({a} + {b})', terms)}, 6)"
+    )
     return (
         emb.select("vec_id", "label", score.alias("score"))
         .orderBy(F.col("score").desc(), "vec_id")
@@ -7189,7 +7202,7 @@ def q_vec_pq_recall(spark, sf):
         cosine_similarity,
         lit_vector,
     )
-    from vector_lake_spark.operators.pq import pq_adc_expr, pq_codes_expr
+    from vector_lake_spark.operators.pq import pq_adc_codes_expr
 
     emb = _t(spark, sf, "embeddings")
     v = to_double_array(F.col("embedding"))
@@ -7207,7 +7220,7 @@ def q_vec_pq_recall(spark, sf):
     deepest = 16 * K
     pool = (
         emb.select(
-            "vec_id", pq_adc_expr(pq_codes_expr(v), QUERY_VEC).alias("adc")
+            "vec_id", pq_adc_codes_expr(EMB_SPARK, QUERY_VEC).alias("adc")
         )
         .orderBy(F.col("adc").desc(), F.col("vec_id"))
         .limit(deepest)

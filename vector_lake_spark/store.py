@@ -213,7 +213,7 @@ class SparkVectorLake:
         for extra in self._pending[1:]:
             df = df.unionByName(extra)
         routed = df.withColumn(
-            "shard_id", lsh_mod.shard_id_expr(F.col("vector"), self.hyperplanes)
+            "shard_id", lsh_mod.shard_id_expr("`vector`", self.hyperplanes)
         )
         # Cluster rows by shard before writing: without this every write
         # task emits a file into every shard dir (tasks × shards tiny files
@@ -340,7 +340,7 @@ class SparkVectorLake:
             routed = batch_df.withColumn(
                 "vector", self._validated(F.col("vector"))
             ).withColumn(
-                "shard_id", lsh_mod.shard_id_expr(F.col("vector"), self.hyperplanes)
+                "shard_id", lsh_mod.shard_id_expr("`vector`", self.hyperplanes)
             )
             (
                 routed.repartition("shard_id")
@@ -855,7 +855,7 @@ class SparkVectorLake:
             self.persist()
             return 0
         routed_new = new_df.withColumn(
-            "shard_id", lsh_mod.shard_id_expr(F.col("vector"), self.hyperplanes)
+            "shard_id", lsh_mod.shard_id_expr("`vector`", self.hyperplanes)
         )
         df = self.load()
         # a huge replacement batch would inline thousands of isin
