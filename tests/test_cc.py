@@ -78,3 +78,49 @@ def test_propagation_raises_on_deep_chain(spark):
     nodes = spark.range(n).withColumnRenamed("id", "doc_id")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes, max_iter=10)
+
+
+def test_observed_fingerprint_matches_direct_agg(spark):
+    """r12: the per-round convergence fingerprint is collected via
+    ``observe`` DURING the eager localCheckpoint job (one job per round)
+    instead of a second full scan. Pin the mechanism the optimization
+    relies on: the observed (count, bounded hash-sum) must equal the
+    same aggregates computed by a direct .agg on the identical edge
+    set — otherwise convergence detection would silently change."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    e = (
+        spark.range(500)
+        .selectExpr("id AS u", "pmod(id * 7 + 3, 500) AS v")
+        .filter("u <> v")
+    )
+    want = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_000))).alias("h"),
+    ).collect()[0]
+
+    obs = Observation("cc_sig_pin")
+    ck = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_000))).alias("h"),
+    ).localCheckpoint(eager=True)
+    got = obs.get
+    assert (got["n"], got["h"]) == (want["n"], want["h"])
+    # and the checkpoint really materialized the same edge multiset
+    assert ck.count() == want["n"]
+
+
+def test_star_converges_in_logarithmic_rounds(spark):
+    """The observe-merged loop must still detect the true fixpoint: a
+    diameter-256 chain closes within the O(log n)-ish round budget the
+    docstring promises (measured 7 for diameter 4096), and the stats
+    hook reports the round count."""
+    n = 257
+    pairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    stats = {}
+    labels = _labels(connected_components_star(pairs, nodes, stats=stats))
+    assert set(labels.values()) == {0}
+    assert 1 <= stats["rounds"] <= 10

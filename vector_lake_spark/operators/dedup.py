@@ -608,26 +608,33 @@ def connected_components_star(
             .union(m.select(u, F.col("m").alias("v")))
         )
 
-    edges = _canon(
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    ).localCheckpoint(eager=True)
+    def _ck_sig(e, tag):
+        # multiset fingerprint: (count, bounded sum of row hashes) — an
+        # ``observe`` on the eager-checkpoint job, so the fingerprint is
+        # collected DURING the materialization instead of by a second
+        # full scan of the edge set per round (r12 optimization, guide
+        # §1.2 "don't compute things twice": one job per round instead
+        # of two, identical values — pinned by tests/test_cc.py).
+        # Hashes reduce mod 1e9 so the ANSI sum cannot overflow long
+        # below ~9e9 edges.
+        from pyspark.sql import Observation
 
-    def _sig(e):
-        # multiset fingerprint: (count, bounded sum of row hashes) — one
-        # cheap aggregate per round instead of a full set-difference
-        # join; hashes reduce mod 1e9 so the ANSI sum cannot overflow
-        # long below ~9e9 edges
-        row = e.agg(
+        obs = Observation(f"cc_sig_{tag}")
+        ck = e.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_000))).alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["h"])
 
-    prev = _sig(edges)
+    edges, prev = _ck_sig(
+        _canon(pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))),
+        0,
+    )
     for rounds in range(1, max_iter + 1):
         prev_edges = edges
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        cur = _sig(edges)
+        edges, cur = _ck_sig(small_star(large_star(edges)), rounds)
         if stats is not None:
             stats["rounds"] = rounds
         if cur == prev:
