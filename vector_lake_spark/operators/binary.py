@@ -382,6 +382,18 @@ def hamming_neardup_pairs(
         F.element_at("bkeys", F.col("band") + 1).alias("bkey"),
         "bkeys",
     )
+    # Shuffle the keyed signature table ONCE on the join keys (r12,
+    # guide §2.1/§1.2): without this the self-join's two sides each
+    # recompute the ENTIRE upstream — for perceptual signatures that
+    # is the Arrow codec/decode stage, executed twice per query
+    # (measured with a decode-counting accumulator: 2 decodes per doc).
+    # An explicit repartition on exactly the equi-join keys gives both
+    # sides the same shuffle boundary, and AQE's stage reuse
+    # materializes it once (re-measured: 1 decode per doc, the second
+    # hash exchange disappears at runtime). Row content is untouched —
+    # same pairs by the same pigeonhole argument — and with no pinned
+    # partition count AQE still sizes/coalesces the shuffle.
+    keys = keys.repartition(*groups, "band", "bkey")
     a = keys.select(
         *groups,
         F.col("id").alias("id_a"), F.col("s").alias("sa"),
