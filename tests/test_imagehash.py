@@ -36,6 +36,54 @@ def test_box_resample_non_dividing_shape():
     assert out.min() >= g.min() and out.max() <= g.max()
 
 
+def _box_resample_scalar_reference(gray, rows, cols):
+    """Pre-r12 per-cell implementation, kept verbatim as the oracle for
+    the vectorized non-dividing path (bit-identity, not approximation)."""
+    h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    ys = np.linspace(0, h, rows + 1)
+    xs = np.linspace(0, w, cols + 1)
+
+    def _area(y0, y1, x0, x1):
+        y0i = min(int(round(y0)), h - 1)
+        x0i = min(int(round(x0)), w - 1)
+        y1i = min(max(int(round(y1)), y0i + 1), h)
+        x1i = min(max(int(round(x1)), x0i + 1), w)
+        s = ii[y1i, x1i] - ii[y0i, x1i] - ii[y1i, x0i] + ii[y0i, x0i]
+        return s / ((y1i - y0i) * (x1i - x0i))
+
+    out = np.empty((rows, cols), dtype=np.float64)
+    for r in range(rows):
+        for c in range(cols):
+            out[r, c] = _area(ys[r], ys[r + 1], xs[c], xs[c + 1])
+    return out
+
+
+def test_box_resample_vectorized_bit_identical_to_scalar_reference():
+    """r12: the vectorized integral-image path must reproduce the former
+    per-cell loop bit-for-bit — including upsampling geometries (image
+    smaller than the grid, the clamp paths) and banker's-rounded
+    boundaries."""
+    rng = np.random.RandomState(12)
+    shapes = [
+        (33, 41, 8, 9),
+        (16, 18, 32, 32),  # the pHash grid over a tiny fixture image
+        (5, 7, 32, 32),  # image far smaller than the grid (clamps)
+        (101, 67, 16, 17),
+        (64, 64, 9, 8),  # dividing rows, non-dividing cols mix
+        (2, 2, 8, 8),
+        (1, 1, 8, 9),
+        (250, 3, 8, 9),
+    ]
+    for h, w, rows, cols in shapes:
+        g = rng.randint(0, 256, size=(h, w)).astype(np.float64)
+        got = _box_resample(g, rows, cols)
+        ref = _box_resample_scalar_reference(g, rows, cols)
+        assert got.shape == ref.shape == (rows, cols), (h, w, rows, cols)
+        assert np.array_equal(got, ref), (h, w, rows, cols)
+
+
 def test_dhash_bit_layout():
     # strictly increasing rows -> every comparison true -> all 64 bits
     grid = np.tile(np.arange(9, dtype=np.float64) * 10, (8, 1))
