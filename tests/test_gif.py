@@ -406,3 +406,197 @@ def test_large_image_decodes_in_linear_time():
     dt = time.time() - t0
     assert np.array_equal(out, img)
     assert dt < 5.0, f"LZW decode took {dt:.1f}s — bigint quadratic is back"
+
+
+# ---------------------------------------------------------------------------
+# r12: LZW fast paths are pinned bit-identical to the pre-r12 references
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode_tuple_reference(indices, min_code_size):
+    """Pre-r12 tuple-key encoder, kept verbatim as the oracle for the
+    int-key rewrite (identical code stream, not just identical decode)."""
+    from vector_lake_spark.gif import _MAX_CODE
+
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits = []
+    table = {}
+
+    def reset():
+        table.clear()
+        for i in range(clear):
+            table[(i,)] = i
+        return eoi + 1, min_code_size + 1
+
+    next_code, code_size = reset()
+    out_bits.append((clear, code_size))
+    buf = ()
+    for raw in indices:
+        idx = int(raw)
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], code_size))
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= _MAX_CODE - 2:
+            out_bits.append((clear, code_size))
+            next_code, code_size = reset()
+        buf = (idx,)
+    if buf:
+        out_bits.append((table[buf], code_size))
+    out_bits.append((eoi, code_size))
+    acc = 0
+    accbits = 0
+    data = bytearray()
+    for value, width in out_bits:
+        acc |= value << accbits
+        accbits += width
+        while accbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+    if accbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode_walk_reference(data, min_code_size, n_pixels):
+    """Pre-r12 parent-pointer decoder, kept verbatim as the oracle for
+    the sequence-table rewrite."""
+    from vector_lake_spark.gif import _MAX_CODE
+
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    prefix = np.full(_MAX_CODE, -1, dtype=np.int32)
+    tail = np.zeros(_MAX_CODE, dtype=np.uint8)
+    first = np.zeros(_MAX_CODE, dtype=np.uint8)
+    for i in range(clear):
+        tail[i] = i
+        first[i] = i
+
+    def reset():
+        return eoi + 1, min_code_size + 1
+
+    next_code, code_size = reset()
+    prev = -1
+    acc = 0
+    nbits = 0
+    pos = 0
+    n_data = len(data)
+    scratch = np.empty(_MAX_CODE, dtype=np.uint8)
+    while n_out < n_pixels:
+        while nbits < code_size:
+            if pos >= n_data:
+                raise ValueError("truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            next_code, code_size = reset()
+            prev = -1
+            continue
+        if code == eoi:
+            raise ValueError("ended early")
+        if code > next_code:
+            raise ValueError("corrupt")
+        if code == next_code:
+            if prev < 0:
+                raise ValueError("KwKwK at start")
+            cur_first = first[prev]
+            seq_code, use_prev = prev, True
+        else:
+            cur_first = first[code]
+            seq_code, use_prev = code, False
+        n = 0
+        c = seq_code
+        while c >= 0:
+            scratch[n] = tail[c]
+            n += 1
+            c = prefix[c] if c >= clear else -1
+        seq = scratch[:n][::-1]
+        emit_len = n + 1 if use_prev else n
+        if n_out + emit_len > n_pixels:
+            emit_len = n_pixels - n_out
+        out[n_out : n_out + min(n, emit_len)] = seq[: min(n, emit_len)]
+        if use_prev and emit_len == n + 1:
+            out[n_out + n] = cur_first
+        n_out += emit_len
+        if prev >= 0 and next_code < _MAX_CODE:
+            prefix[next_code] = prev
+            tail[next_code] = cur_first
+            first[next_code] = first[prev]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = seq_code if not use_prev else next_code - 1
+    return out
+
+
+def _lzw_stream_corpus():
+    """Index streams that exercise every automaton regime: tiny, runs
+    (KwKwK), noise at several palette widths, and streams long enough to
+    cross the width-growth ladder AND the safety-margin table reset."""
+    rng = np.random.default_rng(12)
+    streams = [
+        (np.array([0], dtype=np.int64), 2),
+        (np.zeros(1, dtype=np.int64), 2),
+        (np.zeros(400, dtype=np.int64), 2),  # pure run: KwKwK chains
+        (np.tile([0, 1], 300).astype(np.int64), 2),
+        (rng.integers(0, 4, size=5_000).astype(np.int64), 2),
+        (rng.integers(0, 16, size=20_000).astype(np.int64), 4),
+        # 256-palette noise, long enough for >1 table reset at width 12
+        (rng.integers(0, 256, size=60_000).astype(np.int64), 8),
+        # structured: repeated phrases so the table fills with long seqs
+        (np.tile(rng.integers(0, 8, size=97), 700).astype(np.int64), 3),
+    ]
+    return streams
+
+
+def test_lzw_encode_bit_identical_to_tuple_reference():
+    from vector_lake_spark.gif import _lzw_encode
+
+    for stream, mcs in _lzw_stream_corpus():
+        assert _lzw_encode(stream, mcs) == _lzw_encode_tuple_reference(
+            stream, mcs
+        ), (len(stream), mcs)
+
+
+def test_lzw_decode_bit_identical_to_walk_reference():
+    from vector_lake_spark.gif import _lzw_decode, _lzw_encode
+
+    for stream, mcs in _lzw_stream_corpus():
+        data = _lzw_encode(stream, mcs)
+        got = _lzw_decode(data, mcs, len(stream))
+        ref = _lzw_decode_walk_reference(data, mcs, len(stream))
+        assert np.array_equal(got, ref), (len(stream), mcs)
+        assert np.array_equal(got, stream.astype(np.uint8)), (
+            len(stream),
+            mcs,
+        )
+
+
+def test_lzw_decode_error_paths_unchanged():
+    from vector_lake_spark.gif import _lzw_decode
+
+    # truncated stream
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(b"", 2, 4)
+    # premature EOI: CLEAR (4) then EOI (5) at width 3, LSB-first
+    with pytest.raises(ValueError, match="ended early"):
+        _lzw_decode(bytes([0b00101100]), 2, 4)
+    # KwKwK as the first real code: CLEAR (4) then code 6 (== next_code)
+    with pytest.raises(ValueError, match="KwKwK at start"):
+        _lzw_decode(bytes([0b00110100]), 2, 4)
+    # code beyond next_code: CLEAR (4) then code 7 (> next_code 6)
+    with pytest.raises(ValueError, match="corrupt"):
+        _lzw_decode(bytes([0b00111100]), 2, 4)

