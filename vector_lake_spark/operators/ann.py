@@ -226,6 +226,15 @@ def lsh_neardup_pairs(
         to_double_array(F.col(vec_col)).alias("v"),
     ).withColumn("shard", shard_id_expr("`v`", hyperplanes))
     base = base.withColumn("nv", norm(F.col("v")))
+    # NOT materialized (r12 negative result, twice measured): base is
+    # consumed up to four times below (both banded key sides + both
+    # exact-kernel vector lookups — 8 scans in vec_neardup_lsh's
+    # plan), but its subtree is scan + sign-hash codegen, and BOTH a
+    # lazy localCheckpoint (1.34 → 2.90 s) and a repartition-for-AQE-
+    # reuse barrier (1.33 → 1.91 s) measured worse than recomputing
+    # it. Materialize-for-reuse pays only when the duplicated subtree
+    # holds expensive Python/Arrow work (the Hamming codec chain, the
+    # shingle tokenize pass) — not cheap whole-stage arithmetic.
 
     sim = F.round(
         F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")), 6

@@ -163,6 +163,17 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_") <= max_shingle_freq)
             .drop("df_")
         )
+    # NOT materialized (r12 negative result): the plan consumes sh four
+    # times (both self-join sides + both size lookups — 8 parquet scans
+    # in the before plan, nothing deduplicates the subtrees), but an
+    # interleaved same-process A/B of a lazy localCheckpoint here
+    # measured WORSE on every consumer at sf0.1 (min-of-4: ngram 3.20 →
+    # 3.89 s, containment 2.77 → 3.03, deep 2.24 → 2.87, clusters 6.03
+    # → 7.57): the subtree is scan + tokenize/shingle codegen, and the
+    # materialization barrier costs more than recomputing it — the same
+    # verdict as lsh_neardup_pairs' base (ann.py). Materialize-for-
+    # reuse pays only when the duplicated subtree holds expensive
+    # Python/Arrow work (the Hamming codec chain, binary.py).
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -2616,6 +2616,9 @@ def q_pipe_contamination(spark, sf):
         .filter(F.col("df_") <= NGRAM_MAX_SHINGLE_FREQ)
         .drop("df_")
     )
+    # not materialized: same negative A/B verdict as ngram_jaccard_pairs
+    # (operators/dedup.py r12 note) — the four consumers recompute a
+    # cheap codegen subtree faster than a checkpoint barrier serves it
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     train = sh.filter(~F.col("is_eval")).select(
         F.col("doc_id").alias("train_id"), "g"
