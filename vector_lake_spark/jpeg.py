@@ -97,6 +97,8 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 
 ZIGZAG = _zigzag_order()
+# flat (row*8 + col) zigzag gather indices for the encoders' hot path
+_ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG], dtype=np.int64)
 
 # Orthonormal DCT-II matrix: C @ B @ C.T == JPEG Annex A FDCT exactly.
 _C = np.zeros((8, 8))
@@ -188,7 +190,13 @@ def _encode_block(
 ) -> int:
     coef = np.round(_C @ (block - half) @ _C.T)
     q = (coef / qtbl).round().astype(np.int64)
-    dc = int(q[0, 0])
+    # zigzag via one fancy-indexed gather + tolist (r12, guide §4.2):
+    # q is already int64, so the reorder is pure integer movement —
+    # bit-identical to the per-cell int(q[r, c]) walk it replaces,
+    # which profiled at a third of encode time (63 numpy scalar reads
+    # + int() conversions per block)
+    qf = q.reshape(64)[_ZZ_FLAT]
+    dc = int(qf[0])
     diff = dc - pred_dc
     size = _category(diff)
     if size not in dc_codes:
@@ -197,9 +205,10 @@ def _encode_block(
     bw.write(code, length)
     if size:
         bw.write(_amplitude(diff, size), size)
-    zz = [int(q[r, c]) for r, c in ZIGZAG[1:]]
+    zz = qf[1:].tolist()
     run = 0
-    last_nonzero = max((i for i, v in enumerate(zz) if v), default=-1)
+    nz = np.flatnonzero(qf[1:])
+    last_nonzero = int(nz[-1]) if nz.size else -1
     for i, v in enumerate(zz):
         if i > last_nonzero:
             break
@@ -489,7 +498,12 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> dict[int, int]:
 
 def _huff_decode(br: _BitReader, table: dict[int, int]) -> int:
     # hot path: walk the accumulator bits inline — a read_bit() call per
-    # bit costs more than the table probe itself
+    # bit costs more than the table probe itself. (r12 negative result:
+    # an 8-bit peek table guarded on nbits >= 8 measured SLOWER — the
+    # windowed reader fills one byte at a time, so the buffer rarely
+    # holds 8 bits and the probe was pure overhead; eager pre-filling is
+    # not an option because a fill that crosses the last code of a
+    # restart interval would hit the RSTn marker and raise.)
     code = 1
     acc, nbits = br.acc, br.nbits
     for _ in range(16):
