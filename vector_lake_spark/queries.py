@@ -10747,6 +10747,9 @@ def _audio_fixture_sig(doc_id: int) -> int:
     return base ^ mask
 
 
+_AUDIO_COS_BASIS: dict = {}
+
+
 def _render_audio_pcm(sig: int):
     """Synthesize 512 int16 PCM samples whose audio fingerprint is
     exactly ``sig``: the 8×9 walk grid (``_render_dhash_grid`` — the
@@ -10760,14 +10763,27 @@ def _render_audio_pcm(sig: int):
     ~13.4k < 32767: no clipping at any doc_id."""
     import numpy as np
 
+    # the 9 cosine lines depend only on the band index — computed once
+    # per process (r12, guide §4.5 "heavyweight init once"): same
+    # np.cos over the same inputs, and the amp·cos accumulation below
+    # keeps its exact per-band order, so every sample is bit-identical
+    # to the inline form (the fingerprint's strict comparisons and the
+    # oracle's closed-form sums are unchanged)
+    basis = _AUDIO_COS_BASIS.get("b")
+    if basis is None:
+        n = np.arange(64)
+        basis = [
+            np.cos(2.0 * np.pi * (3 + b) * n / 64.0) for b in range(9)
+        ]
+        _AUDIO_COS_BASIS["b"] = basis
+
     grid = _render_dhash_grid(sig)  # (8, 9) levels in [64, 192]
-    n = np.arange(64)
     out = np.zeros(512, dtype=np.float64)
     for f in range(8):
         seg = np.zeros(64, dtype=np.float64)
         for b in range(9):
             amp = 2.0 ** ((int(grid[f][b]) - 64) / 16.0 + 4.0)
-            seg += amp * np.cos(2.0 * np.pi * (3 + b) * n / 64.0)
+            seg += amp * basis[b]
         out[f * 64 : (f + 1) * 64] = seg
     return np.round(out).astype(np.int16)
 
