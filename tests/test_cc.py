@@ -112,6 +112,99 @@ def test_observed_fingerprint_matches_direct_agg(spark):
     assert ck.count() == want["n"]
 
 
+def test_round_restructure_matches_reference(spark):
+    """r12 batch 3: the star round dropped large_star's trailing
+    distinct and replaced both self-unions with single-explode
+    emissions. Pin against the pre-r12-batch-3 round kept VERBATIM
+    here: the post-small_star edge SET (what the fingerprint and the
+    next round consume) must be identical every round, on a random
+    graph with duplicated input pairs in both directions."""
+    import random as _random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u, v = F.col("u"), F.col("v")
+    w_u = Window.partitionBy("u")
+
+    def canon(e):
+        return e.filter(u != v).distinct()
+
+    def large_ref(e):  # pre-batch-3, verbatim
+        sym = e.union(e.select(v.alias("u"), u.alias("v")))
+        return canon(
+            sym.withColumn("m", F.least(u, F.min("v").over(w_u)))
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_ref(e):  # pre-batch-3, verbatim
+        orient = e.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).filter(u != v)
+        om = orient.withColumn("m", F.min("v").over(w_u))
+        return canon(
+            om.select(v.alias("u"), F.col("m").alias("v"))
+            .union(om.select("u", F.col("m").alias("v")))
+        )
+
+    # current round, re-created through the public operator is awkward
+    # (the loop is internal); reproduce the NEW round shape here and rely
+    # on test_star_matches_propagation_random_graph for the end-to-end
+    # operator. Keeping both shapes in one test makes the per-round
+    # contract explicit.
+    def sym_new(e):
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(u.alias("u"), v.alias("v")),
+                    F.struct(v.alias("u"), u.alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+
+    def large_new(e):
+        return (
+            sym_new(e)
+            .withColumn("m", F.least(u, F.min("v").over(w_u)))
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_new(e):
+        orient = e.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        ).filter(u != v)
+        om = orient.withColumn("m", F.min("v").over(w_u))
+        return canon(
+            om.select(
+                F.explode(
+                    F.array(
+                        F.struct(v.alias("u"), F.col("m").alias("v")),
+                        F.struct(u.alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            ).select("e.u", "e.v")
+        )
+
+    rnd = _random.Random(11)
+    n = 300
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += edges[:30] + [(b, a) for a, b in edges[:20]]  # dup both ways
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    e_ref = canon(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    e_new = e_ref
+    for _ in range(6):
+        e_ref = small_ref(large_ref(e_ref)).localCheckpoint(eager=True)
+        e_new = small_new(large_new(e_new)).localCheckpoint(eager=True)
+        assert e_ref.exceptAll(e_new).count() == 0
+        assert e_new.exceptAll(e_ref).count() == 0
+
+
 def test_star_converges_in_logarithmic_rounds(spark):
     """The observe-merged loop must still detect the true fixpoint: a
     diameter-256 chain closes within the O(log n)-ish round budget the

@@ -602,25 +602,46 @@ def connected_components_star(
     # neighborhood attached to every (u, v) row. r12 (guide §2.4
     # "remove shuffles outright"): a window min over partitionBy(u)
     # computes that in place of the groupBy + self-join it replaces —
-    # the join disappears and each phase drops one exchange (measured
-    # plans: large 3→2 exchanges, small 4→3, joins 1→0). Same rows by
-    # construction (the window carries min(v) to exactly the rows the
-    # join re-attached it to), so each round's post-distinct edge set,
-    # and therefore the convergence fingerprint and round count, are
-    # bit-identical — verified by exceptAll on 1M-edge cluster / hot-hub
-    # / chain-4k graphs. Measured on those (interleaved min-of-3): −33%
-    # / −5% / −26% wall (the hot-hub case is skew-bound either way: a
-    # hot u's rows were already colocated by the old join's shuffle, so
-    # the window adds no new skew exposure). CC-heavy bench entries
-    # moved ~−15% end-to-end at sf0.1.
+    # the join disappears and each phase drops one exchange. r12 batch 3
+    # tightens the round further: (a) large_star's trailing distinct is
+    # gone — small_star's final distinct collapses the duplicates, so
+    # only ONE dedup exchange per round survives (per-round edge SET
+    # unchanged: duplicates cannot move a window min); (b) both stars
+    # emit through a single explode instead of a self-union, so each
+    # window/subtree is evaluated once per round instead of twice. Net
+    # per round: 3 exchanges (large window, small window, one distinct)
+    # vs 5, single window evals. The post-small_star edge set — what
+    # the convergence fingerprint and the next round consume — is
+    # bit-identical on random+duplicated / chain-4k / shallow-cluster /
+    # power-law hot-hub graphs (exceptAll both ways per round, pinned by
+    # tests/test_cc.py::test_round_restructure_matches_reference).
+    # Interleaved timing: clusters-1M −12%, chain-4k −25%, hub-1M −25%.
+    # Scale note: the rows entering small_star's window are now a
+    # multiset bounded by |sym| = 2|E| (vs the post-distinct set) — the
+    # saved exchange+aggregation outweighs shuffling the duplicates,
+    # which exist only where several (u, v) rows contract to one (v, m).
     from pyspark.sql import Window
 
     _w_u = Window.partitionBy("u")
 
+    def _sym(e):
+        # both directions via ONE explode projection (not a self-union:
+        # a union's legs each re-evaluate the upstream subtree)
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(u.alias("u"), v.alias("v")),
+                    F.struct(v.alias("u"), u.alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+
     def large_star(e):
-        sym = e.union(e.select(v.alias("u"), u.alias("v")))
-        return _canon(
-            sym.withColumn("m", F.least(u, F.min("v").over(_w_u)))
+        # emitted rows have u_new = v > u ≥ m = v_new, so no self-loops
+        # and no distinct needed here (see block comment above)
+        return (
+            _sym(e)
+            .withColumn("m", F.least(u, F.min("v").over(_w_u)))
             .filter(v > u)
             .select(v.alias("u"), F.col("m").alias("v"))
         )
@@ -630,12 +651,19 @@ def connected_components_star(
             F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
         ).filter(u != v)
         om = orient.withColumn("m", F.min("v").over(_w_u))
-        # the second leg emits (u, m) once per (u, v) row instead of
-        # once per u — the trailing _canon distinct collapses them, so
-        # the returned edge SET is unchanged
+        # both legs emit from ONE explode over the single window eval;
+        # the (u, m) leg fires once per (u, v) row instead of once per
+        # u — the trailing _canon distinct collapses all of it, so the
+        # returned edge SET is unchanged
         return _canon(
-            om.select(v.alias("u"), F.col("m").alias("v"))
-            .union(om.select("u", F.col("m").alias("v")))
+            om.select(
+                F.explode(
+                    F.array(
+                        F.struct(v.alias("u"), F.col("m").alias("v")),
+                        F.struct(u.alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            ).select("e.u", "e.v")
         )
 
     def _ck_sig(e, tag):
