@@ -318,3 +318,199 @@ def test_audio_dispatch_through_spark(spark):
     # corrupt (ValueError), a valid stream names its codec gate
     with pytest.raises(ValueError, match="truncated Ogg"):
         _decode_audio(b"OggS....")
+
+
+# ---------------------------------------------------------------------------
+# r12 vectorization pins: every rewritten hot path bit-identical to the
+# pre-r12 per-sample/per-bit implementation, kept VERBATIM below.
+# ---------------------------------------------------------------------------
+
+
+def _crc8_ref(data):  # pre-r12, verbatim
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_ref(data):  # pre-r12, verbatim
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def test_table_crcs_match_bit_loop_reference():
+    import random
+
+    rnd = random.Random(5)
+    blobs = [b"", b"\x00", b"\xff" * 33] + [
+        bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 300)))
+        for _ in range(40)
+    ]
+    for blob in blobs:
+        assert _crc8(blob) == _crc8_ref(blob)
+        assert _crc16(blob) == _crc16_ref(blob)
+
+
+def _rice_stream_ref(resid, param):
+    """Pre-r12 per-sample writer (write_unary + low bits), verbatim,
+    on a fresh module _BitWriter using only its scalar write()."""
+    from vector_lake_spark.flac import _BitWriter
+
+    bw = _BitWriter()
+    for r in resid:
+        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+        q = u >> param
+        while q >= 32:
+            bw.write(32, 0)
+            q -= 32
+        bw.write(q + 1, 1)
+        if param:
+            bw.write(param, u & ((1 << param) - 1))
+    bw.align()
+    return bw.getvalue()
+
+
+def test_vectorized_rice_write_matches_scalar_reference():
+    import random
+
+    from vector_lake_spark.flac import _BitWriter, _write_rice
+
+    rnd = random.Random(9)
+    for param in [0, 1, 2, 5, 9, 14]:
+        for trial in range(6):
+            resid = [
+                rnd.randrange(-(1 << 14), 1 << 14)
+                for _ in range(rnd.randrange(1, 200))
+            ]
+            bw = _BitWriter()
+            # start unaligned half the time to exercise the pending-bit path
+            lead = trial % 5
+            if lead:
+                bw.write(lead, (1 << lead) - 1)
+            _write_rice(bw, resid, param)
+            bw.align()
+            ref = _BitWriter()
+            if lead:
+                ref.write(lead, (1 << lead) - 1)
+            for r in resid:
+                u = (r << 1) if r >= 0 else ((-r) << 1) - 1
+                q = u >> param
+                while q >= 32:
+                    ref.write(32, 0)
+                    q -= 32
+                ref.write(q + 1, 1)
+                if param:
+                    ref.write(param, u & ((1 << param) - 1))
+            ref.align()
+            assert bw.getvalue() == ref.getvalue(), (param, trial)
+
+
+def test_vectorized_rice_read_matches_scalar_reference():
+    """Round-trip through the REAL writer, then decode the residual
+    region with both the vectorized reader and the pre-r12 scalar
+    loop (verbatim) on independent readers."""
+    import random
+
+    from vector_lake_spark.flac import _BitReader, _BitWriter, _read_rice_vec, _write_rice
+
+    rnd = random.Random(17)
+    for param in [0, 1, 3, 7, 13]:
+        for trial in range(5):
+            resid = [
+                rnd.randrange(-(1 << 12), 1 << 12)
+                for _ in range(rnd.randrange(1, 300))
+            ]
+            bw = _BitWriter()
+            lead = (trial * 3) % 8
+            if lead:
+                bw.write(lead, rnd.randrange(1 << lead))
+            _write_rice(bw, resid, param)
+            bw.align()
+            payload = bw.getvalue()
+
+            fast = _BitReader(payload)
+            if lead:
+                fast.read(lead)
+            got = _read_rice_vec(fast, len(resid), param).tolist()
+
+            ref = _BitReader(payload)
+            if lead:
+                ref.read(lead)
+            out = []
+            for _ in range(len(resid)):  # pre-r12 loop, verbatim
+                q = ref.read_unary()
+                u = (q << param) | ref.read(param)
+                out.append((u >> 1) ^ -(u & 1))
+            assert got == out == resid, (param, trial)
+            assert (fast.pos, fast.bit) == (ref.pos, ref.bit)
+
+
+def test_read_fixed_vec_matches_scalar_reference():
+    import random
+
+    from vector_lake_spark.flac import _BitReader, _BitWriter
+
+    rnd = random.Random(23)
+    for width in [1, 5, 8, 13, 16, 24, 31]:
+        vals = [
+            rnd.randrange(-(1 << (width - 1)), 1 << (width - 1))
+            for _ in range(50)
+        ]
+        bw = _BitWriter()
+        bw.write(3, 5)  # unaligned lead
+        for val in vals:
+            bw.write(width, val)
+        bw.align()
+        payload = bw.getvalue()
+        fast = _BitReader(payload)
+        fast.read(3)
+        got = fast.read_fixed_vec(width, len(vals), signed=True).tolist()
+        ref = _BitReader(payload)
+        ref.read(3)
+        want = [ref.read_signed(width) for _ in range(len(vals))]
+        assert got == want == vals, width
+        assert (fast.pos, fast.bit) == (ref.pos, ref.bit)
+
+
+def test_fixed_reconstruct_matches_prediction_loop():
+    import random
+
+    from vector_lake_spark.flac import _fixed_reconstruct
+
+    rnd = random.Random(31)
+    for order in range(5):
+        for _ in range(6):
+            warm = [rnd.randrange(-30000, 30000) for _ in range(order)]
+            resid = [rnd.randrange(-5000, 5000) for _ in range(rnd.randrange(0, 120))]
+            samples = list(warm)  # pre-r12 loop, verbatim
+            for r in resid:
+                if order == 0:
+                    pred = 0
+                elif order == 1:
+                    pred = samples[-1]
+                elif order == 2:
+                    pred = 2 * samples[-1] - samples[-2]
+                elif order == 3:
+                    pred = 3 * samples[-1] - 3 * samples[-2] + samples[-3]
+                else:
+                    pred = (
+                        4 * samples[-1] - 6 * samples[-2] + 4 * samples[-3]
+                        - samples[-4]
+                    )
+                samples.append(r + pred)
+            got = _fixed_reconstruct(
+                np.array(warm, dtype=np.int64),
+                np.array(resid, dtype=np.int64),
+                order,
+            ).tolist()
+            assert got == samples, order

@@ -49,12 +49,61 @@ def is_flac(payload: bytes) -> bool:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "bit")
+    __slots__ = ("data", "pos", "bit", "_bits", "_ones", "_nxt")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
         self.pos = pos
         self.bit = 0
+        # lazy whole-payload bit/ones views for the vectorized residual
+        # and verbatim readers (r12, guide §4.2): built once per payload
+        self._bits = None
+        self._ones = None
+        self._nxt = None
+
+    def nxt_cache(self) -> dict:
+        if self._nxt is None:
+            self._nxt = {}
+        return self._nxt
+
+    def bitarray(self) -> np.ndarray:
+        if self._bits is None:
+            self._bits = np.unpackbits(
+                np.frombuffer(self.data, dtype=np.uint8)
+            )
+        return self._bits
+
+    def ones(self) -> np.ndarray:
+        if self._ones is None:
+            self._ones = np.flatnonzero(self.bitarray())
+        return self._ones
+
+    def tell_bits(self) -> int:
+        return self.pos * 8 + self.bit
+
+    def seek_bits(self, bitpos: int) -> None:
+        self.pos, self.bit = divmod(bitpos, 8)
+
+    def read_fixed_vec(self, width: int, count: int, signed: bool) -> np.ndarray:
+        """``count`` consecutive ``width``-bit big-endian fields as one
+        int64 vector — the vectorized form of ``read``/``read_signed``
+        in a loop. Bit-exact: same bits, same two's-complement fold."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        if width == 0:
+            return np.zeros(count, dtype=np.int64)
+        bits = self.bitarray()
+        s = self.tell_bits()
+        end = s + width * count
+        if end > bits.size:
+            raise ValueError("corrupt FLAC: bitstream exhausted")
+        block = bits[s:end].reshape(count, width).astype(np.int64)
+        weights = np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64)
+        v = block @ weights
+        if signed:
+            v -= (v >> (width - 1)) << width
+        self.seek_bits(end)
+        return v
 
     def read(self, n: int) -> int:
         v = 0
@@ -115,6 +164,30 @@ class _BitWriter:
             q -= 32
         self.write(q + 1, 1)  # q zeros then a one
 
+    def write_bits(self, bits: np.ndarray) -> None:
+        """Append a 0/1 bit vector — byte-exact equivalent of writing
+        each bit with ``write(1, b)``, but packed with one
+        ``np.packbits`` (r12, guide §4.2). Handles an unaligned
+        accumulator by prepending its pending bits."""
+        if bits.size == 0:
+            return
+        if self.nbits:
+            pend = np.empty(self.nbits, dtype=np.uint8)
+            for i in range(self.nbits):
+                pend[i] = (self.acc >> (self.nbits - 1 - i)) & 1
+            bits = np.concatenate([pend, bits.astype(np.uint8, copy=False)])
+        else:
+            bits = bits.astype(np.uint8, copy=False)
+        nfull = bits.size // 8
+        if nfull:
+            self.out += np.packbits(bits[: nfull * 8]).tobytes()
+        rem = bits[nfull * 8 :]
+        acc = 0
+        for b in rem:
+            acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.nbits = rem.size
+
     def align(self) -> None:
         if self.nbits:
             self.write(8 - self.nbits, 0)
@@ -129,25 +202,49 @@ class _BitWriter:
 # ---------------------------------------------------------------------------
 
 
-def _crc8(data: bytes) -> int:  # poly x^8+x^2+x+1 (0x07)
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
+        table.append(crc)
+    return table
 
 
-def _crc16(data: bytes) -> int:  # poly 0x8005
-    crc = 0
-    for b in data:
-        crc ^= b << 8
+def _make_crc16_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF
                 if crc & 0x8000
                 else (crc << 1) & 0xFFFF
             )
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:  # poly x^8+x^2+x+1 (0x07)
+    # table-driven (r12, guide §4.2): one lookup per byte instead of the
+    # 8-step bit loop; identical values (the table IS that loop, folded)
+    crc = 0
+    table = _CRC8_TABLE
+    for b in data:
+        crc = table[crc ^ b]
+    return crc
+
+
+def _crc16(data: bytes) -> int:  # poly 0x8005
+    crc = 0
+    table = _CRC16_TABLE
+    for b in data:
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -218,7 +315,70 @@ def _read_utf8_number(br: _BitReader) -> int:
     return v
 
 
-def _read_residual(br: _BitReader, block_size: int, order: int) -> list[int]:
+def _read_rice_vec(br: _BitReader, count: int, param: int) -> np.ndarray:
+    """``count`` Rice codes with parameter ``param`` as one int64
+    vector. Bit-exact vectorization of the per-sample
+    read_unary/read/zigzag loop (r12, guide §4.2): terminator 1-bits
+    are walked with a two-pointer over the payload's ones index
+    (amortized O(ones in range)), remainders gathered in one matrix
+    op. Error contract preserved: running off the payload raises the
+    same "bitstream exhausted", a >2^24-zero unary run the same
+    "runaway unary code"."""
+    if count == 0:
+        return np.zeros(0, dtype=np.int64)
+    ones = br.ones()
+    nbits_total = len(br.data) * 8
+    s0 = br.tell_bits()
+    step = 1 + param
+    # terminator orbit: code i's terminator is the first one-bit at or
+    # after its start, and code i+1 starts ``step`` bits after it — so
+    # with nxt[j] = index of the first one ≥ ones[j] + step (ONE
+    # vectorized searchsorted), the terminators are the orbit of the
+    # initial index under nxt, 3 list ops per sample
+    cache = br.nxt_cache()
+    hit = cache.get(step)
+    if hit is None:
+        hit = (
+            np.searchsorted(ones, ones + step).tolist(),
+            ones.tolist(),
+        )
+        cache[step] = hit
+    nxt, ones_l = hit
+    n_ones = ones.size
+    k = int(np.searchsorted(ones, s0))
+    ts_l = []
+    append = ts_l.append
+    for _ in range(count):
+        if k >= n_ones:
+            raise ValueError("corrupt FLAC: bitstream exhausted")
+        append(ones_l[k])
+        k = nxt[k]
+    ts = np.array(ts_l, dtype=np.int64)
+    s = int(ts[-1]) + step
+    if s > nbits_total:
+        raise ValueError("corrupt FLAC: bitstream exhausted")
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = s0
+    if count > 1:
+        starts[1:] = ts[:-1] + step
+    q = ts - starts
+    if int(q.max()) > (1 << 24):
+        raise ValueError("corrupt FLAC: runaway unary code")
+    if param:
+        bits = br.bitarray()
+        idx = ts[:, None] + 1 + np.arange(param, dtype=np.int64)[None, :]
+        weights = np.int64(1) << np.arange(
+            param - 1, -1, -1, dtype=np.int64
+        )
+        rem = bits[idx].astype(np.int64) @ weights
+        u = (q << param) | rem
+    else:
+        u = q
+    br.seek_bits(s)
+    return (u >> 1) ^ -(u & 1)  # zigzag -> signed
+
+
+def _read_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
         raise ValueError(f"corrupt FLAC: residual method {method}")
@@ -228,7 +388,7 @@ def _read_residual(br: _BitReader, block_size: int, order: int) -> list[int]:
     n_parts = 1 << part_order
     if block_size % n_parts:
         raise ValueError("corrupt FLAC: block size not divisible by partitions")
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for p in range(n_parts):
         count = (block_size >> part_order) - (order if p == 0 else 0)
         if count < 0:
@@ -236,17 +396,31 @@ def _read_residual(br: _BitReader, block_size: int, order: int) -> list[int]:
         param = br.read(pbits)
         if param == escape:  # raw partition
             raw_bits = br.read(5)
-            for _ in range(count):
-                out.append(br.read_signed(raw_bits) if raw_bits else 0)
+            parts.append(br.read_fixed_vec(raw_bits, count, signed=True))
         else:
-            for _ in range(count):
-                q = br.read_unary()
-                u = (q << param) | br.read(param)
-                out.append((u >> 1) ^ -(u & 1))  # zigzag -> signed
-    return out
+            parts.append(_read_rice_vec(br, count, param))
+    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int64)
 
 
-def _read_subframe(br: _BitReader, block_size: int, bps: int) -> list[int]:
+def _fixed_reconstruct(warm: np.ndarray, resid: np.ndarray, order: int) -> np.ndarray:
+    """Inverse of the FIXED order-k predictor as ``order`` iterated
+    cumulative sums (r12, guide §4.2) — the residual IS the k-th
+    difference sequence, so reconstruction is k integrations seeded
+    from the warm-up samples' difference pyramid. Exact int64
+    arithmetic, identical to the per-sample prediction loop it
+    replaces (pinned bit-identical in tests/test_flac.py)."""
+    if order == 0:
+        return resid
+    cur = resid
+    for j in range(order - 1, -1, -1):
+        # np.diff(warm, 0) is warm itself, so this seeds every level,
+        # down to level 0 (the samples) with init = warm[-1]
+        init = np.int64(np.diff(warm, j)[-1])
+        cur = init + np.cumsum(cur)
+    return np.concatenate([warm, cur])
+
+
+def _read_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
     if br.read(1):
         raise ValueError("corrupt FLAC: subframe padding bit set")
     stype = br.read(6)
@@ -256,32 +430,17 @@ def _read_subframe(br: _BitReader, block_size: int, bps: int) -> list[int]:
         bps -= wasted
     if stype == 0:  # CONSTANT
         v = br.read_signed(bps)
-        samples = [v] * block_size
+        samples = np.full(block_size, v, dtype=np.int64)
     elif stype == 1:  # VERBATIM
-        samples = [br.read_signed(bps) for _ in range(block_size)]
+        samples = br.read_fixed_vec(bps, block_size, signed=True)
     elif 8 <= stype <= 12:  # FIXED order 0..4
         order = stype - 8
-        warm = [br.read_signed(bps) for _ in range(order)]
+        warm = br.read_fixed_vec(bps, order, signed=True)
         resid = _read_residual(br, block_size, order)
-        samples = list(warm)
-        for r in resid:
-            if order == 0:
-                pred = 0
-            elif order == 1:
-                pred = samples[-1]
-            elif order == 2:
-                pred = 2 * samples[-1] - samples[-2]
-            elif order == 3:
-                pred = 3 * samples[-1] - 3 * samples[-2] + samples[-3]
-            else:
-                pred = (
-                    4 * samples[-1] - 6 * samples[-2] + 4 * samples[-3]
-                    - samples[-4]
-                )
-            samples.append(r + pred)
+        samples = _fixed_reconstruct(warm, resid, order)
     elif stype >= 32:  # LPC order 1..32
         order = stype - 31
-        warm = [br.read_signed(bps) for _ in range(order)]
+        warm = br.read_fixed_vec(bps, order, signed=True)
         precision = br.read(4) + 1
         if precision == 16:
             raise ValueError("corrupt FLAC: invalid LPC precision escape")
@@ -290,16 +449,19 @@ def _read_subframe(br: _BitReader, block_size: int, bps: int) -> list[int]:
             raise ValueError("corrupt FLAC: negative LPC shift")
         coefs = [br.read_signed(precision) for _ in range(order)]
         resid = _read_residual(br, block_size, order)
-        samples = list(warm)
-        for r in resid:
+        # LPC reconstruction is inherently sequential (each sample
+        # feeds the next prediction); plain-int loop kept
+        hist = [int(x) for x in warm]
+        for r in resid.tolist():
             acc = 0
             for j, c in enumerate(coefs):
-                acc += c * samples[-1 - j]
-            samples.append(r + (acc >> shift))
+                acc += c * hist[-1 - j]
+            hist.append(r + (acc >> shift))
+        samples = np.array(hist, dtype=np.int64)
     else:
         raise ValueError(f"corrupt FLAC: reserved subframe type {stype}")
     if wasted:
-        samples = [s << wasted for s in samples]
+        samples = samples << wasted
     return samples
 
 
@@ -309,9 +471,10 @@ def decode_flac_samples(payload: bytes) -> dict:
     info = probe_flac(payload)
     br = _BitReader(payload, info["frames_offset"])
     n_ch = info["n_channels"]
-    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    chans: list[list[np.ndarray]] = [[] for _ in range(n_ch)]
+    done = 0
     total = info["n_samples"]
-    while (total == 0 or len(chans[0]) < total) and br.pos < len(payload):
+    while (total == 0 or done < total) and br.pos < len(payload):
         frame_start = br.pos
         sync = br.read(14)
         if sync != 0b11111111111110:
@@ -364,19 +527,16 @@ def decode_flac_samples(payload: bytes) -> dict:
             if ch_code == 8:  # left/side
                 left = _read_subframe(br, block_size, bps)
                 side = _read_subframe(br, block_size, bps + 1)
-                subs = [left, [l - s for l, s in zip(left, side)]]
+                subs = [left, left - side]
             elif ch_code == 9:  # right/side
                 side = _read_subframe(br, block_size, bps + 1)
                 right = _read_subframe(br, block_size, bps)
-                subs = [[r + s for r, s in zip(right, side)], right]
+                subs = [right + side, right]
             else:  # mid/side
                 mid = _read_subframe(br, block_size, bps)
                 side = _read_subframe(br, block_size, bps + 1)
-                subs = [[], []]
-                for m, s in zip(mid, side):
-                    m = (m << 1) | (s & 1)
-                    subs[0].append((m + s) >> 1)
-                    subs[1].append((m - s) >> 1)
+                m2 = (mid << 1) | (side & 1)
+                subs = [(m2 + side) >> 1, (m2 - side) >> 1]
         else:
             raise ValueError(f"corrupt FLAC: reserved channel code {ch_code}")
         br.align()
@@ -384,13 +544,15 @@ def decode_flac_samples(payload: bytes) -> dict:
         if _crc16(payload[frame_start : br.pos - 2]) != footer_crc:
             raise ValueError("corrupt FLAC: frame CRC-16 mismatch")
         for c in range(n_ch):
-            chans[c].extend(subs[c])
-    if total and len(chans[0]) < total:
+            chans[c].append(subs[c])
+        done += len(subs[0])
+    if total and done < total:
         raise ValueError("corrupt FLAC: stream ends before total samples")
-    n = total or len(chans[0])
-    samples = np.array(
-        [c[:n] for c in chans], dtype=np.int64
-    ).T.astype(np.int32)
+    n = total or done
+    cols = [
+        np.concatenate(c) if c else np.zeros(0, dtype=np.int64) for c in chans
+    ]
+    samples = np.stack([c[:n] for c in cols]).T.astype(np.int32)
     out = dict(info)
     out["samples"] = samples
     return out
@@ -445,12 +607,37 @@ def _rice_cost(resid, param: int) -> int:
     return int((u >> param).sum()) + len(u) * (1 + param)
 
 
+def _rice_costs_all(resid, n_params: int = 15) -> list[int]:
+    """All ``n_params`` Rice costs in one vector pass (r12): identical
+    values to calling ``_rice_cost`` per parameter."""
+    r = np.asarray(resid, dtype=np.int64)
+    u = np.abs(r) * 2 - (r < 0).astype(np.int64)
+    params = np.arange(n_params, dtype=np.int64)
+    sums = (u[None, :] >> params[:, None]).sum(axis=1)
+    return [int(sums[p]) + len(u) * (1 + p) for p in range(n_params)]
+
+
+def _rice_bits(resid: np.ndarray, param: int) -> np.ndarray:
+    """The exact bit stream of the per-sample Rice writer, as one 0/1
+    vector (r12, guide §4.2): per code, (u>>param) zeros, a one, then
+    the ``param`` low bits of u, MSB first."""
+    r = np.asarray(resid, dtype=np.int64)
+    u = np.where(r >= 0, r << 1, ((-r) << 1) - 1)
+    q = u >> param
+    lengths = q + 1 + param
+    total = int(lengths.sum())
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[offsets + q] = 1
+    if param:
+        shifts = np.arange(param - 1, -1, -1, dtype=np.int64)
+        idx = (offsets + q + 1)[:, None] + np.arange(param, dtype=np.int64)[None, :]
+        bits[idx] = ((u[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+    return bits
+
+
 def _write_rice(bw: _BitWriter, resid, param: int) -> None:
-    for r in resid:
-        u = (r << 1) if r >= 0 else ((-r) << 1) - 1  # zigzag
-        bw.write_unary(u >> param)
-        if param:
-            bw.write(param, u & ((1 << param) - 1))
+    bw.write_bits(_rice_bits(np.asarray(resid, dtype=np.int64), param))
 
 
 def encode_flac(samples, sample_rate: int, bits_per_sample: int = 16) -> bytes:
@@ -525,9 +712,9 @@ def encode_flac(samples, sample_rate: int, bits_per_sample: int = 16) -> bytes:
             sums.append(int(np.abs(r1).sum()) if bsz > 1 else 1 << 62)
             sums.append(int(np.abs(r2).sum()) if bsz > 2 else 1 << 62)
             order = int(np.argmin(sums))
-            resid = [r0, r1, r2][order].tolist()
+            resid = [r0, r1, r2][order]
             warm = ch[:order].tolist()
-            if len(set(ch.tolist())) == 1:  # CONSTANT wins outright
+            if (ch == ch[0]).all():  # CONSTANT wins outright
                 bw.write(1, 0)
                 bw.write(6, 0)
                 bw.write(1, 0)
@@ -539,11 +726,11 @@ def encode_flac(samples, sample_rate: int, bits_per_sample: int = 16) -> bytes:
             for v in warm:
                 bw.write(bits_per_sample, int(v))
             # single Rice partition: cheapest parameter or raw escape
-            best_p, best_cost = 0, None
-            for p in range(15):
-                cost = _rice_cost(resid, p)
-                if best_cost is None or cost < best_cost:
-                    best_p, best_cost = p, cost
+            # (all 15 costs in one vector pass — r12; first minimum wins,
+            # matching the sequential sweep's strict-< update rule)
+            costs = _rice_costs_all(resid, 15)
+            best_cost = min(costs)
+            best_p = costs.index(best_cost)
             raw_bits = bits_per_sample + order  # residuals fit this width
             raw_cost = (
                 len(resid) * raw_bits if raw_bits <= 31 else 1 << 62
@@ -553,8 +740,12 @@ def encode_flac(samples, sample_rate: int, bits_per_sample: int = 16) -> bytes:
             if raw_cost < best_cost:
                 bw.write(4, 0xF)  # escape
                 bw.write(5, raw_bits)
-                for r in resid:
-                    bw.write(raw_bits, int(r))
+                shifts = np.arange(raw_bits - 1, -1, -1, dtype=np.int64)
+                bw.write_bits(
+                    ((resid[:, None] >> shifts[None, :]) & 1)
+                    .astype(np.uint8)
+                    .ravel()
+                )
             else:
                 bw.write(4, best_p)
                 _write_rice(bw, resid, best_p)
