@@ -182,23 +182,30 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # Both size lookups broadcast the SAME aggregate: keep the two join
+    # inputs structurally identical (plain .alias, no pre-renaming
+    # projection) so ReuseExchange dedups the second BroadcastExchange
+    # and the shingle subtree is evaluated 3× per query instead of 4×
+    # (r12; the column renames previously made the subtrees differ and
+    # nothing reused them). Same rows, same score arithmetic.
+    sa = sizes.alias("sza")
+    sb = sizes.alias("szb")
+    sz_a, sz_b = F.col("sza.sz"), F.col("szb.sz")
     if metric == "containment":
         score = F.round(
-            F.col("inter") / F.least("sz_a", "sz_b").cast("double"), 6
+            F.col("inter") / F.least(sz_a, sz_b).cast("double"), 6
         )
     elif metric == "jaccard":
         score = F.round(
             F.col("inter")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            / (sz_a + sz_b - F.col("inter")).cast("double"),
             6,
         )
     else:
         raise ValueError(f"unknown metric {metric!r}")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa, F.col("id_a") == F.col("sza.id"))
+        .join(sb, F.col("id_b") == F.col("szb.id"))
         .withColumn(metric, score)
         .filter(F.col(metric) >= threshold)
         .select("id_a", "id_b", metric)

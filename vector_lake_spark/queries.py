@@ -4409,10 +4409,10 @@ def q_ev_stream_tumbling(spark, sf):
     the events table, run bounded with availableNow + complete output.
     The oracle is the same SQL that checks the batch op — a green row
     proves the streaming module computes identical window semantics."""
-    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.sources import normalize_event_ts, table_schema
     from vector_lake_spark.streaming.events import stream_tumbling_agg
 
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     # the file-stream source needs a directory; glob-filter to the one table
     stream = normalize_event_ts(
         spark.readStream.schema(schema)
@@ -4446,10 +4446,10 @@ def q_ev_stream_sliding(spark, sf):
     (streaming/events.py): each event lands in duration/slide windows;
     a bounded availableNow run must equal the batch sliding_agg, so it
     shares ev_sliding's oracle."""
-    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.sources import normalize_event_ts, table_schema
     from vector_lake_spark.streaming.events import stream_sliding_agg
 
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     stream = normalize_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -4476,10 +4476,10 @@ def q_ev_stream_session(spark, sf):
     carries its own oracle with the ≥ rule and session_end = last event
     + gap (the session_window definition), rather than pretending the
     batch oracle fits."""
-    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.sources import normalize_event_ts, table_schema
     from vector_lake_spark.streaming.events import stream_sessionize
 
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     stream = normalize_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -4538,10 +4538,10 @@ def q_ev_stream_interval_join(spark, sf):
     the preceding 30 minutes, both sides unbounded file streams run with
     availableNow. Inner time-bounded joins emit matches eagerly, so one
     bounded run yields exactly the batch join — which is the oracle."""
-    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.sources import normalize_event_ts, table_schema
     from vector_lake_spark.streaming.joins import stream_click_purchase_join
 
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
 
     def side(event_type):
         s = normalize_event_ts(
@@ -4581,9 +4581,10 @@ def q_dedup_stream_exact(spark, sf):
     dedup over the documents table as a bounded stream. A single
     availableNow batch makes the survivor the min doc_id per fingerprint
     — exactly the batch dedup's keep_id — so the oracle is plain SQL."""
+    from vector_lake_spark.sources import table_schema
     from vector_lake_spark.streaming.dedup import stream_exact_dedup
 
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = table_schema(spark, sf, "documents")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -4621,9 +4622,10 @@ def q_dedup_stream_neardup(spark, sf):
     import tempfile
 
     from vector_lake_spark.functions.vectors import dot, norm
+    from vector_lake_spark.sources import table_schema
     from vector_lake_spark.streaming.neardup import NearDupIngest, banded_keys
 
-    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    schema = table_schema(spark, sf, "embeddings")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
@@ -5523,10 +5525,10 @@ def q_ev_stream_rollup(spark, sf):
     import shutil
     import tempfile
 
-    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.sources import normalize_event_ts, table_schema
     from vector_lake_spark.streaming.rollup import RollupIngest
 
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     stream = normalize_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -6107,10 +6109,10 @@ def q_ev_stream_scd2(spark, sf):
     import shutil
     import tempfile
 
-    from vector_lake_spark.sources import normalize_event_ts
+    from vector_lake_spark.sources import normalize_event_ts, table_schema
     from vector_lake_spark.streaming.scd2 import SCD2Ingest
 
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    schema = table_schema(spark, sf, "events")
     stream = normalize_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

@@ -4,4 +4,5 @@ from vector_lake_spark.sources.tables import (  # noqa: F401
     load_table,
     normalize_event_ts,
     register_views,
+    table_schema,
 )

@@ -100,6 +100,14 @@ class SparkVectorLake:
         self.num_shards = 2**self.num_hashes
         self.hyperplanes = lsh_mod.make_hyperplanes(dimension, self.num_hashes, seed)
         self._pending: list[DataFrame] = []
+        # validated-layout schema, cached per instance (r12, guide §5):
+        # a bare spark.read.parquet re-resolves the DataSource and
+        # re-infers the schema on EVERY call (~314 ms warm vs ~73 ms
+        # with a declared schema). The first load() infers + drift-
+        # validates; every self-mutation clears the cache, so external
+        # drift is still caught on first read of any layout this
+        # instance hasn't written itself.
+        self._read_schema = None
 
     # -- ingest -------------------------------------------------------------
 
@@ -227,6 +235,7 @@ class SparkVectorLake:
             .parquet(self._data_path)
         )
         self._pending = []
+        self._read_schema = None
         self._write_meta(attrs)
 
     @property
@@ -270,6 +279,13 @@ class SparkVectorLake:
         fs, data_p = self._fs_path(self._data_path)
         if not fs.exists(data_p):
             return _empty()
+        if self._read_schema is not None:
+            # layout already inferred + drift-validated by this instance
+            # and unchanged since (mutators clear the cache): declare the
+            # schema instead of paying inference per call (r12, guide §5)
+            return self.spark.read.schema(self._read_schema).parquet(
+                self._data_path
+            )
         try:
             df = self.spark.read.parquet(self._data_path)
         except AnalysisException as e:
@@ -283,6 +299,7 @@ class SparkVectorLake:
             raise ValueError(
                 f"schema drift: store columns {sorted(df.columns)} != expected {sorted(expected)}"
             )
+        self._read_schema = df.schema
         return df
 
     def query(
@@ -349,6 +366,7 @@ class SparkVectorLake:
                 .partitionBy("shard_id")
                 .parquet(self._data_path)
             )
+            self._read_schema = None
 
         writer = (
             stream_df.writeStream.foreachBatch(write_batch)
@@ -589,6 +607,7 @@ class SparkVectorLake:
         and the next swap REFUSES to start until it is recovered (renamed
         back) or explicitly deleted. A shard with no rewritten rows is
         simply removed (retention can empty a shard)."""
+        self._read_schema = None
         tmp = f"{self.location}/_rewrite_tmp"
         trash_root = f"{self.location}/_trash"
         self._check_no_leftover_trash()
@@ -718,6 +737,7 @@ class SparkVectorLake:
         """Per-segment delete (reference S6: ``index.py:312-325`` deletes
         one bucket's file; here one shard = one partition directory).
         Scheme-agnostic Hadoop FS delete — other shards' files untouched."""
+        self._read_schema = None
         for sid in shard_ids:
             fs, p = self._fs_path(f"{self._data_path}/shard_id={sid}")
             fs.delete(p, True)
@@ -900,6 +920,7 @@ class SparkVectorLake:
 
     def delete(self) -> None:
         """S8 parity: remove the dataset (any URI scheme)."""
+        self._read_schema = None
         fs, p = self._fs_path(self.location)
         fs.delete(p, True)
 
@@ -927,6 +948,7 @@ class SparkPartition(SparkVectorLake):
             .parquet(self._data_path)
         )
         self._pending = []
+        self._read_schema = None
         self._write_meta(attrs)
 
     def query(self, vector: Sequence[float], k: int = 4, n_probes: int = 1) -> DataFrame:

@@ -97,9 +97,16 @@ class SCD2Ingest:
         buckets."""
         if batch_id < 0:
             raise ValueError(f"batch_id must be >= 0 (got {batch_id})")
-        rows = batch.select(
-            "user_id", "ts", "event_id", "event_type"
-        ).dropDuplicates(["user_id", "event_id"])
+        # pin the deduped batch ONCE up front (r12, guide §1.2): the
+        # bucket collect below and every later consumer (watermark join
+        # or direct fold) read the checkpoint — previously the bucket
+        # collect and the accepted/late pin each re-scanned the batch
+        # source, i.e. two full reads of every micro-batch
+        rows = (
+            batch.select("user_id", "ts", "event_id", "event_type")
+            .dropDuplicates(["user_id", "event_id"])
+            .localCheckpoint(eager=True)
+        )
         # the batch alone determines which buckets matter — prune the
         # table read BEFORE the watermark join, so a batch touching 1 of
         # B buckets reads 1/B of the history, not all of it (r06 review:
@@ -129,7 +136,8 @@ class SCD2Ingest:
             # pin ONCE: the accepted/late split feeds four consumers
             # (emptiness probe, quarantine write, merged fold, watermark
             # update) — without this the watermark join re-runs per
-            # consumer (r06 review)
+            # consumer (r06 review); reads the rows checkpoint, not the
+            # batch source
             tagged = rows.join(open_rows, "user_id", "left").localCheckpoint(
                 eager=True
             )
@@ -140,7 +148,7 @@ class SCD2Ingest:
             accepted = tagged.filter(~is_late).drop("_ls", "_le")
             late = tagged.filter(is_late).drop("_ls", "_le")
         else:
-            accepted, late = rows.localCheckpoint(eager=True), None
+            accepted, late = rows, None  # rows is already checkpointed
 
         # NB: replaying a committed batch re-routes the WHOLE batch here
         # (its accepted rows are now at-or-below the watermark, which is
