@@ -686,3 +686,130 @@ def test_single_component_frames_ignore_declared_factors():
 def test_gray_input_still_validates_subsample_mode():
     with pytest.raises(ValueError, match="subsample"):
         encode_jpeg(np.zeros((8, 8), dtype=np.uint8), subsample="441")
+
+
+# ---------------------------------------------------------------------------
+# r12 vectorization pins: lossless entropy coding and inverse DPCM are
+# bit/byte-identical to the pre-r12 scalar implementations, kept
+# VERBATIM below (they reuse the module's own _BitWriter/_BitReader /
+# _build_decode_table / _huff_decode, which the sequential and
+# progressive paths still use unchanged).
+# ---------------------------------------------------------------------------
+
+
+def _encode_lossless_scalar_tail(diffs, h, w):
+    """Pre-r12 emission loop, verbatim: the interleaved per-sample
+    category/amplitude writes through the scalar _BitWriter."""
+    from vector_lake_spark.jpeg import (
+        DC_CODES_LL,
+        _amplitude,
+        _BitWriter,
+        _category,
+    )
+
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for dplane in diffs:
+                d = int(dplane[y, x])
+                if d == -0x8000:
+                    code, length = DC_CODES_LL[16]
+                    bw.write(code, length)
+                    continue
+                size = _category(d)
+                code, length = DC_CODES_LL[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(_amplitude(d, size), size)
+    return bw.flush()
+
+
+def _ll_reconstruct_scalar(d, predictor, default):
+    """Pre-r12 per-pixel reconstruction, verbatim (_ll_predict loop)."""
+    from vector_lake_spark.jpeg import _ll_predict
+
+    h, w = d.shape
+    plane = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            pred = _ll_predict(plane, x, y, predictor, default)
+            plane[y, x] = (pred + int(d[y, x])) & 0xFFFF
+    return plane
+
+
+def test_lossless_vectorized_encode_and_decode_match_scalar():
+    import random
+
+    from vector_lake_spark.jpeg import (
+        _ll_reconstruct,
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(19)
+    for predictor in range(1, 8):
+        for prec, dt in [(8, np.uint8), (12, np.uint16), (16, np.uint16)]:
+            for shape in [(1, 1), (1, 9), (7, 1), (11, 13)]:
+                for channels in (None, 3):
+                    s = shape if channels is None else shape + (3,)
+                    img = rng.integers(0, 1 << prec, size=s).astype(dt)
+                    enc = encode_jpeg_lossless(
+                        img, predictor=predictor, precision=prec
+                    )
+                    dec = decode_jpeg_pixels(enc)
+                    assert np.array_equal(dec, img), (predictor, prec, s)
+    # reconstruction: vectorized vs verbatim scalar, every predictor,
+    # including the special -0x8000 wraparound diffs
+    for predictor in range(1, 8):
+        for _ in range(4):
+            h, w = int(rng.integers(1, 14)), int(rng.integers(1, 14))
+            d = rng.integers(-40000, 40000, size=(h, w)).astype(np.int64)
+            d[rng.random((h, w)) < 0.1] = -0x8000
+            got = _ll_reconstruct(d, predictor, 2048)
+            want = _ll_reconstruct_scalar(d, predictor, 2048)
+            assert np.array_equal(got, want), predictor
+
+
+def test_lossless_emission_bytes_match_scalar_writer():
+    rng = np.random.default_rng(23)
+    from vector_lake_spark.jpeg import encode_jpeg_lossless
+
+    for predictor in range(1, 8):
+        img = rng.integers(0, 1 << 12, size=(9, 7)).astype(np.uint16)
+        enc = encode_jpeg_lossless(img, predictor=predictor, precision=12)
+        # recompute the diffs exactly as the encoder does, then emit
+        # them through the verbatim scalar tail; the entropy segment
+        # (between SOS payload end and EOI) must match byte-for-byte
+        p = img.astype(np.int64)
+        ra = np.zeros_like(p); ra[:, 1:] = p[:, :-1]
+        rb = np.zeros_like(p); rb[1:, :] = p[:-1, :]
+        rc = np.zeros_like(p); rc[1:, 1:] = p[:-1, :-1]
+        pred = {
+            1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+            5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+            7: (ra + rb) >> 1,
+        }[predictor]
+        pred[0, :] = ra[0, :]; pred[1:, 0] = rb[1:, 0]; pred[0, 0] = 2048
+        d = (p - pred) & 0xFFFF
+        d[d >= 0x8000] -= 0x10000
+        want_tail = _encode_lossless_scalar_tail([d], 9, 7) + b"\xff\xd9"
+        assert enc.endswith(want_tail), predictor
+
+
+def test_progressive_refine_matches_old_decoder_on_dense_content():
+    """The r12 nonzero-slot refinement rewrite must decode real dense-AC
+    progressive streams identically: progressive-vs-sequential equality
+    at lossy qualities exercises every refinement path (EOB runs, ZRL,
+    newly-nonzero arrivals, correction bits)."""
+    from vector_lake_spark.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    for q in (50, 75, 90):
+        img = rng.integers(0, 256, size=(24, 17, 3)).astype(np.uint8)
+        seq = decode_jpeg_pixels(encode_jpeg(img, quality=q))
+        pro = decode_jpeg_pixels(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(seq, pro), q

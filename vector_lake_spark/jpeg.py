@@ -799,25 +799,28 @@ def _ac_refine_block(br, actab, coef, Ss, Se, Al, eobrun):
                         "invalid AC refinement symbol (size must be 1)"
                     )
                 newval = p1 if br.read_bit() else -p1
-            # advance past r zero-history slots, refining nonzeros
-            while k <= Se:
-                if coef[k] != 0:
-                    if br.read_bit() and (coef[k] & p1) == 0:
-                        coef[k] += p1 if coef[k] > 0 else -p1
-                else:
-                    if r == 0:
-                        break
-                    r -= 1
-                k += 1
+            # advance past r zero-history slots, refining nonzeros on
+            # the way: the loop stops AT the (r+1)-th zero-history slot
+            # (or past Se). r12: visit only the nonzero slots (the
+            # zeros never consume bits here) — one flatnonzero instead
+            # of per-slot numpy scalar reads; same bits, same order.
+            seg = coef[k : Se + 1]
+            zpos = np.flatnonzero(seg == 0)
+            stop = (k + int(zpos[r])) if r < zpos.size else Se + 1
+            for k2 in (k + np.flatnonzero(seg[: stop - k])).tolist():
+                if br.read_bit() and (coef[k2] & p1) == 0:
+                    coef[k2] += p1 if coef[k2] > 0 else -p1
+            k = stop
             if newval and k <= Se:
                 coef[k] = newval
             k += 1
     if eobrun > 0:
-        while k <= Se:  # refinement bits for the rest of this block
-            if coef[k] != 0:
-                if br.read_bit() and (coef[k] & p1) == 0:
-                    coef[k] += p1 if coef[k] > 0 else -p1
-            k += 1
+        # refinement bits for the rest of this block — nonzero slots
+        # only (identical: zeros read no bits in this tail)
+        if k <= Se:
+            for k2 in (k + np.flatnonzero(coef[k : Se + 1])).tolist():
+                if br.read_bit() and (coef[k2] & p1) == 0:
+                    coef[k2] += p1 if coef[k2] > 0 else -p1
         eobrun -= 1
     return eobrun
 
@@ -1363,6 +1366,159 @@ DC_SYMBOLS_LL = list(range(17))
 DC_CODES_LL = _canonical_codes(DC_SYMBOLS_LL, 5)
 
 
+_LL_LUT_CACHE: dict = {}
+
+
+def _huff_lut16(bits, vals):
+    """65536-entry (symbol, code-length) decode LUT keyed by the next
+    16 bits of the stream (r12, guide §4.2): a canonical code of length
+    L covers the window range [code << (16-L), (code+1) << (16-L)).
+    Cached per table spec — one build per distinct DHT per process."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LL_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(65536, dtype=np.int32)
+    ln = np.zeros(65536, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    out = (sym.tolist(), ln.tolist())
+    _LL_LUT_CACHE[key] = out
+    return out
+
+
+def _entropy_windows(payload: bytes, pos: int):
+    """Unstuffed entropy stream from byte ``pos`` as 16-bit sliding
+    windows (r12): one vectorized unstuffing pass + one matmul replace
+    the per-bit reader. Returns (W list, n_real_bits, bad_marker) where
+    ``bad_marker`` is the byte of an unexpected in-stream marker (the
+    old reader raised only if decode actually reached it — the decode
+    loop preserves that). The windows carry the spec's feed-1s-after-
+    EOI padding; a decode that outruns the 80 appended bits re-pads."""
+    arr = np.frombuffer(payload, np.uint8)[pos:]
+    ff = np.flatnonzero(arr == 0xFF)
+    drop = []
+    end = arr.size
+    bad = None
+    for i in ff.tolist():
+        if i >= end:
+            break
+        nxt = int(arr[i + 1]) if i + 1 < arr.size else None
+        if nxt == 0x00:
+            drop.append(i + 1)
+        elif nxt == 0xD9:
+            end = i
+            break
+        else:
+            end = i
+            bad = nxt
+            break
+    keep = np.ones(end, dtype=bool)
+    for i in drop:
+        if i < end:
+            keep[i] = False
+    data = arr[:end][keep]
+    nbits = int(data.size) * 8
+    bits = np.concatenate([np.unpackbits(data), np.ones(80, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(bits, 16)
+    weights = (1 << np.arange(15, -1, -1)).astype(np.int64)
+    return (win @ weights).tolist(), nbits, bad
+
+
+def _pack_codes(vals, lens) -> bytes:
+    """MSB-first concatenation of per-symbol (value, length) codes into
+    a padded + stuffed entropy byte string (r12, guide §4.2) —
+    byte-identical to feeding the scalar ``_BitWriter`` (pad with 1s
+    per the spec, stuff 0x00 after every 0xFF, including a padded final
+    byte)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.int64)
+    total = int(lens.sum())
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pad = (-total) % 8
+    bits = np.zeros(total + pad, dtype=np.uint8)
+    if pad:
+        bits[total:] = 1
+    for j in range(int(lens.max(initial=0))):
+        m = lens > j
+        bits[offs[m] + j] = (vals[m] >> (lens[m] - 1 - j)) & 1
+    packed = np.packbits(bits)
+    ffs = np.flatnonzero(packed == 0xFF)
+    if ffs.size:
+        packed = np.insert(packed, ffs + 1, 0)
+    return packed.tobytes()
+
+
+def _ll_reconstruct(d: np.ndarray, predictor: int, default: int) -> np.ndarray:
+    """Vectorized inverse DPCM (r12): the scalar loop's per-step masked
+    arithmetic is preserved exactly — predictors 1/2/4 are pure
+    addition chains (masking commutes, applied at the end), 3/5 read
+    only previous-ROW values (row-at-a-time vector ops, rows stored
+    masked), and 6/7 pass the left neighbor through a floor shift
+    (genuinely sequential — plain-int row loops). Bit-identity against
+    the scalar loop is pinned in tests/test_jpeg.py."""
+    h, w = d.shape
+    M = 0xFFFF
+    if predictor == 1:
+        t = d.copy()
+        t[0, 0] += default
+        col0 = np.cumsum(t[:, 0])
+        t[:, 0] = 0
+        return (np.cumsum(t, axis=1) + col0[:, None]) & M
+    if predictor == 2:
+        t = d.copy()
+        t[0, 0] += default
+        row0 = np.cumsum(t[0, :])
+        t[0, :] = 0
+        return (np.cumsum(t, axis=0) + row0[None, :]) & M
+    if predictor == 4:
+        return (np.cumsum(np.cumsum(d, axis=1), axis=0) + default) & M
+    out = np.empty((h, w), dtype=np.int64)
+    out[0, :] = (np.cumsum(d[0, :]) + default) & M
+    if predictor == 3:
+        for y in range(1, h):
+            out[y, 0] = out[y - 1, 0] + d[y, 0]
+            out[y, 1:] = out[y - 1, :-1] + d[y, 1:]
+            out[y] &= M
+        return out
+    if predictor == 5:
+        for y in range(1, h):
+            prow = out[y - 1]
+            t = d[y].copy()
+            t[1:] += (prow[1:] - prow[:-1]) >> 1
+            t[0] += prow[0]
+            out[y] = np.cumsum(t) & M
+        return out
+    dl = d.tolist()
+    rows = [out[0].tolist()]
+    for y in range(1, h):
+        prev = rows[-1]
+        dr = dl[y]
+        v = (prev[0] + dr[0]) & M
+        row = [v]
+        if predictor == 6:
+            for x in range(1, w):
+                pred = prev[x] + ((v - prev[x - 1]) >> 1)
+                v = (pred + dr[x]) & M
+                row.append(v)
+        else:  # predictor 7
+            for x in range(1, w):
+                pred = (v + prev[x]) >> 1
+                v = (pred + dr[x]) & M
+                row.append(v)
+        rows.append(row)
+    return np.array(rows, dtype=np.int64)
+
+
 def _ll_predict(plane, x, y, predictor, default):
     """T.81 H.1.2.1: first sample -> default; rest of first line -> Ra;
     first column -> Rb; everywhere else the selected predictor."""
@@ -1461,21 +1617,25 @@ def encode_jpeg_lossless(
         d = (p - pred) & 0xFFFF
         d[d >= 0x8000] -= 0x10000
         diffs.append(d)
-    bw = _BitWriter()
-    for y in range(h):
-        for x in range(w):
-            for dplane in diffs:  # interleaved MCU: one per component
-                d = int(dplane[y, x])
-                if d == -0x8000:  # the special 32768 category
-                    code, length = DC_CODES_LL[16]
-                    bw.write(code, length)
-                    continue
-                size = _category(d)
-                code, length = DC_CODES_LL[size]
-                bw.write(code, length)
-                if size:
-                    bw.write(_amplitude(d, size), size)
-    out += bw.flush()
+    # interleaved symbol order (y, x, component); categories, amplitudes
+    # and the bit emission all vectorized (r12, guide §4.2) — each
+    # symbol is (huffman code << magnitude-bits) | amplitude, packed by
+    # _pack_codes byte-identically to the scalar writer it replaces
+    # (pinned in tests/test_jpeg.py)
+    d = np.stack(diffs, axis=2).reshape(-1)
+    a = np.abs(d)
+    size = np.searchsorted(
+        (1 << np.arange(17)).astype(np.int64), a, side="right"
+    ).astype(np.int64)
+    is_min = d == -0x8000  # the special 32768 category: code only
+    size[is_min] = 16
+    code_arr = np.array([DC_CODES_LL[s][0] for s in range(17)], dtype=np.int64)
+    len_arr = np.array([DC_CODES_LL[s][1] for s in range(17)], dtype=np.int64)
+    amp = np.where(d >= 0, d, d + (1 << size) - 1)
+    magbits = np.where(is_min, 0, size)
+    vals = (code_arr[size] << magbits) | np.where(is_min, 0, amp)
+    lens = len_arr[size] + magbits
+    out += _pack_codes(vals, lens)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1508,7 +1668,9 @@ def _decode_lossless_pixels(payload: bytes) -> np.ndarray:
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
                 vals = list(body[bpos + 17 : bpos + 17 + n])
-                htabs[(tc, th)] = _build_decode_table(bits, vals)
+                # raw spec kept: the scan decodes through the cached
+                # 16-bit-window LUT (r12), not the bit-walk table
+                htabs[(tc, th)] = (bits, vals)
                 bpos += 17 + n
         elif marker == 0xC3:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -1557,21 +1719,54 @@ def _decode_lossless_pixels(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             "non-interleaved lossless scans unsupported"
         )
-    planes = [np.zeros((h, w), dtype=np.int64) for _ in scan_comps]
     default = 1 << (prec - 1)
-    br = _BitReader(payload, pos)
-    for y in range(h):
-        for x in range(w):
-            for ci, (_cid, td) in enumerate(scan_comps):
-                size = _huff_decode(br, htabs[(0, td)])
-                if size == 16:
-                    diff = 0x8000
-                elif size:
-                    diff = _extend(br.read_bits(size), size)
-                else:
-                    diff = 0
-                pred = _ll_predict(planes[ci], x, y, predictor, default)
-                planes[ci][y, x] = (pred + diff) & 0xFFFF
+    # r12 (guide §4.2): entropy decode through 16-bit-window LUTs over
+    # the unstuffed stream (one vectorized pass), then per-plane
+    # vectorized inverse DPCM — replaces the per-bit reader + per-pixel
+    # _ll_predict loop, bit-identically (pinned in tests/test_jpeg.py).
+    nc = len(scan_comps)
+    n_symbols = h * w * nc
+    W, nbits, bad = _entropy_windows(payload, pos)
+    luts = [_huff_lut16(*htabs[(0, td)]) for _cid, td in scan_comps]
+    diffs_flat = np.empty(n_symbols, dtype=np.int64)
+    p = 0
+    i = 0
+    for _ in range(h * w):
+        for ci in range(nc):
+            sym_l, len_l = luts[ci]
+            if bad is not None and p >= nbits:
+                raise ValueError(
+                    f"unexpected marker 0xFF{bad:02X} in entropy stream"
+                )
+            if p + 32 > len(W):  # truncated stream: keep feeding 1s
+                W.extend([0xFFFF] * 4096)
+            wv = W[p]
+            L = len_l[wv]
+            if L == 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            size = sym_l[wv]
+            p += L
+            if size == 16:
+                diff = 0x8000
+            elif size:
+                if bad is not None and p >= nbits:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{bad:02X} in entropy stream"
+                    )
+                mag = W[p] >> (16 - size)
+                p += size
+                diff = (
+                    mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+                )
+            else:
+                diff = 0
+            diffs_flat[i] = diff
+            i += 1
+    dmat = diffs_flat.reshape(h * w, nc)
+    planes = [
+        _ll_reconstruct(dmat[:, ci].reshape(h, w), predictor, default)
+        for ci in range(nc)
+    ]
     maxv = (1 << prec) - 1
     for p in planes:
         if int(p.max(initial=0)) > maxv:
