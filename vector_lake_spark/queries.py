@@ -10664,7 +10664,9 @@ def q_pipe_image_dedup_e2e(spark, sf):
     # posture in miniature (SCALE.md, composed image curation e2e)
     sigs = _image_dedup_sigs(spark, sf).localCheckpoint(eager=False)
     pairs = hamming_neardup_pairs(
-        sigs, radius=7, id_col="media_id", n_blocks=8
+        sigs, radius=7, id_col="media_id", n_blocks=8,
+        # checkpointed input — skip the shared-shuffle barrier (r13)
+        input_materialized=True,
     )
     cc = connected_components_star(
         pairs, sigs.select("media_id"), id_col="media_id"
@@ -11010,6 +11012,8 @@ def q_mm_audio_neardup_long(spark, sf):
         id_col="media_id",
         n_blocks=8,
         group_cols=["window_no"],
+        # checkpointed input — skip the shared-shuffle barrier (r13)
+        input_materialized=True,
     )
     return (
         pairs.groupBy("id_a", "id_b")
@@ -11156,6 +11160,10 @@ def q_mm_video_neardup(spark, sf):
         id_col="media_id",
         n_blocks=8,
         group_cols=["frame_no"],
+        # sigs is checkpointed: the decode runs once from the cache, so
+        # the shared-shuffle repartition would be a pure extra barrier
+        # (r13, VERDICT r12 #1 — the 32-core regression lived here)
+        input_materialized=True,
     )
     return (
         pairs.groupBy("id_a", "id_b")
