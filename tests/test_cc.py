@@ -209,11 +209,32 @@ def test_star_converges_in_logarithmic_rounds(spark):
     """The observe-merged loop must still detect the true fixpoint: a
     diameter-256 chain closes within the O(log n)-ish round budget the
     docstring promises (measured 7 for diameter 4096), and the stats
-    hook reports the round count."""
+    hook reports the round count. r13: detection can sit one round
+    later than before — there is no round-0 fingerprint job anymore
+    (the initial edge set is checkpointed lazily inside round 1's job),
+    so the first comparable fingerprint pair is round1/round2."""
     n = 257
     pairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
     nodes = spark.range(n).withColumnRenamed("id", "doc_id")
     stats = {}
     labels = _labels(connected_components_star(pairs, nodes, stats=stats))
     assert set(labels.values()) == {0}
-    assert 1 <= stats["rounds"] <= 10
+    assert 1 <= stats["rounds"] <= 11
+
+
+def test_already_converged_input_detected(spark):
+    """r13 lazy-initial pin: an input that is already a star fixpoint
+    (edges all (center < other), one star per component) must still
+    label correctly and converge — detection now happens at round 2
+    (round1 == round2 fingerprints), since round 0 no longer runs a
+    fingerprint job."""
+    edges = [(0, i) for i in range(1, 6)] + [(10, i) for i in range(11, 14)]
+    pairs = spark.createDataFrame(
+        [(b, a) for a, b in edges], ["id_a", "id_b"]
+    )
+    nodes = spark.range(14).withColumnRenamed("id", "doc_id")
+    stats = {}
+    labels = _labels(connected_components_star(pairs, nodes, stats=stats))
+    want = _python_cc(14, edges)
+    assert labels == want
+    assert stats["rounds"] <= 3
