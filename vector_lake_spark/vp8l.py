@@ -82,6 +82,7 @@ CACHE_MULT = 0x1E35A7BD  # color-cache hash multiplier (RFC 9649 §4.4.2.3)
 
 class BitReader:
     __slots__ = ("data", "byte_pos", "buf", "bits")
+    fast = False  # decode dispatch: per-bit walk (the r12 reference path)
 
     def __init__(self, data: bytes):
         self.data = data
@@ -110,6 +111,39 @@ class BitReader:
         return v
 
 
+class _FastBitReader:
+    """LSB-first reader over the whole chunk with O(1) random-access
+    reads (r13, guide §4.2 — the jpeg.py window-LUT pattern adapted to
+    VP8L's LSB-first bit order): a read fetches 4 bytes at the cursor's
+    byte and shifts, instead of maintaining an incremental refill
+    window; prefix codes decode through a per-code LUT in ONE probe
+    (``PrefixCode.read``) instead of a dict lookup per bit. Error
+    contract identical to ``BitReader``: reading past the real end
+    raises the same "bitstream exhausted". Memory is O(1) — no window
+    list is materialized (the jpeg.py ADVICE lesson)."""
+
+    __slots__ = ("data", "p", "nbits")
+    fast = True  # decode dispatch: window-LUT path
+
+    def __init__(self, data: bytes):
+        self.data = data + b"\x00\x00\x00\x00"  # pad so 4-byte fetches work
+        self.p = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        # n <= 18 everywhere in the format (largest: distance-code
+        # extra bits); 4 bytes cover s + n <= 7 + 18 < 32 bits
+        p = self.p
+        if p + n > self.nbits:
+            raise ValueError("corrupt VP8L: bitstream exhausted")
+        i = p >> 3
+        v = (
+            int.from_bytes(self.data[i : i + 4], "little") >> (p & 7)
+        ) & ((1 << n) - 1)
+        self.p = p + n
+        return v
+
+
 class BitWriter:
     __slots__ = ("out", "acc", "nbits")
 
@@ -130,6 +164,33 @@ class BitWriter:
         """Emit a canonical prefix code, MSB of the code first."""
         for i in range(length - 1, -1, -1):
             self.write(1, (code >> i) & 1)
+
+    def write_bits_vec(self, vals, lens) -> None:
+        """Append many variable-length fields in one vectorized pass
+        (r13, guide §4.2 — the jpeg.py ``_pack_codes`` pattern in VP8L's
+        LSB-first bit order): field i contributes its low ``lens[i]``
+        bits of ``vals[i]``, LSB first — i.e. a canonical prefix code
+        must be passed BIT-REVERSED. Byte-identical to the equivalent
+        sequence of ``write`` calls (pinned in tests/test_vp8l.py)."""
+        lens = np.asarray(lens, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]) + self.nbits
+        bits = np.zeros(self.nbits + total, dtype=np.uint8)
+        for j in range(self.nbits):  # current partial byte, LSB-first
+            bits[j] = (self.acc >> j) & 1
+        for j in range(int(lens.max(initial=0))):
+            m = lens > j
+            bits[offs[m] + j] = (vals[m] >> j) & 1
+        packed = np.packbits(bits, bitorder="little")
+        nbits_all = self.nbits + total
+        nfull = nbits_all // 8
+        self.out += packed[:nfull].tobytes()
+        rem = nbits_all % 8
+        self.acc = int(packed[nfull]) & ((1 << rem) - 1) if rem else 0
+        self.nbits = rem
 
     def getvalue(self) -> bytes:
         if self.nbits:
@@ -170,7 +231,7 @@ class PrefixCode:
     used symbol reads ZERO bits per the spec's trivial-code rule; any
     other code must be complete (Kraft sum exactly 1)."""
 
-    __slots__ = ("single", "map", "max_len")
+    __slots__ = ("single", "map", "max_len", "lut_sym", "lut_len")
 
     def __init__(self, lengths):
         used = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
@@ -180,6 +241,7 @@ class PrefixCode:
             self.single = used[0][1]
             self.map = None
             self.max_len = 0
+            self.lut_sym = self.lut_len = None
             return
         self.single = None
         kraft = sum(2.0 ** -ln for ln, _ in used)
@@ -190,10 +252,48 @@ class PrefixCode:
         codes = _canonical_codes(lengths)
         self.map = {(ln, code): s for s, (ln, code) in codes.items()}
         self.max_len = max(ln for ln, _ in used)
+        self.lut_sym = self.lut_len = None  # built lazily on first fast read
 
-    def read(self, br: BitReader) -> int:
+    def _build_lut(self) -> None:
+        """2^max_len-entry (symbol, length) LUT keyed by the next
+        max_len stream bits (r13): canonical codes are read MSB-of-code
+        first while the stream is LSB-first, so code c of length L
+        matches every window whose low L bits are bit-reversed(c); the
+        remaining high bits are free (stride 2^L fill). Sized to
+        max_len (<= 15 per the spec), not 16, so tiny fixture codes
+        build tiny LUTs."""
+        size = 1 << self.max_len
+        sym = np.zeros(size, dtype=np.int32)
+        ln_arr = np.zeros(size, dtype=np.int32)
+        for (length, code), s in self.map.items():
+            rev = int(f"{code:0{length}b}"[::-1], 2)
+            idx = rev + (np.arange(size >> length) << length)
+            sym[idx] = s
+            ln_arr[idx] = length
+        self.lut_sym = sym.tolist()
+        self.lut_len = ln_arr.tolist()
+
+    def read(self, br) -> int:
         if self.single is not None:
             return self.single
+        if br.fast:
+            if self.lut_len is None:
+                self._build_lut()
+            p = br.p
+            i = p >> 3
+            w = (
+                int.from_bytes(br.data[i : i + 4], "little") >> (p & 7)
+            ) & ((1 << self.max_len) - 1)
+            L = self.lut_len[w]
+            if L == 0 or p + L > br.nbits:
+                # parity with the per-bit walk: exhausted beats invalid
+                # when the stream ends before the walk could finish
+                need = L if L else self.max_len
+                if p + need > br.nbits:
+                    raise ValueError("corrupt VP8L: bitstream exhausted")
+                raise ValueError("corrupt VP8L: invalid prefix code bits")
+            br.p = p + L
+            return self.lut_sym[w]
         code = 0
         length = 0
         m = self.map
@@ -316,6 +416,105 @@ def _decode_entropy_image(
     out = [0] * n
     pos = 0
     shift = 32 - cache_bits if cache_bits else 0
+    if br.fast:
+        # r13 hot loop: the four per-pixel prefix reads are inlined
+        # against the fast reader's cursor (one 4-byte fetch + LUT
+        # probe per symbol) — identical symbols to the method-dispatch
+        # path below (the LUT is exact), minus a Python call per
+        # symbol. The cursor lives in the local ``p``; it is synced to
+        # the reader around the (rare) LZ77 extra-bit reads and on
+        # every exit path, so error states leave the reader exactly
+        # where the per-bit walk would.
+        def _prep(code):
+            if code.single is not None:
+                return (code.single, None, None, 0)
+            if code.lut_len is None:
+                code._build_lut()
+            return (None, code.lut_sym, code.lut_len,
+                    (1 << code.max_len) - 1)
+
+        pgroups = [tuple(_prep(c) for c in g) for g in groups]
+        data = br.data
+        nbits = br.nbits
+        p = br.p
+        pcodes = pgroups[0]
+        codes = groups[0]
+        while pos < n:
+            if meta is not None:
+                gi = int(
+                    meta[
+                        ((pos // xs) >> mbits) * mw + ((pos % xs) >> mbits)
+                    ]
+                )
+                gi = (gi >> 8) & 0xFFFF
+                pcodes = pgroups[gi]
+                codes = groups[gi]
+            single, lsym, llen, lmask = pcodes[0]
+            if single is not None:
+                s = single
+            else:
+                w = (
+                    int.from_bytes(data[p >> 3 : (p >> 3) + 4], "little")
+                    >> (p & 7)
+                ) & lmask
+                L = llen[w]
+                if L == 0 or p + L > nbits:
+                    br.p = p
+                    codes[0].read(br)  # raises with exact parity
+                    raise AssertionError("unreachable")
+                s = lsym[w]
+                p += L
+            if s < 256:  # literal: green, then red, blue, alpha
+                px = s << 8
+                for ci, sh in ((1, 16), (2, 0), (3, 24)):
+                    single, lsym, llen, lmask = pcodes[ci]
+                    if single is not None:
+                        px |= single << sh
+                        continue
+                    w = (
+                        int.from_bytes(data[p >> 3 : (p >> 3) + 4], "little")
+                        >> (p & 7)
+                    ) & lmask
+                    L = llen[w]
+                    if L == 0 or p + L > nbits:
+                        br.p = p
+                        codes[ci].read(br)
+                        raise AssertionError("unreachable")
+                    px |= lsym[w] << sh
+                    p += L
+                out[pos] = px
+                pos += 1
+                if cache is not None:
+                    cache[((CACHE_MULT * px) & 0xFFFFFFFF) >> shift] = px
+            elif s < 280:  # LZ77 backward reference
+                br.p = p
+                try:
+                    length = _lz77_value(s - 256, br)
+                    dcode = _lz77_value(codes[4].read(br), br)
+                finally:
+                    p = br.p
+                if dcode > 120:
+                    dist = dcode - 120
+                else:
+                    dx, dy = DIST_MAP[dcode - 1]
+                    dist = dy * xs + dx
+                    if dist < 1:
+                        dist = 1
+                if dist > pos or pos + length > n:
+                    raise ValueError(
+                        "corrupt VP8L: backward reference out of range"
+                    )
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
+                    pos += 1
+                    if cache is not None:
+                        cache[((CACHE_MULT * px) & 0xFFFFFFFF) >> shift] = px
+            else:  # color cache hit
+                out[pos] = cache[s - 280]
+                pos += 1
+        br.p = p
+        return np.array(out, dtype=np.uint32)
     codes = groups[0]
     while pos < n:
         if meta is not None:
@@ -542,7 +741,7 @@ def decode_vp8l(chunk: bytes) -> dict:
 
     Returns {"width", "height", "has_alpha", "pixels"} with pixels a
     (h, w, 4) uint8 RGBA array."""
-    br = BitReader(bytes(chunk))
+    br = _FastBitReader(bytes(chunk))
     if br.read(8) != 0x2F:
         raise ValueError("corrupt VP8L: signature byte missing")
     w = br.read(14) + 1
@@ -745,15 +944,30 @@ def _write_literal_image(bw: BitWriter, flat, level0: bool) -> None:
     )
     # distance code: never referenced (no LZ77) — 1-symbol simple code
     _write_prefix_code(bw, [1] + [0] * 39)
-    for gv, rv, bv, av in zip(g.tolist(), r.tolist(), b.tolist(), a.tolist()):
-        ln, code = codes_g[gv]
-        bw.write_code(ln, code)
-        ln, code = codes_r[rv]
-        bw.write_code(ln, code)
-        ln, code = codes_b[bv]
-        bw.write_code(ln, code)
-        ln, code = codes_a[av]
-        bw.write_code(ln, code)
+
+    # r13 (guide §4.2): the per-pixel write_code loop (4 codes/pixel,
+    # one Python call per BIT) is replaced by one vectorized pack —
+    # gather each channel's (length, bit-reversed code) per pixel,
+    # interleave in stream order (g, r, b, a), and emit through
+    # write_bits_vec. Byte-identical to the scalar loop (write_code
+    # emits MSB-of-code first into the LSB-first stream, i.e. the
+    # reversed code LSB-first — pinned in tests/test_vp8l.py).
+    def _code_arrays(codes, size):
+        lens = np.zeros(size, dtype=np.int64)
+        revs = np.zeros(size, dtype=np.int64)
+        for s, (ln, code) in codes.items():
+            lens[s] = ln
+            if ln:
+                revs[s] = int(f"{code:0{ln}b}"[::-1], 2)
+        return lens, revs
+
+    glen, grev = _code_arrays(codes_g, 280)
+    rlen, rrev = _code_arrays(codes_r, 256)
+    blen, brev = _code_arrays(codes_b, 256)
+    alen, arev = _code_arrays(codes_a, 256)
+    lens = np.stack([glen[g], rlen[r], blen[b], alen[a]], axis=1).reshape(-1)
+    vals = np.stack([grev[g], rrev[r], brev[b], arev[a]], axis=1).reshape(-1)
+    bw.write_bits_vec(vals, lens)
 
 
 def encode_vp8l(pixels: np.ndarray, use_palette: bool | None = None) -> bytes:
