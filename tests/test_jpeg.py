@@ -813,3 +813,335 @@ def test_progressive_refine_matches_old_decoder_on_dense_content():
         seq = decode_jpeg_pixels(encode_jpeg(img, quality=q))
         pro = decode_jpeg_pixels(encode_jpeg_progressive(img, quality=q))
         assert np.array_equal(seq, pro), q
+
+
+def _r12_ll_symbol_loop(data, nbits, bad, luts, nc, n_symbols):
+    """The pre-r13 per-symbol window loop, kept VERBATIM (modulo the
+    windows being built from the unstuffed bytes here) as the in-test
+    oracle for the vectorized orbit decoder."""
+    bits = np.concatenate([np.unpackbits(data), np.ones(80, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(bits, 16)
+    weights = (1 << np.arange(15, -1, -1)).astype(np.int64)
+    W = (win @ weights).tolist()
+    diffs_flat = np.empty(n_symbols, dtype=np.int64)
+    p = 0
+    i = 0
+    for _ in range(n_symbols // nc):
+        for ci in range(nc):
+            sym_a, len_a = luts[ci]
+            sym_l, len_l = sym_a.tolist(), len_a.tolist()
+            if bad is not None and p >= nbits:
+                raise ValueError(
+                    f"unexpected marker 0xFF{bad:02X} in entropy stream"
+                )
+            if p + 32 > len(W):
+                W.extend([0xFFFF] * 4096)
+            wv = W[p]
+            L = len_l[wv]
+            if L == 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            size = sym_l[wv]
+            p += L
+            if size == 16:
+                diff = 0x8000
+            elif size:
+                if bad is not None and p >= nbits:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{bad:02X} in entropy stream"
+                    )
+                mag = W[p] >> (16 - size)
+                p += size
+                diff = (
+                    mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+                )
+            else:
+                diff = 0
+            diffs_flat[i] = diff
+            i += 1
+    return diffs_flat
+
+
+def test_ll_entropy_decode_matches_per_symbol_loop():
+    """r13: the chunked orbit-walk lossless entropy decoder must produce
+    diff-identical output to the verbatim r12 per-symbol loop — gray and
+    RGB, every predictor-relevant category incl. the 0x8000 special,
+    and across chunk boundaries (chunk size forced tiny)."""
+    import struct
+
+    import vector_lake_spark.jpeg as J
+
+    rng = np.random.default_rng(31)
+    images = [
+        rng.integers(0, 256, (13, 21)).astype(np.uint8),
+        rng.integers(0, 4096, (9, 17, 3)).astype(np.uint16),
+        np.zeros((6, 6), dtype=np.uint16),
+    ]
+    images[2][::2, ::2] = 65535  # forces the 16-category wraparound
+    old_chunk = J._LL_CHUNK_BITS
+    try:
+        for px in images:
+            prec = 16 if px.dtype == np.uint16 and px.max() > 4095 else (
+                12 if px.dtype == np.uint16 else 8
+            )
+            for predictor in (1, 4, 7):
+                payload = J.encode_jpeg_lossless(
+                    px, predictor=predictor, precision=prec
+                )
+                # walk the markers exactly as the decoder does to find
+                # the scan start + tables
+                pos = 2
+                htabs = {}
+                scan_comps = None
+                while pos < len(payload):
+                    while payload[pos + 1] == 0xFF:
+                        pos += 1
+                    marker = payload[pos + 1]
+                    (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+                    body = payload[pos + 4 : pos + 2 + seglen]
+                    if marker == 0xC4:
+                        bpos = 0
+                        while bpos < len(body):
+                            tc, th = body[bpos] >> 4, body[bpos] & 0xF
+                            bits = list(body[bpos + 1 : bpos + 17])
+                            n = sum(bits)
+                            htabs[(tc, th)] = (
+                                bits, list(body[bpos + 17 : bpos + 17 + n])
+                            )
+                            bpos += 17 + n
+                    elif marker == 0xDA:
+                        ns = body[0]
+                        scan_comps = [
+                            (body[1 + 2 * i], body[2 + 2 * i] >> 4)
+                            for i in range(ns)
+                        ]
+                        pos += 2 + seglen
+                        break
+                    pos += 2 + seglen
+                nc = len(scan_comps)
+                h, w = px.shape[:2]
+                n_symbols = h * w * nc
+                data, nbits, bad = J._unstuffed_entropy(payload, pos)
+                luts = [J._huff_lut16(*htabs[(0, td)]) for _c, td in scan_comps]
+                want = _r12_ll_symbol_loop(data, nbits, bad, luts, nc, n_symbols)
+                got = J._ll_entropy_decode(data, nbits, bad, luts, nc, n_symbols)
+                assert np.array_equal(got, want), (px.shape, predictor)
+                J._LL_CHUNK_BITS = 1 << 11  # force many chunks
+                got_chunked = J._ll_entropy_decode(
+                    data, nbits, bad, luts, nc, n_symbols
+                )
+                J._LL_CHUNK_BITS = old_chunk
+                assert np.array_equal(got_chunked, want)
+    finally:
+        J._LL_CHUNK_BITS = old_chunk
+
+
+def test_ll_entropy_error_parity():
+    """r13 error contract: an in-stream marker raises only when decode
+    needs bits at/past it; a final-symbol overrun past a marker raises
+    (the r12 ADVICE #3 fix); a truncated trailing 0xFF is a bad marker
+    rather than a clean end."""
+    import vector_lake_spark.jpeg as J
+
+    px = np.full((8, 8), 1234, dtype=np.uint16)
+    payload = bytearray(J.encode_jpeg_lossless(px, predictor=1, precision=12))
+    # corrupt: replace the EOI with a bogus marker -> decode still fine
+    assert payload[-2:] == b"\xff\xd9"
+    ok = J.decode_jpeg_pixels(bytes(payload))
+    assert np.array_equal(ok, px)
+    bogus = bytes(payload[:-2]) + b"\xff\xc8"
+    assert np.array_equal(J.decode_jpeg_pixels(bogus), px)
+    # truncate the entropy stream before its end, ending on a marker:
+    # decode must need the missing bits and raise the marker error
+    cut = bytes(payload[:-8]) + b"\xff\xc8"
+    with pytest.raises(ValueError, match="unexpected marker 0xFFC8"):
+        J.decode_jpeg_pixels(cut)
+    # truncated trailing 0xFF: bad marker, not clean end
+    cut_ff = bytes(payload[:-8]) + b"\xff"
+    with pytest.raises(ValueError, match="truncated 0xFF|unexpected"):
+        J.decode_jpeg_pixels(cut_ff)
+
+
+def _r12_emit_ac_first(bw, coef, ss, se, al, ac_codes=None):
+    from vector_lake_spark.jpeg import AC_CODES, _amplitude, _category
+
+    ac_codes = ac_codes or AC_CODES
+    run = 0
+    last = -1
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        az = (abs(v) >> al) * (1 if v >= 0 else -1)
+        vals.append(az)
+        if az:
+            last = k
+    for k in range(ss, se + 1):
+        az = vals[k - ss]
+        if k > last:
+            break
+        if az == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+        size = _category(az)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(_amplitude(az, size), size)
+        run = 0
+    if last < se:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+
+
+def _r12_emit_ac_refine(bw, coef, ss, se, al, ac_codes=None):
+    from vector_lake_spark.jpeg import AC_CODES
+
+    ac_codes = ac_codes or AC_CODES
+    absv = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        a = abs(v) >> al
+        absv.append(a)
+        if a == 1:
+            eob = k
+    run = 0
+    pending = []
+    for k in range(ss, se + 1):
+        a = absv[k - ss]
+        if a == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            run -= 16
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+        if a > 1:
+            pending.append(a & 1)
+            continue
+        code, length = ac_codes[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(coef[k]) > 0 else 0, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        code, length = ac_codes[0x00]
+        bw.write(code, length)
+        for bit in pending:
+            bw.write(bit, 1)
+
+
+def test_ac_emit_loops_bit_identical_to_r12():
+    """r13: the nonzero-slot AC emit rewrites must produce the same
+    bytes as the verbatim r12 per-slot walks, over blocks covering
+    all-zero bands, long runs (>16 zeros -> ZRL), history coefficients
+    with pending bits, and high-band spectral selection."""
+    from vector_lake_spark.jpeg import (
+        _BitWriter,
+        _emit_ac_first,
+        _emit_ac_refine,
+    )
+
+    rng = np.random.default_rng(77)
+    blocks = [np.zeros(64, dtype=np.int64)]
+    b = np.zeros(64, dtype=np.int64)
+    b[60] = 3  # 59 leading zeros -> multiple ZRLs
+    blocks.append(b)
+    for density in (0.05, 0.3, 0.9):
+        for _ in range(6):
+            b = np.where(
+                rng.random(64) < density,
+                rng.integers(-70, 70, 64),
+                0,
+            ).astype(np.int64)
+            blocks.append(b)
+    for coef in blocks:
+        for ss, se in ((1, 5), (6, 63), (1, 63)):
+            for al in (0, 1):
+                for emit_new, emit_old in (
+                    (_emit_ac_first, _r12_emit_ac_first),
+                    (_emit_ac_refine, _r12_emit_ac_refine),
+                ):
+                    a, c = _BitWriter(), _BitWriter()
+                    emit_new(a, coef, ss, se, al)
+                    emit_old(c, coef, ss, se, al)
+                    a.write(1, 1)  # flush alignment parity too
+                    c.write(1, 1)
+                    assert a.flush() == c.flush(), (
+                        emit_new.__name__, ss, se, al, coef.tolist())
+
+
+def test_scan_reader_matches_bitreader_walk():
+    """r13: _ScanReader (window-LUT cursor) must consume identical
+    symbols/bits as the per-bit _BitReader + _huff_decode walk (kept in
+    the module as the reference), across stuffed 0xFF00 bytes, restart
+    markers and the EOI feed-1s tail."""
+    import random
+
+    from vector_lake_spark.jpeg import (
+        _BitReader,
+        _ScanReader,
+        _build_decode_table,
+        _huff_decode,
+        _huff_lut16_lists,
+    )
+
+    # a real DC-style table: lengths 2..6 over symbols 0..11
+    bits = [0, 2, 3, 3, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = list(range(12))
+    table = _build_decode_table(bits, vals)
+    lut = _huff_lut16_lists(bits, vals)
+
+    rng = random.Random(5)
+    for trial in range(20):
+        n_seg = rng.randint(1, 3)
+        payload = bytearray(b"\xff\xd8")
+        pos = len(payload)
+        for s in range(n_seg):
+            seg = bytes(
+                rng.randrange(256) for _ in range(rng.randint(8, 40))
+            )
+            # stuff: 0xFF -> 0xFF 0x00
+            stuffed = bytearray()
+            for b in seg:
+                stuffed.append(b)
+                if b == 0xFF:
+                    stuffed.append(0x00)
+            payload += stuffed
+            payload += bytes([0xFF, 0xD0 + (s % 8)]) if s < n_seg - 1 \
+                else b"\xff\xd9"
+        old = _BitReader(bytes(payload), pos)
+        new = _ScanReader(bytes(payload), pos)
+        rst = 0
+        for step in range(500):
+            op = rng.random()
+            try:
+                if op < 0.5:
+                    want = _huff_decode(old, table)
+                else:
+                    n = rng.randint(1, 12)
+                    want = old.read_bits(n)
+                old_err = None
+            except (ValueError, IndexError) as e:
+                old_err = e
+            try:
+                if op < 0.5:
+                    got = new.huff(lut)
+                else:
+                    got = new.read_bits(n)
+                new_err = None
+            except (ValueError, IndexError) as e:
+                new_err = e
+            if old_err is not None:
+                assert new_err is not None, (trial, step)
+                break
+            assert new_err is None, (trial, step, new_err)
+            assert got == want, (trial, step, got, want)
+        # seeds must stay aligned: both readers consumed the same rng ops

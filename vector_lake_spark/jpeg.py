@@ -521,6 +521,176 @@ def _huff_decode(br: _BitReader, table: dict[int, int]) -> int:
     raise ValueError("invalid Huffman code in entropy stream")
 
 
+def _huff_lut16_lists(bits, vals):
+    """List form of the 16-bit-window LUT — the scalar scan decoders
+    probe one symbol at a time, and Python list indexing beats ndarray
+    scalar indexing ~2x. Cached beside the ndarray form."""
+    key = ("lists", tuple(bits), tuple(vals))
+    hit = _LL_LUT_CACHE.get(key)
+    if hit is None:
+        sym, ln = _huff_lut16(bits, vals)
+        hit = (sym.tolist(), ln.tolist())
+        _LL_LUT_CACHE[key] = hit
+    return hit
+
+
+class _ScanReader:
+    """Window-cursor reader over ONE scan's entropy data (r13, guide
+    §4.2 — VERDICT r12 #3): the stream is unstuffed once and split at
+    RSTn markers into segments; a Huffman symbol decodes in ONE
+    16-bit-window LUT probe and raw bits in one 4-byte fetch, replacing
+    ``_BitReader``'s per-bit accumulator walk (kept verbatim below as
+    the in-test oracle). Error contract mirrored: bits at/past a
+    non-EOI marker raise the same unexpected-marker error only when
+    actually needed, EOI feeds 1-bits indefinitely, ``sync_restart``
+    validates the byte-aligned RSTn with the same message, and ``pos``
+    reports the byte position after the last consumed byte (mapped
+    through the 0xFF00 unstuffing), as the old reader's fill pointer
+    did."""
+
+    __slots__ = (
+        "payload", "segs", "si", "data", "orig", "nbytes", "nbits",
+        "end_marker", "seg_start", "p",
+    )
+
+    def __init__(self, payload: bytes, pos: int):
+        self.payload = payload
+        arr = np.frombuffer(payload, np.uint8)
+        segs = []
+        cur = pos
+        drops: list[int] = []
+        terminated = False
+        for i in (np.flatnonzero(arr[pos:] == 0xFF) + pos).tolist():
+            if i < cur:
+                continue
+            nxt = int(arr[i + 1]) if i + 1 < arr.size else None
+            if nxt == 0x00:
+                drops.append(i + 1)
+                continue
+            segs.append(
+                self._seg(arr, cur, i, drops, 0x100 if nxt is None else nxt)
+            )
+            drops = []
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                cur = i + 2
+                continue
+            terminated = True
+            break
+        if not terminated:
+            # ran off the payload with no marker: the old reader's fill
+            # IndexError, surfaced as a loud ValueError
+            segs.append(self._seg(arr, cur, arr.size, drops, None))
+        self.segs = segs
+        self.si = 0
+        self._load(0)
+
+    @staticmethod
+    def _seg(arr, start, end, drops, marker):
+        keep = np.ones(end - start, dtype=bool)
+        for d in drops:
+            if start <= d < end:
+                keep[d - start] = False
+        data = arr[start:end][keep]
+        orig = (np.flatnonzero(keep) + start).tolist()
+        pad = b"\xff" * 68  # covers window probes + boundary-spanning reads
+        return (data.tobytes() + pad, orig, int(data.size),
+                int(data.size) * 8, marker, start)
+
+    def _load(self, si):
+        (self.data, self.orig, self.nbytes, self.nbits,
+         self.end_marker, self.seg_start) = self.segs[si]
+        self.p = 0
+
+    def _hit_end(self):
+        m = self.end_marker
+        if m is None:
+            raise ValueError(
+                "JPEG truncated: entropy stream ends without a marker"
+            )
+        if m == 0x100:
+            raise ValueError(
+                "unexpected truncated 0xFF marker in entropy stream"
+            )
+        raise ValueError(f"unexpected marker 0xFF{m:02X} in entropy stream")
+
+    @property
+    def pos(self) -> int:
+        p = self.p
+        if p == 0 or self.nbytes == 0:
+            return self.seg_start
+        j = (p - 1) >> 3
+        if j >= self.nbytes:
+            j = self.nbytes - 1  # EOI 1-feeding never advanced the old pos
+        return self.orig[j] + (2 if self.data[j] == 0xFF else 1)
+
+    def read_bits(self, n: int) -> int:
+        p = self.p
+        if n == 0:
+            return 0
+        if p + n > self.nbits:
+            if self.end_marker != 0xD9:
+                self._hit_end()
+            if p >= self.nbits + 512:  # deep in the 1s pad: synthesize
+                self.p = p + n
+                return (1 << n) - 1
+        s = p & 7
+        v = (
+            int.from_bytes(self.data[p >> 3 : (p >> 3) + 4], "big")
+            >> (32 - s - n)
+        ) & ((1 << n) - 1)
+        self.p = p + n
+        return v
+
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
+    def huff(self, lut) -> int:
+        sym_l, len_l = lut
+        p = self.p
+        if p + 16 <= self.nbits:
+            w = (
+                int.from_bytes(self.data[p >> 3 : (p >> 3) + 4], "big")
+                >> (16 - (p & 7))
+            ) & 0xFFFF
+            L = len_l[w]
+            if L == 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            self.p = p + L
+            return sym_l[w]
+        # near or past the segment end: mirror the per-bit walk's checks
+        if p >= self.nbits + 512:
+            w = 0xFFFF
+        else:
+            w = (
+                int.from_bytes(self.data[p >> 3 : (p >> 3) + 4], "big")
+                >> (16 - (p & 7))
+            ) & 0xFFFF
+        L = len_l[w]
+        if L == 0:
+            # the old walk fills per bit: a marker raises before the
+            # 16-bit no-match error can
+            if p + 16 > self.nbits and self.end_marker != 0xD9:
+                self._hit_end()
+            raise ValueError("invalid Huffman code in entropy stream")
+        if p + L > self.nbits and self.end_marker != 0xD9:
+            self._hit_end()
+        self.p = p + L
+        return sym_l[w]
+
+    def sync_restart(self, n: int) -> None:
+        pos = self.pos
+        d = self.payload
+        if pos + 1 >= len(d) or d[pos] != 0xFF or d[pos + 1] != 0xD0 + n:
+            b0 = d[pos] if pos < len(d) else 0
+            b1 = d[pos + 1] if pos + 1 < len(d) else 0
+            raise ValueError(
+                f"expected restart marker RST{n} at byte {pos}, "
+                f"found 0x{b0:02X}{b1:02X}"
+            )
+        self.si += 1
+        self._load(self.si)
+
+
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
@@ -601,7 +771,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
                 vals = list(body[bpos + 17 : bpos + 17 + n])
-                htabs[(tc, th)] = _build_decode_table(bits, vals)
+                # raw spec kept: the scan decodes through the cached
+                # 16-bit-window LUT (r13), not the per-bit table
+                htabs[(tc, th)] = (bits, vals)
                 bpos += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -670,7 +842,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
         for _, _, hi, vi in comps
     ]
-    br = _BitReader(payload, pos)
+    br = _ScanReader(payload, pos)
+    luts = {
+        key: _huff_lut16_lists(*htabs[key])
+        for _cid, td, ta in scan_comps
+        for key in ((0, td), (1, ta))
+    }
     pred = [0] * ncomp
     mcu_no = 0
     rst = 0
@@ -683,10 +860,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             mcu_no += 1
             for ci, (cid, td, ta) in enumerate(scan_comps):
                 tq, hi, vi = comp_info[cid]
+                dc_lut = luts[(0, td)]
+                ac_lut = luts[(1, ta)]
                 for vy in range(vi):
                     for vx in range(hi):
                         q = coefs[ci][by * vi + vy, bx * hi + vx]
-                        size = _huff_decode(br, htabs[(0, td)])
+                        size = br.huff(dc_lut)
                         diff = (
                             _extend(br.read_bits(size), size) if size else 0
                         )
@@ -694,7 +873,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         q[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            sym = _huff_decode(br, htabs[(1, ta)])
+                            sym = br.huff(ac_lut)
                             if sym == 0x00:  # EOB
                                 break
                             if sym == 0xF0:  # ZRL
@@ -756,7 +935,7 @@ def _ac_first_block(br, actab, coef, Ss, Se, Al, eobrun):
         return eobrun - 1
     k = Ss
     while k <= Se:
-        sym = _huff_decode(br, actab)
+        sym = br.huff(actab)
         r, s = sym >> 4, sym & 0xF
         if s == 0:
             if r == 15:  # ZRL: 16 zeros
@@ -783,7 +962,7 @@ def _ac_refine_block(br, actab, coef, Ss, Se, Al, eobrun):
     k = Ss
     if eobrun == 0:
         while k <= Se:
-            sym = _huff_decode(br, actab)
+            sym = br.huff(actab)
             r, s = sym >> 4, sym & 0xF
             newval = 0
             if s == 0:
@@ -888,7 +1067,8 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
                 vals = list(body[bpos + 17 : bpos + 17 + n])
-                htabs[(tc, th)] = _build_decode_table(bits, vals)
+                # raw spec kept: scans decode via the window LUT (r13)
+                htabs[(tc, th)] = (bits, vals)
                 bpos += 17 + n
         elif marker == 0xC2:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -966,7 +1146,12 @@ def _decode_progressive_scan(
     h, w, comps = sof
     hmax, vmax, mcus_x, mcus_y, nb = geom
     comp_idx = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
-    br = _BitReader(payload, pos)
+    br = _ScanReader(payload, pos)
+    dc_luts = {
+        td: _huff_lut16_lists(*htabs[(0, td)])
+        for _cid, td, _ta in scan_comps
+        if (0, td) in htabs
+    }
     eobrun = 0
     rst = 0
     unit_no = 0
@@ -994,7 +1179,7 @@ def _decode_progressive_scan(
                         for vy in range(vi):
                             for vx in range(hi):
                                 blk = coefs[ci][by * vi + vy, bx * hi + vx]
-                                _dc_unit(br, htabs, td, blk, ah, al, pred, cid)
+                                _dc_unit(br, dc_luts, td, blk, ah, al, pred, cid)
         else:
             cid, td, _ta = scan_comps[0]
             ci = comp_idx[cid]
@@ -1003,13 +1188,13 @@ def _decode_progressive_scan(
                 for x in range(nbx):
                     maybe_restart()
                     unit_no += 1
-                    _dc_unit(br, htabs, td, coefs[ci][y, x], ah, al, pred, cid)
+                    _dc_unit(br, dc_luts, td, coefs[ci][y, x], ah, al, pred, cid)
     else:
         if len(scan_comps) != 1:
             raise ValueError("progressive AC scan must be single-component")
         cid, _td, ta = scan_comps[0]
         ci = comp_idx[cid]
-        actab = htabs[(1, ta)]
+        actab = _huff_lut16_lists(*htabs[(1, ta)])
         nby, nbx = nb[ci]
         fn = _ac_first_block if ah == 0 else _ac_refine_block
         for y in range(nby):
@@ -1020,9 +1205,9 @@ def _decode_progressive_scan(
     return br.pos
 
 
-def _dc_unit(br, htabs, td, blk, ah, al, pred, cid):
+def _dc_unit(br, dc_luts, td, blk, ah, al, pred, cid):
     if ah == 0:  # first DC scan: Huffman diff, shifted up by Al
-        size = _huff_decode(br, htabs[(0, td)])
+        size = br.huff(dc_luts[td])
         diff = _extend(br.read_bits(size), size) if size else 0
         pred[cid] += diff
         blk[0] = pred[cid] << al
@@ -1273,33 +1458,32 @@ def encode_jpeg_progressive(
 def _emit_ac_first(bw, coef, ss, se, al, ac_codes=AC_CODES):
     """AC-first scan of one block: magnitudes shifted toward zero by Al
     (T.81 point transform), run/size coding, per-block EOB0 (no
-    cross-block EOB runs — simplicity costs bits, not bugs)."""
-    run = 0
-    last = -1
-    vals = []
-    for k in range(ss, se + 1):
-        v = int(coef[k])
-        az = (abs(v) >> al) * (1 if v >= 0 else -1)
-        vals.append(az)
-        if az:
-            last = k
-    for k in range(ss, se + 1):
-        az = vals[k - ss]
-        if k > last:
-            break
-        if az == 0:
-            run += 1
-            continue
+    cross-block EOB runs — simplicity costs bits, not bugs). r13
+    (guide §4.2): only the NONZERO slots are visited — zero runs come
+    from index gaps, so the all-zero band (every DC-only block) costs
+    one flatnonzero instead of a 63-step Python walk. Emitted symbols
+    identical (pinned in tests/test_jpeg.py)."""
+    seg = np.asarray(coef[ss : se + 1])
+    az_all = np.where(seg >= 0, np.abs(seg) >> al, -(np.abs(seg) >> al))
+    nz = np.flatnonzero(az_all)
+    if nz.size == 0:
+        code, length = ac_codes[0x00]  # EOB0
+        bw.write(code, length)
+        return
+    prev = -1
+    for j in nz.tolist():
+        run = j - prev - 1
+        prev = j
         while run >= 16:
             code, length = ac_codes[0xF0]
             bw.write(code, length)
             run -= 16
+        az = int(az_all[j])
         size = _category(az)
         code, length = ac_codes[(run << 4) | size]
         bw.write(code, length)
         bw.write(_amplitude(az, size), size)
-        run = 0
-    if last < se:
+    if ss + int(nz[-1]) < se:
         code, length = ac_codes[0x00]  # EOB0
         bw.write(code, length)
 
@@ -1309,21 +1493,22 @@ def _emit_ac_refine(bw, coef, ss, se, al, ac_codes=AC_CODES):
     newly-nonzero coefficients emit (run, 1) + sign, already-nonzero
     coefficients buffer one correction bit which flushes after the next
     emitted symbol (ZRL / (r,1) / EOB)."""
-    absv = []
-    eob = ss - 1
-    for k in range(ss, se + 1):
-        v = int(coef[k])
-        a = abs(v) >> al
-        absv.append(a)
-        if a == 1:
-            eob = k
+    # r13 (guide §4.2): visit only the nonzero slots — zeros contribute
+    # runs via index gaps; the all-zero band costs one flatnonzero.
+    # Emission order and bits identical (pinned in tests/test_jpeg.py).
+    seg = np.asarray(coef[ss : se + 1])
+    a_all = np.abs(seg) >> al
+    nzall = np.flatnonzero(a_all)
+    ones = np.flatnonzero(a_all == 1)
+    eob = ss + int(ones[-1]) if ones.size else ss - 1
     run = 0
     pending: list[int] = []
-    for k in range(ss, se + 1):
-        a = absv[k - ss]
-        if a == 0:
-            run += 1
-            continue
+    prev = -1
+    for j in nzall.tolist():
+        k = ss + j
+        run += j - prev - 1
+        prev = j
+        a = int(a_all[j])
         while run > 15 and k <= eob:
             code, length = ac_codes[0xF0]
             bw.write(code, length)
@@ -1336,11 +1521,12 @@ def _emit_ac_refine(bw, coef, ss, se, al, ac_codes=AC_CODES):
             continue
         code, length = ac_codes[(run << 4) | 1]
         bw.write(code, length)
-        bw.write(1 if int(coef[k]) > 0 else 0, 1)
+        bw.write(1 if int(seg[j]) > 0 else 0, 1)
         for bit in pending:
             bw.write(bit, 1)
         pending = []
         run = 0
+    run += (se - ss) - prev  # trailing zeros after the last nonzero
     if run > 0 or pending:
         code, length = ac_codes[0x00]  # EOB0 + its buffered bits
         bw.write(code, length)
@@ -1373,7 +1559,9 @@ def _huff_lut16(bits, vals):
     """65536-entry (symbol, code-length) decode LUT keyed by the next
     16 bits of the stream (r12, guide §4.2): a canonical code of length
     L covers the window range [code << (16-L), (code+1) << (16-L)).
-    Cached per table spec — one build per distinct DHT per process."""
+    Cached per table spec — one build per distinct DHT per process.
+    r13: returns int32 ndarrays (the consumers gather with numpy fancy
+    indexing, not per-symbol Python probes)."""
     key = (tuple(bits), tuple(vals))
     hit = _LL_LUT_CACHE.get(key)
     if hit is not None:
@@ -1391,19 +1579,19 @@ def _huff_lut16(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    out = (sym.tolist(), ln.tolist())
+    out = (sym, ln)
     _LL_LUT_CACHE[key] = out
     return out
 
 
-def _entropy_windows(payload: bytes, pos: int):
-    """Unstuffed entropy stream from byte ``pos`` as 16-bit sliding
-    windows (r12): one vectorized unstuffing pass + one matmul replace
-    the per-bit reader. Returns (W list, n_real_bits, bad_marker) where
-    ``bad_marker`` is the byte of an unexpected in-stream marker (the
-    old reader raised only if decode actually reached it — the decode
-    loop preserves that). The windows carry the spec's feed-1s-after-
-    EOI padding; a decode that outruns the 80 appended bits re-pads."""
+def _unstuffed_entropy(payload: bytes, pos: int):
+    """Unstuffed entropy stream from byte ``pos`` as a uint8 ndarray
+    (r12 windows refactored per r12 ADVICE: no per-bit Python list is
+    materialized — consumers window in bounded chunks). Returns
+    (data, n_real_bits, bad_marker); ``bad_marker`` is the byte of an
+    unexpected in-stream marker, raised only if decode actually needs
+    bits at/past it, and a TRUNCATED trailing 0xFF (no byte follows)
+    counts as a bad marker rather than a clean end (r12 ADVICE #3)."""
     arr = np.frombuffer(payload, np.uint8)[pos:]
     ff = np.flatnonzero(arr == 0xFF)
     drop = []
@@ -1420,18 +1608,149 @@ def _entropy_windows(payload: bytes, pos: int):
             break
         else:
             end = i
-            bad = nxt
+            bad = 0x100 if nxt is None else nxt  # 0x100 = truncated FF
             break
     keep = np.ones(end, dtype=bool)
     for i in drop:
         if i < end:
             keep[i] = False
     data = arr[:end][keep]
-    nbits = int(data.size) * 8
-    bits = np.concatenate([np.unpackbits(data), np.ones(80, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(bits, 16)
-    weights = (1 << np.arange(15, -1, -1)).astype(np.int64)
-    return (win @ weights).tolist(), nbits, bad
+    return data, int(data.size) * 8, bad
+
+
+_LL_CHUNK_BITS = 1 << 20  # bounded work-array footprint per chunk (~30 MB)
+
+
+def _raise_ll_invalid(p, nbits, bad):
+    """Error parity of the r12 per-symbol loop: a symbol starting
+    at/past the real bits with an in-stream marker raised the marker
+    error BEFORE the window probe could report an invalid code."""
+    if bad is not None and p >= nbits:
+        if bad == 0x100:
+            raise ValueError(
+                "unexpected truncated 0xFF marker in entropy stream"
+            )
+        raise ValueError(f"unexpected marker 0xFF{bad:02X} in entropy stream")
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _ll_entropy_decode(data, nbits, bad, luts, nc, n_symbols):
+    """Vectorized lossless scan decode (r13, guide §4.2 — the FLAC
+    rice-orbit pattern): per chunk, ONE windowing pass computes, for
+    every bit position, the Huffman (size, length) and therefore the
+    symbol's total bit advance; the per-symbol Python work collapses to
+    walking the advance orbit (one list index + add per symbol), and
+    the magnitudes/diffs are gathered in vector ops. Bit-identical to
+    the r12 per-symbol window loop (pinned in tests/test_jpeg.py),
+    including the error contract: an in-stream marker raises only if
+    decode needs bits at/past it (checked post-walk: any overrun past
+    the real bits implies the old loop's per-symbol check fired, and a
+    final-symbol overrun now raises too — r12 ADVICE #3); EOI
+    truncation keeps the feed-1s semantics (chunks past the real end
+    are all-ones bits); an unmatched window raises the same invalid-
+    code error. Memory is bounded: ~30 MB of work arrays per 128 KB
+    chunk, never a full-stream Python list (r12 ADVICE #1)."""
+    # distinct tables -> one adv/size array per chunk per table
+    distinct = []
+    table_of = []
+    for t in luts:
+        for j, d in enumerate(distinct):
+            if d is t:
+                table_of.append(j)
+                break
+        else:
+            table_of.append(len(distinct))
+            distinct.append(t)
+    one_table = len(distinct) == 1
+    diffs = np.empty(n_symbols, dtype=np.int64)
+    pos_all = np.empty(n_symbols, dtype=np.int64)
+    p = 0
+    i = 0
+    base = 0  # first bit covered by the current chunk
+    while i < n_symbols:
+        # chunk covers bits [base, base+span) with 48 bits of lookahead;
+        # span tracks the REAL remaining bits (tiny streams build tiny
+        # work arrays), floored so pad-region walks still progress
+        span = min(_LL_CHUNK_BITS, max(nbits - base, 2048))
+        assert base <= p
+        lo_byte = base >> 3
+        hi_byte = (base + span + 48 + 7) >> 3
+        real = data[lo_byte : min(hi_byte, data.size)]
+        # 16-bit window at every bit position, built from a 24-bit
+        # per-byte view with a broadcasted shift — no per-bit unpack,
+        # no int64 matmul (the r12 formulation's cost). Bytes past the
+        # real stream are 0xFF: the spec's feed-1s padding.
+        padded = np.full(hi_byte - lo_byte + 2, 0xFF, dtype=np.uint8)
+        if real.size:
+            padded[: real.size] = real
+        b32 = padded.astype(np.int32)
+        b24 = (b32[:-2] << 16) | (b32[1:-1] << 8) | b32[2:]
+        W = (
+            (b24[:, None] >> (8 - np.arange(8, dtype=np.int32)[None, :]))
+            & 0xFFFF
+        ).reshape(-1)
+        advs = []
+        sizes_c = []
+        for sym_l, len_l in distinct:
+            sz = sym_l[W]
+            ln = len_l[W]
+            adv = ln + np.where(sz == 16, 0, sz)
+            adv[ln == 0] = 0  # invalid-code sentinel
+            advs.append(adv.tolist())
+            sizes_c.append(sz)
+        limit = base + (W.size - 48)
+        i0 = i
+        if one_table:
+            adv0 = advs[0]
+            while i < n_symbols and p < limit:
+                pos_all[i] = p
+                a = adv0[p - base]
+                if a == 0:
+                    _raise_ll_invalid(p, nbits, bad)
+                p += a
+                i += 1
+        else:
+            while i < n_symbols and p < limit:
+                pos_all[i] = p
+                a = advs[table_of[i % nc]][p - base]
+                if a == 0:
+                    _raise_ll_invalid(p, nbits, bad)
+                p += a
+                i += 1
+        # vectorized gather for the symbols walked in this chunk
+        for t in range(len(distinct)):
+            if one_table:
+                idx = np.arange(i0, i)
+            else:
+                idx = np.arange(i0, i)
+                idx = idx[np.array(table_of, dtype=np.int64)[idx % nc] == t]
+            if idx.size == 0:
+                continue
+            rel = pos_all[idx] - base
+            sym_l, len_l = distinct[t]
+            wv = W[rel]
+            sz = sym_l[wv].astype(np.int64)
+            ln = len_l[wv].astype(np.int64)
+            mag = W[rel + ln] >> (16 - np.minimum(sz, 15))
+            d = np.where(
+                mag >> np.maximum(sz - 1, 0) > 0,
+                mag,
+                mag - (np.int64(1) << np.minimum(sz, 62)) + 1,
+            )
+            d = np.where(sz == 0, 0, d)
+            d = np.where(sz == 16, 0x8000, d)
+            diffs[idx] = d
+        if i < n_symbols:
+            base = (p >> 3) << 3  # next chunk starts at the cursor's byte
+    if p > nbits and bad is not None:
+        if bad == 0x100:
+            raise ValueError(
+                "unexpected truncated 0xFF marker in entropy stream"
+            )
+        raise ValueError(
+            f"unexpected marker 0xFF{bad:02X} in entropy stream"
+        )
+    return diffs
 
 
 def _pack_codes(vals, lens) -> bytes:
@@ -1721,47 +2040,16 @@ def _decode_lossless_pixels(payload: bytes) -> np.ndarray:
         )
     default = 1 << (prec - 1)
     # r12 (guide §4.2): entropy decode through 16-bit-window LUTs over
-    # the unstuffed stream (one vectorized pass), then per-plane
-    # vectorized inverse DPCM — replaces the per-bit reader + per-pixel
-    # _ll_predict loop, bit-identically (pinned in tests/test_jpeg.py).
+    # the unstuffed stream; r13 vectorizes the remaining per-symbol
+    # Python loop into the chunked advance-orbit walk + vector gathers
+    # of _ll_entropy_decode — bit-identical (pinned in tests/test_jpeg
+    # .py::test_ll_entropy_decode_matches_per_symbol_loop), then
+    # per-plane vectorized inverse DPCM.
     nc = len(scan_comps)
     n_symbols = h * w * nc
-    W, nbits, bad = _entropy_windows(payload, pos)
+    data, nbits, bad = _unstuffed_entropy(payload, pos)
     luts = [_huff_lut16(*htabs[(0, td)]) for _cid, td in scan_comps]
-    diffs_flat = np.empty(n_symbols, dtype=np.int64)
-    p = 0
-    i = 0
-    for _ in range(h * w):
-        for ci in range(nc):
-            sym_l, len_l = luts[ci]
-            if bad is not None and p >= nbits:
-                raise ValueError(
-                    f"unexpected marker 0xFF{bad:02X} in entropy stream"
-                )
-            if p + 32 > len(W):  # truncated stream: keep feeding 1s
-                W.extend([0xFFFF] * 4096)
-            wv = W[p]
-            L = len_l[wv]
-            if L == 0:
-                raise ValueError("invalid Huffman code in entropy stream")
-            size = sym_l[wv]
-            p += L
-            if size == 16:
-                diff = 0x8000
-            elif size:
-                if bad is not None and p >= nbits:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{bad:02X} in entropy stream"
-                    )
-                mag = W[p] >> (16 - size)
-                p += size
-                diff = (
-                    mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
-                )
-            else:
-                diff = 0
-            diffs_flat[i] = diff
-            i += 1
+    diffs_flat = _ll_entropy_decode(data, nbits, bad, luts, nc, n_symbols)
     dmat = diffs_flat.reshape(h * w, nc)
     planes = [
         _ll_reconstruct(dmat[:, ci].reshape(h, w), predictor, default)
