@@ -282,3 +282,79 @@ def test_rle8_probe_media_and_frame_sampler(spark):
     want = pal[f1].reshape(-1, 3).mean(axis=0)
     got = [rows[1]["mean_r"], rows[1]["mean_g"], rows[1]["mean_b"]]
     assert np.allclose(got, want, atol=0.01)
+
+
+def test_rle8_encode_bit_identical_to_r12():
+    """r13: the vectorized frame-comparison + palette-quad rewrite must
+    emit byte-identical AVIs to the verbatim pre-r13 per-row logic,
+    across keyframes, unchanged rows, changed prefixes and tiny runs."""
+    import numpy as np
+
+    from vector_lake_spark.avi import _rle8_encode_frame, encode_avi_rle8
+
+    def r12_frame(cur, prev):
+        h, w = cur.shape
+        out = bytearray()
+        rows = range(h - 1, -1, -1)
+        if prev is not None:
+            changed = [
+                y for y in rows if not np.array_equal(cur[y], prev[y])
+            ]
+            last_dib = (h - 1 - changed[-1]) if changed else -1
+        else:
+            last_dib = h - 1
+        for dib_y in range(last_dib + 1):
+            y = h - 1 - dib_y
+            row = cur[y]
+            x = 0
+            if prev is not None and np.array_equal(row, prev[y]):
+                out += b"\x00\x00"
+                continue
+            if prev is not None:
+                diff = np.flatnonzero(row != prev[y])
+                skip = int(diff[0]) if diff.size else 0
+                while skip >= 4:
+                    dx = min(skip, 255)
+                    out += bytes((0, 2, dx, 0))
+                    x += dx
+                    skip -= dx
+            while x < w:
+                run = 1
+                while x + run < w and run < 255 and row[x + run] == row[x]:
+                    run += 1
+                if run >= 3 or x + run >= w:
+                    out += bytes((run, int(row[x])))
+                    x += run
+                    continue
+                lit_start = x
+                while x < w and x - lit_start < 254:
+                    run = 1
+                    while (
+                        x + run < w and run < 255
+                        and row[x + run] == row[x]
+                    ):
+                        run += 1
+                    if run >= 3:
+                        break
+                    x += run
+                n = x - lit_start
+                if n < 3:
+                    for xi in range(lit_start, x):
+                        out += bytes((1, int(row[xi])))
+                    continue
+                out += bytes((0, n)) + row[lit_start:x].tobytes()
+                if n % 2:
+                    out += b"\x00"
+            out += b"\x00\x00"
+        out += b"\x00\x01"
+        return bytes(out)
+
+    rng = np.random.default_rng(3)
+    h, w = 18, 29
+    prev = None
+    for trial in range(8):
+        cur = rng.integers(0, 5, (h, w)).astype(np.uint8) * 37
+        if trial % 3 == 1 and prev is not None:
+            cur[::2] = prev[::2]  # unchanged rows
+        assert _rle8_encode_frame(cur, prev) == r12_frame(cur, prev), trial
+        prev = cur

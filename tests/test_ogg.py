@@ -232,3 +232,23 @@ class TestReviewFindings:
         info = probe_ogg(mux_ogg_pages(pages))
         assert info["codec"] == "vorbis"
         assert info["duration_ms"] == 100
+
+
+def test_ogg_crc_matches_table_loop():
+    """r13: the zlib-dual ogg_crc must equal the direct per-byte table
+    loop (kept here as the reference) on random buffers of every size
+    class, including empty."""
+    import random
+
+    from vector_lake_spark.ogg import _CRC, ogg_crc
+
+    def table_crc(data):
+        r = 0
+        for b in data:
+            r = ((r << 8) & 0xFFFFFFFF) ^ _CRC[((r >> 24) & 0xFF) ^ b]
+        return r
+
+    rng = random.Random(4)
+    for n in (0, 1, 2, 26, 27, 255, 256, 300, 4096, 65537):
+        d = bytes(rng.randrange(256) for _ in range(n))
+        assert ogg_crc(d) == table_crc(d), n

@@ -742,3 +742,131 @@ def test_tiled_jpeg_in_tiff_roundtrip():
     _s.pack_into("<H", bad, i + 8, 32)  # claim 32-wide tiles
     with pytest.raises(ValueError):
         decode_tiff_pixels(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# r13 identity pins: LZW cursor decode + int-pair-keyed encode
+# ---------------------------------------------------------------------------
+
+
+def _r12_lzw_decode(data, expected):
+    """Verbatim pre-r13 decoder (per-byte bigint accumulator)."""
+    from vector_lake_spark.tiff import _CLEAR, _EOI
+
+    out = bytearray()
+    table = []
+    width = 9
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    acc = 0
+    nbits = 0
+    prev = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == _CLEAR:
+                reset()
+                prev = None
+                continue
+            if code == _EOI:
+                if len(out) < expected:
+                    raise ValueError("corrupt TIFF: LZW strip too short")
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt TIFF: bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF: LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    raise ValueError("corrupt TIFF: LZW strip ended without EOI")
+
+
+def _r12_lzw_encode(data):
+    """Verbatim pre-r13 encoder (bytes-keyed table)."""
+    from vector_lake_spark.tiff import _CLEAR, _EOI
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_CLEAR, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_bit_identical_to_r12():
+    """r13: the cursor decoder and int-pair-keyed encoder must emit and
+    decode byte-identical streams vs the verbatim pre-r13 pair — runs
+    long enough to cross every width bump and the 4094 table clear."""
+    import random
+
+    from vector_lake_spark.tiff import _lzw_decode, _lzw_encode
+
+    rng = random.Random(9)
+    payloads = [
+        b"",
+        b"\x00",
+        bytes(range(256)) * 4,
+        bytes(rng.randrange(4) for _ in range(5000)),     # dense repeats
+        bytes(rng.randrange(256) for _ in range(30000)),  # forces clear
+        b"\xff" * 2000,
+    ]
+    for raw in payloads:
+        enc_new = _lzw_encode(raw)
+        enc_old = _r12_lzw_encode(raw)
+        assert enc_new == enc_old, len(raw)
+        dec_new = _lzw_decode(enc_new, len(raw))
+        dec_old = _r12_lzw_decode(enc_new, len(raw))
+        assert dec_new == dec_old == raw, len(raw)

@@ -148,25 +148,28 @@ def _rle8_encode_frame(
     h, w = cur.shape
     out = bytearray()
     # find the last (bottom-up) changed row: everything after it is
-    # covered by end-of-bitmap persistence
-    rows = range(h - 1, -1, -1)  # DIB bottom-up == numpy reversed
+    # covered by end-of-bitmap persistence. r13 (guide §4.2): ONE
+    # vectorized frame comparison replaces the per-row np.array_equal
+    # calls — same rows classified changed/unchanged, byte-identical
+    # emission (pinned in tests/test_avi.py).
     if prev is not None:
-        changed = [y for y in rows if not np.array_equal(cur[y], prev[y])]
-        last_dib = (
-            (h - 1 - changed[-1]) if changed else -1
-        )  # DIB index of the last changed row
+        neq = cur != prev
+        row_changed = neq.any(axis=1)
+        ys = np.flatnonzero(row_changed)
+        last_dib = (h - 1 - int(ys[0])) if ys.size else -1
     else:
+        row_changed = None
         last_dib = h - 1
     for dib_y in range(last_dib + 1):
         y = h - 1 - dib_y
         row = cur[y]
         x = 0
-        if prev is not None and np.array_equal(row, prev[y]):
+        if prev is not None and not row_changed[y]:
             out += b"\x00\x00"  # EOL: whole row persists
             continue
         if prev is not None:
             # delta-skip the unchanged prefix (opcode 00 02 dx dy)
-            diff = np.flatnonzero(row != prev[y])
+            diff = np.flatnonzero(neq[y])
             skip = int(diff[0]) if diff.size else 0
             while skip >= 4:  # a delta op costs 4 bytes; skip ≥ 4 wins
                 dx = min(skip, 255)
@@ -239,10 +242,14 @@ def encode_avi_rle8(
         ncolors,  # biClrUsed
         0,
     )
-    # RGBQUAD palette: blue, green, red, reserved
-    strf += b"".join(
-        bytes((int(b), int(g), int(r), 0)) for r, g, b in pal
-    )
+    # RGBQUAD palette: blue, green, red, reserved — one vectorized
+    # BGR0 gather instead of a per-entry genexpr (r13; half this
+    # muxer's profile was the 256-entry genexpr)
+    quad = np.zeros((ncolors, 4), dtype=np.uint8)
+    quad[:, 0] = pal[:, 2]
+    quad[:, 1] = pal[:, 1]
+    quad[:, 2] = pal[:, 0]
+    strf += quad.tobytes()
     return _avi_container(encoded, fps, w, h, b"MRLE", strf)
 
 

@@ -32,6 +32,8 @@ transcription slip cannot hide behind a self-consistent round trip.
 
 from __future__ import annotations
 
+from bisect import bisect_right
+
 import numpy as np
 
 # T.4 table 1 — white terminating codes (run length -> bit string)
@@ -134,25 +136,49 @@ _BLACK_DECODE = _decode_table(_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP)
 _MAX_CODE_LEN = 14  # longest fax codeword (13) + 1 slack
 
 
+def _run_lut(table: dict[int, int]):
+    """14-bit-window (run, code-length) LUT over a sentinel-keyed run
+    table (r13, guide §4.2 — the jpeg.py window-LUT pattern): one probe
+    replaces the per-bit dict walk of the old ``_read_code``. Disjoint
+    fills by the prefix property; unmatched windows keep length 0."""
+    size = 1 << _MAX_CODE_LEN
+    run_a = np.zeros(size, dtype=np.int32)
+    len_a = np.zeros(size, dtype=np.int32)
+    for key, run in table.items():
+        length = key.bit_length() - 1
+        code = key - (1 << length)
+        lo = code << (_MAX_CODE_LEN - length)
+        hi = (code + 1) << (_MAX_CODE_LEN - length)
+        run_a[lo:hi] = run
+        len_a[lo:hi] = length
+    return run_a.tolist(), len_a.tolist()
+
+
+_WHITE_LUT = _run_lut(_WHITE_DECODE)
+_BLACK_LUT = _run_lut(_BLACK_DECODE)
+
+
 class _BitReader:
     """MSB-first bit reader (no byte-stuffing — fax streams are raw)."""
 
     def __init__(self, data: bytes):
         self.data = data
+        self.pad = data + b"\x00\x00\x00\x00"  # 4-byte window fetches
+        self.nbits = len(data) * 8
         self.bitpos = 0
 
     def read_bit(self) -> int:
-        byte, off = divmod(self.bitpos, 8)
-        if byte >= len(self.data):
+        p = self.bitpos
+        if p >= self.nbits:
             raise ValueError("corrupt fax stream: ran out of bits")
-        self.bitpos += 1
-        return (self.data[byte] >> (7 - off)) & 1
+        self.bitpos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
 
     def align_byte(self) -> None:
         self.bitpos = (self.bitpos + 7) // 8 * 8
 
     def exhausted(self) -> bool:
-        return self.bitpos >= 8 * len(self.data)
+        return self.bitpos >= self.nbits
 
 
 class _BitWriter:
@@ -162,13 +188,17 @@ class _BitWriter:
         self.nbits = 0
 
     def write_str(self, bits: str) -> None:
-        for b in bits:
-            self.acc = (self.acc << 1) | (b == "1")
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                self.acc = 0
-                self.nbits = 0
+        # one int parse per code instead of a per-character loop (r13);
+        # byte-identical emission (pinned in tests/test_fax.py)
+        n = len(bits)
+        if not n:
+            return
+        self.acc = (self.acc << n) | int(bits, 2)
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
 
     def align_byte(self) -> None:
         if self.nbits:
@@ -181,23 +211,34 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def _read_code(rd: _BitReader, table: dict[int, int]) -> int:
-    code = 1
-    for _ in range(_MAX_CODE_LEN):
-        code = (code << 1) | rd.read_bit()
-        run = table.get(code)
-        if run is not None:
-            return run
-    raise ValueError("corrupt fax stream: invalid run-length code")
+def _read_code(rd: _BitReader, lut) -> int:
+    """One run code via the 14-bit-window LUT. Error parity with the
+    per-bit walk it replaces: running out of bits mid-code raises the
+    same message as the old read_bit, and a 14-bit no-match (with
+    enough bits) raises the same invalid-code error."""
+    p = rd.bitpos
+    w = (
+        int.from_bytes(rd.pad[p >> 3 : (p >> 3) + 4], "big")
+        >> (18 - (p & 7))
+    ) & 0x3FFF
+    run_l, len_l = lut
+    length = len_l[w]
+    if length == 0 or p + length > rd.nbits:
+        need = length if length else _MAX_CODE_LEN
+        if p + need > rd.nbits:
+            raise ValueError("corrupt fax stream: ran out of bits")
+        raise ValueError("corrupt fax stream: invalid run-length code")
+    rd.bitpos = p + length
+    return run_l[w]
 
 
 def _read_run(rd: _BitReader, white: bool) -> int:
     """One complete run: zero or more make-ups, then a terminating
     code (make-ups are multiples of 64; terminating codes are 0..63)."""
-    table = _WHITE_DECODE if white else _BLACK_DECODE
+    lut = _WHITE_LUT if white else _BLACK_LUT
     total = 0
     while True:
-        run = _read_code(rd, table)
+        run = _read_code(rd, lut)
         total += run
         if run < 64:
             return total
@@ -252,9 +293,13 @@ def _g4_decode_row(rd: _BitReader, ref: list[int], w: int) -> list[int]:
         # of a0 with the OPPOSITE color of a0's color — i.e. a change TO
         # the opposite color. ref alternates starting with a w->b change,
         # so changes at even indices flip to black, odd to white.
-        i = 0
+        # r13: ref is strictly increasing, so the "first > a0" scan is a
+        # bisect; the parity fix-up is at most one step (identical i to
+        # the old linear walk — changes alternate). Was O(changes) per
+        # mode code, i.e. quadratic per row on wide pages.
         n = len(ref)
-        while i < n and (ref[i] <= a0 or (i & 1) != color):
+        i = bisect_right(ref, a0)
+        if (i & 1) != color:
             i += 1
         b1 = ref[i] if i < n else w
         b2 = ref[i + 1] if i + 1 < n else w
@@ -458,9 +503,9 @@ def _encode_2d_row(
     while True:
         a1 = cur[ci] if ci < len(cur) else w
         a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-        i = 0
         n = len(ref)
-        while i < n and (ref[i] <= a0 or (i & 1) != color):
+        i = bisect_right(ref, a0)  # r13: same i as the linear walk
+        if (i & 1) != color:
             i += 1
         b1 = ref[i] if i < n else w
         b2 = ref[i + 1] if i + 1 < n else w

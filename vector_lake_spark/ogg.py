@@ -25,6 +25,9 @@ budget), exactly the `probe_media`/`probe_mp3` posture.
 from __future__ import annotations
 
 import struct
+import zlib
+
+import numpy as np
 
 
 def _crc_table() -> list[int]:
@@ -40,13 +43,35 @@ def _crc_table() -> list[int]:
 
 _CRC = _crc_table()
 
+# byte/word bit-reversal tables for the zlib-dual formulation below
+_REV8 = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8
+)
+_REV8_L = _REV8.tolist()
+
 
 def ogg_crc(data: bytes) -> int:
     """RFC 3533 page CRC: direct CRC-32, poly 0x04c11db7, init 0,
-    no reflection, no final XOR."""
-    r = 0
-    for b in data:
-        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC[((r >> 24) & 0xFF) ^ b]
+    no reflection, no final XOR.
+
+    r13 (guide §4.2): the direct (non-reflected) CRC over poly
+    0x04C11DB7 is the exact bit-reversal dual of the reflected CRC over
+    0xEDB88320 — which is zlib's C implementation. So: bit-reverse each
+    byte (one vectorized table gather), run ``zlib.crc32`` with raw
+    init 0 (undo its pre/post conditioning), and bit-reverse the 32-bit
+    result. Replaces the per-byte Python table loop (was the entire ogg
+    mux+probe profile); equality with the table loop is pinned over
+    random buffers in tests/test_ogg.py."""
+    if not data:
+        return 0
+    rev = _REV8[np.frombuffer(bytes(data), np.uint8)].tobytes()
+    raw = zlib.crc32(rev, 0xFFFFFFFF) ^ 0xFFFFFFFF
+    r = (
+        (_REV8_L[raw & 0xFF] << 24)
+        | (_REV8_L[(raw >> 8) & 0xFF] << 16)
+        | (_REV8_L[(raw >> 16) & 0xFF] << 8)
+        | _REV8_L[(raw >> 24) & 0xFF]
+    )
     return r
 
 

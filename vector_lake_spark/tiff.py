@@ -210,7 +210,14 @@ _CLEAR, _EOI = 256, 257
 
 def _lzw_decode(data: bytes, expected: int) -> bytes:
     """TIFF-LZW: MSB-first codes, 9->12 bit widths with the spec's
-    EARLY CHANGE (the width bumps one code earlier than GIF's)."""
+    EARLY CHANGE (the width bumps one code earlier than GIF's).
+
+    r13 (guide §4.2 — the r12 gif.py lessons applied): codes are
+    fetched with an O(1) 4-byte window at a bit cursor (the previous
+    per-byte accumulator was an ever-growing Python bigint — quadratic
+    on large strips), and table entries stay per-CODE bytes appends.
+    Output bytes pinned identical to the verbatim pre-r13 decoder in
+    tests/test_tiff.py."""
     out = bytearray()
     table: list[bytes] = []
     width = 9
@@ -221,50 +228,59 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
         width = 9
 
     reset()
-    acc = 0
-    nbits = 0
+    padded = data + b"\x00\x00\x00\x00"
+    nbits_total = len(data) * 8
+    p = 0
     prev: bytes | None = None
-    for byte in data:
-        acc = (acc << 8) | byte
-        nbits += 8
-        while nbits >= width:
-            code = (acc >> (nbits - width)) & ((1 << width) - 1)
-            nbits -= width
-            if code == _CLEAR:
-                reset()
-                prev = None
-                continue
-            if code == _EOI:
-                if len(out) < expected:
-                    raise ValueError("corrupt TIFF: LZW strip too short")
-                return bytes(out[:expected])
-            if prev is None:
-                if code >= len(table):
-                    raise ValueError("corrupt TIFF: bad first LZW code")
-                entry = table[code]
-            elif code < len(table):
-                entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
-                entry = prev + prev[:1]
-                table.append(entry)
-            else:
-                raise ValueError("corrupt TIFF: LZW code out of range")
-            out += entry
-            prev = entry
-            # EARLY CHANGE: the decoder's table trails the encoder's by
-            # ONE entry (the encoder adds per emission, the decoder per
-            # received code starting at the second), so it must widen
-            # at (1<<width)-2 where the encoder widens at (1<<width)-1
-            if len(table) + 2 >= (1 << width) and width < 12:
-                width += 1
-            if len(out) >= expected:
-                return bytes(out[:expected])
+    while p + width <= nbits_total:
+        i = p >> 3
+        code = (
+            int.from_bytes(padded[i : i + 4], "big")
+            >> (32 - (p & 7) - width)
+        ) & ((1 << width) - 1)
+        p += width
+        if code == _CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == _EOI:
+            if len(out) < expected:
+                raise ValueError("corrupt TIFF: LZW strip too short")
+            return bytes(out[:expected])
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt TIFF: bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF: LZW code out of range")
+        out += entry
+        prev = entry
+        # EARLY CHANGE: the decoder's table trails the encoder's by
+        # ONE entry (the encoder adds per emission, the decoder per
+        # received code starting at the second), so it must widen
+        # at (1<<width)-2 where the encoder widens at (1<<width)-1
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+        if len(out) >= expected:
+            return bytes(out[:expected])
     raise ValueError("corrupt TIFF: LZW strip ended without EOI")
 
 
 def _lzw_encode(data: bytes) -> bytes:
-    """Greedy TIFF-LZW writer mirroring the decoder's width bookkeeping."""
+    """Greedy TIFF-LZW writer mirroring the decoder's width bookkeeping.
+
+    r13 (guide §4.2 — the r12 gif.py lessons): the string table keys on
+    ``(prefix_code << 8) | symbol`` ints instead of bytes prefixes —
+    every buffered sequence already has a code (the LZW invariant), so
+    the pair is a faithful key and per-symbol hashing is O(1) instead
+    of O(len). Emitted bytes pinned identical to the verbatim pre-r13
+    encoder in tests/test_tiff.py."""
     out = bytearray()
     acc = 0
     nbits = 0
@@ -277,30 +293,34 @@ def _lzw_encode(data: bytes) -> bytes:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
 
-    table = {bytes([i]): i for i in range(256)}
+    table: dict[int, int] = {}
     next_code = 258
     width = 9
     emit(_CLEAR, width)
-    cur = b""
+    cur = -1
     for b in data:
-        nxt = cur + bytes([b])
-        if nxt in table:
-            cur = nxt
+        if cur < 0:
+            cur = b
             continue
-        emit(table[cur], width)
-        table[nxt] = next_code
+        key = (cur << 8) | b
+        e = table.get(key)
+        if e is not None:
+            cur = e
+            continue
+        emit(cur, width)
+        table[key] = next_code
         next_code += 1
         # encoder bumps when the decoder will: early change
         if next_code + 1 >= (1 << width) and width < 12:
             width += 1
         if next_code >= 4094:  # table nearly full: clear (spec practice)
             emit(_CLEAR, width)
-            table = {bytes([i]): i for i in range(256)}
+            table = {}
             next_code = 258
             width = 9
-        cur = bytes([b])
-    if cur:
-        emit(table[cur], width)
+        cur = b
+    if cur >= 0:
+        emit(cur, width)
     emit(_EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
