@@ -49,7 +49,7 @@ def is_flac(payload: bytes) -> bool:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "bit", "_bits", "_ones", "_nxt")
+    __slots__ = ("data", "pos", "bit", "_bits", "_ones", "_ones_l", "_nxt")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
@@ -59,12 +59,20 @@ class _BitReader:
         # and verbatim readers (r12, guide §4.2): built once per payload
         self._bits = None
         self._ones = None
+        self._ones_l = None
         self._nxt = None
 
     def nxt_cache(self) -> dict:
         if self._nxt is None:
             self._nxt = {}
         return self._nxt
+
+    def ones_list(self) -> list:
+        # cached ONCE per payload (r12 ADVICE #2: it is param-independent
+        # — the per-step cache used to duplicate it per rice parameter)
+        if self._ones_l is None:
+            self._ones_l = self.ones().tolist()
+        return self._ones_l
 
     def bitarray(self) -> np.ndarray:
         if self._bits is None:
@@ -336,14 +344,11 @@ def _read_rice_vec(br: _BitReader, count: int, param: int) -> np.ndarray:
     # vectorized searchsorted), the terminators are the orbit of the
     # initial index under nxt, 3 list ops per sample
     cache = br.nxt_cache()
-    hit = cache.get(step)
-    if hit is None:
-        hit = (
-            np.searchsorted(ones, ones + step).tolist(),
-            ones.tolist(),
-        )
-        cache[step] = hit
-    nxt, ones_l = hit
+    nxt = cache.get(step)
+    if nxt is None:
+        nxt = np.searchsorted(ones, ones + step).tolist()
+        cache[step] = nxt
+    ones_l = br.ones_list()
     n_ones = ones.size
     k = int(np.searchsorted(ones, s0))
     ts_l = []

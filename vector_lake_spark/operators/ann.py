@@ -133,6 +133,7 @@ def lsh_neardup_pairs(
     band_seed: int = 137,
     carry_vectors: bool = False,
     max_bucket_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """LSH shard-bucketed near-duplicate pairs — the 100 TB scale path for
     ``dedup.embedding_neardup_pairs``: candidates are restricted to pairs
@@ -218,8 +219,14 @@ def lsh_neardup_pairs(
         # one count job — cheap against the banded join it protects, and
         # at 100 TB a count over parquet footers is metadata work. The
         # seeded hyperplanes depend only on the RESULT, so the pair set
-        # stays a deterministic function of (corpus, seed).
-        band_bits = auto_band_bits(df.count(), 2 ** len(hyperplanes))
+        # stays a deterministic function of (corpus, seed). r13: callers
+        # whose ``df`` IS a whole corpus table pass ``n_rows`` (the
+        # cached footer statistic, sources.table_rows) so the job is not
+        # re-run on every query build.
+        band_bits = auto_band_bits(
+            df.count() if n_rows is None else n_rows,
+            2 ** len(hyperplanes),
+        )
 
     base = df.select(
         F.col(id_col).alias("id"),

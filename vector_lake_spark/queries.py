@@ -107,6 +107,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _t_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Cached row count of a corpus table (sources.table_rows) — the
+    metadata statistic the auto-sizing builds consume (r13)."""
+    from vector_lake_spark.sources import table_rows
+
+    return table_rows(spark, sf_dir, name)
+
+
 def _auto_spread_n(spark: SparkSession, df: DataFrame) -> int | None:
     """Round-robin fan-out width for a narrow local source, or ``None``.
 
@@ -476,6 +484,9 @@ def q_vec_neardup_lsh(spark, sf):
         # and to the measured-safe 6 on the 200k cliff corpus
         band_bits=None,
         carry_vectors=True,
+        # r13: the cached footer row count feeds the sizer — same value
+        # as df.count() (whole immutable table), no job per build
+        n_rows=_t_rows(spark, sf, "embeddings"),
     )
 
 
@@ -535,6 +546,7 @@ def q_vec_semantic_dedup(spark, sf):
         # quadratic without touching the sf0.01/sf0.1 pair sets
         carry_vectors=True,  # dense candidates at this threshold — see
         # q_vec_neardup_lsh and SCALE.md "Near-dup at 200k rows"
+        n_rows=_t_rows(spark, sf, "embeddings"),  # r13 cached statistic
     )
     return connected_components_star(
         pairs, emb.select("vec_id"), id_col="vec_id"
@@ -1171,6 +1183,7 @@ def _knn_candidate_pairs(spark, sf):
         n_bands=NEARDUP_N_BANDS,
         band_bits=None,
         carry_vectors=True,
+        n_rows=_t_rows(spark, sf, "embeddings"),  # r13 cached statistic
     )
 
 

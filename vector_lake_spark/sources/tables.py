@@ -9,6 +9,8 @@ API. Any ``fsspec``-style URI works as ``base`` (local path, ``s3a://``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = [
@@ -25,22 +27,47 @@ TABLES = [
 ]
 
 
-# Per-path parquet schema cache (r12, guide §5 — the driver should do
-# almost no work): a bare ``spark.read.parquet`` re-resolves the
+# Per-path parquet metadata caches (r12, guide §5 — the driver should
+# do almost no work): a bare ``spark.read.parquet`` re-resolves the
 # DataSource and re-infers the schema from footers on EVERY call —
 # measured 314 ms per warm call vs 73 ms with an explicit schema, paid
-# per table per query build. The corpus tables are immutable, so the
-# inferred StructType (pure metadata — never row data, never derived
-# results) is resolved once per (path) and re-declared on later reads:
-# exactly what a production driver gets from its metastore/catalog.
+# per table per query build; r13 adds the row COUNT (table statistics —
+# the other thing a metastore provides), saving the one count job the
+# auto-sizing retrieval builds otherwise run per construction. The
+# caches hold METADATA only — never rows, never derived results.
+#
+# r13 (r12 ADVICE #4): cache keys include the path's (mtime_ns, size)
+# when it is a local file/directory, so regenerating a fixture table at
+# the same path in-process invalidates the stale entry instead of
+# silently mis-declaring the schema. Non-local URIs (s3a:// etc.) fall
+# back to path-only keys; ``clear_table_metadata_cache`` is the
+# explicit hook for those.
 _SCHEMA_CACHE: dict = {}
+_ROWS_CACHE: dict = {}
+
+
+def _cache_key(path: str):
+    if "://" not in path:
+        try:
+            st = os.stat(path)
+            return (path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            pass
+    return (path,)
+
+
+def clear_table_metadata_cache() -> None:
+    """Drop every cached schema/row count (fixture-rewriting tests)."""
+    _SCHEMA_CACHE.clear()
+    _ROWS_CACHE.clear()
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    schema = _SCHEMA_CACHE.get(path)
+    key = _cache_key(path)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
 
@@ -49,11 +76,29 @@ def table_schema(spark: SparkSession, base: str, name: str):
     """The (cached) parquet schema of a corpus table — for streaming
     readers, which must declare one."""
     path = f"{base}/{name}.parquet"
-    schema = _SCHEMA_CACHE.get(path)
+    key = _cache_key(path)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[key] = schema
     return schema
+
+
+def table_rows(spark: SparkSession, base: str, name: str) -> int:
+    """The (cached) row count of a corpus table — parquet footer
+    statistics, resolved by one count job on first use per path state.
+    Callers use it to feed auto-sizing hints (band widths, block
+    counts) without re-running that job on every query build; the value
+    is identical to ``load_table(...).count()`` because the corpus
+    tables are immutable (and the key embeds mtime/size, so a rewrite
+    invalidates)."""
+    path = f"{base}/{name}.parquet"
+    key = _cache_key(path)
+    n = _ROWS_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, base, name).count()
+        _ROWS_CACHE[key] = n
+    return int(n)
 
 
 def load_table(spark: SparkSession, base: str, name: str) -> DataFrame:
