@@ -1145,3 +1145,107 @@ def test_scan_reader_matches_bitreader_walk():
             assert new_err is None, (trial, step, new_err)
             assert got == want, (trial, step, got, want)
         # seeds must stay aligned: both readers consumed the same rng ops
+
+
+def test_sequential_encoder_matches_per_block_reference():
+    """r13: encode_jpeg's batched-FDCT + nonzero-gap emission must be
+    byte-identical to the old per-block pipeline — reconstructed here
+    from the verbatim _encode_block (kept in the module as reference)
+    plus the same header bytes — across gray/RGB, 8/12-bit, subsample
+    modes, restart intervals and qualities."""
+    import struct as _s
+
+    import vector_lake_spark.jpeg as J
+
+    def old_entropy(px, quality, subsample, restart_interval, precision):
+        half = float(1 << (precision - 1))
+        gray = px.ndim == 2
+        h, w = px.shape[:2]
+        if gray:
+            subsample = False
+            planes = [px.astype(np.float64)]
+        else:
+            r = px[:, :, 0].astype(np.float64)
+            g = px[:, :, 1].astype(np.float64)
+            b = px[:, :, 2].astype(np.float64)
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b + half,
+                0.5 * r - 0.418688 * g - 0.081312 * b + half,
+            ]
+        qlum = J._quality_scale(J.LUM_Q, quality)
+        qchr = J._quality_scale(J.CHR_Q, quality)
+        qtbls = [qlum] if gray else [qlum, qchr]
+        ncomp = 1 if gray else 3
+        samp = J._subsample_factors(subsample, gray)
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        padded = []
+        for ci, p in enumerate(planes):
+            hi, vi = samp[ci]
+            if ci > 0 and (hmax, vmax) != (1, 1):
+                p = J._chroma_average(p, h, w, hmax // hi, vmax // vi)
+            padded.append(
+                J._pad_replicate(p, mcus_y * 8 * vi, mcus_x * 8 * hi)
+            )
+        out = bytearray()
+        bw = J._BitWriter()
+        pred = [0] * ncomp
+        mcu_no = 0
+        rst = 0
+        for by in range(mcus_y):
+            for bx in range(mcus_x):
+                if (
+                    restart_interval and mcu_no
+                    and mcu_no % restart_interval == 0
+                ):
+                    out += bw.flush()
+                    bw = J._BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * ncomp
+                mcu_no += 1
+                for ci in range(ncomp):
+                    hi, vi = samp[ci]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            r0 = (by * vi + vy) * 8
+                            c0 = (bx * hi + vx) * 8
+                            block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
+                            pred[ci] = J._encode_block(
+                                bw, block, qtbls[0 if ci == 0 else 1],
+                                pred[ci], half=half,
+                                dc_codes=J.DC_CODES if precision == 8
+                                else J.DC_CODES_12,
+                                ac_codes=J.AC_CODES if precision == 8
+                                else J.AC_CODES_12,
+                                max_ac=10 if precision == 8 else 14,
+                            )
+        out += bw.flush()
+        return bytes(out)
+
+    rng = np.random.default_rng(41)
+    cases = []
+    for gray in (True, False):
+        for precision in (8, 12):
+            hi = 256 if precision == 8 else 4096
+            dt = np.uint8 if precision == 8 else np.uint16
+            shape = (21, 29) if gray else (21, 29, 3)
+            cases.append((rng.integers(0, hi, shape).astype(dt), precision))
+    for px, precision in cases:
+        for subsample in (False, True, "422"):
+            if px.ndim == 2 and subsample:
+                continue
+            for rst in (0, 3):
+                for quality in (90, 100):
+                    new = J.encode_jpeg(
+                        px, quality=quality, subsample=subsample,
+                        restart_interval=rst, precision=precision,
+                    )
+                    want_tail = old_entropy(
+                        px, quality, subsample, rst, precision
+                    ) + b"\xff\xd9"
+                    assert new.endswith(want_tail), (
+                        px.shape, precision, subsample, rst, quality)

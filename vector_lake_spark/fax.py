@@ -281,6 +281,21 @@ def _row_changes(row: np.ndarray) -> list[int]:
     return np.flatnonzero(padded).tolist()
 
 
+def _all_row_changes(bits: np.ndarray) -> list[list[int]]:
+    """``_row_changes`` for every row in ONE vectorized pass (r13,
+    guide §4.2): the per-row numpy-call overhead (diff + astype +
+    flatnonzero per tiny row) dominated fax ENCODE on narrow pages.
+    Row-for-row identical to mapping ``_row_changes``."""
+    rows = bits.shape[0]
+    d = np.diff(
+        bits.astype(np.int8), axis=1,
+        prepend=np.zeros((rows, 1), dtype=np.int8),
+    )
+    rr, cc = np.nonzero(d)
+    idx = np.searchsorted(rr, np.arange(rows + 1))
+    return [cc[idx[y] : idx[y + 1]].tolist() for y in range(rows)]
+
+
 def _g4_decode_row(rd: _BitReader, ref: list[int], w: int) -> list[int]:
     """One T.6 2-D line against the reference line's changing elements.
     Returns the new line's changing elements."""
@@ -436,13 +451,14 @@ def encode_fax(bits: np.ndarray, scheme: str, k: int = 2) -> bytes:
         raise ValueError("encode_fax expects 0/1 samples")
     rows, w = bits.shape
     bw = _BitWriter()
+    all_changes = _all_row_changes(bits)  # one pass for every scheme
     if scheme in ("mh", "g3"):
         for y in range(rows):
             if scheme == "mh":
                 bw.align_byte()
             else:
                 bw.write_str(_EOL)
-            _encode_1d_row(bw, bits[y], w)
+            _encode_1d_row(bw, all_changes[y], w)
         return bw.flush()
     if scheme == "g3-2d":
         # T.4 two-dimensional (MR): every line is EOL + a tag bit — 1
@@ -456,11 +472,11 @@ def encode_fax(bits: np.ndarray, scheme: str, k: int = 2) -> bytes:
             bw.write_str(_EOL)
             if y % k == 0:
                 bw.write_str("1")
-                _encode_1d_row(bw, bits[y], w)
-                ref = _row_changes(bits[y])
+                _encode_1d_row(bw, all_changes[y], w)
+                ref = all_changes[y]
             else:
                 bw.write_str("0")
-                cur = _row_changes(bits[y])
+                cur = all_changes[y]
                 _encode_2d_row(bw, cur, ref, w)
                 ref = cur
         return bw.flush()
@@ -468,18 +484,18 @@ def encode_fax(bits: np.ndarray, scheme: str, k: int = 2) -> bytes:
         raise ValueError(f"unknown fax scheme {scheme!r}")
     ref = []
     for y in range(rows):
-        cur = _row_changes(bits[y])
+        cur = all_changes[y]
         _encode_2d_row(bw, cur, ref, w)
         ref = cur
     bw.write_str(_EOL + _EOL)  # EOFB per T.6
     return bw.flush()
 
 
-def _encode_1d_row(bw: _BitWriter, row: np.ndarray, w: int) -> None:
+def _encode_1d_row(bw: _BitWriter, row_changes: list[int], w: int) -> None:
     """One MH-coded line: alternating run lengths from the changes."""
     pos = 0
     white = True
-    changes = _row_changes(row) + [w]
+    changes = row_changes + [w]
     for nxt in changes:
         if nxt == pos and white:
             # row starts black: emit the zero-length white run

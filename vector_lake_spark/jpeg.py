@@ -183,11 +183,54 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _emit_block(
+    bw: _BitWriter, qf, pred_dc: int, dc_codes: dict, ac_codes: dict,
+    max_ac: int,
+) -> int:
+    """Entropy-emit one PRE-QUANTIZED zigzag block (r13: the FDCT/
+    quantize half moved to the batched ``_quantized_planes``; this is
+    ``_encode_block``'s emission tail visiting only the NONZERO AC
+    slots — zero runs come from index gaps. Byte-identical to the
+    verbatim ``_encode_block`` below, pinned in tests/test_jpeg.py)."""
+    dc = int(qf[0])
+    diff = dc - pred_dc
+    size = _category(diff)
+    if size not in dc_codes:
+        raise ValueError(f"DC difference {diff} out of range")
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(_amplitude(diff, size), size)
+    nz = np.flatnonzero(qf[1:])
+    prev = -1
+    for j in nz.tolist():
+        run = j - prev - 1
+        prev = j
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        v = int(qf[1 + j])
+        size = _category(v)
+        if size > max_ac:
+            raise ValueError(f"AC coefficient {v} out of range")
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(_amplitude(v, size), size)
+    if (int(nz[-1]) if nz.size else -1) < 62:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
 def _encode_block(
     bw: _BitWriter, block: np.ndarray, qtbl: np.ndarray, pred_dc: int,
     half: float = 128.0, dc_codes: dict = DC_CODES,
     ac_codes: dict = AC_CODES, max_ac: int = 10,
 ) -> int:
+    # r13: no longer on the encode path (kept VERBATIM as the per-block
+    # FDCT+emission reference for the byte-identity pin in
+    # tests/test_jpeg.py::test_sequential_encoder_matches_per_block_reference)
     coef = np.round(_C @ (block - half) @ _C.T)
     q = (coef / qtbl).round().astype(np.int64)
     # zigzag via one fancy-indexed gather + tolist (r12, guide §4.2):
@@ -323,33 +366,22 @@ def encode_jpeg(
     if gray:
         subsample = False
 
-    if gray:
-        planes = [px.astype(np.float64)]
-    else:
-        r = px[:, :, 0].astype(np.float64)
-        g = px[:, :, 1].astype(np.float64)
-        b = px[:, :, 2].astype(np.float64)
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + half,
-            0.5 * r - 0.418688 * g - 0.081312 * b + half,
-        ]
-    qlum = _quality_scale(LUM_Q, quality)
-    qchr = _quality_scale(CHR_Q, quality)
-    qtbls = [qlum] if gray else [qlum, qchr]
+    # r13 (guide §4.2): the FDCT/quantize front half is the shared
+    # batched `_quantized_planes` (one stacked matmul per plane — same
+    # pairwise contraction order as the old per-block matmul, which the
+    # progressive==sequential equality tests already pin), so the MCU
+    # loop below only EMITS precomputed zigzag coefficients. Full-file
+    # byte identity vs the old per-block encoder is pinned across the
+    # gray/RGB × 8/12-bit × subsample × restart × quality matrix in
+    # tests/test_jpeg.py.
+    _h2, _w2, samp, qtbls, coefs = _quantized_planes(
+        px, quality, subsample, precision
+    )
     ncomp = 1 if gray else 3
-    # sampling factors (Hi, Vi) per component (4:2:0 / 4:2:2 / 4:1:1)
-    samp = _subsample_factors(subsample, gray)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    padded = []
-    for ci, p in enumerate(planes):
-        hi, vi = samp[ci]
-        if ci > 0 and (hmax, vmax) != (1, 1):  # chroma box-averaging
-            p = _chroma_average(p, h, w, hmax // hi, vmax // vi)
-        padded.append(_pad_replicate(p, mcus_y * 8 * vi, mcus_x * 8 * hi))
 
     out = bytearray(b"\xff\xd8")  # SOI
     if precision == 8:  # JFIF declares 8-bit samples; 12-bit files omit it
@@ -387,6 +419,9 @@ def encode_jpeg(
     pred = [0] * ncomp
     mcu_no = 0
     rst = 0
+    dc_codes = DC_CODES if precision == 8 else DC_CODES_12
+    ac_codes = AC_CODES if precision == 8 else AC_CODES_12
+    max_ac = 10 if precision == 8 else 14
     for by in range(mcus_y):
         for bx in range(mcus_x):
             if restart_interval and mcu_no and mcu_no % restart_interval == 0:
@@ -400,17 +435,10 @@ def encode_jpeg(
                 hi, vi = samp[ci]
                 for vy in range(vi):
                     for vx in range(hi):
-                        r0 = (by * vi + vy) * 8
-                        c0 = (bx * hi + vx) * 8
-                        block = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
-                        pred[ci] = _encode_block(
-                            bw, block, qtbls[0 if ci == 0 else 1], pred[ci],
-                            half=half,
-                            dc_codes=DC_CODES if precision == 8
-                            else DC_CODES_12,
-                            ac_codes=AC_CODES if precision == 8
-                            else AC_CODES_12,
-                            max_ac=10 if precision == 8 else 14,
+                        pred[ci] = _emit_block(
+                            bw,
+                            coefs[ci][by * vi + vy, bx * hi + vx],
+                            pred[ci], dc_codes, ac_codes, max_ac,
                         )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
