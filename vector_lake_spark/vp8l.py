@@ -307,6 +307,27 @@ class PrefixCode:
                 raise ValueError("corrupt VP8L: invalid prefix code bits")
 
 
+# lengths-keyed PrefixCode cache (r13): a corpus of same-structured
+# images repeats the same canonical code shapes, and for tiny images
+# the canonical-code + LUT construction dominates decode. The cache
+# holds code METADATA only (the same class as the jpeg Huffman-LUT
+# cache), keyed by the full lengths vector; bounded by a clear-on-full
+# cap so adversarial corpora cannot grow it without bound.
+_PREFIX_CODE_CACHE: dict = {}
+_PREFIX_CODE_CACHE_CAP = 4096
+
+
+def _prefix_code(lengths: list) -> PrefixCode:
+    key = tuple(lengths)
+    hit = _PREFIX_CODE_CACHE.get(key)
+    if hit is None:
+        hit = PrefixCode(lengths)
+        if len(_PREFIX_CODE_CACHE) >= _PREFIX_CODE_CACHE_CAP:
+            _PREFIX_CODE_CACHE.clear()
+        _PREFIX_CODE_CACHE[key] = hit
+    return hit
+
+
 def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
     if br.read(1):  # simple code: 1 or 2 symbols given directly
         num_symbols = br.read(1) + 1
@@ -323,7 +344,7 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
                     "corrupt VP8L: simple-code symbol out of range"
                 )
             lengths[sym1] = 1
-        return PrefixCode(lengths)
+        return _prefix_code(lengths)
     # normal: code lengths are themselves prefix-coded
     num_cl = br.read(4) + 4
     cl_lengths = [0] * 19
@@ -358,7 +379,7 @@ def _read_prefix_code(br: BitReader, alphabet_size: int) -> PrefixCode:
             i += 3 + br.read(3)
         else:
             i += 11 + br.read(7)
-    return PrefixCode(lengths)
+    return _prefix_code(lengths)
 
 
 def _lz77_value(code: int, br: BitReader) -> int:
